@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator module's named queries; `oracleSql`
+  * carries the DuckDB-equivalent SQL for the hash-compare gate. Column names
+  * and row order are deterministic on both sides (see QueryDsl).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-hop broadcast join + exact-decimal aggregation: revenue per
+    * region/market segment over customer⋈nation⋈region⋈orders. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    val o = Tables.orders(spark, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        QueryDsl.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "c_mktsegment")
+  }
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (operators.Parity.queries, operators.Parity.oracle),
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All engine queries take an `sfDir` (e.g. /root/testdata/sf0.01) and read
+  * the parquet tables lazily, so Catalyst sees the scan and can push filters
+  * and prune columns down to the parquet reader. At cluster scale the same
+  * code reads a partitioned table from distributed storage — nothing here is
+  * local-mode specific.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for. Sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
+    * [[GraftSession]]) so the scan yields Long nanos; convert to a proper
+    * microsecond TimestampType column here (the generator emits exact
+    * microseconds, so this is lossless — verified in FIXTURES.md data). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
