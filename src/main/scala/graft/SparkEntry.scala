@@ -33,6 +33,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Parity.queries, operators.Parity.oracle),
+      (operators.Relational.queries, operators.Relational.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

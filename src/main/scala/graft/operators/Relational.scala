@@ -1,0 +1,356 @@
+package graft.operators
+
+import graft.{QueryDsl, Tables}
+import graft.QueryDsl.{davg, dsum, sqlDavg, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generalization layer (SURVEY.md §7.2 M3): the relational algebra the
+  * reference lacks, declared as lazy DataFrame plans so Catalyst supplies
+  * pushdown, pruning, join planning, and whole-stage codegen.
+  *
+  * Scale notes (100 TB design point):
+  *   - Dimension joins (region/nation/customer-sized) are explicitly
+  *     `broadcast()` — no shuffle of the fact table.
+  *   - Fact-fact joins (orders⋈lineitem) shuffle on the join key once; at
+  *     cluster scale the same plan benefits from bucketing both tables on
+  *     orderkey, and AQE handles skew (GraftSession enables skewJoin).
+  *   - Aggregations are partial (map-side combine) automatically because
+  *     they are declared via groupBy/agg, never driver-side loops.
+  *   - Top-k is orderBy+limit → TakeOrderedAndProject: per-partition heaps
+  *     + driver merge of k rows, never a global sort.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped aggregation: map-side partial agg + exact decimal
+    * sums. The shipdate predicate is pushed to the parquet row groups. */
+  def aggPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Star-schema join: fact customer joined to two broadcast dims.
+    * `.explain` shows BroadcastHashJoin with no shuffle of customer. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name")
+
+  /** Fact-fact equi-join (orders⋈lineitem): one shuffle on the order key,
+    * then partial-aggregated revenue per priority. */
+  def joinFactFact(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Left-semi join = SQL EXISTS: customers holding at least one open
+    * order. Only the key column of orders is shuffled. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "P").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Left-anti join = SQL NOT EXISTS: customers with no orders at all. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Ranked window: top-3 orders per customer by price. row_number (not
+    * rank) + total tie-break keys keeps the result deterministic. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-frame window: cumulative revenue per supplier over ship
+    * dates (rows between unbounded preceding and current). Decimal
+    * accumulation keeps the running sum engine-exact. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") < 5)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(28,4)")).over(w).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "running_qty")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** Lag/lead window: gap in days to the previous order per customer. */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 40)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), col("prev_date")).cast("int"))
+      .select("o_custkey", "o_orderkey", "gap_days")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global top-k: TakeOrderedAndProject (per-partition heap + k-row
+    * driver merge), not a global sort — the 100 TB-safe way to LIMIT. */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** INTERSECT: customer keys seen in both finished and open orders. */
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT: parts never shipped by any lineitem. */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"))
+      .except(Tables.lineitem(s, d).select(col("l_partkey").as("p_partkey")))
+      .orderBy("p_partkey")
+
+  /** DISTINCT (exact dedup of a projection). */
+  def distinctPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** ROLLUP hierarchy totals with grouping() markers. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("c_mktsegment")).cast("int").as("g_seg"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+
+  /** CUBE over two low-cardinality order dimensions. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Date kernel: extraction + truncation (engine-portable subset). */
+  def dateKernel(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .orderBy("o_orderkey")
+
+  /** Math kernel: IEEE-exact functions only (floor/ceil/abs/sqrt/mod) —
+    * libm-dependent fns (ln, exp) are excluded from oracle checks because
+    * their low bits differ across engines. */
+  def mathKernel(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).cast("double").as("price_floor"),
+        ceil(col("l_discount") * 100).cast("double").as("disc_pct_ceil"),
+        abs(col("l_quantity") - 25.0).as("qty_dev"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        (col("l_orderkey") % 7).cast("long").as("key_mod"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** CASE WHEN conditional kernel. */
+  def caseWhen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") >= 300000, "large")
+          .when(col("o_totalprice") >= 100000, "medium")
+          .otherwise("small").as("size_class"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("size_class")
+
+  /** Correlated-style scalar aggregate comparison: customers whose account
+    * balance exceeds their nation's average (join against a pre-aggregated
+    * subplan — the decorrelated form Catalyst would produce). */
+  def aboveNationAvg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgByNation = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(davg(col("c_acctbal")).as("nation_avg"))
+    c.join(broadcast(avgByNation), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_agg_pricing"     -> (aggPricing _),
+    "r_join_broadcast"  -> (joinBroadcast _),
+    "r_join_factfact"   -> (joinFactFact _),
+    "r_join_semi"       -> (joinSemi _),
+    "r_join_anti"       -> (joinAnti _),
+    "r_window_rank"     -> (windowRank _),
+    "r_window_running"  -> (windowRunning _),
+    "r_window_lag"      -> (windowLag _),
+    "r_topk"            -> (topK _),
+    "r_set_intersect"   -> (setIntersect _),
+    "r_set_except"      -> (setExcept _),
+    "r_distinct"        -> (distinctPairs _),
+    "r_rollup"          -> (rollupAgg _),
+    "r_cube"            -> (cubeAgg _),
+    "r_date_kernel"     -> (dateKernel _),
+    "r_math_kernel"     -> (mathKernel _),
+    "r_case_when"       -> (caseWhen _),
+    "r_above_nation_avg" -> (aboveNationAvg _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "r_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sqlDsum("l_quantity")} AS sum_qty,
+         |       ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |       ${sqlDavg("l_quantity")} AS avg_qty,
+         |       COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r_join_broadcast" ->
+      s"""SELECT r_name, COUNT(*) AS n_customers,
+         |       ${sqlDsum("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "r_join_factfact" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "r_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "r_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "r_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "r_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)))
+        |            OVER (PARTITION BY l_suppkey
+        |                  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 5
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "r_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(date_diff('day',
+        |         lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |         o_orderdate) AS INT) AS gap_days
+        |FROM orders WHERE o_custkey < 40
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "r_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "r_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "r_set_except" ->
+      """SELECT p_partkey FROM part
+        |EXCEPT
+        |SELECT l_partkey AS p_partkey FROM lineitem
+        |ORDER BY p_partkey""".stripMargin,
+    "r_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r_rollup" ->
+      s"""SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+         |       ${sqlDsum("c_acctbal")} AS sum_acctbal,
+         |       CAST(GROUPING(n_name) AS INT) AS g_nation,
+         |       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(n_name, c_mktsegment)
+         |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "r_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r_date_kernel" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(month(o_orderdate) AS INT) AS o_month,
+        |       CAST(day(o_orderdate) AS INT) AS o_day,
+        |       date_trunc('month', o_orderdate) AS month_start
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "r_math_kernel" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(floor(l_extendedprice) AS DOUBLE) AS price_floor,
+        |       CAST(ceil(l_discount * 100) AS DOUBLE) AS disc_pct_ceil,
+        |       abs(l_quantity - 25.0) AS qty_dev,
+        |       sqrt(l_extendedprice) AS price_sqrt,
+        |       CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "r_case_when" ->
+      """SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+        |            WHEN o_totalprice >= 100000 THEN 'medium'
+        |            ELSE 'small' END AS size_class,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin,
+    "r_above_nation_avg" ->
+      s"""SELECT c_custkey, c_nationkey, c_acctbal
+         |FROM customer JOIN (
+         |  SELECT c_nationkey AS nk, ${sqlDavg("c_acctbal")} AS nation_avg
+         |  FROM customer GROUP BY c_nationkey) ON c_nationkey = nk
+         |WHERE c_acctbal > nation_avg
+         |ORDER BY c_custkey""".stripMargin,
+  )
+}
