@@ -28,13 +28,15 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
     * type for. Sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
     * [[GraftSession]]) so the scan yields Long nanos; convert to a proper
-    * microsecond TimestampType column here (the generator emits exact
-    * microseconds, so this is lossless — verified in FIXTURES.md data). */
+    * microsecond TimestampType column here. Integer division (`div`) is
+    * mandatory: `/` on longs is double division, and epoch nanos (~1.7e18)
+    * exceed double's 53-bit mantissa, so the truncating cast would land
+    * 1µs low on ~2% of rows. `ts div 1000` is exact for any Long nanos. */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -2,12 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json + queries.json (the full key list, so the checker
+  * can detect a query whose write threw even when it has no oracle), for
+  * the driver's DuckDB compare. Cleans outDir first so a newly-failing
+  * query can't be masked by stale parquet from an earlier run. */
 object Verify {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus, "graft-verify")
+    deleteRecursively(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -31,6 +40,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), keys)
     spark.stop()
   }
 }

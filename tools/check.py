@@ -97,9 +97,13 @@ def main() -> int:
             continue
         if not compare(name, spark_df, oracle_df):
             failures += 1
-    missing = set(oracles) - {d.name for d in out_dir.iterdir() if d.is_dir()}
+    declared = set(oracles)
+    qj = out_dir / "queries.json"
+    if qj.exists():
+        declared |= set(json.loads(qj.read_text()))
+    missing = declared - {d.name for d in out_dir.iterdir() if d.is_dir()}
     for m in sorted(missing):
-        print(f"FAIL {m}: oracle declared but no spark output")
+        print(f"FAIL {m}: query declared but no spark output")
         failures += 1
     print(f"== {checked} oracle-checked, {rows_only} rows-only, {failures} failures")
     return 1 if failures else 0
