@@ -34,6 +34,7 @@ object SparkEntry {
     Seq(
       (operators.Parity.queries, operators.Parity.oracle),
       (operators.Relational.queries, operators.Relational.oracle),
+      (operators.Extraction.queries, operators.Extraction.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

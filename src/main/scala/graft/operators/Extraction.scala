@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.extract.NportKernel
+import graft.sources.{DocStage, FilingDocs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The extraction kernel wired into distributed pipelines — SURVEY.md §2
+  * rows X1/X2/X3/G1/I1/S2 as oracle-checked queries.
+  *
+  * Pipeline shape (the §3.3 pandas→Spark inversion): a corpus of XHTML
+  * filings is a Dataset; the kernel runs inside `flatMap`, executor-side,
+  * one task per partition — the reference's sequential per-filing driver
+  * loop (ETFQuarterlyHoldingsExtractor.py:153-158) becomes a single
+  * distributed map stage. At 100 TB the corpus is just more partitions;
+  * nothing here touches the driver.
+  *
+  * Oracle strategy: the corpus is rendered deterministically from `orders`
+  * ([[FilingDocs]]), so DuckDB verifies the full render→parse→extract
+  * round trip by recomputing the expected rows relationally — the
+  * extraction kernel is hash-checked against an engine that never parses
+  * HTML.
+  */
+object Extraction {
+
+  private val outCols = Seq("reporting_date", "issuer", "shares", "value_usd", "pct_net_assets")
+
+  /** X2/G1/I1 — render in a map, extract in a flatMap: 1 doc → N holding
+    * rows with the filing's scalar date attached. */
+  def extractHoldings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    FilingDocs.docs(s, d)
+      .flatMap { case (_, doc) => NportKernel.extractRows(doc) }
+      .toDF()
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
+  /** X1 — scalar per-document extraction: one reporting date per filing;
+    * date-less filings are dropped (ref :80-82). */
+  def reportingDates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    FilingDocs.docs(s, d)
+      .flatMap { case (id, doc) =>
+        NportKernel.extract(doc)._1.map(date => (id, date))
+      }
+      .toDF("doc_id", "reporting_date")
+      .orderBy("doc_id")
+  }
+
+  /** S2+I1 — the same extraction driven from a document-directory source:
+    * one file per filing, `wholetext` read (one row per file), then the
+    * kernel flatMap. Output (and oracle) identical to [[extractHoldings]] —
+    * the source changes, the semantics don't. */
+  def docSourceHoldings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = DocStage.ensureStaged(s, d)
+    s.read.option("wholetext", "true").text(dir)
+      .select(col("value"))
+      .as[String]
+      .flatMap(NportKernel.extractRows)
+      .toDF()
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
+  private val holdingsOracle: String =
+    s"""SELECT * FROM (
+       |  SELECT ${FilingDocs.oracleFields.linesIterator.mkString(" ")}
+       |  FROM orders WHERE o_custkey % 50 <> 0)
+       |WHERE issuer IS NOT NULL OR shares IS NOT NULL
+       |   OR value_usd IS NOT NULL OR pct_net_assets IS NOT NULL
+       |ORDER BY reporting_date, issuer NULLS FIRST, shares NULLS FIRST,
+       |         value_usd NULLS FIRST, pct_net_assets NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_extract_holdings" -> (extractHoldings _),
+    "x_reporting_date" -> (reportingDates _),
+    "x_doc_source" -> (docSourceHoldings _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_extract_holdings" -> holdingsOracle,
+    "x_doc_source" -> holdingsOracle,
+    "x_reporting_date" ->
+      """SELECT DISTINCT o_custkey AS doc_id,
+        |       CAST(DATE '2020-01-31' + CAST(o_custkey % 360 AS INT) AS VARCHAR) AS reporting_date
+        |FROM orders WHERE o_custkey % 50 <> 0
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

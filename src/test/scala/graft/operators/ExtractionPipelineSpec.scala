@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline tests (SURVEY.md §5.4): corpus render → flatMap
+  * extraction, and source-equivalence between the in-plan corpus and the
+  * staged wholetext document directory. */
+class ExtractionPipelineSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("extractHoldings: every row carries a date; date-less filings absent") {
+    val rows = Extraction.extractHoldings(s, sf)
+    val n = rows.count()
+    assert(n > 0)
+    assert(rows.filter(col("reporting_date").isNull).count() == 0)
+    // customers with key % 50 == 0 file without a date → no rows for them
+    val dates = Extraction.reportingDates(s, sf)
+    assert(dates.filter(col("doc_id") % 50 === 0).count() == 0)
+  }
+
+  test("guard semantics survive the distributed path (modulus nulls)") {
+    val rows = Extraction.extractHoldings(s, sf).cache()
+    // ~1/7 of holdings lack an issuer, ~1/5 lack shares — both present
+    assert(rows.filter(col("issuer").isNull).count() > 0)
+    assert(rows.filter(col("shares").isNull).count() > 0)
+    // comma-grouping preserved as raw strings
+    assert(rows.filter(col("shares").contains(",")).count() > 0)
+    rows.unpersist()
+  }
+
+  test("wholetext doc source yields exactly the in-plan corpus result") {
+    val a = Extraction.extractHoldings(s, sf).collect().toSeq
+    val b = Extraction.docSourceHoldings(s, sf).collect().toSeq
+    assert(a == b)
+  }
+}
