@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.extract.NportKernel
-import graft.sources.{DocStage, FilingDocs}
+import graft.sources.{DocStage, FilingDocs, FilingIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,10 +73,19 @@ object Extraction {
        |ORDER BY reporting_date, issuer NULLS FIRST, shares NULLS FIRST,
        |         value_usd NULLS FIRST, pct_net_assets NULLS FIRST""".stripMargin
 
+  /** S1+P2+F1+E1/E2 — the reference's "relational path" (§3.2) over the
+    * staged submissions-index JSON: parallel arrays zipped to rows (with
+    * null-fill on the deliberately-short primaryDocument array), filtered
+    * to NPORT-P, archive URL built. */
+  def filingIndex(s: SparkSession, d: String): DataFrame =
+    FilingIndex.filingIndex(s, d)
+      .orderBy("cik", "accession_number")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_extract_holdings" -> (extractHoldings _),
     "x_reporting_date" -> (reportingDates _),
     "x_doc_source" -> (docSourceHoldings _),
+    "x_filing_index" -> (filingIndex _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -87,5 +96,22 @@ object Extraction {
         |       CAST(DATE '2020-01-31' + CAST(o_custkey % 360 AS INT) AS VARCHAR) AS reporting_date
         |FROM orders WHERE o_custkey % 50 <> 0
         |ORDER BY doc_id""".stripMargin,
+    "x_filing_index" ->
+      """WITH idx AS (
+        |  SELECT o_custkey AS cik,
+        |         printf('%010d-%02d-%06d', o_custkey, o_orderkey % 100, o_orderkey) AS accession_number,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS filing_date,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
+        |         'doc' || CAST(o_orderkey AS VARCHAR) || '.html' AS primary_document,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT cik, accession_number, filing_date, form_type,
+        |       CASE WHEN rn = 1 THEN NULL ELSE primary_document END AS primary_document,
+        |       CASE WHEN rn = 1 THEN NULL
+        |            ELSE 'Archives/edgar/data/' || CAST(cik AS VARCHAR) || '/'
+        |                 || replace(accession_number, '-', '') || '/' || primary_document
+        |       END AS doc_url
+        |FROM idx WHERE form_type = 'NPORT-P'
+        |ORDER BY cik, accession_number""".stripMargin,
   )
 }

@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1 — the offline submissions-index JSON source, in the real EDGAR
+  * shape: one JSON document per fund whose `filings.recent` node holds
+  * PARALLEL ARRAYS (`accessionNumber[]`, `filingDate[]`, `form[]`,
+  * `primaryDocument[]`), exactly what the reference fetches and zips
+  * (ETFQuarterlyHoldingsExtractor.py:30-52, SURVEY.md §1.1).
+  *
+  * The fixture is rendered deterministically from `orders` (one fund per
+  * customer key, one filing per order), staged once as JSON Lines via
+  * Spark's own distributed text writer, then read back with an explicit
+  * schema — no schema inference pass over 100 TB. The relational form is
+  * `arrays_zip` + `explode` (P2), which null-fills on length mismatch; the
+  * fixture makes `primaryDocument` one element short per fund so that
+  * semantic is exercised on real data, then filters Form Type == NPORT-P
+  * (F1) and builds the archive doc URL (E1 concat + E2 translate,
+  * ref :58).
+  */
+object FilingIndex {
+
+  /** Per-fund submissions JSON documents, built declaratively: one shuffle
+    * (groupBy custkey), arrays aligned by sorting structs on the order
+    * key, serialized with `to_json`. */
+  def indexJson(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    o.select(
+        col("o_custkey"),
+        struct(
+          k.as("k"),
+          format_string("%010d-%02d-%06d", col("o_custkey"), k % 100, k).as("acc"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("fd"),
+          when(k % 3 === 0, "NPORT-P").otherwise("10-K").as("form"),
+          concat(lit("doc"), k.cast("string"), lit(".html")).as("pdoc")).as("f"))
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("f"))).as("fs"))
+      .select(to_json(struct(
+        col("o_custkey").as("cik"),
+        struct(struct(
+          transform(col("fs"), f => f("acc")).as("accessionNumber"),
+          transform(col("fs"), f => f("fd")).as("filingDate"),
+          transform(col("fs"), f => f("form")).as("form"),
+          // one element short: exercises arrays_zip null-fill (P2)
+          slice(transform(col("fs"), f => f("pdoc")), lit(1), size(col("fs")) - 1)
+            .as("primaryDocument")).as("recent")).as("filings"))).as("value"))
+  }
+
+  def stageDir(sfDir: String): String =
+    "/tmp/graft_stage/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Stage the fixture once per sf dir (Spark text writer, JSON Lines). */
+  def ensureStaged(s: SparkSession, sfDir: String): String = {
+    val dir = stageDir(sfDir)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+      indexJson(s, sfDir).write.mode("overwrite").text(dir)
+    }
+    dir
+  }
+
+  /** Explicit read schema — `spark.read.schema(...).json` so the scan does
+    * no inference and prunes unread arrays (P3 for free). */
+  val schema: StructType = StructType(Seq(
+    StructField("cik", LongType),
+    StructField("filings", StructType(Seq(
+      StructField("recent", StructType(Seq(
+        StructField("accessionNumber", ArrayType(StringType)),
+        StructField("filingDate", ArrayType(StringType)),
+        StructField("form", ArrayType(StringType)),
+        StructField("primaryDocument", ArrayType(StringType))))))))))
+
+  /** The reference's §3.2 "relational path" as one lazy plan: read →
+    * nested projection (P1) → arrays_zip+explode (P2) → Form Type filter
+    * (F1) → URL build (E1/E2). */
+  def filingIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    val recent = col("filings.recent") // P1 nested descent
+    s.read.schema(schema).json(dir)
+      .select(
+        col("cik"),
+        explode(arrays_zip(
+          recent("accessionNumber").as("accession_number"),
+          recent("filingDate").as("filing_date"),
+          recent("form").as("form_type"),
+          recent("primaryDocument").as("primary_document"))).as("z"))
+      .select(
+        col("cik"),
+        col("z.accession_number").as("accession_number"),
+        col("z.filing_date").as("filing_date"),
+        col("z.form_type").as("form_type"),
+        col("z.primary_document").as("primary_document"))
+      .filter(col("form_type") === "NPORT-P")
+      .withColumn("doc_url",
+        concat(lit("Archives/edgar/data/"), col("cik").cast("string"), lit("/"),
+          translate(col("accession_number"), "-", ""), lit("/"),
+          col("primary_document")))
+  }
+}
