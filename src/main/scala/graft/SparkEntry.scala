@@ -35,6 +35,8 @@ object SparkEntry {
       (operators.Parity.queries, operators.Parity.oracle),
       (operators.Relational.queries, operators.Relational.oracle),
       (operators.Extraction.queries, operators.Extraction.oracle),
+      (operators.Events.queries, operators.Events.oracle),
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.QueryDsl.{dsum, sqlDsum}
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table — the batch forms of the
+  * stateful-stream patterns a training-data pipeline needs (SURVEY.md §7.2
+  * M3; the streaming variants live in graft.streaming).
+  *
+  * Scale: everything partitions by `user_id` — one shuffle, then
+  * sort-within-partition; both window frames share the same
+  * partitioning+ordering so Catalyst plans a single sort. Gap comparisons
+  * are integer microseconds (`unix_micros`), exact at any scale and
+  * identical to the DuckDB oracle's `epoch_ns // 1000` (data is
+  * exact-microsecond).
+  */
+object Events {
+
+  private val SessionGapUs: Long = 1800L * 1000000L // 30 min
+
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds 30 minutes; session ids are per-user running
+    * counts (lag + cumulative sum — the classic decomposition). */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || (us - col("prev_us")) > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(us).as("start_us"),
+        max(us).as("end_us"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_sessionize" -> (sessionize _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_sessionize" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us,
+         |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged),
+         |sessioned AS (
+         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                              ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+         |       MIN(us) AS start_us, MAX(us) AS end_us,
+         |       ${sqlDsum("value")} AS sum_value
+         |FROM sessioned GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+  )
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the LLM-pipeline primitives
+  * (token counting, language-ID scoring, quality scoring, fingerprinting,
+  * tf-idf) expressed entirely with codegen'd built-in expressions: no
+  * UDFs, every per-document computation is a narrow map over the scan, so
+  * the only shuffles are the tf-idf aggregations.
+  *
+  * Cross-engine determinism: counts are exact integers; the only floating
+  * point is division/multiplication of exact integers (single IEEE ops,
+  * bit-identical in any engine) — idf uses the BM25-style rational
+  * `(N - df + 0.5)/(df + 0.5)` instead of `ln(N/df)` because libm low bits
+  * differ across engines (SURVEY.md §7.4). Fingerprints use md5, which
+  * both engines implement identically.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def words: Column = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens, distinct tokens, alpha runs (a
+    * BPE-ish pre-tokenizer regex), and mean token length. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(words).as("n_tokens"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha_runs"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(words).cast("double")).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Language-ID mechanism: score marker-token sets, argmax with a fixed
+    * tie-break — the standard stopword-list heuristic. Marker sets are
+    * chosen for the synthetic corpus vocabulary (the driver's documents
+    * are word-soup over an engine-themed lexicon); with real text these
+    * would be per-language stopword lists, the mechanism is unchanged. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def score(markers: Seq[String]): Column =
+      size(filter(words, w => w.isInCollection(markers)))
+    val sa = score(Seq("agg", "group", "window", "sort"))
+    val ss = score(Seq("row", "column", "scan", "batch"))
+    val se = score(Seq("spark", "stream", "hash", "merge"))
+    docs(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        sa.as("score_analytics"), ss.as("score_storage"), se.as("score_engine"))
+      .withColumn("predicted",
+        when(col("score_analytics") >= col("score_storage") &&
+          col("score_analytics") >= col("score_engine"), "analytics")
+          .when(col("score_engine") >= col("score_storage"), "engine")
+          .otherwise("storage"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length score, stopword ratio, mean token length —
+    * combined with fixed-order arithmetic mirrored 1:1 in the oracle. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val nTokens = size(words).cast("double")
+    val stopRatio =
+      size(filter(words, w => w.isInCollection(Seq("a", "the")))).cast("double") / nTokens
+    val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+    val lenScore = least(nTokens / lit(100.0), lit(1.0))
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        stopRatio.as("stop_ratio"),
+        avgLen.as("avg_token_len"),
+        lenScore.as("len_score"),
+        (lit(0.5) * lenScore + lit(0.3) * (lit(1.0) - stopRatio) +
+          lit(0.2) * least(avgLen / lit(6.0), lit(1.0))).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: whole-doc md5 plus a winnowing-style
+    * min-hash over word 4-gram shingles (rolling-window fingerprint). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val shingleMin = array_min(transform(
+      sequence(lit(0), size(words) - 4),
+      i => md5(array_join(slice(words, i + lit(1), lit(4)), " ").cast("binary"))))
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("doc_md5"),
+        when(size(words) >= 4, shingleMin)
+          .otherwise(md5(col("text").cast("binary"))).as("shingle_min_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** tf-idf: tokenize → per-(doc,term) tf → per-term document frequency →
+    * rational idf. Two aggregations (one shuffle each, map-side partial);
+    * the doc count joins in as a broadcast scalar. */
+  def tfIdf(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("word"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))).as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> (tokenStats _),
+    "t_langid" -> (langId _),
+    "t_quality" -> (quality _),
+    "t_fingerprint" -> (fingerprint _),
+    "t_tfidf" -> (tfIdf _),
+  )
+
+  private val sqlWords = "string_split(text, ' ')"
+
+  val oracle: Map[String, String] = Map(
+    "t_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS INT) AS n_chars,
+         |       CAST(len($sqlWords) AS INT) AS n_tokens,
+         |       CAST(len(list_distinct($sqlWords)) AS INT) AS n_distinct,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
+         |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($sqlWords) AS DOUBLE) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_langid" ->
+      s"""SELECT doc_id, lang,
+         |       CAST(len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort'))) AS INT) AS score_analytics,
+         |       CAST(len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch'))) AS INT) AS score_storage,
+         |       CAST(len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge'))) AS INT) AS score_engine,
+         |       CASE WHEN len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort')))
+         |              >= len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch')))
+         |             AND len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort')))
+         |              >= len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge')))
+         |            THEN 'analytics'
+         |            WHEN len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge')))
+         |              >= len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch')))
+         |            THEN 'engine'
+         |            ELSE 'storage' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality" ->
+      s"""SELECT doc_id,
+         |       CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+         |         / CAST(len($sqlWords) AS DOUBLE) AS stop_ratio,
+         |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($sqlWords) AS DOUBLE) AS avg_token_len,
+         |       least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0) AS len_score,
+         |       0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+         |         + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+         |                        / CAST(len($sqlWords) AS DOUBLE))
+         |         + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                        / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS doc_md5,
+         |       CASE WHEN len($sqlWords) >= 4
+         |            THEN list_min(list_transform(range(0, len($sqlWords) - 3),
+         |                   i -> md5(array_to_string(($sqlWords)[i+1:i+4], ' '))))
+         |            ELSE md5(text) END AS shingle_min_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM tf GROUP BY doc_id, word),
+        |dfc AS (SELECT word, COUNT(*) AS df FROM tfc GROUP BY word),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, word, tf, df,
+        |       CAST(tf AS DOUBLE) *
+        |         ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS tfidf
+        |FROM tfc JOIN dfc USING (word) CROSS JOIN n
+        |ORDER BY doc_id, word""".stripMargin,
+  )
+}
