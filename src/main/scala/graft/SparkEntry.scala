@@ -37,6 +37,7 @@ object SparkEntry {
       (operators.Extraction.queries, operators.Extraction.oracle),
       (operators.Events.queries, operators.Events.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+      (operators.Dedup.queries, operators.Dedup.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the north-star dedup family
+  * (BASELINE.md): exact (hash-groupBy), MinHash signatures, LSH band
+  * candidate generation, exact n-gram Jaccard verification, and SimHash.
+  *
+  * Scale design (the whole point of MinHash+LSH): candidate pairs are
+  * generated ONLY by equi-joining on (band, band_key) — a shuffle join on
+  * a high-cardinality key — never an all-pairs cross join. The exact
+  * Jaccard verification then touches candidates only, so the n² term
+  * disappears; DedupScaleSpec asserts candidates ≪ n(n-1)/2 on real data.
+  *
+  * Cross-engine determinism: "hash permutations" are md5 over the
+  * perm-index-prefixed shingle (both engines implement md5 identically;
+  * lexicographic min of fixed-width hex = numeric min), so signatures,
+  * band keys, and estimates hash-match DuckDB bit-for-bit. Integer counts
+  * divided by constants are single IEEE ops.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private val words: Column = split(col("text"), " ")
+
+  /** Distinct word-3-gram shingles (guarded for <3-token docs). */
+  private val shingles: Column =
+    when(size(words) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - 3),
+        i => array_join(slice(words, i + lit(1), lit(3)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  private val NumPerms = 16
+  private val Bands = 4
+  private val RowsPerBand = NumPerms / Bands
+
+  /** k=16 MinHash signature: sig(p) = min over shingles of md5(p ":" s). */
+  private val signature: Column =
+    transform(sequence(lit(0), lit(NumPerms - 1)),
+      p => array_min(transform(col("shingles"),
+        x => md5(concat(p.cast("string"), lit(":"), x).cast("binary")))))
+
+  private def withSig(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), shingles.as("shingles"))
+      .select(col("doc_id"), col("shingles"), signature.as("sig"))
+
+  /** LSH banding: 4 bands × 4 rows; band key = md5 of the band's slice. */
+  private def bands(s: SparkSession, d: String): DataFrame =
+    withSig(s, d).select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => struct(b.as("band"),
+          md5(concat_ws("|", slice(col("sig"), b * RowsPerBand + lit(1), lit(RowsPerBand)))
+            .cast("binary")).as("bkey")))).as("z"))
+      .select(col("doc_id"), col("z.band").as("band"), col("z.bkey").as("bkey"))
+
+  /** Candidate pairs from the band equi-join — the only pair generator. */
+  def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val x = bands(s, d).as("x")
+    val y = bands(s, d).as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact dedup, content-normalized: documents with identical sorted word
+    * multisets collapse to the min doc_id (hash-groupBy via window min —
+    * one shuffle on the normalization key). */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val normKey = md5(array_join(array_sort(words), " ").cast("binary"))
+    val w = Window.partitionBy(col("norm_md5"))
+    docs(s, d)
+      .select(col("doc_id"), normKey.as("norm_md5"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signatures, exploded to (doc_id, perm, minhash). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    withSig(s, d)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))
+      .orderBy("doc_id", "perm")
+
+  /** Near-duplicate pairs: LSH candidates scored by signature agreement
+    * (estimated Jaccard), kept at est ≥ 0.5. */
+  def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = withSig(s, d).select(col("doc_id"), col("sig"))
+    val est = (aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(NumPerms.toDouble))
+    candidatePairs(s, d)
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+      .select(col("a"), col("b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  /** Exact n-gram Jaccard verification over LSH candidates only. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = withSig(s, d).select(col("doc_id"), col("shingles"))
+    val jac = (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double"))
+    candidatePairs(s, d)
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
+      .select(col("a"), col("b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a", "b")
+  }
+
+  /** 16-bit SimHash over distinct words: per-word hash = first 4 hex chars
+    * of md5 (integer arithmetic only after that, so both engines agree). */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val ws = array_distinct(words)
+    // per-word 16-bit value from md5 hex prefix
+    val hvs = transform(ws, w => conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("int"))
+    val powers = array((0 until 16).map(j => lit(1 << (15 - j))): _*)
+    // bit j of the simhash: majority vote of word bits
+    val bitsSet = transform(sequence(lit(0), lit(15)), j => {
+      val p = element_at(powers, j + lit(1))
+      val pos = aggregate(col("hvs"), lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(p) > 0, 1).otherwise(0))
+      when(pos * 2 > size(col("hvs")), p).otherwise(0)
+    })
+    docs(s, d)
+      .select(col("doc_id"), hvs.as("hvs"))
+      .select(col("doc_id"),
+        aggregate(bitsSet, lit(0), (acc, v) => acc + v).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding near-dup: cosine ≥ 0.4 pairs WITHIN label partitions (the
+    * label column is a precomputed coarse quantizer — IVF-style blocking;
+    * no global cross join). Cosine = sequential-fold dot over doubles,
+    * identical in both engines. */
+  def embedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, col("label") === col("lb") && col("a") < col("b"))
+      .select(col("label"), col("a"), col("b"),
+        (dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("label", "a", "b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_dedup" -> (exactDedup _),
+    "d_minhash_sig" -> (minhashSignatures _),
+    "d_neardup_pairs" -> (neardupPairs _),
+    "d_ngram_jaccard" -> (ngramJaccard _),
+    "d_simhash" -> (simhash _),
+    "d_embed_neardup" -> (embedNeardup _),
+  )
+
+  /** Shared DuckDB CTEs mirroring the shingle/signature/band pipeline. */
+  private val sigCte: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(0, len(w) - 2),
+      |                     i -> array_to_string(w[i+1:i+3], ' ')))
+      |              ELSE [] END AS shingles
+      |       FROM ws),
+      |sig AS (SELECT doc_id, shingles,
+      |          list_transform(range(0, 16),
+      |            p -> list_min(list_transform(shingles,
+      |                   x -> md5(CAST(p AS VARCHAR) || ':' || x)))) AS sig
+      |        FROM sh),
+      |bands AS (SELECT s.doc_id, g.b AS band,
+      |            md5(array_to_string(s.sig[g.b*4+1 : g.b*4+4], '|')) AS bkey
+      |          FROM sig s, generate_series(0, 3) g(b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |         FROM bands x JOIN bands y
+      |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """WITH n AS (SELECT doc_id, md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS norm_md5
+        |           FROM documents)
+        |SELECT doc_id, norm_md5,
+        |       MIN(doc_id) OVER (PARTITION BY norm_md5) AS canonical_id,
+        |       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY norm_md5) AS INT) AS is_dup
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "d_minhash_sig" ->
+      (sigCte +
+        """
+          |SELECT doc_id, CAST(i AS INT) AS perm, sig[i+1] AS minhash
+          |FROM sig, generate_series(0, 15) g(i)
+          |ORDER BY doc_id, perm""".stripMargin),
+    "d_neardup_pairs" ->
+      (sigCte +
+        """
+          |SELECT c.a, c.b,
+          |       CAST(list_sum(list_transform(range(0, 16),
+          |              i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE)
+          |         / 16.0 AS est_jaccard
+          |FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          |WHERE CAST(list_sum(list_transform(range(0, 16),
+          |        i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5
+          |ORDER BY a, b""".stripMargin),
+    "d_ngram_jaccard" ->
+      (sigCte +
+        """
+          |SELECT c.a, c.b,
+          |       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          |         / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jaccard
+          |FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          |        / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= 0.8
+          |ORDER BY a, b""".stripMargin),
+    "d_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(list_distinct(string_split(text, ' ')),
+        |           w -> (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+        |              + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+        |              + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+        |              + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) AS hvs
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_sum(list_transform(range(0, 16), j ->
+        |         CASE WHEN 2 * list_sum(list_transform(hvs,
+        |                      h -> CASE WHEN (h & CAST(2 ** (15 - j) AS INT)) > 0 THEN 1 ELSE 0 END))
+        |                  > len(hvs)
+        |              THEN CAST(2 ** (15 - j) AS INT) ELSE 0 END)) AS INT) AS simhash
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "d_embed_neardup" ->
+      """WITH e AS (SELECT label, vec_id, embedding FROM embeddings)
+        |SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+        |       list_reduce(list_transform(range(0, 64),
+        |           i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |       / (sqrt(list_reduce(list_transform(range(0, 64),
+        |             i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |          * sqrt(list_reduce(list_transform(range(0, 64),
+        |             i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)))
+        |         AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(0, 64),
+        |           i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |      / (sqrt(list_reduce(list_transform(range(0, 64),
+        |            i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |         * sqrt(list_reduce(list_transform(range(0, 64),
+        |            i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) >= 0.4
+        |ORDER BY 1, 2, 3""".stripMargin,
+  )
+}
