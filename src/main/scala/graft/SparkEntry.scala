@@ -38,6 +38,7 @@ object SparkEntry {
       (operators.Events.queries, operators.Events.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
+      (operators.Similarity.queries, operators.Similarity.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

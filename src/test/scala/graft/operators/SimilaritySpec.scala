@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality + shape checks: the IVF path must return full result sets
+  * and recover a meaningful fraction of the exact top-k (it probes 2 of
+  * 10 label partitions, so recall < 1 is expected — that's the
+  * accuracy/cost dial; exactness is the oracle's job). */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("exact top-k returns k rows per query with descending cosine") {
+    val rows = Similarity.cosineTopK(s, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF recall@5 vs exact is substantial despite probing 2/10 partitions") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = sets(Similarity.cosineTopK(s, sf))
+    val ivf = sets(Similarity.annIvf(s, sf))
+    val recalls = exact.map { case (q, ex) =>
+      ivf.get(q).map(iv => (ex & iv).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@5 = $mean%.2f")
+    assert(mean >= 0.2, f"IVF recall collapsed: $mean%.2f")
+  }
+}
