@@ -39,6 +39,7 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
+      (multimodal.Media.queries, multimodal.Media.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

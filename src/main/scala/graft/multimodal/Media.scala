@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded executor-side in batches (the Scala analog of a
+  * Pandas-UDF/`mapInPandas` stage).
+  *
+  * The DECODE STEP IS A DETERMINISTIC STUB — no image/audio codecs ship in
+  * this environment, so [[MediaStub.decode]] computes features from raw
+  * bytes (size, unsigned-byte sum/mean, md5 content hash, frame count).
+  * Everything around it is the real 100 TB pattern: a typed
+  * `Dataset[MediaRecord]`, `mapPartitions` with explicit batching (batch
+  * size bounds peak memory per task exactly like a Pandas-UDF batch), and
+  * narrow per-partition execution — no shuffle, no driver involvement.
+  * Swapping the stub for a JNI/codec call changes one function.
+  *
+  * The media table is derived from `documents` (text bytes stand in for
+  * media payloads), so the stub's integer byte arithmetic is mirrored by a
+  * DuckDB oracle over the same rows — the plumbing is hash-checked even
+  * though the decoder is fake.
+  */
+final case class MediaRecord(
+    media_id: Long,
+    media_type: String,
+    bytes: Array[Byte],
+    width: Int,
+    height: Int)
+
+final case class MediaFeatures(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    sum_bytes: Long,
+    mean_byte: Double,
+    content_md5: String,
+    n_frames: Int)
+
+object MediaStub {
+  /** STUB decoder: a real implementation would hand `m.bytes` to a codec
+    * (libjpeg/ffmpeg/...); this derives deterministic pseudo-features so
+    * the distributed plumbing is testable offline. */
+  def decode(m: MediaRecord): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < m.bytes.length) { sum += m.bytes(i) & 0xff; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(m.bytes).map(b => f"$b%02x").mkString
+    MediaFeatures(
+      media_id = m.media_id,
+      media_type = m.media_type,
+      n_bytes = m.bytes.length.toLong,
+      sum_bytes = sum,
+      mean_byte = sum.toDouble / m.bytes.length.toDouble,
+      content_md5 = hex,
+      n_frames = if (m.media_type == "video") (m.bytes.length / 256) + 1 else 1)
+  }
+
+  /** STUB frame sampler: every `stride`-th 16-byte chunk — the shape of
+    * video frame sampling (1 row in → n frame rows out). */
+  def sampleFrames(m: MediaRecord, stride: Int): Seq[(Long, Int, Array[Byte])] =
+    m.bytes.grouped(16).zipWithIndex.collect {
+      case (chunk, idx) if idx % stride == 0 => (m.media_id, idx, chunk)
+    }.toSeq
+}
+
+object Media {
+
+  /** The media table: binary payload + typed metadata columns. At scale
+    * this is a parquet table with a binary column; here it derives from
+    * `documents` so results are oracle-checkable. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        ((col("n_chars") % 64) + 16).cast("int").as("width"),
+        ((col("n_chars") % 48) + 16).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  private val BatchSize = 64
+
+  /** The mapInPandas-shaped stage: per-partition, records are processed in
+    * bounded batches (batch size = peak decode memory per task). */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(MediaStub.decode)))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_media_features" -> (mediaFeatures _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // text is ASCII (lowercase words + spaces): byte values == char codes.
+    "m_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |         text,
+        |         CAST(length(text) AS BIGINT) AS n_bytes,
+        |         CAST(list_sum(list_transform(range(0, CAST(length(text) AS INT)),
+        |                i -> ord(substr(text, i + 1, 1)))) AS BIGINT) AS sum_bytes
+        |  FROM documents)
+        |SELECT media_id, media_type, n_bytes, sum_bytes,
+        |       CAST(sum_bytes AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS mean_byte,
+        |       md5(text) AS content_md5,
+        |       CAST(CASE WHEN media_type = 'video' THEN n_bytes // 256 + 1 ELSE 1 END AS INT) AS n_frames
+        |FROM m ORDER BY media_id""".stripMargin,
+  )
+}
