@@ -219,7 +219,21 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Per-group ranked window over supplier⋈nation (broadcast dim): top-3
+    * suppliers per nation by account balance. */
+  def supplierRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("n_name", "rn", "s_suppkey", "s_name", "s_acctbal")
+      .orderBy("n_name", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_supplier_rank"   -> (supplierRank _),
     "r_agg_pricing"     -> (aggPricing _),
     "r_join_broadcast"  -> (joinBroadcast _),
     "r_join_factfact"   -> (joinFactFact _),
@@ -241,6 +255,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "r_supplier_rank" ->
+      """SELECT n_name, rn, s_suppkey, s_name, s_acctbal FROM (
+        |  SELECT n_name, s_suppkey, s_name, s_acctbal,
+        |         CAST(row_number() OVER (PARTITION BY n_name
+        |                ORDER BY s_acctbal DESC, s_suppkey ASC) AS INT) AS rn
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |WHERE rn <= 3 ORDER BY n_name, rn""".stripMargin,
     "r_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlDsum("l_quantity")} AS sum_qty,
