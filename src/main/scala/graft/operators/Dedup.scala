@@ -37,26 +37,55 @@ object Dedup {
   private val NumPerms = 16
   private val Bands = 4
   private val RowsPerBand = NumPerms / Bands
+  /** Largest prime < 2^32 (Carter-Wegman modulus). */
+  private val P = 4294967291L
 
-  /** k=16 MinHash signature: sig(p) = min over shingles of md5(p ":" s). */
-  private val signature: Column =
-    transform(sequence(lit(0), lit(NumPerms - 1)),
-      p => array_min(transform(col("shingles"),
-        x => md5(concat(p.cast("string"), lit(":"), x).cast("binary")))))
+  /** k=16 MinHash signature via Carter-Wegman permutations: each shingle
+    * is md5'd ONCE into two 32-bit ints (a, b); permutation i of a shingle
+    * is (a + i·b) mod p. Structured as ONE expression that reads the
+    * hashed-shingle array exactly once — per-shingle 16-vectors folded by
+    * elementwise `least` — because higher-order functions run interpreted
+    * and CollapseProject inlines single-use aliases: a "compute hashes,
+    * then min per permutation" formulation re-evaluates every md5 inside
+    * the 16-permutation lambda (measured 10× slower at sf0.1). */
+  private val signature: Column = {
+    val hashed = transform(col("shingles"), x => struct(
+      conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long").as("a"),
+      conv(substring(md5(x.cast("binary")), 9, 8), 16, 10).cast("long").as("b")))
+    val perShingle = transform(hashed,
+      h => transform(sequence(lit(0), lit(NumPerms - 1)),
+        p => (h("a") + p.cast("long") * h("b")) % P))
+    when(size(col("shingles")) >= 1,
+      aggregate(perShingle,
+        array_repeat(lit(Long.MaxValue), NumPerms),
+        (acc, v) => zip_with(acc, v, (x, y) => least(x, y))))
+      .otherwise(array_repeat(lit(null).cast("long"), lit(NumPerms)))
+  }
 
+  /** The doc corpus is byte-small but compute-dense (shingle expansion ×
+    * md5), and a tiny parquet file scans as ONE split, which would
+    * serialize the signature computation on one core. Repartitioning
+    * right after the scan costs one small shuffle of raw text and buys
+    * full-cluster parallelism; the count is EXPLICIT because AQE's
+    * coalescer sizes partitions by shuffle BYTES and would merge this
+    * byte-small/compute-dense exchange back to one partition. The
+    * identical pre-sig subtree is ReuseExchange'd when queries self-join
+    * signatures. */
   private def withSig(s: SparkSession, d: String): DataFrame =
     docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles.as("shingles"))
       .select(col("doc_id"), col("shingles"), signature.as("sig"))
 
-  /** LSH banding: 4 bands × 4 rows; band key = md5 of the band's slice. */
+  /** LSH banding: 4 bands × 4 rows; band key = the band's joined slice. */
   private def bands(s: SparkSession, d: String): DataFrame =
     withSig(s, d).select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
-          md5(concat_ws("|", slice(col("sig"), b * RowsPerBand + lit(1), lit(RowsPerBand)))
-            .cast("binary")).as("bkey")))).as("z"))
+          concat_ws("|", transform(
+            slice(col("sig"), b * RowsPerBand + lit(1), lit(RowsPerBand)),
+            v => v.cast("string"))).as("bkey")))).as("z"))
       .select(col("doc_id"), col("z.band").as("band"), col("z.bkey").as("bkey"))
 
   /** Candidate pairs from the band equi-join — the only pair generator. */
@@ -147,7 +176,12 @@ object Dedup {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
+    // Repartition the probe side by vec_id: the embeddings file is byte-
+    // small (one scan split) but the pairwise-cosine stage is compute-
+    // dense; with the build side broadcast, task parallelism equals probe-
+    // side partitions.
     val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .repartition(s.sparkContext.defaultParallelism, col("a"))
     val b = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
     a.join(b, col("label") === col("lb") && col("a") < col("b"))
       .select(col("label"), col("a"), col("b"),
@@ -167,26 +201,38 @@ object Dedup {
     "d_embed_neardup" -> (embedNeardup _),
   )
 
+  /** DuckDB fragment: hex chars [s, s+8) of `m` as a BIGINT (no conv() in
+    * DuckDB 1.0, so positional strpos arithmetic). */
+  private def hex8(m: String, s: Int): String =
+    (0 until 8).map { k =>
+      val mult = math.pow(16, 7 - k).toLong
+      s"(strpos('0123456789abcdef', substr($m, ${s + k}, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
   /** Shared DuckDB CTEs mirroring the shingle/signature/band pipeline. */
   private val sigCte: String =
-    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id,
-      |         CASE WHEN len(w) >= 3
-      |              THEN list_distinct(list_transform(range(0, len(w) - 2),
-      |                     i -> array_to_string(w[i+1:i+3], ' ')))
-      |              ELSE [] END AS shingles
-      |       FROM ws),
-      |sig AS (SELECT doc_id, shingles,
-      |          list_transform(range(0, 16),
-      |            p -> list_min(list_transform(shingles,
-      |                   x -> md5(CAST(p AS VARCHAR) || ':' || x)))) AS sig
-      |        FROM sh),
-      |bands AS (SELECT s.doc_id, g.b AS band,
-      |            md5(array_to_string(s.sig[g.b*4+1 : g.b*4+4], '|')) AS bkey
-      |          FROM sig s, generate_series(0, 3) g(b)),
-      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      |         FROM bands x JOIN bands y
-      |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(w) >= 3
+       |              THEN list_distinct(list_transform(range(0, len(w) - 2),
+       |                     i -> array_to_string(w[i+1:i+3], ' ')))
+       |              ELSE [] END AS shingles
+       |       FROM ws),
+       |hashed AS (SELECT doc_id, shingles,
+       |             list_transform(shingles, x -> ${hex8("md5(x)", 1)}) AS ha,
+       |             list_transform(shingles, x -> ${hex8("md5(x)", 9)}) AS hb
+       |           FROM sh),
+       |sig AS (SELECT doc_id, shingles,
+       |          list_transform(range(0, 16),
+       |            p -> list_min(list_transform(range(0, len(ha)),
+       |                   j -> (ha[j+1] + p * hb[j+1]) % 4294967291))) AS sig
+       |        FROM hashed),
+       |bands AS (SELECT s.doc_id, g.b AS band,
+       |            array_to_string(s.sig[g.b*4+1 : g.b*4+4], '|') AS bkey
+       |          FROM sig s, generate_series(0, 3) g(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d_exact_dedup" ->

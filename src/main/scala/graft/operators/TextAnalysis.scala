@@ -84,7 +84,10 @@ object TextAnalysis {
     val shingleMin = array_min(transform(
       sequence(lit(0), size(words) - 4),
       i => md5(array_join(slice(words, i + lit(1), lit(4)), " ").cast("binary"))))
+    // explicit repartition: byte-small corpus, compute-dense md5 stage —
+    // same single-split/AQE-coalesce trap as Dedup.withSig
     docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("doc_md5"),
