@@ -173,9 +173,6 @@ object Dedup {
     * identical in both engines. */
   def embedNeardup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
     // Repartition the probe side by vec_id: the embeddings file is byte-
     // small (one scan split) but the pairwise-cosine stage is compute-
     // dense; with the build side broadcast, task parallelism equals probe-
@@ -185,9 +182,7 @@ object Dedup {
     val b = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
     a.join(b, col("label") === col("lb") && col("a") < col("b"))
       .select(col("label"), col("a"), col("b"),
-        (dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
-          .as("cosine"))
+        graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy("label", "a", "b")
   }

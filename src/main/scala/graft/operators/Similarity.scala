@@ -31,13 +31,20 @@ object Similarity {
   private val NProbe = 2
   private val Salts = 32
 
-  /** Sequential-fold dot product of two (castable-to-double) arrays. */
+  /** Sequential-fold dot product of two (castable-to-double) arrays —
+    * kept for double-typed inputs (centroids), where the float-specialized
+    * native expression doesn't apply. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** float×float cosine: the codegen'd native expression (bit-identical
+    * to the fold — see CosineSimilaritySpec). */
+  private def cosineF(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
 
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
@@ -52,7 +59,7 @@ object Similarity {
       .crossJoin(broadcast(queriesDf(s, d)))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("embedding"), col("q_emb")).as("cosine"))
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
     val w1 = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(Salts)))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     val w2 = Window.partitionBy(col("q_id"))
@@ -100,7 +107,7 @@ object Similarity {
     probed
       .join(emb(s, d), col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("embedding"), col("q_emb")).as("cosine"))
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
       .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
