@@ -21,6 +21,8 @@ object GraftSession {
       // .events converts to TimestampType micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      // managed tables (bucketed-join staging) land in /tmp, not the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   def local(cpus: String, appName: String): SparkSession = {
     val s = configure(

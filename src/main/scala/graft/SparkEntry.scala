@@ -40,6 +40,8 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (multimodal.Media.queries, multimodal.Media.oracle),
+      (operators.Sketches.queries, operators.Sketches.oracle),
+      (operators.Bucketing.queries, operators.Bucketing.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

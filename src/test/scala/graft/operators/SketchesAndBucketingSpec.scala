@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy bounds for the sketch aggregates (no oracle possible — the
+  * outputs are engine-specific) and the no-shuffle plan property of the
+  * bucketed join. */
+class SketchesAndBucketingSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("approx_count_distinct within 5% of exact") {
+    Sketches.approxDistinct(s, sf).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"flag=${r.getString(0)} approx=$approx exact=$exact")
+    }
+  }
+
+  test("approx percentiles within 5% of exact") {
+    Sketches.approxQuantiles(s, sf).collect().foreach { r =>
+      val approx = r.getSeq[Double](1)
+      val exact = r.getSeq[Double](2)
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+      }
+    }
+  }
+
+  test("bucketed join plans as SortMergeJoin with zero join-side shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // TreeNode.collect stops at AQE/query-stage boundaries (children=Nil);
+    // expand through them explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = Bucketing.bucketedJoin(s, sf)
+    df.collect() // force planning + AQE finalization on a real run
+    val all = flatten(df.queryExecution.executedPlan)
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected SortMergeJoin in:\n${df.queryExecution.executedPlan}")
+    val shufflesUnderJoin = flatten(smjs.head).collect { case e: ShuffleExchangeExec => e }
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketed join must not shuffle either side:\n${smjs.head}")
+  }
+}
