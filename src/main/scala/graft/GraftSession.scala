@@ -23,6 +23,8 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
       // managed tables (bucketed-join staging) land in /tmp, not the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // engine SQL surface: custom expressions (cosine_similarity, ...)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
   def local(cpus: String, appName: String): SparkSession = {
     val s = configure(

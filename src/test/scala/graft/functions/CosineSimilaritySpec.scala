@@ -29,6 +29,15 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("cosine_similarity is registered as a SQL function via extensions") {
+    Tables.embeddings(s, sf).limit(3).createOrReplaceTempView("emb_ext_test")
+    val rows = s.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS c FROM emb_ext_test")
+      .collect().map(_.getDouble(0))
+    assert(rows.length == 3)
+    rows.foreach(c => assert(math.abs(c - 1.0) < 1e-15))
+  }
+
   test("self-similarity is exactly 1.0 for unit work") {
     val e = Tables.embeddings(s, sf).limit(10)
     val selfs = e.select(
