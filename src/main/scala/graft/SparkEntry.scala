@@ -42,6 +42,7 @@ object SparkEntry {
       (multimodal.Media.queries, multimodal.Media.oracle),
       (operators.Sketches.queries, operators.Sketches.oracle),
       (operators.Bucketing.queries, operators.Bucketing.oracle),
+      (operators.Skew.queries, operators.Skew.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

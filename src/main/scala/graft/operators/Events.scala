@@ -42,8 +42,34 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join — for each purchase, the most recent click at-or-before
+    * it per user. Spark has no asof operator; the scalable formulation is
+    * union-free here because both sides live in one table: a single
+    * partition-ordered window with `last(..., ignoreNulls)` carries the
+    * latest click forward — one shuffle, no per-key loops, no range
+    * cross-join. (With two physical tables the same plan applies after a
+    * tagged union.) */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carried(c: org.apache.spark.sql.Column) =
+      last(when(col("event_type") === "click", c), ignoreNulls = true).over(w)
+    Tables.events(s, d)
+      .withColumn("click_id", carried(col("event_id")))
+      .withColumn("click_value", carried(col("value")))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("click_id"), col("click_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize" -> (sessionize _),
+    "e_asof_join" -> (asofJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -64,5 +90,18 @@ object Events {
          |       ${sqlDsum("value")} AS sum_value
          |FROM sessioned GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "e_asof_join" ->
+      """WITH carried AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS click_id,
+        |         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS click_value
+        |  FROM events)
+        |SELECT user_id, event_id AS purchase_id, us AS purchase_us, click_id, click_value
+        |FROM carried WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
   )
 }
