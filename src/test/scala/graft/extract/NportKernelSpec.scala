@@ -123,6 +123,32 @@ class NportKernelSpec extends AnyFunSuite {
     assert(NportKernel.extract(doc)._1.contains("2023-01-01"))
   }
 
+  test("EDGAR-style markup: attributes, doctype, comments, nested value markup") {
+    val doc =
+      """<!DOCTYPE html><html><head><meta charset="utf-8"/><title>NPORT-P</title></head>
+        |<body class="main">
+        |<!-- rendered page -->
+        |<h1 style="font-size:12pt">NPORT-P: Part A: General Information</h1>
+        |<h4 class="item">Item A.3. Reporting period</h4>
+        |<table border="1" width="100%">
+        |<tr class="r"><td width="50%">b. Date as of which information is reported</td><td align="right"><b>2023</b>-03-31</td></tr>
+        |</table>
+        |<h1>NPORT-P: Part C: Schedule of Portfolio Investments</h1>
+        |<h4>Item C.1. Identification of investment</h4>
+        |<table><tr><td>a. Name of issuer (if any)</td><td><span class="nm">Acme</span> &amp; Co<br/></td></tr></table>
+        |<h4>Item C.2. Amount of each investment</h4>
+        |<table><tr><td>Balance</td><td> 1,234.00 </td></tr>
+        |<tr><td>Report values in U.S. dollars</td><td>55,000</td></tr>
+        |<tr><td>Percentage value compared to net assets of the Fund</td><td>2.5</td></tr></table>
+        |</body></html>""".stripMargin
+    val (date, hs) = NportKernel.extract(doc)
+    // get_text(strip=True) strips each fragment then joins with "":
+    // "<b>2023</b>-03-31" → "2023"+"-03-31"; "Acme" + " & Co" → "Acme& Co"
+    // (the missing space is bs4-faithful)
+    assert(date.contains("2023-03-31"))
+    assert(hs == Seq(Holding(Some("Acme& Co"), Some("1,234.00"), Some("55,000"), Some("2.5"))))
+  }
+
   test("empty document and garbage input do not crash") {
     assert(NportKernel.extract("") == (None, Nil))
     assert(NportKernel.extract("<<<>>>&&& not html <td>") == (None, Nil))

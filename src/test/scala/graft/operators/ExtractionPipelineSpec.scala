@@ -36,4 +36,22 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     val b = Extraction.docSourceHoldings(s, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("end-to-end: staged docs → extract → partitioned CSV sink (ref main flow)") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val extracted = Extraction.extractHoldings(s, sf)
+      .withColumn("filing_seq", lit(1L)) // one filing per date at sf0.001
+    val out = Files.createTempDirectory("graft_e2e_").toString
+    graft.sinks.HoldingsCsvSink.write(extracted, out, exactFilenames = true)
+    val files = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith("_NPORT-P_HOLDINGS.csv")).toList
+    val nDates = extracted.select("reporting_date").distinct().count()
+    assert(files.size.toLong == nDates)
+    // every data row across all CSVs == every extracted holding
+    val totalDataRows = files.map { f =>
+      Files.readAllLines(java.nio.file.Paths.get(out, f)).size() - 1 // header
+    }.sum
+    assert(totalDataRows.toLong == extracted.count())
+  }
 }
