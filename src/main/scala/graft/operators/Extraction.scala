@@ -55,6 +55,10 @@ object Extraction {
   def docSourceHoldings(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = DocStage.ensureStaged(s, d)
+    // many-small-files corpus: the default 4 MiB per-file open cost packs
+    // only ~32 files per split → thousands of near-empty tasks. 64 KiB
+    // reflects the real open cost and packs splits to useful sizes.
+    s.conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
     s.read.option("wholetext", "true").text(dir)
       .select(col("value"))
       .as[String]
