@@ -8,15 +8,15 @@ import graft.functions.CosineSimilarity
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
-  * sets it), so SQL users get the custom expressions without touching the
-  * Scala API: `SELECT cosine_similarity(a, b)`.
+  * sets it): custom expressions for SQL users
+  * (`SELECT cosine_similarity(a, b)`) and the planner strategy for the
+  * bounded-memory per-key top-k operator (graft.plans.TopK).
   *
-  * No custom Rule/Strategy is injected: SURVEY.md §4 records that the
-  * reference's semantics need none — Catalyst's built-ins cover every
-  * rewrite, and the one non-relational kernel (NPORT extraction) composes
-  * as a flatMap, not a plan node. */
+  * The reference's own semantics need no custom Rule/Strategy (SURVEY.md
+  * §4) — the extension points here serve the engine's scale additions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => plans.TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

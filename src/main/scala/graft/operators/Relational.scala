@@ -232,7 +232,20 @@ object Relational {
       .orderBy("n_name", "rn")
   }
 
+  /** Per-key top-k via the custom bounded-heap plan operator
+    * (graft.plans.TopK) — same semantics as [[windowRank]] but O(keys×k)
+    * memory instead of a full per-partition sort. The oracle (window
+    * formulation) proves the custom operator's results. */
+  def topKPerKey(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_topk_perkey"     -> (topKPerKey _),
     "r_supplier_rank"   -> (supplierRank _),
     "r_agg_pricing"     -> (aggPricing _),
     "r_join_broadcast"  -> (joinBroadcast _),
@@ -255,6 +268,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "r_topk_perkey" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "r_supplier_rank" ->
       """SELECT n_name, rn, s_suppkey, s_name, s_acctbal FROM (
         |  SELECT n_name, s_suppkey, s_name, s_acctbal,
