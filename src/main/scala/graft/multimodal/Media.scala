@@ -64,6 +64,22 @@ object MediaStub {
     m.bytes.grouped(16).zipWithIndex.collect {
       case (chunk, idx) if idx % stride == 0 => (m.media_id, idx, chunk)
     }.toSeq
+
+  /** STUB resize: nearest-neighbor downsample of the payload onto a
+    * `w`×`h` grid (a real implementation resamples decoded pixels; the
+    * shape — fixed-size output regardless of input size — is what the
+    * downstream batch pipeline depends on). */
+  def resize(m: MediaRecord, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    val n = m.bytes.length
+    if (n == 0) return out
+    var i = 0
+    while (i < out.length) {
+      out(i) = m.bytes((i.toLong * n / out.length).toInt)
+      i += 1
+    }
+    out
+  }
 }
 
 object Media {

@@ -34,6 +34,15 @@ class MediaSpec extends AnyFunSuite {
     f.unpersist()
   }
 
+  test("resize stub yields fixed-size output for any input size") {
+    val small = MediaRecord(1L, "image", Array.tabulate(10)(_.toByte), 8, 8)
+    val large = MediaRecord(2L, "image", Array.tabulate(10000)(_.toByte), 8, 8)
+    assert(MediaStub.resize(small, 8, 8).length == 64)
+    assert(MediaStub.resize(large, 8, 8).length == 64)
+    // deterministic: same input → same output
+    assert(MediaStub.resize(large, 8, 8).toSeq == MediaStub.resize(large, 8, 8).toSeq)
+  }
+
   test("frame sampling fans one record out to ceil(chunks/stride) rows") {
     val rec = MediaRecord(7L, "video", Array.tabulate(100)(_.toByte), 32, 32)
     val frames = MediaStub.sampleFrames(rec, stride = 2)
