@@ -17,6 +17,7 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => plans.RewriteWindowTopK)
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

@@ -67,9 +67,35 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  private val WindowUs: Long = 7200L * 1000000L // 2 h
+
+  /** Interval/range join via bucketization: count the events falling in
+    * each anchor's [ts, ts+2h] window. A naive range join is a cross join
+    * with a BETWEEN filter — O(n·m) at scale. Bucketizing to the window
+    * width makes it an EQUI-join: each event carries one bucket id, each
+    * interval explodes to the ≤2 buckets it can overlap, the exact
+    * BETWEEN filter then runs on candidates only. Lossless by
+    * construction (an in-window event's bucket is always covered). */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val e = Tables.events(s, d).select(col("event_id"), us.as("us"), col("value"))
+    val anchors = e.filter(col("event_id") < 40)
+      .select(col("event_id").as("anchor_id"), col("us").as("start_us"),
+        (col("us") + WindowUs).as("end_us"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"start_us div ${WindowUs}L"), expr(s"end_us div ${WindowUs}L"))))
+    val buckets = e.withColumn("bucket", expr(s"us div ${WindowUs}L"))
+    anchors.join(buckets, "bucket")
+      .filter(col("us") >= col("start_us") && col("us") <= col("end_us"))
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("anchor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize" -> (sessionize _),
     "e_asof_join" -> (asofJoin _),
+    "e_range_join" -> (rangeJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,5 +129,15 @@ object Events {
         |SELECT user_id, event_id AS purchase_id, us AS purchase_us, click_id, click_value
         |FROM carried WHERE event_type = 'purchase'
         |ORDER BY user_id, purchase_id""".stripMargin,
+    // the oracle runs the UNBUCKETIZED range join: bucketization must not
+    // change the answer, only the join strategy
+    "e_range_join" ->
+      s"""WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+         |a AS (SELECT event_id AS anchor_id, us AS start_us, us + 7200000000 AS end_us
+         |      FROM e WHERE event_id < 40)
+         |SELECT anchor_id, COUNT(*) AS n_events,
+         |       ${sqlDsum("value")} AS sum_value
+         |FROM a JOIN e ON e.us >= a.start_us AND e.us <= a.end_us
+         |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
   )
 }
