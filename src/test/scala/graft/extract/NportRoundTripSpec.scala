@@ -45,4 +45,23 @@ object NportRoundTripSpec extends Properties("NportRoundTrip") {
       val rows = NportKernel.extractRows(NportRender.render(Some(date), hs))
       rows.forall(_.reporting_date == date) && rows.length == hs.count(_.nonEmpty)
     }
+
+  // At corpus scale the kernel sees arbitrary malformed bytes; it must
+  // degrade to "nothing extracted", never throw (a throw kills the task,
+  // retries, and eventually the whole 100 TB job).
+  private val soup: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.asciiPrintableChar,
+    2 -> Gen.oneOf('<', '>', '&', '/', '!', '-', ';', '"'),
+    1 -> Gen.oneOf("<td>", "</td>", "<h1>", "<table>", "<!--", "&amp;", "&#x41;", "<br/>")
+      .flatMap(s => Gen.const(s.head)) // single chars keep shrinking sane
+  )).map(_.mkString)
+
+  property("parser/kernel never throw on arbitrary tag soup") =
+    Prop.forAll(soup, Gen.listOf(Gen.oneOf(
+      "<td>", "</td>", "<h1>", "</h1>", "<table>", "</table>", "<!-- x",
+      "<h4>", "<x y=\"1\">", "</zz>", "&amp;", "&#xZZ;", "<", ">", "<>"))) {
+      (noise, frags) =>
+        val doc = noise + frags.mkString
+        NportKernel.extract(doc) != null // total function: any result, no throw
+    }
 }
