@@ -15,11 +15,10 @@ import org.apache.spark.sql.functions._
   * Jaccard verification then touches candidates only, so the n² term
   * disappears; DedupScaleSpec asserts candidates ≪ n(n-1)/2 on real data.
   *
-  * Cross-engine determinism: "hash permutations" are md5 over the
-  * perm-index-prefixed shingle (both engines implement md5 identically;
-  * lexicographic min of fixed-width hex = numeric min), so signatures,
-  * band keys, and estimates hash-match DuckDB bit-for-bit. Integer counts
-  * divided by constants are single IEEE ops.
+  * Cross-engine determinism: each shingle is md5'd once (identical in
+  * both engines) and permuted with Carter-Wegman integer arithmetic, so
+  * signatures, band keys, and estimates hash-match DuckDB bit-for-bit.
+  * Integer counts divided by constants are single IEEE ops.
   */
 object Dedup {
 
@@ -193,8 +192,9 @@ object Dedup {
       s"(strpos('0123456789abcdef', substr($m, ${s + k}, 1)) - 1) * CAST($mult AS BIGINT)"
     }.mkString("(", " + ", ")")
 
-  /** Shared DuckDB CTEs mirroring the shingle/signature/band pipeline. */
-  private val sigCte: String =
+  /** Shared DuckDB CTEs mirroring the shingle/signature/band pipeline
+    * (reused by TextAnalysis.corpusFilter's oracle). */
+  private[operators] val sigCte: String =
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id,
        |         CASE WHEN len(w) >= 3

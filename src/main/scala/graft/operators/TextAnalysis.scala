@@ -116,7 +116,22 @@ object TextAnalysis {
       .orderBy("doc_id", "word")
   }
 
+  /** The composed corpus-cleaning pass a real LLM pipeline runs: quality
+    * gate + near-duplicate removal (keep the lower doc_id of each LSH-
+    * confirmed pair) in ONE lazy plan — the per-doc scoring is a narrow
+    * map, the dup set comes from the banded candidate join, and the final
+    * anti-join broadcasts the (small) dup set against the corpus scan. */
+  def corpusFilter(s: SparkSession, d: String): DataFrame = {
+    val dups = Dedup.neardupPairs(s, d).select(col("b").as("doc_id")).distinct()
+    quality(s, d)
+      .select(col("doc_id"), col("quality_score"))
+      .filter(col("quality_score") >= 0.6)
+      .join(broadcast(dups), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_corpus_filter" -> (corpusFilter _),
     "t_token_stats" -> (tokenStats _),
     "t_langid" -> (langId _),
     "t_quality" -> (quality _),
@@ -127,6 +142,25 @@ object TextAnalysis {
   private val sqlWords = "string_split(text, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "t_corpus_filter" ->
+      (Dedup.sigCte +
+        s"""
+           |, dups AS (
+           |  SELECT DISTINCT c.b AS doc_id
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE CAST(list_sum(list_transform(range(0, 16),
+           |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+           |q AS (
+           |  SELECT doc_id,
+           |         0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+           |           + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+           |                          / CAST(len($sqlWords) AS DOUBLE))
+           |           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |                          / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) AS quality_score
+           |  FROM documents)
+           |SELECT doc_id, quality_score FROM q
+           |WHERE quality_score >= 0.6 AND doc_id NOT IN (SELECT doc_id FROM dups)
+           |ORDER BY doc_id""".stripMargin),
     "t_token_stats" ->
       s"""SELECT doc_id,
          |       CAST(length(text) AS INT) AS n_chars,
