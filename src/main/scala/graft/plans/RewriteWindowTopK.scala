@@ -17,6 +17,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * output (e.g. r_window_rank exposes `rn`), the plan is left untouched —
   * the heap operator doesn't produce rank numbers.
   *
+  * An empty `partition by` is the GLOBAL top-k idiom (every row in one
+  * window partition — the worst case for the window formulation, which
+  * funnels the whole input through one task's sort); TopKPerKeyExec maps
+  * empty keys to AllTuples, so the rewrite turns it into per-partition
+  * partial heaps plus one final heap over ≤ partitions×k rows.
+  *
   * Determinism caveat (same as row_number's own): with a non-total
   * `order by`, which tied rows rank ≤ k is unspecified in BOTH
   * formulations; the rewrite preserves the contract, not tie order.

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Exact top-k rows per key as a first-class plan operator — the one
@@ -48,8 +48,13 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // Empty keys = GLOBAL top-k: partial heaps per partition, then all
+  // survivors (≤ partitions×k rows) gather to one task for the final heap —
+  // ClusteredDistribution(Nil) is illegal in Spark 4, and AllTuples is also
+  // exactly the right semantics (a TakeOrdered without the sort).
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
+    else if (keys.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(keys))
 
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
@@ -101,7 +106,8 @@ object TopKStrategy extends SparkStrategy {
 /** User-facing API. */
 object TopK {
   /** First k rows per key group under `order` (total order recommended —
-    * include a tie-break key for determinism). */
+    * include a tie-break key for determinism). Empty `keys` = global top-k
+    * (partial heaps, then one final heap over ≤ partitions×k survivors). */
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val sortOrders = order.map(c => GraftInterop.catalystExpression(c) match {

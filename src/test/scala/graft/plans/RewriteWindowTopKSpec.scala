@@ -50,6 +50,36 @@ class RewriteWindowTopKSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[TopKPerKeyExec]))
   }
 
+  // Regression: `row_number().over(Window.orderBy(...))` with NO partition
+  // spec used to produce TopKPerKeyNode(Nil, ...) whose
+  // ClusteredDistribution(Nil) throws at planning in Spark 4. Empty keys
+  // now mean global top-k (AllTuples final heap).
+  private def globalTopK: DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("o_orderkey", "o_totalprice")
+  }
+
+  test("no-partition window top-k rewrites to a global bounded heap") {
+    val df = globalTopK
+    assert(df.collect().length == 5)
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[TopKPerKeyExec]), "rewrite should fire")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]), "window should be gone")
+  }
+
+  test("global bounded heap matches orderBy+limit") {
+    val viaRule = globalTopK
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).collect().toSeq
+    val viaSort = Tables.orders(s, sf)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).collect().toSeq
+    assert(viaRule == viaSort)
+  }
+
   test("rewritten plan returns exactly the window formulation's rows") {
     val viaRule = windowTopK(keepRank = false)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
