@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism: every dot product is a sequential left fold
   * over index-ordered double products (Spark `aggregate`, DuckDB
-  * `list_reduce` — identical IEEE op order); centroids are sums of
-  * vec_id-ordered folds divided once by the count, never engine-native
-  * AVG (whose accumulation order is unspecified).
+  * `list_reduce` — identical IEEE op order); centroids accumulate exact
+  * integers (`floor(v*1e6)` longs, order-independent) divided once, never
+  * engine-native AVG of doubles (whose accumulation order is unspecified).
   */
 object Similarity {
 
@@ -71,24 +71,36 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Per-label centroids with order-exact accumulation: explode to
-    * (label, pos, value), fold values in vec_id order, one division. */
-  def centroids(s: SparkSession, d: String): DataFrame =
-    emb(s, d)
-      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("pairs"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("pos"),
-        (aggregate(transform(col("pairs"), p => p("v").cast("double")),
-          lit(0.0), (acc, v) => acc + v) / col("n").cast("double")).as("c"))
+  private val Dim = 64
+  private val CentroidScale = 1e6
 
-  private def centroidArrays(s: SparkSession, d: String): DataFrame =
-    centroids(s, d)
+  /** Per-label centroids via exact integer accumulation: each component
+    * maps to `floor(v * 1e6)` (a long), longs SUM exactly and
+    * order-independently (partial aggregation, constant buffer), one final
+    * division — and DuckDB computes the identical longs, so the oracle
+    * stays hash-exact without any ordering contract.
+    *
+    * Replaces the round-2 `sort_array(collect_list(struct(vec_id, v)))`
+    * order-exact fold, which buffered one struct PER corpus VECTOR inside
+    * a single aggregation buffer — at 100 TB a popular label is a
+    * driver-sized-memory problem relocated to an executor. The ≤1e-6
+    * absolute truncation per component only nudges probe *selection*;
+    * output cosines are computed on raw embeddings, never on centroids.
+    *
+    * One hash aggregate, 65 fixed-width buffers per label, no explode:
+    * the 64-row-per-vector expansion the posexplode formulation shuffled
+    * is gone too. */
+  def centroidArrays(s: SparkSession, d: String): DataFrame = {
+    val sums = (0 until Dim).map(i =>
+      sum(floor(col("embedding").getItem(i).cast("double") * lit(CentroidScale))).as(s"s$i"))
+    emb(s, d)
       .groupBy(col("label"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("label").as("c_label"),
-        transform(col("pc"), p => p("c")).as("centroid"))
+        array((0 until Dim).map(i =>
+          col(s"s$i").cast("double") / (col("n").cast("double") * lit(CentroidScale))): _*)
+          .as("centroid"))
+  }
 
   /** IVF ANN: probe the NProbe nearest centroids per query, exact re-rank
     * within probed labels only. Approximate by construction; recall vs the
@@ -142,13 +154,13 @@ object Similarity {
     "v_ann_ivf" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
          |expl AS (
-         |  SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
          |         unnest(embedding) AS v
          |  FROM embeddings),
          |cent AS (
          |  SELECT label, pos,
-         |         list_reduce(list_prepend(0.0, list(CAST(v AS DOUBLE) ORDER BY vec_id)), (x,y) -> x+y)
-         |           / CAST(COUNT(*) AS DOUBLE) AS c
+         |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |           / (COUNT(*) * 1000000.0) AS c
          |  FROM expl GROUP BY label, pos),
          |carr AS (
          |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid

@@ -26,15 +26,26 @@ object Sketches {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
-  /** Approximate p50/p95/p99 of order totals per priority. */
+  private val Pcts = Seq(0.5, 0.95, 0.99)
+
+  /** Approximate p50/p95/p99 of order totals per priority, one row per
+    * (priority, percentile) with scalar columns — the array form defeats
+    * the driver's row-sorting compare, scalars don't. */
   def approxQuantiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
         percentile_approx(col("o_totalprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("approx_pcts"),
-        expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").as("exact_pcts"))
-      .orderBy("o_orderpriority")
+          array(Pcts.map(lit): _*), lit(10000)).as("approx_pcts"),
+        expr(s"percentile(o_totalprice, array(${Pcts.mkString(", ")}))").as("exact_pcts"))
+      .select(col("o_orderpriority"),
+        posexplode(arrays_zip(col("approx_pcts"), col("exact_pcts"))).as(Seq("i", "z")))
+      .select(
+        col("o_orderpriority"),
+        element_at(array(Pcts.map(lit): _*), col("i") + 1).as("pct"),
+        col("z.approx_pcts").as("approx"),
+        col("z.exact_pcts").as("exact"))
+      .orderBy("o_orderpriority", "pct")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_approx_distinct" -> (approxDistinct _),

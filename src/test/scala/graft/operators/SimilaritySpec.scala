@@ -35,4 +35,11 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"mean recall@5 = $mean%.2f")
     assert(mean >= 0.2, f"IVF recall collapsed: $mean%.2f")
   }
+
+  test("IVF plan buffers no per-vector collections (no collect_list anywhere)") {
+    val optimized = Similarity.annIvf(s, sf).queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("collect_list"),
+      s"centroid build must not buffer whole groups:\n$optimized")
+    assert(!optimized.contains("sort_array"))
+  }
 }

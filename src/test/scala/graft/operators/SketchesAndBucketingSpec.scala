@@ -21,12 +21,12 @@ class SketchesAndBucketingSpec extends AnyFunSuite {
   }
 
   test("approx percentiles within 5% of exact") {
-    Sketches.approxQuantiles(s, sf).collect().foreach { r =>
-      val approx = r.getSeq[Double](1)
-      val exact = r.getSeq[Double](2)
-      approx.zip(exact).foreach { case (a, e) =>
-        assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
-      }
+    val rows = Sketches.approxQuantiles(s, sf).collect()
+    assert(rows.length % 3 == 0 && rows.nonEmpty) // one row per (priority, pct)
+    rows.foreach { r =>
+      val (a, e) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(a - e) / e < 0.05,
+        s"prio=${r.getString(0)} pct=${r.getDouble(1)} approx=$a exact=$e")
     }
   }
 
