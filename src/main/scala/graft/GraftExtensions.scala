@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSignature}
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
@@ -24,6 +25,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        // minhash_signature(shingles) | minhash_signature(shingles, num_perms, prime)
+        def intLit(e: Expression, what: String): Long = e match {
+          case Literal(v: Int, IntegerType) => v.toLong
+          case Literal(v: Long, LongType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature: $what must be an integer literal, got $other")
+        }
+        children match {
+          case Seq(shingles) =>
+            new MinHashSignature(shingles, MinHashSignature.DefaultNumPerms,
+              MinHashSignature.DefaultPrime)
+          case Seq(shingles, np, prime) =>
+            new MinHashSignature(shingles, intLit(np, "num_perms").toInt,
+              intLit(prime, "prime"))
+          case _ => throw new IllegalArgumentException(
+            "minhash_signature takes (shingles) or (shingles, num_perms, prime)")
+        }
       }))
   }
 }

@@ -21,6 +21,11 @@ object GraftSession {
       // .events converts to TimestampType micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      // many-small-files sources (the wholetext doc corpus): the default
+      // 4 MiB per-file open cost packs only ~32 files per split →
+      // thousands of near-empty tasks. 64 KiB reflects the real open cost.
+      // Session-level on purpose: queries must not mutate shared conf.
+      .config("spark.sql.files.openCostInBytes", s"${64L * 1024}")
       // managed tables (bucketed-join staging) land in /tmp, not the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       // engine SQL surface: custom expressions (cosine_similarity, ...)

@@ -36,30 +36,35 @@ case class MinHashSignature(child: Expression, numPerms: Int, prime: Long)
   override protected def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
-    if (n == 0) {
-      return new GenericArrayData(Array.fill[Any](numPerms)(null))
-    }
     val mins = Array.fill(numPerms)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
+    var hashed = 0
     var i = 0
     while (i < n) {
-      md.reset()
-      val digest = md.digest(shingles.getUTF8String(i).getBytes)
-      // first two big-endian 32-bit words of the digest == parsing the
-      // first 16 lowercase-hex chars in two 8-char chunks (Dedup oracle)
-      val a = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
-        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
-      val b = ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
-        ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)
-      var p = 0
-      while (p < numPerms) {
-        val v = (a + p * b) % prime
-        if (v < mins(p)) mins(p) = v
-        p += 1
+      // null elements contribute nothing (containsNull arrays are legal
+      // input, e.g. from a user transform); an all-null array yields the
+      // same all-null signature as an empty one
+      if (!shingles.isNullAt(i)) {
+        hashed += 1
+        md.reset()
+        val digest = md.digest(shingles.getUTF8String(i).getBytes)
+        // first two big-endian 32-bit words of the digest == parsing the
+        // first 16 lowercase-hex chars in two 8-char chunks (Dedup oracle)
+        val a = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+          ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+        val b = ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
+          ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)
+        var p = 0
+        while (p < numPerms) {
+          val v = (a + p * b) % prime
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (hashed == 0) new GenericArrayData(Array.fill[Any](numPerms)(null))
+    else new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
@@ -67,6 +72,11 @@ case class MinHashSignature(child: Expression, numPerms: Int, prime: Long)
 }
 
 object MinHashSignature {
+  /** SQL-registration defaults — match operators.Dedup's LSH parameters. */
+  val DefaultNumPerms: Int = 16
+  /** Largest prime < 2^32 (Carter-Wegman modulus). */
+  val DefaultPrime: Long = 4294967291L
+
   def apply(shingles: Column, numPerms: Int, prime: Long): Column =
     GraftInterop.column(new MinHashSignature(
       GraftInterop.expression(shingles), numPerms, prime))

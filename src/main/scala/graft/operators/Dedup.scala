@@ -33,11 +33,10 @@ object Dedup {
         i => array_join(slice(words, i + lit(1), lit(3)), " "))))
       .otherwise(array().cast("array<string>"))
 
-  private val NumPerms = 16
+  private val NumPerms = graft.functions.MinHashSignature.DefaultNumPerms
   private val Bands = 4
   private val RowsPerBand = NumPerms / Bands
-  /** Largest prime < 2^32 (Carter-Wegman modulus). */
-  private val P = 4294967291L
+  private val P = graft.functions.MinHashSignature.DefaultPrime
 
   /** k=16 MinHash signature via Carter-Wegman permutations: each shingle
     * is md5'd ONCE into two 32-bit ints (a, b); permutation i of a shingle

@@ -55,10 +55,9 @@ object Extraction {
   def docSourceHoldings(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = DocStage.ensureStaged(s, d)
-    // many-small-files corpus: the default 4 MiB per-file open cost packs
-    // only ~32 files per split → thousands of near-empty tasks. 64 KiB
-    // reflects the real open cost and packs splits to useful sizes.
-    s.conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
+    // split packing for this many-small-files corpus is tuned session-wide
+    // (spark.sql.files.openCostInBytes in GraftSession.configure) — a
+    // conf.set here would leak into every later query in a shared session
     s.read.option("wholetext", "true").text(dir)
       .select(col("value"))
       .as[String]
