@@ -69,24 +69,43 @@ object Events {
 
   private val WindowUs: Long = 7200L * 1000000L // 2 h
 
-  /** Interval/range join via bucketization: count the events falling in
-    * each anchor's [ts, ts+2h] window. A naive range join is a cross join
-    * with a BETWEEN filter — O(n·m) at scale. Bucketizing to the window
-    * width makes it an EQUI-join: each event carries one bucket id, each
-    * interval explodes to the ≤2 buckets it can overlap, the exact
-    * BETWEEN filter then runs on candidates only. Lossless by
-    * construction (an in-window event's bucket is always covered). */
+  /** Reusable bucketized interval-join primitive. A naive range join is a
+    * cross join with a BETWEEN filter — O(n·m) at scale. Bucketizing makes
+    * it an EQUI-join: each point carries one bucket id, each interval
+    * explodes to the buckets it overlaps, the exact BETWEEN filter then
+    * runs on candidates only.
+    *
+    * `points` must carry a long `us` column; `intervals` long
+    * `start_us`/`end_us` (inclusive). `bucketWidthUs` is a free tuning
+    * knob, NOT tied to the interval width: an interval explodes to
+    * `end div w - start div w + 1` bucket rows, so pick w on the order of
+    * the typical interval width (smaller w replicates intervals more;
+    * larger w admits more false candidates for the exact filter to drop).
+    * Lossless for any w > 0: integer `div` is monotone, so an in-interval
+    * point's bucket always lies in the interval's exploded range —
+    * RangeJoinPropertySpec proves equality with the naive join over random
+    * widths, including intervals much wider and narrower than w. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs > 0, "bucket width must be positive")
+    val exploded = intervals.withColumn("bucket",
+      explode(sequence(
+        expr(s"start_us div ${bucketWidthUs}L"), expr(s"end_us div ${bucketWidthUs}L"))))
+    val bucketed = points.withColumn("bucket", expr(s"us div ${bucketWidthUs}L"))
+    exploded.join(bucketed, "bucket")
+      .filter(col("us") >= col("start_us") && col("us") <= col("end_us"))
+      .drop("bucket")
+  }
+
+  /** Count/sum the events falling in each anchor's [ts, ts+2h] window via
+    * [[intervalJoin]] with bucket width = window width (≤2 buckets per
+    * interval). */
   def rangeJoin(s: SparkSession, d: String): DataFrame = {
     val us = unix_micros(col("ts"))
     val e = Tables.events(s, d).select(col("event_id"), us.as("us"), col("value"))
     val anchors = e.filter(col("event_id") < 40)
       .select(col("event_id").as("anchor_id"), col("us").as("start_us"),
         (col("us") + WindowUs).as("end_us"))
-      .withColumn("bucket",
-        explode(sequence(expr(s"start_us div ${WindowUs}L"), expr(s"end_us div ${WindowUs}L"))))
-    val buckets = e.withColumn("bucket", expr(s"us div ${WindowUs}L"))
-    anchors.join(buckets, "bucket")
-      .filter(col("us") >= col("start_us") && col("us") <= col("end_us"))
+    intervalJoin(e.drop("event_id"), anchors, WindowUs)
       .groupBy(col("anchor_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy("anchor_id")
