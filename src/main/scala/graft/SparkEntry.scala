@@ -43,6 +43,7 @@ object SparkEntry {
       (operators.Sketches.queries, operators.Sketches.oracle),
       (operators.Bucketing.queries, operators.Bucketing.oracle),
       (operators.Skew.queries, operators.Skew.oracle),
+      (streaming.Streams.queries, streaming.Streams.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -112,8 +112,38 @@ object Media {
       .orderBy("media_id")
   }
 
+  private val FrameStride = 3
+
+  /** `m_frame_sample` — the 1-record→N-frames generator, the multimodal
+    * analog of the holdings extraction's 1-doc→N-rows flatMap: each media
+    * payload expands to its sampled frame chunks (every 3rd 16-byte chunk
+    * via the stub sampler), hashed so the oracle can verify each frame's
+    * exact bytes without shipping them. */
+  def frameSamples(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .flatMap(m => MediaStub.sampleFrames(m, FrameStride))
+      .toDF("media_id", "frame_idx", "chunk")
+      .select(col("media_id"), col("frame_idx"), md5(col("chunk")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** `m_resize_thumb` — fixed-size thumbnail per record (the stub's
+    * nearest-neighbor resample onto an 8×8 grid), verified by content
+    * hash: the shape a downstream fixed-tensor batch pipeline needs. */
+  def resizeThumbs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .map(m => (m.media_id, MediaStub.resize(m, 8, 8)))
+      .toDF("media_id", "thumb")
+      .select(col("media_id"), md5(col("thumb")).as("thumb_md5"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
+    "m_frame_sample" -> (frameSamples _),
+    "m_resize_thumb" -> (resizeThumbs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -132,5 +162,28 @@ object Media {
         |       md5(text) AS content_md5,
         |       CAST(CASE WHEN media_type = 'video' THEN n_bytes // 256 + 1 ELSE 1 END AS INT) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
+    // every 3rd 16-byte chunk; substr's natural short tail == grouped(16)'s
+    "m_frame_sample" ->
+      """WITH frames AS (
+        |  SELECT doc_id AS media_id,
+        |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS frame_idx,
+        |         text
+        |  FROM documents)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       md5(substr(text, CAST(frame_idx * 16 AS INT) + 1, 16)) AS frame_md5
+        |FROM frames WHERE frame_idx % 3 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // out[i] = bytes[(i*n) // 64] for i in 0..63 (nearest-neighbor grid)
+    "m_resize_thumb" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, unnest(range(0, 64)) AS i, text
+        |  FROM documents),
+        |ch AS (
+        |  SELECT media_id, i,
+        |         substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1) AS ch
+        |  FROM px)
+        |SELECT media_id, md5(string_agg(ch, '' ORDER BY i)) AS thumb_md5
+        |FROM ch GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
   )
 }

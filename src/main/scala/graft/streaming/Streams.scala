@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -19,19 +20,95 @@ object Streams {
 
   /** Streaming gap-sessionization: native `session_window` (30-min gap)
     * with a 1-hour watermark. Emits one row per closed session in append
-    * mode — the streaming equivalent of Events.sessionize. */
+    * mode — the streaming equivalent of Events.sessionize (equivalence
+    * asserted row-for-row in StreamingSpec). `dsum` (exact decimal sum)
+    * keeps sum_value bit-comparable to the batch form regardless of
+    * micro-batch accumulation order.
+    *
+    * Boundary note: session_window merges on STRICT overlap (gap < 30 min
+    * joins a session), while the batch form keeps gap <= 30 min together —
+    * an exactly-30-minute gap would diverge. The testdata has no such gap
+    * (verified), so the spec compares the two forms directly. */
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("session"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        graft.QueryDsl.dsum(col("value")).as("sum_value"))
       .select(
         col("user_id"),
         col("session.start").as("session_start"),
         col("session.end").as("session_end"),
         col("n_events"), col("sum_value"))
+
+  /** `e_sessionize_stream` — the events table REPLAYED through the
+    * streaming session aggregation and materialized back to a batch
+    * DataFrame (rows-only gate entry: the streaming operator graded by
+    * data, not by demo). A far-future sentinel event drives the watermark
+    * past every real session so append mode emits them all; the sentinel's
+    * own (still-open) session is excluded from the output.
+    *
+    * MemoryStream is driver-fed by definition — it is Spark's test/replay
+    * source, not a scale path; at scale the same `sessionAgg` transform
+    * runs unchanged over readStream (Kafka/files). */
+  def sessionizeStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch = graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect()
+    val maxMs = batch.iterator.map(_._2.getTime).max
+    val sentinelUser = -1L
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sink = "e_sessionize_stream_sink"
+    val q = sessionAgg(in.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch.toIndexedSeq)
+      q.processAllAvailable()
+      // watermark advances at batch boundaries: the sentinel batch moves it
+      // 10 days past the data, closing every real session
+      in.addData((sentinelUser, new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .filter(col("user_id") =!= sentinelUser)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_sessionize_stream" -> (sessionizeStream _),
+  )
+
+  /** The sentinel closes EVERY real session, so the streaming result is
+    * exactly the batch sessionization with `end = last event + gap` —
+    * fully SQL-expressible: the streaming operator gets a hash-checked
+    * oracle, not just rows>0. */
+  val oracle: Map[String, String] = Map(
+    "e_sessionize_stream" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us,
+         |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged),
+         |sessioned AS (
+         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                              ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+         |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
+         |FROM sessioned GROUP BY user_id, session_id
+         |ORDER BY user_id, start_us""".stripMargin,
+  )
 
   final case class Seen(ids: Seq[Long])
 

@@ -34,6 +34,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch and stream sessionization agree row-for-row on real events") {
+    import org.apache.spark.sql.functions._
+    val sf = graft.TestSpark.sf
+    val streamed = Streams.sessionizeStream(s, sf)
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+      .collect().toSeq
+    val gapUs = 1800L * 1000000L
+    val batch = graft.operators.Events.sessionize(s, sf)
+      .select(col("user_id"), col("start_us"),
+        (col("end_us") + gapUs).as("end_us"), // session_window end = last event + gap
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup emits first occurrence only, across batches") {
     import s.implicits._
     implicit val sql = s.sqlContext
