@@ -6,9 +6,9 @@ package graft
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("4", "graft-smoke")
-    val df = SparkEntry.entry(spark)
-    df.show(5, false)
-    println(s"ENTRY_ROWS=${df.count()}")
+    val rows = SparkEntry.entry(spark).collect() // one execution, not show+count
+    rows.take(5).foreach(r => println(r.mkString(" | ")))
+    println(s"ENTRY_ROWS=${rows.length}")
     spark.stop()
   }
 }

@@ -35,16 +35,22 @@ object XmlLite {
 
   final class Doc(val nodes: Array[Node]) {
 
-    /** bs4 `.string`: defined iff the element has exactly one child and it
-      * is a text node. `find(tag, string=pred)` matches on this, so an
-      * element with nested markup (e.g. `<td><b>Balance</b></td>`) does
-      * NOT match — semantics the kernel must preserve. */
+    /** bs4 `.string`: if the element has exactly one child, recurse while
+      * that sole child is itself an element — `<td><b>Balance</b></td>`
+      * .string == "Balance" — and yield the text iff the chain ends at
+      * exactly one text node. `find(tag, string=pred)` matches on this, so
+      * a label wrapped in inline markup (real EDGAR does this) still
+      * matches, exactly as it would in the reference's bs4. Multiple
+      * children at any level ⇒ None. */
+    @annotation.tailrec
     def elemString(n: Node): Option[String] = {
       val c = n.firstChild
       if (c < 0) None
       else {
         val child = nodes(c)
-        if (child.isText && child.nextSibling < 0) Some(child.text) else None
+        if (child.nextSibling >= 0) None
+        else if (child.isText) Some(child.text)
+        else elemString(child)
       }
     }
 

@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
 object HoldingsCsvSink {
 
   /** Drop all rows of superseded filings: keep rows whose `filing_seq`
-    * equals the max seq for their reporting date. */
+    * equals the max seq for their reporting date.
+    *
+    * CONTRACT: `filing_seq` must be unique per reporting_date (it is a
+    * processing sequence number, the analog of the reference's dict-insert
+    * order). With duplicate max seqs this keeps ALL tied filings' rows —
+    * a merged CSV the reference's dict overwrite could never produce; the
+    * reference keeps whichever filing happened to be processed last, an
+    * order that doesn't exist in a distributed run. Callers that can't
+    * guarantee uniqueness should extend the key (e.g. accession number)
+    * to make the order total. */
   def lastFilingWins(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("reporting_date"))
     df.withColumn("__max_seq", max(col("filing_seq")).over(w))
@@ -50,21 +59,26 @@ object HoldingsCsvSink {
     if (exactFilenames) renameToReferenceLayout(outDir)
   }
 
+  /** Files.list streams hold a directory fd until closed — drain and
+    * close eagerly (large date counts would otherwise leak fds). */
+  private def listDir(p: java.nio.file.Path): List[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** `reporting_date=D/part-*.csv` → `D_NPORT-P_HOLDINGS.csv` (single data
     * file per partition guaranteed by the repartition above). */
   def renameToReferenceLayout(outDir: String): Unit = {
     val root = Paths.get(outDir)
-    Files.list(root).iterator().asScala
+    listDir(root)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("reporting_date="))
-      .toList
       .foreach { dir =>
         val date = dir.getFileName.toString.stripPrefix("reporting_date=")
-        val parts = Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".csv")).toList
+        val parts = listDir(dir).filter(_.getFileName.toString.endsWith(".csv"))
         require(parts.size == 1, s"expected 1 csv in $dir, found ${parts.size}")
         Files.move(parts.head, root.resolve(s"${date}_NPORT-P_HOLDINGS.csv"),
           StandardCopyOption.REPLACE_EXISTING)
-        Files.list(dir).iterator().asScala.toList.foreach(Files.delete)
+        listDir(dir).foreach(Files.delete)
         Files.delete(dir)
       }
   }

@@ -93,12 +93,25 @@ class NportKernelSpec extends AnyFunSuite {
     assert(out.head.issuer.contains("AT&T Inc. <Class A>"))
   }
 
-  test("label cell with nested markup does NOT match (bs4 .string semantics)") {
+  test("label wrapped in a sole inline tag DOES match (bs4 .string recurses)") {
+    // bs4 .string descends a single-tag-child chain:
+    // <td><b>label</b></td>.string == "label", so find(string=pred) matches
     val doc =
       """<html><body>
         |<h1>NPORT-P: Part A: General Information</h1>
         |<h4>Item A.3. Reporting period</h4>
         |<table><tr><td><b>b. Date as of which information is reported</b></td><td>2023-01-01</td></tr></table>
+        |</body></html>""".stripMargin
+    assert(NportKernel.extract(doc) == (Some("2023-01-01"), Nil))
+  }
+
+  test("label cell with MIXED children does not match (bs4 .string is None)") {
+    // two children (<b> + trailing text) ⇒ .string undefined in bs4
+    val doc =
+      """<html><body>
+        |<h1>NPORT-P: Part A: General Information</h1>
+        |<h4>Item A.3. Reporting period</h4>
+        |<table><tr><td><b>b. Date as of which information is reported</b> (UTC)</td><td>2023-01-01</td></tr></table>
         |</body></html>""".stripMargin
     assert(NportKernel.extract(doc) == (None, Nil))
   }
