@@ -125,9 +125,88 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- LSH-bucketed ANN: signed random projections (SRP / SimHash for
+  // vectors). The second scale path next to IVF: no training/centroid
+  // stage at all — each vector maps to an LshBits-bit sign pattern against
+  // a FIXED hyperplane matrix, banded like MinHash-LSH; candidates come
+  // only from band-bucket equi-joins, re-ranked exactly. ----
+  private val LshBits = 16
+  private val LshBands = 4 // 4 bands × 4 bits: the recall/candidate dial
+  private val BitsPerBand = LshBits / LshBands
+
+  /** Deterministic hyperplane matrix (LshBits × Dim): component j of
+    * hyperplane h is the first 32 md5 bits of "hp{h}_{j}" mapped to
+    * [-1, 1). Derived from md5 so the DuckDB oracle rebuilds bit-identical
+    * constants; a plan literal, so signatures are a narrow map — no join,
+    * no shuffle to compute them. */
+  private lazy val hyperplanes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshBits, Dim) { (h, j) =>
+      md.reset()
+      val hex = md.digest(s"hp${h}_$j".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+    }
+  }
+
+  /** (band, bkey) pairs for a vector: bkey packs the band's sign bits.
+    * Sign via the same sequential fold as every other oracle-checked dot
+    * product (exact cross-engine agreement at the >= 0 decision). */
+  private def lshBandKeys(v: Column): Column = {
+    def bit(h: Int): Column =
+      when(aggregate(zip_with(v, array(hyperplanes(h).map(lit): _*),
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, p) => acc + p) >= 0, 1).otherwise(0)
+    array((0 until LshBands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until BitsPerBand).map(t => bit(b * BitsPerBand + t) * lit(1 << t))
+          .reduce(_ + _).as("bkey"))
+    }: _*)
+  }
+
+  /** LSH ANN: candidates ONLY from (band, bkey) equi-buckets — corpus
+    * touched ∝ bucket collision rate, never all-pairs — then exact
+    * re-rank. Query side is broadcast twice (band probe + re-rank); the
+    * only corpus shuffles are the candidate distinct and the vec_id
+    * fetch join. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val corpusBands = emb(s, d)
+      .select(col("vec_id"), explode(lshBandKeys(col("embedding"))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val queryBands = queriesDf(s, d)
+      .select(col("q_id"), explode(lshBandKeys(col("q_emb"))).as("bb"))
+      .select(col("q_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = corpusBands.join(broadcast(queryBands), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .join(emb(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Exposed for SimilaritySpec's pruning assertion. */
+  private[operators] def lshCandidateCount(s: SparkSession, d: String): Long = {
+    val corpusBands = emb(s, d)
+      .select(col("vec_id"), explode(lshBandKeys(col("embedding"))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val queryBands = queriesDf(s, d)
+      .select(col("q_id"), explode(lshBandKeys(col("q_emb"))).as("bb"))
+      .select(col("q_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    corpusBands.join(broadcast(queryBands), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct().count()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
+    "v_ann_lsh" -> (annLsh _),
   )
 
   private val sqlCos = {
@@ -137,6 +216,14 @@ object Similarity {
     (a: String, b: String) =>
       s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   }
+
+  /** Parse 8 hex chars of `m` starting at 1-based position `s` into a
+    * BIGINT (DuckDB 1.0 has no conv()). */
+  private def hex8(m: String, s: Int): String =
+    (0 until 8).map { k =>
+      val mult = math.pow(16, 7 - k).toLong
+      s"(strpos('0123456789abcdef', substr($m, ${s + k}, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
     "v_cosine_topk" ->
@@ -174,6 +261,41 @@ object Similarity {
          |  SELECT p.q_id, e.vec_id, ${sqlCos("e.embedding", "p.q_emb")} AS cosine
          |  FROM probed p JOIN embeddings e ON e.label = p.c_label AND e.vec_id <> p.q_id
          |  WHERE p.pr <= 2),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    // rebuilds the identical md5-derived hyperplane constants, sign bits,
+    // and band keys, then re-ranks candidates exactly like the engine
+    "v_ann_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |hpv AS (
+         |  SELECT hs.h, js.j,
+         |         ${hex8("md5('hp' || CAST(hs.h AS VARCHAR) || '_' || CAST(js.j AS VARCHAR))", 1)}
+         |           / 2147483648.0 - 1.0 AS r
+         |  FROM (SELECT unnest(range(0, $LshBits)) AS h) hs,
+         |       (SELECT unnest(range(0, 64)) AS j) js),
+         |hp AS (SELECT h, list(r ORDER BY j) AS r FROM hpv GROUP BY h),
+         |bits AS (
+         |  SELECT e.vec_id, hp.h,
+         |         CASE WHEN list_reduce(list_transform(range(0, 64),
+         |                i -> CAST(e.embedding[i+1] AS DOUBLE) * hp.r[i+1]), (x,y) -> x+y) >= 0
+         |              THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e, hp),
+         |bands AS (
+         |  SELECT vec_id, CAST(h // $BitsPerBand AS INT) AS band,
+         |         CAST(SUM(bit * ([1,2,4,8,16,32,64,128])[(h % $BitsPerBand) + 1]) AS BIGINT) AS bkey
+         |  FROM bits GROUP BY vec_id, h // $BitsPerBand),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+         |  FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+         |  WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id),
          |ranked AS (
          |  SELECT q_id, vec_id, cosine,
          |         CAST(row_number() OVER (PARTITION BY q_id

@@ -36,6 +36,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.2, f"IVF recall collapsed: $mean%.2f")
   }
 
+  test("LSH ANN recovers a meaningful fraction of exact top-k from bucketed candidates") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = sets(Similarity.cosineTopK(s, sf))
+    val lsh = sets(Similarity.annLsh(s, sf))
+    val recalls = exact.map { case (q, ex) =>
+      lsh.get(q).map(iv => (ex & iv).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean LSH recall@5 = $mean%.2f")
+    assert(mean >= 0.2, f"LSH recall collapsed: $mean%.2f")
+  }
+
+  test("LSH candidate set is a small fraction of the query-corpus cross product") {
+    import graft.Tables
+    val nCorpus = Tables.embeddings(s, sf).count()
+    val nQueries = 8L
+    val candidates = Similarity.lshCandidateCount(s, sf)
+    info(s"candidates=$candidates of ${nQueries * (nCorpus - 1)} pairs")
+    assert(candidates.toDouble / (nQueries * (nCorpus - 1)) < 0.5,
+      "LSH banding prunes nothing — bucket scheme degenerate")
+  }
+
   test("IVF plan buffers no per-vector collections (no collect_list anywhere)") {
     val optimized = Similarity.annIvf(s, sf).queryExecution.optimizedPlan.toString
     assert(!optimized.contains("collect_list"),
