@@ -83,8 +83,41 @@ object Streams {
       .orderBy("user_id", "start_us")
   }
 
+  /** `d_dedup_stream` — streaming exact dedup graded by data: a dup-heavy
+    * keyed stream derived from events (key = event_id % 997 guarantees
+    * duplicates; the payload is a pure function of the key, so WHICH
+    * duplicate wins is immaterial and the output is deterministic),
+    * replayed through [[dedupStream]] in two micro-batches — dedup must
+    * hold across batches via state, not just within one. Output = one row
+    * per distinct key: SQL-expressible, full oracle. */
+  def dedupStreamReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val keyed = graft.Tables.events(s, d)
+      .select((col("event_id") % 997).as("k"))
+      .select(col("k"), md5(col("k").cast("string").cast("binary")).as("payload"))
+      .as[(Long, String)]
+      .collect()
+    val in = MemoryStream[(Long, String)]
+    val sink = "d_dedup_stream_sink"
+    val q = dedupStream(in.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .toDF("dedup_key", "payload")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = keyed.splitAt(keyed.length / 2)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy("dedup_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize_stream" -> (sessionizeStream _),
+    "d_dedup_stream" -> (dedupStreamReplay _),
   )
 
   /** The sentinel closes EVERY real session, so the streaming result is
@@ -108,6 +141,11 @@ object Streams {
          |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
          |FROM sessioned GROUP BY user_id, session_id
          |ORDER BY user_id, start_us""".stripMargin,
+    "d_dedup_stream" ->
+      """SELECT DISTINCT CAST(event_id % 997 AS BIGINT) AS dedup_key,
+        |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload
+        |FROM events
+        |ORDER BY dedup_key""".stripMargin,
   )
 
   final case class Seen(ids: Seq[Long])
