@@ -84,16 +84,42 @@ object Extraction {
     FilingIndex.filingIndex(s, d)
       .orderBy("cik", "accession_number")
 
+  /** K1+G2 through the correctness gate: extract → union a decoy
+    * SUPERSEDED filing per date (lower filing_seq) → CSV sink (LWW +
+    * one-file-per-date partitioned write) → CSV source read-back. The
+    * oracle is the plain holdings oracle, so the sink must drop every
+    * decoy row and the CSV round trip must preserve every value byte
+    * (commas-in-numbers quoting, null vs value). Explicit read schema
+    * keeps the recovered partition column a STRING (type inference would
+    * make it DATE). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val holdings = extractHoldings(s, d)
+    val real = holdings.withColumn("filing_seq", lit(2L))
+    val decoys = holdings
+      .withColumn("issuer", lit("SUPERSEDED"))
+      .withColumn("filing_seq", lit(1L))
+    val outDir = "/tmp/graft_csv_roundtrip"
+    graft.sinks.HoldingsCsvSink.write(real.unionByName(decoys), outDir)
+    s.read
+      .option("header", "true")
+      .schema("issuer STRING, shares STRING, value_usd STRING, pct_net_assets STRING, reporting_date STRING")
+      .csv(outDir)
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_extract_holdings" -> (extractHoldings _),
     "x_reporting_date" -> (reportingDates _),
     "x_doc_source" -> (docSourceHoldings _),
     "x_filing_index" -> (filingIndex _),
+    "x_csv_roundtrip" -> (csvRoundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
     "x_extract_holdings" -> holdingsOracle,
     "x_doc_source" -> holdingsOracle,
+    "x_csv_roundtrip" -> holdingsOracle,
     "x_reporting_date" ->
       """SELECT DISTINCT o_custkey AS doc_id,
         |       CAST(DATE '2020-01-31' + CAST(o_custkey % 360 AS INT) AS VARCHAR) AS reporting_date
