@@ -149,19 +149,29 @@ object Similarity {
     }
   }
 
-  /** (band, bkey) pairs for a vector: bkey packs the band's sign bits.
-    * Sign via the same sequential fold as every other oracle-checked dot
-    * product (exact cross-engine agreement at the >= 0 decision). */
-  private def lshBandKeys(v: Column): Column = {
+  /** Band keys for a vector (array position = band id): bkey packs the
+    * band's sign bits. Native expression on the hot path — one tight loop
+    * per row instead of LshBits interpreted folds (and no CollapseProject
+    * re-evaluation of a shared bits array); sign decisions are the same
+    * sequential fold as every other oracle-checked dot product, asserted
+    * bit-identical to [[lshBandKeysFold]] in SimilaritySpec. */
+  private def lshBandKeys(v: Column): Column =
+    graft.functions.SrpBandKeys(v, hyperplanes, LshBands)
+
+  /** The declarative formulation the native expression replaces — kept as
+    * the executable spec of its semantics. */
+  private[operators] def lshBandKeysFold(v: Column): Column = {
     def bit(h: Int): Column =
       when(aggregate(zip_with(v, array(hyperplanes(h).map(lit): _*),
         (x, y) => x.cast("double") * y), lit(0.0), (acc, p) => acc + p) >= 0, 1).otherwise(0)
     array((0 until LshBands).map { b =>
-      struct(lit(b).as("band"),
-        (0 until BitsPerBand).map(t => bit(b * BitsPerBand + t) * lit(1 << t))
-          .reduce(_ + _).as("bkey"))
+      (0 until BitsPerBand).map(t => bit(b * BitsPerBand + t) * lit(1 << t))
+        .reduce(_ + _)
     }: _*)
   }
+
+  /** Exposed for the SimilaritySpec equivalence test. */
+  private[operators] def lshBandKeysNative(v: Column): Column = lshBandKeys(v)
 
   /** LSH ANN: candidates ONLY from (band, bkey) equi-buckets — corpus
     * touched ∝ bucket collision rate, never all-pairs — then exact
@@ -170,11 +180,9 @@ object Similarity {
     * fetch join. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val corpusBands = emb(s, d)
-      .select(col("vec_id"), explode(lshBandKeys(col("embedding"))).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("vec_id"), posexplode(lshBandKeys(col("embedding"))).as(Seq("band", "bkey")))
     val queryBands = queriesDf(s, d)
-      .select(col("q_id"), explode(lshBandKeys(col("q_emb"))).as("bb"))
-      .select(col("q_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("q_id"), posexplode(lshBandKeys(col("q_emb"))).as(Seq("band", "bkey")))
     val cand = corpusBands.join(broadcast(queryBands), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
@@ -193,11 +201,9 @@ object Similarity {
   /** Exposed for SimilaritySpec's pruning assertion. */
   private[operators] def lshCandidateCount(s: SparkSession, d: String): Long = {
     val corpusBands = emb(s, d)
-      .select(col("vec_id"), explode(lshBandKeys(col("embedding"))).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("vec_id"), posexplode(lshBandKeys(col("embedding"))).as(Seq("band", "bkey")))
     val queryBands = queriesDf(s, d)
-      .select(col("q_id"), explode(lshBandKeys(col("q_emb"))).as("bb"))
-      .select(col("q_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("q_id"), posexplode(lshBandKeys(col("q_emb"))).as(Seq("band", "bkey")))
     corpusBands.join(broadcast(queryBands), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct().count()

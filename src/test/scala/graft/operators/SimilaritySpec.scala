@@ -36,6 +36,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.2, f"IVF recall collapsed: $mean%.2f")
   }
 
+  test("native SRP band keys == declarative HOF fold, bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.Tables
+    val both = Tables.embeddings(s, sf).select(
+      Similarity.lshBandKeysNative(col("embedding")).as("native"),
+      Similarity.lshBandKeysFold(col("embedding")).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+  }
+
   test("LSH ANN recovers a meaningful fraction of exact top-k from bucketed candidates") {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getLong(0)).view
