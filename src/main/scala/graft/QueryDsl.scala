@@ -32,4 +32,15 @@ object QueryDsl {
   /** SQL fragment mirroring [[davg]]. */
   def sqlDavg(expr: String): String =
     s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(28,4))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+
+  /** DuckDB fragment parsing 8 hex chars of `m` (a hex-string expression)
+    * from 1-based position `s` into a BIGINT — DuckDB 1.0 has no conv();
+    * mirrors Spark's `conv(substring(m, s, 8), 16, 10)`. Used wherever an
+    * oracle must reproduce md5-derived integers (MinHash, SRP hyperplanes,
+    * hash-split assignment). */
+  def sqlHex8(m: String, s: Int): String =
+    (0 until 8).map { k =>
+      val mult = math.pow(16, 7 - k).toLong
+      s"(strpos('0123456789abcdef', substr($m, ${s + k}, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString("(", " + ", ")")
 }

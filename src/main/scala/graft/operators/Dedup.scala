@@ -185,11 +185,7 @@ object Dedup {
 
   /** DuckDB fragment: hex chars [s, s+8) of `m` as a BIGINT (no conv() in
     * DuckDB 1.0, so positional strpos arithmetic). */
-  private def hex8(m: String, s: Int): String =
-    (0 until 8).map { k =>
-      val mult = math.pow(16, 7 - k).toLong
-      s"(strpos('0123456789abcdef', substr($m, ${s + k}, 1)) - 1) * CAST($mult AS BIGINT)"
-    }.mkString("(", " + ", ")")
+  private def hex8(m: String, s: Int): String = graft.QueryDsl.sqlHex8(m, s)
 
   /** Shared DuckDB CTEs mirroring the shingle/signature/band pipeline
     * (reused by TextAnalysis.corpusFilter's oracle). */

@@ -244,7 +244,52 @@ object Relational {
       k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** Full outer join with asymmetric coverage: high-balance customers vs
+    * per-customer order aggregates — rows survive with nulls on either
+    * side. Same single-shuffle sort-merge as any fact-fact equi-join. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"), col("spend"))
+      .orderBy("custkey")
+  }
+
+  /** Window distribution functions: ntile / percent_rank / cume_dist over
+    * a total order (suppkey tiebreak ⇒ no peer groups, so the rational
+    * divisions are exact-int / exact-int — cross-engine deterministic). */
+  def windowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+    Tables.supplier(s, d)
+      .select(
+        col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
+  /** Pivot with explicit values (no extra job to discover the pivot
+    * domain — at scale, value discovery is a full distinct scan). */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_join_full_outer" -> (joinFullOuter _),
+    "r_window_dist"     -> (windowDist _),
+    "r_pivot"           -> (pivotStatus _),
     "r_topk_perkey"     -> (topKPerKey _),
     "r_supplier_rank"   -> (supplierRank _),
     "r_agg_pricing"     -> (aggPricing _),
@@ -268,6 +313,28 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "r_join_full_outer" ->
+      s"""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000),
+         |o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+         |             ${sqlDsum("o_totalprice")} AS spend
+         |      FROM orders GROUP BY o_custkey)
+         |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_orders, spend
+         |FROM c FULL JOIN o ON c_custkey = o_custkey
+         |ORDER BY custkey""".stripMargin,
+    "r_window_dist" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "r_pivot" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "r_topk_perkey" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

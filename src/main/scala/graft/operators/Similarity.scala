@@ -223,13 +223,7 @@ object Similarity {
       s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   }
 
-  /** Parse 8 hex chars of `m` starting at 1-based position `s` into a
-    * BIGINT (DuckDB 1.0 has no conv()). */
-  private def hex8(m: String, s: Int): String =
-    (0 until 8).map { k =>
-      val mult = math.pow(16, 7 - k).toLong
-      s"(strpos('0123456789abcdef', substr($m, ${s + k}, 1)) - 1) * CAST($mult AS BIGINT)"
-    }.mkString("(", " + ", ")")
+  private def hex8(m: String, s: Int): String = graft.QueryDsl.sqlHex8(m, s)
 
   val oracle: Map[String, String] = Map(
     "v_cosine_topk" ->

@@ -130,7 +130,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split assignment by CONTENT hash
+    * (bucket = first 32 md5 bits mod 100 → 98/1/1): reproducible under
+    * any partitioning, any scale, any re-run — the property `rand()`-based
+    * splits lack — and stable under corpus growth (a doc's split never
+    * changes when new docs arrive). A pure narrow map over the scan. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_split_assign" -> (splitAssign _),
     "t_corpus_filter" -> (corpusFilter _),
     "t_token_stats" -> (tokenStats _),
     "t_langid" -> (langId _),
@@ -142,6 +159,14 @@ object TextAnalysis {
   private val sqlWords = "string_split(text, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "t_split_assign" ->
+      s"""SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 98 THEN 'train'
+         |            WHEN bucket = 98 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 100 AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "t_corpus_filter" ->
       (Dedup.sigCte +
         s"""
