@@ -67,6 +67,52 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Two-table as-of join — the general form of [[asofJoin]], for sides
+    * that are physically separate tables: tag, union (missing columns
+    * null-filled), ONE shuffle on `key`, a single sort, carry-forward
+    * window. Right rows at the same timestamp sort before left rows, so
+    * "at-or-before" includes ties. Never a range cross-join, so the plan
+    * survives any key skew an interval join would amplify.
+    *
+    * Contract: both sides carry `key` and `us` (long); `carry` names
+    * right-side columns, attached to each left row as `asof_<name>`
+    * (null when no right row precedes). If the right side has duplicate
+    * (key, us) pairs, which of the tied rows is carried is unspecified —
+    * extend `us` to a unique ordering key to pin it. */
+  def asofJoinTables(left: DataFrame, right: DataFrame, carry: Seq[String]): DataFrame = {
+    val unioned = left.withColumn("__side", lit(1))
+      .unionByName(right.withColumn("__side", lit(0)), allowMissingColumns = true)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("us").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop("__side")
+      .drop(carry: _*)
+  }
+
+  /** [[asofJoinTables]] driven as a query: purchases and clicks as two
+    * separate tables. The oracle is DuckDB's native ASOF JOIN — a
+    * completely different algorithm (binary-search merge) arriving at the
+    * same answer, which is the strongest kind of cross-check. */
+  def asofTwoTable(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), us.as("us"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), us.as("us"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    asofJoinTables(purchases, clicks, Seq("click_id", "click_value"))
+      .select(
+        col("key").as("user_id"), col("purchase_id"), col("us").as("purchase_us"),
+        col("asof_click_id").as("click_id"), col("asof_click_value").as("click_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   private val WindowUs: Long = 7200L * 1000000L // 2 h
 
   /** Reusable bucketized interval-join primitive. A naive range join is a
@@ -114,6 +160,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize" -> (sessionize _),
     "e_asof_join" -> (asofJoin _),
+    "e_asof_two_table" -> (asofTwoTable _),
     "e_range_join" -> (rangeJoin _),
   )
 
@@ -148,6 +195,17 @@ object Events {
         |SELECT user_id, event_id AS purchase_id, us AS purchase_us, click_id, click_value
         |FROM carried WHERE event_type = 'purchase'
         |ORDER BY user_id, purchase_id""".stripMargin,
+    // the oracle is DuckDB's NATIVE ASOF JOIN — an independent algorithm
+    // (sorted merge), not a mirror of the union-window plan
+    "e_asof_two_table" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id AS click_id,
+        |             value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, p.us AS purchase_us, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |ORDER BY p.user_id, p.purchase_id""".stripMargin,
     // the oracle runs the UNBUCKETIZED range join: bucketization must not
     // change the answer, only the join strategy
     "e_range_join" ->
