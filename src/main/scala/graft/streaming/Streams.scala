@@ -83,6 +83,52 @@ object Streams {
       .orderBy("user_id", "start_us")
   }
 
+  /** Stream-stream interval join (click attribution): each purchase joins
+    * the same user's clicks from the preceding hour. Both sides are
+    * watermarked and the join condition carries the time range, so Spark
+    * bounds BOTH state stores (rows older than watermark − range are
+    * evicted) — the requirement for an unbounded two-stream join. Inner
+    * join ⇒ matches emit as soon as both sides arrive; the watermark only
+    * governs state cleanup. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.withWatermark("ts", "1 hour").alias("p")
+      .join(
+        clicks.withWatermark("ts", "1 hour").alias("c"),
+        expr("""p.user_id = c.user_id AND
+                c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""))
+      .select(
+        col("p.user_id").as("user_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"),
+        col("c.value").as("click_value"))
+
+  /** `e_stream_join` — [[clickAttribution]] replayed over the events
+    * table as two separate MemoryStreams; SQL-expressible (a BETWEEN
+    * join), so fully hash-checked. */
+  def streamJoinReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def side(t: String) = graft.Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .collect()
+    val inClicks = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val inPurchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    def named(m: MemoryStream[(Long, Long, java.sql.Timestamp, Double)]) =
+      m.toDF().toDF("user_id", "event_id", "ts", "value")
+    val sink = "e_stream_join_sink"
+    val q = clickAttribution(named(inClicks), named(inPurchases))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      inClicks.addData(side("click").toIndexedSeq)
+      inPurchases.addData(side("purchase").toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy("user_id", "purchase_id", "click_id")
+  }
+
   /** `d_dedup_stream` — streaming exact dedup graded by data: a dup-heavy
     * keyed stream derived from events (key = event_id % 997 guarantees
     * duplicates; the payload is a pure function of the key, so WHICH
@@ -118,6 +164,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize_stream" -> (sessionizeStream _),
     "d_dedup_stream" -> (dedupStreamReplay _),
+    "e_stream_join" -> (streamJoinReplay _),
   )
 
   /** The sentinel closes EVERY real session, so the streaming result is
@@ -141,6 +188,16 @@ object Streams {
          |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
          |FROM sessioned GROUP BY user_id, session_id
          |ORDER BY user_id, start_us""".stripMargin,
+    "e_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus,
+        |                  value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pus
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, purchase_id, click_id, click_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |              AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "d_dedup_stream" ->
       """SELECT DISTINCT CAST(event_id % 997 AS BIGINT) AS dedup_key,
         |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload

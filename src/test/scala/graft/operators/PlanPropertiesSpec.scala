@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale claims in the operator Scaladocs, asserted against the
+  * EXECUTED plans: "one shuffle on the key" must mean exactly one hash
+  * exchange (the trailing oracle-determinism orderBy adds a range
+  * exchange, which is a gate artifact, not operator cost). */
+class PlanPropertiesSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  private def hashExchanges(df: DataFrame): Seq[ShuffleExchangeExec] = {
+    df.collect() // force AQE finalization
+    flatten(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+  }
+
+  test("sessionize is a single user_id shuffle (windows + agg reuse it)") {
+    val ex = hashExchanges(Events.sessionize(s, sf))
+    assert(ex.size == 1, s"expected 1 hash exchange, got ${ex.size}:\n${ex.mkString("\n")}")
+  }
+
+  test("two-table as-of join is a single key shuffle (union is shuffle-free)") {
+    val ex = hashExchanges(Events.asofTwoTable(s, sf))
+    assert(ex.size == 1, s"expected 1 hash exchange, got ${ex.size}:\n${ex.mkString("\n")}")
+  }
+
+  test("corpus filter anti-joins the dup set as a broadcast") {
+    val df = TextAnalysis.corpusFilter(s, sf)
+    df.collect()
+    val anti = flatten(df.queryExecution.executedPlan).collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(anti.nonEmpty, "quality-gate anti-join must broadcast the dup set")
+  }
+}
