@@ -26,15 +26,19 @@ object Extraction {
   private val outCols = Seq("reporting_date", "issuer", "shares", "value_usd", "pct_net_assets")
 
   /** X2/G1/I1 — render in a map, extract in a flatMap: 1 doc → N holding
-    * rows with the filing's scalar date attached. */
-  def extractHoldings(s: SparkSession, d: String): DataFrame = {
+    * rows with the filing's scalar date attached. Unsorted — for
+    * downstream pipelines (the CSV sink repartitions by date itself). */
+  private def extractedHoldings(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     FilingDocs.docs(s, d)
       .flatMap { case (_, doc) => NportKernel.extractRows(doc) }
       .toDF()
       .select(outCols.map(col): _*)
-      .orderBy(outCols.map(col): _*)
   }
+
+  /** [[extractedHoldings]] with the oracle-determinism total sort. */
+  def extractHoldings(s: SparkSession, d: String): DataFrame =
+    extractedHoldings(s, d).orderBy(outCols.map(col): _*)
 
   /** X1 — scalar per-document extraction: one reporting date per filing;
     * date-less filings are dropped (ref :80-82). */
@@ -93,7 +97,7 @@ object Extraction {
     * keeps the recovered partition column a STRING (type inference would
     * make it DATE). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val holdings = extractHoldings(s, d)
+    val holdings = extractedHoldings(s, d) // unsorted: the sink repartitions
     val real = holdings.withColumn("filing_seq", lit(2L))
     val decoys = holdings
       .withColumn("issuer", lit("SUPERSEDED"))

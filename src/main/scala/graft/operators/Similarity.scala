@@ -188,8 +188,8 @@ object Similarity {
       .select("q_id", "vec_id").distinct()
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    cand
-      .join(emb(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+    emb(s, d).select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), "vec_id") // candidates ≪ corpus: never shuffle the corpus
       .join(broadcast(queriesDf(s, d)), "q_id")
       .select(col("q_id"), col("vec_id"),
         cosineF(col("embedding"), col("q_emb")).as("cosine"))
