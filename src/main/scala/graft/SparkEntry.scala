@@ -43,6 +43,7 @@ object SparkEntry {
       (operators.Sketches.queries, operators.Sketches.oracle),
       (operators.Bucketing.queries, operators.Bucketing.oracle),
       (operators.Skew.queries, operators.Skew.oracle),
+      (operators.Formats.queries, operators.Formats.oracle),
       (streaming.Streams.queries, streaming.Streams.oracle),
     )
 
