@@ -120,6 +120,46 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * LSH-confirmed near-dup graph via iterative min-label propagation —
+    * the standard large-graph CC pattern. Each round is one distributed
+    * join + min-aggregation; rounds ≈ component diameter (tiny for dup
+    * clusters); the driver sees only a changed-row COUNT per round, never
+    * data. `localCheckpoint` truncates the growing lineage each round (at
+    * cluster scale, a reliable checkpoint dir instead). Pair lists
+    * under-remove transitive chains (a~b, b~c but no a~c candidate);
+    * clusters are the principled keep-one-per-group resolution: cluster
+    * id = min reachable doc_id, `is_rep` marks the kept document. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = neardupPairs(s, d).select(col("a"), col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 32) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"),
+          col("label"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") =!= col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).cast("int").as("is_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard verification over LSH candidates only. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = withSig(s, d).select(col("doc_id"), col("shingles"))
@@ -178,6 +218,7 @@ object Dedup {
     "d_exact_dedup" -> (exactDedup _),
     "d_minhash_sig" -> (minhashSignatures _),
     "d_neardup_pairs" -> (neardupPairs _),
+    "d_dup_clusters" -> (dupClusters _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "d_simhash" -> (simhash _),
     "d_embed_neardup" -> (embedNeardup _),
@@ -238,6 +279,25 @@ object Dedup {
           |WHERE CAST(list_sum(list_transform(range(0, 16),
           |        i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5
           |ORDER BY a, b""".stripMargin),
+    // transitive closure by recursive CTE — independent of the iterative
+    // label-propagation algorithm the engine runs
+    "d_dup_clusters" ->
+      (sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |nd AS (
+          |  SELECT c.a, c.b
+          |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          |  WHERE CAST(list_sum(list_transform(range(0, 16),
+          |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+          |edges AS (SELECT a AS src, b AS dst FROM nd UNION ALL SELECT b, a FROM nd),
+          |walk AS (
+          |  SELECT DISTINCT src AS id, src AS label FROM edges
+          |  UNION
+          |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+          |SELECT id AS doc_id, MIN(label) AS cluster_id,
+          |       CAST(id = MIN(label) AS INT) AS is_rep
+          |FROM walk GROUP BY id
+          |ORDER BY doc_id""".stripMargin),
     "d_ngram_jaccard" ->
       (sigCte +
         """
