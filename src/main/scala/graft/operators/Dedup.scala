@@ -155,6 +155,8 @@ object Dedup {
       labels = updated.select(col("id"), col("next").as("label"))
       rounds += 1
     }
+    // non-converged labels would be silently WRONG, not approximate
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).cast("int").as("is_rep"))
       .orderBy("doc_id")
