@@ -173,6 +173,35 @@ object Similarity {
   /** Exposed for the SimilaritySpec equivalence test. */
   private[operators] def lshBandKeysNative(v: Column): Column = lshBandKeys(v)
 
+  /** All-pairs LSH candidate generation over embeddings — blocking on the
+    * DATA itself, no label crutch (Dedup.embedNeardup blocks on the label
+    * column; this is the form that works when no labels exist): same 16
+    * hyperplanes banded 2×8 bits, a pair is a candidate iff it shares a
+    * (band, bkey) bucket, scored with the exact cosine. An 8-bit band
+    * keeps buckets ∝ n/256, so candidates stay ≈1% of n²/2 (random pairs
+    * collide at ~2·2⁻⁸) while a true near-dup (cosine→1) misses both
+    * bands with probability → 0. Downstream dedup is a threshold filter
+    * on `cosine`; the corpus here has no true near-dups (max pair cosine
+    * ≈ 0.51), so the candidate set itself is the verifiable output. */
+  def embedLshCandidates(s: SparkSession, d: String): DataFrame = {
+    val dedupBands = 2
+    val bands = emb(s, d)
+      .select(col("vec_id"),
+        posexplode(graft.functions.SrpBandKeys(col("embedding"), hyperplanes, dedupBands))
+          .as(Seq("band", "bkey")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val ea = emb(s, d).select(col("vec_id").as("a"), col("embedding").as("emb_a"))
+    val eb = emb(s, d).select(col("vec_id").as("b"), col("embedding").as("emb_b"))
+    cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"), cosineF(col("emb_a"), col("emb_b")).as("cosine"))
+      .orderBy("a", "b")
+  }
+
   /** LSH ANN: candidates ONLY from (band, bkey) equi-buckets — corpus
     * touched ∝ bucket collision rate, never all-pairs — then exact
     * re-rank. Query side is broadcast twice (band probe + re-rank); the
@@ -213,6 +242,7 @@ object Similarity {
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
+    "v_lsh_candidates" -> (embedLshCandidates _),
   )
 
   private val sqlCos = {
@@ -303,5 +333,31 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "v_lsh_candidates" ->
+      s"""WITH hpv AS (
+         |  SELECT hs.h, js.j,
+         |         ${hex8("md5('hp' || CAST(hs.h AS VARCHAR) || '_' || CAST(js.j AS VARCHAR))", 1)}
+         |           / 2147483648.0 - 1.0 AS r
+         |  FROM (SELECT unnest(range(0, $LshBits)) AS h) hs,
+         |       (SELECT unnest(range(0, 64)) AS j) js),
+         |hp AS (SELECT h, list(r ORDER BY j) AS r FROM hpv GROUP BY h),
+         |bits AS (
+         |  SELECT e.vec_id, hp.h,
+         |         CASE WHEN list_reduce(list_transform(range(0, 64),
+         |                i -> CAST(e.embedding[i+1] AS DOUBLE) * hp.r[i+1]), (x,y) -> x+y) >= 0
+         |              THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e, hp),
+         |bands AS (
+         |  SELECT vec_id, CAST(h // 8 AS INT) AS band,
+         |         CAST(SUM(bit * ([1,2,4,8,16,32,64,128])[(h % 8) + 1]) AS BIGINT) AS bkey
+         |  FROM bits GROUP BY vec_id, h // 8),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+         |SELECT c.a, c.b, ${sqlCos("ea.embedding", "eb.embedding")} AS cosine
+         |FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+         |            JOIN embeddings eb ON eb.vec_id = c.b
+         |ORDER BY a, b""".stripMargin,
   )
 }

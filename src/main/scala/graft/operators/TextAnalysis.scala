@@ -146,8 +146,26 @@ object TextAnalysis {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Deterministic STRATIFIED sample: per-language rates (50% analytics /
+    * 20% storage / 10% engine) decided by content-hash bucket, so the
+    * sample is reproducible under any partitioning and needs no second
+    * pass (`sampleBy` needs fractions but samples nondeterministically
+    * across reruns; this never does). A narrow filter over the scan. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    val rate = when(col("lang") === "analytics", 50)
+      .when(col("lang") === "storage", 20)
+      .otherwise(10)
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_split_assign" -> (splitAssign _),
+    "t_stratified_sample" -> (stratifiedSample _),
     "t_corpus_filter" -> (corpusFilter _),
     "t_token_stats" -> (tokenStats _),
     "t_langid" -> (langId _),
@@ -159,6 +177,16 @@ object TextAnalysis {
   private val sqlWords = "string_split(text, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "t_stratified_sample" ->
+      s"""SELECT doc_id, lang, bucket, rate FROM (
+         |  SELECT doc_id, lang,
+         |         ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 100 AS bucket,
+         |         CASE WHEN lang = 'analytics' THEN 50
+         |              WHEN lang = 'storage' THEN 20
+         |              ELSE 10 END AS rate
+         |  FROM documents)
+         |WHERE bucket < rate
+         |ORDER BY doc_id""".stripMargin,
     "t_split_assign" ->
       s"""SELECT doc_id, bucket,
          |       CASE WHEN bucket < 98 THEN 'train'

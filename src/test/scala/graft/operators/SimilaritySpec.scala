@@ -69,6 +69,15 @@ class SimilaritySpec extends AnyFunSuite {
       "LSH banding prunes nothing — bucket scheme degenerate")
   }
 
+  test("all-pairs LSH candidate generation prunes the quadratic pair space") {
+    import graft.Tables
+    val n = Tables.embeddings(s, sf).count()
+    val cand = Similarity.embedLshCandidates(s, sf).count()
+    val frac = cand.toDouble / (n * (n - 1) / 2)
+    info(f"candidates=$cand of ${n * (n - 1) / 2} pairs (${frac * 100}%.1f%%)")
+    assert(frac < 0.1, f"blocking degenerate: $frac%.3f of all pairs are candidates")
+  }
+
   test("IVF plan buffers no per-vector collections (no collect_list anywhere)") {
     val optimized = Similarity.annIvf(s, sf).queryExecution.optimizedPlan.toString
     assert(!optimized.contains("collect_list"),
