@@ -48,11 +48,20 @@ object SparkEntry {
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_._1.keys)
+    // toMap would silently keep one of two same-named queries
+    require(all.distinct.size == all.size,
+      s"duplicate query names across modules: ${all.diff(all.distinct).distinct.mkString(", ")}")
     modules.iterator.flatMap(_._1).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] =
-    modules.iterator.flatMap(_._2).toMap
+  lazy val oracleSql: Map[String, String] = {
+    val m = modules.iterator.flatMap(_._2).toMap
+    val orphans = m.keySet.diff(queries.keySet)
+    require(orphans.isEmpty, s"oracle entries without a query: ${orphans.mkString(", ")}")
+    m
+  }
 }
