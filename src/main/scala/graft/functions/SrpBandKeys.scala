@@ -52,6 +52,16 @@ case class SrpBandKeys(child: Expression, matrix: Array[Array[Double]], bands: I
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
     val keys = new Array[Int](bands)
+    // Bit-for-bit parity with lshBandKeysFold is the contract: there, a
+    // null element OR a length mismatch (zip_with null-pads the shorter
+    // side) nulls the whole dot product, and `null >= 0` fails every bit
+    // test — all-zero keys. Match both cases exactly.
+    if (n != matrix(0).length) return new GenericArrayData(keys)
+    var j0 = 0
+    while (j0 < n) {
+      if (v.isNullAt(j0)) return new GenericArrayData(keys)
+      j0 += 1
+    }
     var h = 0
     while (h < matrix.length) {
       val row = matrix(h)

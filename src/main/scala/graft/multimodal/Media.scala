@@ -134,6 +134,9 @@ object Media {
   def resizeThumbs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
+      // empty payloads excluded on BOTH sides: the stub resizes them to 64
+      // zero bytes, which no SQL substr arithmetic can mirror
+      .filter(m => m.bytes.nonEmpty)
       .map(m => (m.media_id, MediaStub.resize(m, 8, 8)))
       .toDF("media_id", "thumb")
       .select(col("media_id"), md5(col("thumb")).as("thumb_md5"))
@@ -177,7 +180,7 @@ object Media {
     "m_resize_thumb" ->
       """WITH px AS (
         |  SELECT doc_id AS media_id, unnest(range(0, 64)) AS i, text
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |ch AS (
         |  SELECT media_id, i,
         |         substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1) AS ch

@@ -76,21 +76,27 @@ object Events {
     *
     * Contract: both sides carry `key` and `us` (long); `carry` names
     * right-side columns, attached to each left row as `asof_<name>`
-    * (null when no right row precedes). If the right side has duplicate
-    * (key, us) pairs, which of the tied rows is carried is unspecified —
-    * extend `us` to a unique ordering key to pin it. */
+    * (null when no right row precedes). The carried columns move as ONE
+    * struct — carrying them independently would let a null field pull
+    * that column from an older right row, fabricating a row that never
+    * existed. If the right side has duplicate (key, us) pairs, which of
+    * the tied rows is carried is unspecified — extend `us` to a unique
+    * ordering key to pin it. */
   def asofJoinTables(left: DataFrame, right: DataFrame, carry: Seq[String]): DataFrame = {
     val unioned = left.withColumn("__side", lit(1))
       .unionByName(right.withColumn("__side", lit(0)), allowMissingColumns = true)
     val w = Window.partitionBy(col("key"))
       .orderBy(col("us").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    // the struct is null exactly when the row is a left row, so
+    // ignoreNulls skips left rows but carries a right row wholesale,
+    // null fields included
+    val carried = unioned.withColumn("__asof",
+      last(when(col("__side") === 0, struct(carry.map(col): _*)), ignoreNulls = true).over(w))
+    carry.foldLeft(carried.filter(col("__side") === 1)) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__asof.$c"))
     }
-    carried.filter(col("__side") === 1)
-      .drop("__side")
+      .drop("__side", "__asof")
       .drop(carry: _*)
   }
 

@@ -97,12 +97,17 @@ object Extraction {
     * keeps the recovered partition column a STRING (type inference would
     * make it DATE). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val holdings = extractedHoldings(s, d) // unsorted: the sink repartitions
+    // localCheckpoint: real + decoys both read the extraction, and without
+    // it the render+parse kernel (the most expensive stage in the repo)
+    // would execute twice in the sink job
+    val holdings = extractedHoldings(s, d).localCheckpoint()
     val real = holdings.withColumn("filing_seq", lit(2L))
     val decoys = holdings
       .withColumn("issuer", lit("SUPERSEDED"))
       .withColumn("filing_seq", lit(1L))
-    val outDir = "/tmp/graft_csv_roundtrip"
+    // per-application path: concurrent sessions must not clobber each
+    // other between the eager write and the lazy read-back
+    val outDir = s"/tmp/graft_csv_roundtrip_${s.sparkContext.applicationId}"
     graft.sinks.HoldingsCsvSink.write(real.unionByName(decoys), outDir)
     s.read
       .option("header", "true")

@@ -26,12 +26,15 @@ object Formats {
     val slice = Tables.lineitem(s, d)
       .filter(col("l_orderkey") % 100 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
-    slice.write.mode("overwrite").orc("/tmp/graft_fmt_orc")
-    slice.write.mode("overwrite").json("/tmp/graft_fmt_json")
-    val orc = s.read.orc("/tmp/graft_fmt_orc")
+    // per-application paths: concurrent sessions must not clobber each
+    // other between the eager writes and the lazy read-backs
+    val base = s"/tmp/graft_fmt_${s.sparkContext.applicationId}"
+    slice.write.mode("overwrite").orc(s"$base/orc")
+    slice.write.mode("overwrite").json(s"$base/json")
+    val orc = s.read.orc(s"$base/orc")
     val jsn = s.read
       .schema("l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE")
-      .json("/tmp/graft_fmt_json")
+      .json(s"$base/json")
     def perFlag(df: DataFrame, n: String, qty: String): DataFrame =
       df.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as(n), dsum(col("l_quantity")).as(qty))

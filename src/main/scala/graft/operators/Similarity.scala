@@ -133,6 +133,9 @@ object Similarity {
   private val LshBits = 16
   private val LshBands = 4 // 4 bands × 4 bits: the recall/candidate dial
   private val BitsPerBand = LshBits / LshBands
+  // all-pairs dedup blocking bands the SAME bits coarser: 2 × 8-bit
+  private val DedupBands = 2
+  private val DedupBitsPerBand = LshBits / DedupBands
 
   /** Deterministic hyperplane matrix (LshBits × Dim): component j of
     * hyperplane h is the first 32 md5 bits of "hp{h}_{j}" mapped to
@@ -184,10 +187,9 @@ object Similarity {
     * on `cosine`; the corpus here has no true near-dups (max pair cosine
     * ≈ 0.51), so the candidate set itself is the verifiable output. */
   def embedLshCandidates(s: SparkSession, d: String): DataFrame = {
-    val dedupBands = 2
     val bands = emb(s, d)
       .select(col("vec_id"),
-        posexplode(graft.functions.SrpBandKeys(col("embedding"), hyperplanes, dedupBands))
+        posexplode(graft.functions.SrpBandKeys(col("embedding"), hyperplanes, DedupBands))
           .as(Seq("band", "bkey")))
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -207,14 +209,21 @@ object Similarity {
     * re-rank. Query side is broadcast twice (band probe + re-rank); the
     * only corpus shuffles are the candidate distinct and the vec_id
     * fetch join. */
-  def annLsh(s: SparkSession, d: String): DataFrame = {
+  /** Candidate (q_id, vec_id) pairs from shared (band, bkey) buckets —
+    * ONE definition, used by both the query and the pruning spec, so the
+    * spec always measures the pipeline the query actually runs. */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
     val corpusBands = emb(s, d)
       .select(col("vec_id"), posexplode(lshBandKeys(col("embedding"))).as(Seq("band", "bkey")))
     val queryBands = queriesDf(s, d)
       .select(col("q_id"), posexplode(lshBandKeys(col("q_emb"))).as(Seq("band", "bkey")))
-    val cand = corpusBands.join(broadcast(queryBands), Seq("band", "bkey"))
+    corpusBands.join(broadcast(queryBands), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
+  }
+
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val cand = lshCandidates(s, d)
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     emb(s, d).select(col("vec_id"), col("embedding"))
@@ -228,15 +237,8 @@ object Similarity {
   }
 
   /** Exposed for SimilaritySpec's pruning assertion. */
-  private[operators] def lshCandidateCount(s: SparkSession, d: String): Long = {
-    val corpusBands = emb(s, d)
-      .select(col("vec_id"), posexplode(lshBandKeys(col("embedding"))).as(Seq("band", "bkey")))
-    val queryBands = queriesDf(s, d)
-      .select(col("q_id"), posexplode(lshBandKeys(col("q_emb"))).as(Seq("band", "bkey")))
-    corpusBands.join(broadcast(queryBands), Seq("band", "bkey"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id").distinct().count()
-  }
+  private[operators] def lshCandidateCount(s: SparkSession, d: String): Long =
+    lshCandidates(s, d).count()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_cosine_topk" -> (cosineTopK _),
@@ -317,7 +319,7 @@ object Similarity {
          |  FROM embeddings e, hp),
          |bands AS (
          |  SELECT vec_id, CAST(h // $BitsPerBand AS INT) AS band,
-         |         CAST(SUM(bit * ([1,2,4,8,16,32,64,128])[(h % $BitsPerBand) + 1]) AS BIGINT) AS bkey
+         |         CAST(SUM(bit * ([${(0 until BitsPerBand).map(1 << _).mkString(",")}])[(h % $BitsPerBand) + 1]) AS BIGINT) AS bkey
          |  FROM bits GROUP BY vec_id, h // $BitsPerBand),
          |cand AS (
          |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
@@ -348,9 +350,9 @@ object Similarity {
          |              THEN 1 ELSE 0 END AS bit
          |  FROM embeddings e, hp),
          |bands AS (
-         |  SELECT vec_id, CAST(h // 8 AS INT) AS band,
-         |         CAST(SUM(bit * ([1,2,4,8,16,32,64,128])[(h % 8) + 1]) AS BIGINT) AS bkey
-         |  FROM bits GROUP BY vec_id, h // 8),
+         |  SELECT vec_id, CAST(h // $DedupBitsPerBand AS INT) AS band,
+         |         CAST(SUM(bit * ([${(0 until DedupBitsPerBand).map(1 << _).mkString(",")}])[(h % $DedupBitsPerBand) + 1]) AS BIGINT) AS bkey
+         |  FROM bits GROUP BY vec_id, h // $DedupBitsPerBand),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
          |  FROM bands x JOIN bands y

@@ -53,4 +53,19 @@ object AsofJoinPropertySpec extends Properties("AsofJoinProperty") {
 
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
+
+  // regression: carry columns must move as ONE row — carrying each column
+  // independently with ignoreNulls would fill a null field from an OLDER
+  // right row, fabricating a row that never existed
+  property("null carry fields stay with their row, not filled from older rows") = {
+    import s.implicits._
+    val left = Seq((1L, 12L, 100L)).toDF("key", "us", "left_id")
+    val right = Seq(
+      (1L, 5L, Some(4L), Some(3.0)),
+      (1L, 10L, Some(7L), Option.empty[Double]))
+      .toDF("key", "us", "click_id", "click_value")
+    val row = Events.asofJoinTables(left, right, Seq("click_id", "click_value"))
+      .select("asof_click_id", "asof_click_value").collect().head
+    Prop(row.getLong(0) == 7L && row.isNullAt(1)) :| s"got $row, want (7, null)"
+  }
 }
