@@ -58,14 +58,14 @@ object Dedup {
     * byte-small/compute-dense exchange back to one partition. The
     * identical pre-sig subtree is ReuseExchange'd when queries self-join
     * signatures. */
-  private def withSig(s: SparkSession, d: String): DataFrame =
+  private[graft] def withSig(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles.as("shingles"))
       .select(col("doc_id"), col("shingles"), signature.as("sig"))
 
   /** LSH banding: 4 bands × 4 rows; band key = the band's joined slice. */
-  private def bands(s: SparkSession, d: String): DataFrame =
+  private[graft] def bands(s: SparkSession, d: String): DataFrame =
     withSig(s, d).select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -232,7 +232,7 @@ object Dedup {
 
   /** Shared DuckDB CTEs mirroring the shingle/signature/band pipeline
     * (reused by TextAnalysis.corpusFilter's oracle). */
-  private[operators] val sigCte: String =
+  private[graft] val sigCte: String =
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id,
        |         CASE WHEN len(w) >= 3

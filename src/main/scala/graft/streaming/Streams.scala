@@ -164,6 +164,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize_stream" -> (sessionizeStream _),
     "d_dedup_stream" -> (dedupStreamReplay _),
+    "d_lsh_dedup_stream" -> (lshDedupStreamReplay _),
     "e_stream_join" -> (streamJoinReplay _),
   )
 
@@ -198,12 +199,116 @@ object Streams {
         |FROM p JOIN c ON p.user_id = c.user_id
         |              AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+    // "flagged dup in the stream" == "has a lower-id LSH near-dup" — the
+    // batch candidate join recomputed relationally
+    "d_lsh_dedup_stream" ->
+      (graft.operators.Dedup.sigCte +
+        """,
+          |dups AS (
+          |  SELECT DISTINCT c.b AS doc_id
+          |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          |  WHERE CAST(list_sum(list_transform(range(0, 16),
+          |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5)
+          |SELECT d.doc_id, CAST(d.doc_id IN (SELECT doc_id FROM dups) AS INT) AS is_dup
+          |FROM documents d
+          |ORDER BY doc_id""".stripMargin),
     "d_dedup_stream" ->
       """SELECT DISTINCT CAST(event_id % 997 AS BIGINT) AS dedup_key,
         |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload
         |FROM events
         |ORDER BY dedup_key""".stripMargin,
   )
+
+  final case class BucketMembers(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** STREAMING near-dup detection — the streaming form of the MinHash-LSH
+    * batch pipeline: documents arrive as (bucketKey, doc_id, signature)
+    * rows (one per LSH band), each band bucket keeps the signatures seen
+    * so far, and a document is flagged dup iff some bucket already holds
+    * a signature within `threshold` estimated Jaccard. State is sharded
+    * by band bucket (the same blocking as the batch join — never
+    * all-pairs) and bounded by the state timeout in production; null
+    * signature positions are encoded as -1 and never count as agreement,
+    * matching the batch/SQL NULL semantics.
+    *
+    * Determinism contract for replay: rows must be FED in doc_id order
+    * across micro-batches (within a batch the handler sorts), so "seen
+    * earlier" always means "lower doc_id" — the same verdicts as the
+    * batch candidate join. */
+  def lshDedupStream(
+      rows: Dataset[(String, Long, Seq[Long])],
+      numPerms: Int,
+      threshold: Double,
+      stateTimeout: String = "1 hour",
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[(Long, Int)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: String, it: Iterator[(String, Long, Seq[Long])], state: GroupState[BucketMembers]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(_._2)
+            var members = state.getOption.getOrElse(BucketMembers(Nil, Nil))
+            val out = sorted.map { case (_, id, sig) =>
+              val dup = members.sigs.exists { m =>
+                var eq = 0
+                var i = 0
+                while (i < numPerms) {
+                  if (m(i) != -1L && m(i) == sig(i)) eq += 1
+                  i += 1
+                }
+                eq.toDouble / numPerms >= threshold
+              }
+              members = BucketMembers(members.ids :+ id, members.sigs :+ sig)
+              (id, if (dup) 1 else 0)
+            }
+            state.update(members)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(stateTimeout)
+            out.iterator
+          }
+      }
+  }
+
+  /** `d_lsh_dedup_stream` — [[lshDedupStream]] replayed over the documents
+    * table: signatures and band keys computed by the SAME batch plumbing
+    * (operators.Dedup), fed in doc_id order in two micro-batches, verdicts
+    * merged per document (a doc sits in 4 buckets). The oracle recomputes
+    * "has a lower-id LSH near-dup" relationally — hash-checked. */
+  def lshDedupStreamReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val numPerms = graft.functions.MinHashSignature.DefaultNumPerms
+    val rows = graft.operators.Dedup.bands(s, d)
+      .join(graft.operators.Dedup.withSig(s, d).select(col("doc_id"),
+        transform(col("sig"), v => coalesce(v, lit(-1L))).as("sigArr")), "doc_id")
+      .select(concat(col("band").cast("string"), lit("#"), col("bkey")).as("bucket"),
+        col("doc_id"), col("sigArr"))
+      .as[(String, Long, Seq[Long])]
+      .collect()
+      .sortBy(_._2)
+    val in = MemoryStream[(String, Long, Seq[Long])]
+    val sink = "d_lsh_dedup_stream_sink"
+    val q = lshDedupStream(in.toDS(), numPerms, 0.5,
+        timeout = GroupStateTimeout.NoTimeout)
+      .toDF("doc_id", "flag")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // doc_id order across batches is the determinism contract
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .groupBy(col("doc_id"))
+      .agg(max(col("flag")).as("is_dup"))
+      .orderBy("doc_id")
+  }
 
   final case class Seen(ids: Seq[Long])
 
