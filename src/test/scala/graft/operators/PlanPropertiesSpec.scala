@@ -44,6 +44,41 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(ex.size == 1, s"expected 1 hash exchange, got ${ex.size}:\n${ex.mkString("\n")}")
   }
 
+  test("predicates push to the parquet scan and the scan prunes columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = Relational.aggPricing(s, sf)
+    df.collect()
+    val scans = flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      s"shipdate filter not pushed: ${scan.metadata("PushedFilters")}")
+    // lineitem has 11 columns; the query touches 6 (5 projected + the
+    // filter column) — the scan must not read the rest
+    assert(scan.output.size <= 6,
+      s"scan reads ${scan.output.size} columns: ${scan.output.map(_.name)}")
+  }
+
+  test("partitioned sources prune partitions on the partition key") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.Tables
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = s"/tmp/graft_part_prune_${s.sparkContext.applicationId}"
+    Tables.orders(s, sf)
+      .withColumn("bucket", col("o_orderkey") % 5)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val df = s.read.parquet(dir).filter(col("bucket") === lit(3))
+    df.collect()
+    val scan = flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.metadata("PartitionFilters").contains("bucket"),
+      s"no partition filter: ${scan.metadata("PartitionFilters")}")
+    assert(scan.relation.location.inputFiles.length >= 5) // all partitions exist
+    assert(scan.selectedPartitions.partitionCount == 1, // but only one is read
+      s"read ${scan.selectedPartitions.partitionCount} partitions, wanted 1")
+  }
+
   test("corpus filter anti-joins the dup set as a broadcast") {
     val df = TextAnalysis.corpusFilter(s, sf)
     df.collect()
