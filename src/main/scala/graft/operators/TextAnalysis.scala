@@ -96,6 +96,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private val WinnowW = 8
+
+  /** TRUE winnowing (Schleimer et al.'s local fingerprinting, which
+    * `fingerprint`'s single global min approximates): the distinct minima
+    * of every `WinnowW`-wide sliding window over the word-4-gram hash
+    * sequence. Guarantees a shared fingerprint for any sufficiently long
+    * shared passage — the property plagiarism/near-dup detection needs
+    * and a global min lacks. One row per (doc, fingerprint); all narrow
+    * array ops until the explode. */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    val hashes = transform(
+      sequence(lit(0), size(words) - 4),
+      i => md5(array_join(slice(words, i + lit(1), lit(4)), " ").cast("binary")))
+    docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .filter(size(words) >= 4)
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("hs")) - WinnowW, lit(0))),
+          j => array_min(slice(col("hs"), j + 1, lit(WinnowW)))))).as("fp_md5"))
+      .orderBy("doc_id", "fp_md5")
+  }
+
   /** tf-idf: tokenize → per-(doc,term) tf → per-term document frequency →
     * rational idf. Two aggregations (one shuffle each, map-side partial);
     * the doc count joins in as a broadcast scalar. */
@@ -171,6 +195,7 @@ object TextAnalysis {
     "t_langid" -> (langId _),
     "t_quality" -> (quality _),
     "t_fingerprint" -> (fingerprint _),
+    "t_winnow" -> (winnow _),
     "t_tfidf" -> (tfIdf _),
   )
 
@@ -256,6 +281,18 @@ object TextAnalysis {
          |                   i -> md5(array_to_string(($sqlWords)[i+1:i+4], ' '))))
          |            ELSE md5(text) END AS shingle_min_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_winnow" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, len($sqlWords) - 3),
+         |           i -> md5(array_to_string(($sqlWords)[i+1:i+4], ' '))) AS hs
+         |  FROM documents WHERE len($sqlWords) >= 4)
+         |SELECT DISTINCT doc_id,
+         |       unnest(list_distinct(list_transform(
+         |         range(0, greatest(len(hs) - ${WinnowW - 1}, 1)),
+         |         j -> list_min(hs[CAST(j+1 AS INT):CAST(j+$WinnowW AS INT)])))) AS fp_md5
+         |FROM hs
+         |ORDER BY doc_id, fp_md5""".stripMargin,
     "t_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
