@@ -67,6 +67,33 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Session funnel: per (user, session), click/purchase counts and
+    * whether a purchase follows the session's first click — the
+    * composition layer over sessionization (conversion analytics). All
+    * three windows and the final aggregation share the single user_id
+    * shuffle (session frame is a subset partitioning). */
+  def sessionFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || (col("us") - col("prev_us")) > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+    sessioned
+      .withColumn("first_click_us",
+        min(when(col("event_type") === "click", col("us"))).over(wSess))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        max(when(col("event_type") === "purchase" && col("us") >= col("first_click_us"), 1)
+          .otherwise(0)).as("converted"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Two-table as-of join — the general form of [[asofJoin]], for sides
     * that are physically separate tables: tag, union (missing columns
     * null-filled), ONE shuffle on `key`, a single sort, carry-forward
@@ -165,6 +192,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize" -> (sessionize _),
+    "e_session_funnel" -> (sessionFunnel _),
     "e_asof_join" -> (asofJoin _),
     "e_asof_two_table" -> (asofTwoTable _),
     "e_range_join" -> (rangeJoin _),
@@ -188,6 +216,29 @@ object Events {
          |       ${sqlDsum("value")} AS sum_value
          |FROM sessioned GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "e_session_funnel" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged),
+        |sessioned AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |wc AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END)
+        |              OVER (PARTITION BY user_id, session_id) AS first_click_us
+        |  FROM sessioned)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |       CAST(MAX(CASE WHEN event_type = 'purchase' AND first_click_us IS NOT NULL
+        |                      AND us >= first_click_us THEN 1 ELSE 0 END) AS INT) AS converted
+        |FROM wc GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "e_asof_join" ->
       """WITH carried AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,

@@ -187,7 +187,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Heavy hitters: the k most frequent words per language — aggregation
+    * feeding the custom bounded-heap top-k operator, so the per-group
+    * selection is O(groups×k) memory with no per-group sort even when one
+    * language dominates the corpus (the hot-key case that breaks the
+    * window formulation at scale). */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d)
+      .select(col("lang"), explode(words).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.TopK.perKey(
+      counts,
+      keys = Seq(col("lang")),
+      order = Seq(col("n").desc, col("word").asc),
+      k = 5)
+      .orderBy(col("lang"), col("n").desc, col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_heavy_hitters" -> (heavyHitters _),
     "t_split_assign" -> (splitAssign _),
     "t_stratified_sample" -> (stratifiedSample _),
     "t_corpus_filter" -> (corpusFilter _),
@@ -202,6 +221,16 @@ object TextAnalysis {
   private val sqlWords = "string_split(text, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "t_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |counted AS (SELECT lang, word, COUNT(*) AS n FROM c GROUP BY lang, word),
+        |ranked AS (
+        |  SELECT lang, word, n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rn
+        |  FROM counted)
+        |SELECT lang, word, n FROM ranked WHERE rn <= 5
+        |ORDER BY lang, n DESC, word""".stripMargin,
     "t_stratified_sample" ->
       s"""SELECT doc_id, lang, bucket, rate FROM (
          |  SELECT doc_id, lang,
