@@ -39,6 +39,11 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(ex.size == 1, s"expected 1 hash exchange, got ${ex.size}:\n${ex.mkString("\n")}")
   }
 
+  test("session funnel is a single user_id shuffle (session windows + agg reuse it)") {
+    val ex = hashExchanges(Events.sessionFunnel(s, sf))
+    assert(ex.size == 1, s"expected 1 hash exchange, got ${ex.size}:\n${ex.mkString("\n")}")
+  }
+
   test("two-table as-of join is a single key shuffle (union is shuffle-free)") {
     val ex = hashExchanges(Events.asofTwoTable(s, sf))
     assert(ex.size == 1, s"expected 1 hash exchange, got ${ex.size}:\n${ex.mkString("\n")}")
