@@ -21,26 +21,48 @@ object Events {
 
   private val SessionGapUs: Long = 1800L * 1000000L // 30 min
 
-  /** Gap-based sessionization: a new session starts when a user's
-    * inter-event gap exceeds 30 minutes; session ids are per-user running
-    * counts (lag + cumulative sum — the classic decomposition). */
-  def sessionize(s: SparkSession, d: String): DataFrame = {
+  /** The session-boundary derivation every session query builds on: each
+    * event with its integer-microsecond `us` and per-user `session_id`
+    * (lag + cumulative sum — the classic decomposition; a new session
+    * when the gap exceeds 30 minutes). ONE definition, shared by
+    * [[sessionize]] and [[sessionFunnel]] so the gap semantics cannot
+    * desynchronize; [[sessionedCte]] is its SQL mirror. */
+  private[graft] def sessioned(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val us = unix_micros(col("ts"))
     Tables.events(s, d)
-      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("us", us)
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("is_new",
-        when(col("prev_us").isNull || (us - col("prev_us")) > SessionGapUs, 1).otherwise(0))
+        when(col("prev_us").isNull || (col("us") - col("prev_us")) > SessionGapUs, 1).otherwise(0))
       .withColumn("session_id", sum(col("is_new")).over(run))
+  }
+
+  /** DuckDB mirror of [[sessioned]] — CTEs ending in `sessioned`. */
+  private[graft] val sessionedCte: String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS us,
+       |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS is_new
+       |  FROM lagged),
+       |sessioned AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                              ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged)""".stripMargin
+
+  /** Gap-based sessionization: one row per (user, session). */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessioned(s, d)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(us).as("start_us"),
-        max(us).as("end_us"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
         dsum(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
-  }
 
   /** As-of join — for each purchase, the most recent click at-or-before
     * it per user. Spark has no asof operator; the scalable formulation is
@@ -73,16 +95,8 @@ object Events {
     * three windows and the final aggregation share the single user_id
     * shuffle (session frame is a subset partitioning). */
   def sessionFunnel(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessioned = Tables.events(s, d)
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_us").isNull || (col("us") - col("prev_us")) > SessionGapUs, 1).otherwise(0))
-      .withColumn("session_id", sum(col("is_new")).over(run))
     val wSess = Window.partitionBy(col("user_id"), col("session_id"))
-    sessioned
+    sessioned(s, d)
       .withColumn("first_click_us",
         min(when(col("event_type") === "click", col("us"))).over(wSess))
       .groupBy(col("user_id"), col("session_id"))
@@ -200,45 +214,27 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "e_sessionize" ->
-      s"""WITH lagged AS (
-         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us,
-         |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-         |  FROM events),
-         |flagged AS (
-         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
-         |  FROM lagged),
-         |sessioned AS (
-         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |                              ROWS UNBOUNDED PRECEDING) AS session_id
-         |  FROM flagged)
-         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
-         |       MIN(us) AS start_us, MAX(us) AS end_us,
-         |       ${sqlDsum("value")} AS sum_value
-         |FROM sessioned GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin,
+      (sessionedCte +
+        s"""
+           |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           |       MIN(us) AS start_us, MAX(us) AS end_us,
+           |       ${sqlDsum("value")} AS sum_value
+           |FROM sessioned GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin),
     "e_session_funnel" ->
-      """WITH lagged AS (
-        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
-        |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events),
-        |flagged AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
-        |  FROM lagged),
-        |sessioned AS (
-        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                              ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM flagged),
-        |wc AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END)
-        |              OVER (PARTITION BY user_id, session_id) AS first_click_us
-        |  FROM sessioned)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
-        |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
-        |       CAST(MAX(CASE WHEN event_type = 'purchase' AND first_click_us IS NOT NULL
-        |                      AND us >= first_click_us THEN 1 ELSE 0 END) AS INT) AS converted
-        |FROM wc GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+      (sessionedCte +
+        """,
+          |wc AS (
+          |  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END)
+          |              OVER (PARTITION BY user_id, session_id) AS first_click_us
+          |  FROM sessioned)
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+          |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+          |       CAST(MAX(CASE WHEN event_type = 'purchase' AND first_click_us IS NOT NULL
+          |                      AND us >= first_click_us THEN 1 ELSE 0 END) AS INT) AS converted
+          |FROM wc GROUP BY user_id, session_id
+          |ORDER BY user_id, session_id""".stripMargin),
     "e_asof_join" ->
       """WITH carried AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,

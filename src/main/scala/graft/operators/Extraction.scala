@@ -105,9 +105,7 @@ object Extraction {
     val decoys = holdings
       .withColumn("issuer", lit("SUPERSEDED"))
       .withColumn("filing_seq", lit(1L))
-    // per-application path: concurrent sessions must not clobber each
-    // other between the eager write and the lazy read-back
-    val outDir = s"/tmp/graft_csv_roundtrip_${s.sparkContext.applicationId}"
+    val outDir = graft.TempPaths.scratch(s, "csv_roundtrip")
     graft.sinks.HoldingsCsvSink.write(real.unionByName(decoys), outDir)
     s.read
       .option("header", "true")

@@ -26,9 +26,7 @@ object Formats {
     val slice = Tables.lineitem(s, d)
       .filter(col("l_orderkey") % 100 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
-    // per-application paths: concurrent sessions must not clobber each
-    // other between the eager writes and the lazy read-backs
-    val base = s"/tmp/graft_fmt_${s.sparkContext.applicationId}"
+    val base = graft.TempPaths.scratch(s, "fmt")
     slice.write.mode("overwrite").orc(s"$base/orc")
     slice.write.mode("overwrite").json(s"$base/json")
     val orc = s.read.orc(s"$base/orc")

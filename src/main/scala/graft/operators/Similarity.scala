@@ -316,7 +316,7 @@ object Similarity {
          |         CASE WHEN list_reduce(list_transform(range(0, 64),
          |                i -> CAST(e.embedding[i+1] AS DOUBLE) * hp.r[i+1]), (x,y) -> x+y) >= 0
          |              THEN 1 ELSE 0 END AS bit
-         |  FROM embeddings e, hp),
+         |  FROM embeddings e, hp WHERE e.embedding IS NOT NULL),
          |bands AS (
          |  SELECT vec_id, CAST(h // $BitsPerBand AS INT) AS band,
          |         CAST(SUM(bit * ([${(0 until BitsPerBand).map(1 << _).mkString(",")}])[(h % $BitsPerBand) + 1]) AS BIGINT) AS bkey
@@ -348,7 +348,7 @@ object Similarity {
          |         CASE WHEN list_reduce(list_transform(range(0, 64),
          |                i -> CAST(e.embedding[i+1] AS DOUBLE) * hp.r[i+1]), (x,y) -> x+y) >= 0
          |              THEN 1 ELSE 0 END AS bit
-         |  FROM embeddings e, hp),
+         |  FROM embeddings e, hp WHERE e.embedding IS NOT NULL),
          |bands AS (
          |  SELECT vec_id, CAST(h // $DedupBitsPerBand AS INT) AS band,
          |         CAST(SUM(bit * ([${(0 until DedupBitsPerBand).map(1 << _).mkString(",")}])[(h % $DedupBitsPerBand) + 1]) AS BIGINT) AS bkey

@@ -174,21 +174,12 @@ object Streams {
     * oracle, not just rows>0. */
   val oracle: Map[String, String] = Map(
     "e_sessionize_stream" ->
-      s"""WITH lagged AS (
-         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us,
-         |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-         |  FROM events),
-         |flagged AS (
-         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
-         |  FROM lagged),
-         |sessioned AS (
-         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |                              ROWS UNBOUNDED PRECEDING) AS session_id
-         |  FROM flagged)
-         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
-         |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
-         |FROM sessioned GROUP BY user_id, session_id
-         |ORDER BY user_id, start_us""".stripMargin,
+      (graft.operators.Events.sessionedCte +
+        s"""
+           |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+           |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
+           |FROM sessioned GROUP BY user_id, session_id
+           |ORDER BY user_id, start_us""".stripMargin),
     "e_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus,
         |                  value AS click_value
@@ -219,7 +210,7 @@ object Streams {
         |ORDER BY dedup_key""".stripMargin,
   )
 
-  final case class BucketMembers(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  final case class BucketMembers(sigs: Seq[Seq[Long]])
 
   /** STREAMING near-dup detection — the streaming form of the MinHash-LSH
     * batch pipeline: documents arrive as (bucketKey, doc_id, signature)
@@ -250,7 +241,7 @@ object Streams {
             Iterator.empty
           } else {
             val sorted = it.toSeq.sortBy(_._2)
-            var members = state.getOption.getOrElse(BucketMembers(Nil, Nil))
+            var members = state.getOption.getOrElse(BucketMembers(Nil))
             val out = sorted.map { case (_, id, sig) =>
               val dup = members.sigs.exists { m =>
                 var eq = 0
@@ -261,7 +252,7 @@ object Streams {
                 }
                 eq.toDouble / numPerms >= threshold
               }
-              members = BucketMembers(members.ids :+ id, members.sigs :+ sig)
+              members = BucketMembers(members.sigs :+ sig)
               (id, if (dup) 1 else 0)
             }
             state.update(members)

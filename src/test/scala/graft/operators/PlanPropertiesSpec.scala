@@ -69,14 +69,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.Tables
     import org.apache.spark.sql.functions.{col, lit}
-    val dir = s"/tmp/graft_part_prune_${s.sparkContext.applicationId}"
+    val dir = graft.TempPaths.scratch(s, "part_prune")
     Tables.orders(s, sf)
       .withColumn("bucket", col("o_orderkey") % 5)
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     val df = s.read.parquet(dir).filter(col("bucket") === lit(3))
     df.collect()
-    val scan = flatten(df.queryExecution.executedPlan)
-      .collect { case f: FileSourceScanExec => f }.head
+    val scans = flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
     assert(scan.metadata("PartitionFilters").contains("bucket"),
       s"no partition filter: ${scan.metadata("PartitionFilters")}")
     assert(scan.relation.location.inputFiles.length >= 5) // all partitions exist
