@@ -24,6 +24,22 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(Dedup.neardupPairs(s, sf).count() > 0)
   }
 
+  test("dup clusters honor every near-dup pair (transitive closure invariant)") {
+    val clusters = Dedup.dupClusters(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.neardupPairs(s, sf).select("a", "b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // each cluster's representative is a member of the cluster
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (rep, members) =>
+      assert(members.keySet.contains(rep), s"cluster $rep has no representative member")
+    }
+  }
+
   test("embedding near-dup never leaves label partitions") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(s, sf).groupBy("label").count()
