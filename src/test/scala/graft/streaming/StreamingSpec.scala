@@ -51,6 +51,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming replay queries are idempotent within a session (memory sink resets)") {
+    // Bench runs each replay twice (warmup + timed) in one session; an
+    // accumulating sink would silently double the timed run's data
+    val sf = graft.TestSpark.sf
+    val n1 = Streams.sessionizeStream(s, sf).count()
+    val n2 = Streams.sessionizeStream(s, sf).count()
+    assert(n1 > 0 && n1 == n2, s"replay not idempotent: $n1 then $n2")
+  }
+
   test("streaming dedup emits first occurrence only, across batches") {
     import s.implicits._
     implicit val sql = s.sqlContext
