@@ -9,10 +9,17 @@ import org.apache.spark.sql.SparkSession
   * between an eager write and a lazy read-back) without leaking one data
   * copy per run. */
 object TempPaths {
+  // bench/verify call scratch-using queries repeatedly (warmup + timed,
+  // two scale points); one hook per PATH, not per call, or a long-lived
+  // session accumulates duplicate hooks for the same directory
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def scratch(s: SparkSession, name: String): String = {
     val path = s"/tmp/graft_${name}_${s.sparkContext.applicationId}"
-    val dir = new File(path)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    if (registered.add(path)) {
+      val dir = new File(path)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    }
     path
   }
 

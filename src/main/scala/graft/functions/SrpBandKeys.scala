@@ -72,7 +72,10 @@ case class SrpBandKeys(child: Expression, matrix: Array[Array[Double]], bands: I
         acc += v.getFloat(j).toDouble * row(j)
         j += 1
       }
-      if (acc >= 0) keys(h / bitsPerBand) |= 1 << (h % bitsPerBand)
+      // Java `>=` is false for NaN, but Spark SQL and DuckDB order NaN
+      // above all values, so the fold's `acc >= 0` is TRUE there — a
+      // NaN dot product (NaN/Inf component) must set the bit here too.
+      if (acc >= 0 || acc.isNaN) keys(h / bitsPerBand) |= 1 << (h % bitsPerBand)
       h += 1
     }
     new GenericArrayData(keys)

@@ -212,15 +212,56 @@ object Streams {
 
   final case class BucketMembers(sigs: Seq[Seq[Long]])
 
+  /** The per-bucket kernel, factored out so StreamingSpec can drive it
+    * directly with a synthetic viral cluster and assert the state bound.
+    * Arrivals (already doc_id-sorted) fold over the representative set:
+    * a signature within `threshold` of an existing REPRESENTATIVE is a
+    * dup and is NOT inserted; only non-matching signatures become new
+    * representatives. State is therefore O(distinct clusters per bucket),
+    * not O(documents per bucket) — a viral duplicate cluster of any size
+    * costs one representative and one comparison per arrival, where
+    * keeping every signature would grow state and per-record cost
+    * linearly (O(cluster²) total work in the hot bucket). */
+  private[streaming] def bucketStep(
+      reps: Seq[Seq[Long]],
+      arrivals: Seq[(Long, Seq[Long])],
+      numPerms: Int,
+      threshold: Double): (Seq[Seq[Long]], Seq[(Long, Int)]) = {
+    var members = reps
+    val out = arrivals.map { case (id, sig) =>
+      val dup = members.exists { m =>
+        var eq = 0
+        var i = 0
+        while (i < numPerms) {
+          if (m(i) != -1L && m(i) == sig(i)) eq += 1
+          i += 1
+        }
+        eq.toDouble / numPerms >= threshold
+      }
+      if (!dup) members = members :+ sig
+      (id, if (dup) 1 else 0)
+    }
+    (members, out)
+  }
+
   /** STREAMING near-dup detection — the streaming form of the MinHash-LSH
     * batch pipeline: documents arrive as (bucketKey, doc_id, signature)
-    * rows (one per LSH band), each band bucket keeps the signatures seen
-    * so far, and a document is flagged dup iff some bucket already holds
-    * a signature within `threshold` estimated Jaccard. State is sharded
-    * by band bucket (the same blocking as the batch join — never
-    * all-pairs) and bounded by the state timeout in production; null
-    * signature positions are encoded as -1 and never count as agreement,
-    * matching the batch/SQL NULL semantics.
+    * rows (one per LSH band), each band bucket keeps the cluster
+    * REPRESENTATIVES seen so far, and a document is flagged dup iff some
+    * bucket holds a representative within `threshold` estimated Jaccard.
+    * State is sharded by band bucket (the same blocking as the batch
+    * join — never all-pairs), bounded per bucket by the representative
+    * set (see [[bucketStep]]), and bounded in time by the state timeout
+    * in production; null signature positions are encoded as -1 and never
+    * count as agreement, matching the batch/SQL NULL semantics.
+    *
+    * Representative-set verdicts match the keep-everything formulation
+    * under the same transitive-closeness argument the batch clusterer
+    * rests on: a doc matching an already-flagged member of a cluster
+    * agrees with that cluster's representative too (near-dup clusters
+    * are perturbations of one base document, so signature agreement is
+    * transitive at the ≥-threshold level) — asserted against the
+    * keep-everything DuckDB oracle by the hash-checked replay query.
     *
     * Determinism contract for replay: rows must be FED in doc_id order
     * across micro-batches (within a batch the handler sorts), so "seen
@@ -241,21 +282,10 @@ object Streams {
             Iterator.empty
           } else {
             val sorted = it.toSeq.sortBy(_._2)
-            var members = state.getOption.getOrElse(BucketMembers(Nil))
-            val out = sorted.map { case (_, id, sig) =>
-              val dup = members.sigs.exists { m =>
-                var eq = 0
-                var i = 0
-                while (i < numPerms) {
-                  if (m(i) != -1L && m(i) == sig(i)) eq += 1
-                  i += 1
-                }
-                eq.toDouble / numPerms >= threshold
-              }
-              members = BucketMembers(members.sigs :+ sig)
-              (id, if (dup) 1 else 0)
-            }
-            state.update(members)
+            val reps = state.getOption.map(_.sigs).getOrElse(Nil)
+            val (nextReps, out) = bucketStep(
+              reps, sorted.map { case (_, id, sig) => (id, sig) }, numPerms, threshold)
+            state.update(BucketMembers(nextReps))
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
               state.setTimeoutDuration(stateTimeout)
             out.iterator

@@ -42,7 +42,9 @@ class SimilaritySpec extends AnyFunSuite {
     val both = Tables.embeddings(s, sf).select(
       Similarity.lshBandKeysNative(col("embedding")).as("native"),
       Similarity.lshBandKeysFold(col("embedding")).as("fold"))
-    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+    // null-safe inequality: `=!=` yields NULL (row dropped) when either
+    // side is NULL, which would hide a native-NULL vs fold-zero divergence
+    assert(both.filter(!(col("native") <=> col("fold"))).count() == 0)
   }
 
   test("LSH ANN recovers a meaningful fraction of exact top-k from bucketed candidates") {

@@ -60,6 +60,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(n1 > 0 && n1 == n2, s"replay not idempotent: $n1 then $n2")
   }
 
+  test("LSH dedup bucket state is bounded by clusters, not documents (viral-cluster)") {
+    // one bucket fed a 500-document duplicate cluster plus one distinct
+    // doc: state must hold 2 representatives, not 501 signatures
+    val numPerms = 16
+    val base = Seq.tabulate(numPerms)(i => 1000L + i)
+    val distinct = Seq.tabulate(numPerms)(i => 2000L + i) // agrees on 0/16
+    val viral = (1L to 500L).map(id => (id, base))
+    val arrivals = ((0L, base) +: viral.drop(1)) :+ (501L, distinct)
+    val (reps, out) = Streams.bucketStep(Nil, arrivals, numPerms, 0.5)
+    assert(reps.size == 2, s"state grew with cluster size: ${reps.size} representatives")
+    assert(out.count(_._2 == 1) == 499) // every dup after the first flagged
+    assert(out.head == (0L -> 0) && out.last == (501L -> 0))
+  }
+
+  test("streaming LSH dedup flags a viral cluster with O(1) state through the real operator") {
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val numPerms = 16
+    val base = Seq.tabulate(numPerms)(i => 3000L + i)
+    val in = MemoryStream[(String, Long, Seq[Long])]
+    val q = Streams.lshDedupStream(in.toDS(), numPerms, 0.5,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .toDF("doc_id", "flag").writeStream
+      .format("memory").queryName("lsh_viral_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((0L until 250L).map(id => ("0#b", id, base)))
+      q.processAllAvailable()
+      in.addData((250L until 500L).map(id => ("0#b", id, base)))
+      q.processAllAvailable()
+      val flags = s.sql("SELECT doc_id, flag FROM lsh_viral_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(flags.length == 500)
+      assert(flags.head == (0L -> 0))
+      assert(flags.tail.forall(_._2 == 1), "cross-batch representative lost")
+      // state rows = buckets (1), regardless of cluster size
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1, s"expected 1 state row (one bucket), got $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits first occurrence only, across batches") {
     import s.implicits._
     implicit val sql = s.sqlContext
