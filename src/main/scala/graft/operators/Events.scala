@@ -120,14 +120,23 @@ object Events {
     * (null when no right row precedes). The carried columns move as ONE
     * struct — carrying them independently would let a null field pull
     * that column from an older right row, fabricating a row that never
-    * existed. If the right side has duplicate (key, us) pairs, which of
-    * the tied rows is carried is unspecified — extend `us` to a unique
-    * ordering key to pin it. */
-  def asofJoinTables(left: DataFrame, right: DataFrame, carry: Seq[String]): DataFrame = {
+    * existed. When the right side can hold duplicate (key, us) pairs,
+    * pass `uniqueKey` (a right-side column that is unique within ties,
+    * e.g. an event id): it joins the window ordering, pinning the carried
+    * row to the GREATEST `uniqueKey` among the tied right rows —
+    * deterministic under any partitioning. Without it, tied right rows
+    * are carried in an unspecified order (row_number semantics). */
+  def asofJoinTables(left: DataFrame, right: DataFrame, carry: Seq[String],
+      uniqueKey: Option[String] = None): DataFrame = {
     val unioned = left.withColumn("__side", lit(1))
       .unionByName(right.withColumn("__side", lit(0)), allowMissingColumns = true)
+    // __side separates the sides at equal us (right first, so at-or-before
+    // includes ties); uniqueKey then totals the order among tied RIGHT
+    // rows only — left rows null-fill it, and their relative order is
+    // irrelevant (each sees the same preceding right-row set).
+    val tieBreak = uniqueKey.map(k => col(k).asc).toSeq
     val w = Window.partitionBy(col("key"))
-      .orderBy(col("us").asc, col("__side").asc)
+      .orderBy(col("us").asc +: col("__side").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the struct is null exactly when the row is a left row, so
     // ignoreNulls skips left rows but carries a right row wholesale,
@@ -153,7 +162,8 @@ object Events {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("key"), us.as("us"),
         col("event_id").as("click_id"), col("value").as("click_value"))
-    asofJoinTables(purchases, clicks, Seq("click_id", "click_value"))
+    asofJoinTables(purchases, clicks, Seq("click_id", "click_value"),
+      uniqueKey = Some("click_id"))
       .select(
         col("key").as("user_id"), col("purchase_id"), col("us").as("purchase_us"),
         col("asof_click_id").as("click_id"), col("asof_click_value").as("click_value"))

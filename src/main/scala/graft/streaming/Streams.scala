@@ -263,6 +263,16 @@ object Streams {
     * transitive at the ≥-threshold level) — asserted against the
     * keep-everything DuckDB oracle by the hash-checked replay query.
     *
+    * PARAMETER CONTRACT — transitivity assumption: because dup arrivals
+    * are compared against REPRESENTATIVES only (never against other
+    * dups), a non-transitive chain (A~B and B~C at ≥ threshold but
+    * A~C below it) flags B and deliberately does NOT flag C — C matched
+    * only a dropped dup, not a representative. Keep-everything semantics
+    * would flag C. Callers whose clusters are not single-base
+    * perturbations (where threshold agreement may not be transitive)
+    * must not assume keep-everything behavior; StreamingSpec pins the
+    * chain case explicitly.
+    *
     * Determinism contract for replay: rows must be FED in doc_id order
     * across micro-batches (within a batch the handler sorts), so "seen
     * earlier" always means "lower doc_id" — the same verdicts as the

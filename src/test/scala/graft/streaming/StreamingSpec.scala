@@ -94,10 +94,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(flags.length == 500)
       assert(flags.head == (0L -> 0))
       assert(flags.tail.forall(_._2 == 1), "cross-batch representative lost")
-      // state rows = buckets (1), regardless of cluster size
-      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // state rows = buckets (1), regardless of cluster size. Max over
+      // recentProgress, not lastProgress: a trailing idle micro-batch
+      // (zero input rows) may be the last progress event on some Spark
+      // versions, and max over data-carrying batches is what bounds state.
+      val stateRows = q.recentProgress
+        .map(_.stateOperators.map(_.numRowsTotal).sum).max
       assert(stateRows == 1, s"expected 1 state row (one bucket), got $stateRows")
     } finally q.stop()
+  }
+
+  test("non-transitive chain: C matching only a dropped dup is deliberately NOT flagged") {
+    // A~B and B~C agree at exactly threshold, but A~C agree on nothing.
+    // Representative-set semantics: B is a dup of representative A and is
+    // dropped; C matches only B (never stored), so C becomes a NEW
+    // representative — keep-everything semantics would flag C. This pins
+    // the documented lshDedupStream parameter contract.
+    val numPerms = 16
+    val a = Seq.tabulate(numPerms)(i => 100L + i)
+    val cTail = Seq.tabulate(8)(i => 300L + i)
+    val b = a.take(8) ++ cTail // 8/16 with A, 8/16 with C
+    val c = Seq.tabulate(8)(i => 200L + i) ++ cTail // 0/16 with A
+    val (reps, out) = Streams.bucketStep(
+      Nil, Seq((0L, a), (1L, b), (2L, c)), numPerms, 0.5)
+    assert(out == Seq((0L, 0), (1L, 1), (2L, 0)),
+      s"chain verdicts wrong: $out")
+    assert(reps == Seq(a, c), "representatives must be A and C, B dropped")
   }
 
   test("streaming dedup emits first occurrence only, across batches") {
