@@ -102,14 +102,72 @@ object Similarity {
           .as("centroid"))
   }
 
+  // ---- ANN index staging: build once per corpus, probe many times. ----
+  // A real ANN service amortizes the index build (centroid training, band
+  // hashing of the corpus) across millions of probes; rebuilding it inside
+  // every query — what annIvf/annLsh did through round 4 — re-scans the
+  // full corpus per probe, which at 100 TB turns an O(candidates) lookup
+  // back into an O(corpus) job. The staged tables ARE the index:
+  //   centroids/  (c_label, centroid)   — the IVF coarse quantizer
+  //   bands/      (vec_id, band, bkey)  — the SRP band keys of every
+  //                                        corpus vector (LshBands × n rows)
+  // Persisted as parquet once per sf dir (marker file, same pattern as
+  // DocStage.ensureStaged) so every later query — and every later JVM —
+  // starts from a parquet scan of the index, never from the embeddings
+  // aggregation. Parquet round-trips doubles and longs bit-exactly, so the
+  // staged path is hash-identical to the inline build (oracle unchanged).
+  // On a cluster the same code points at shared storage; the bands table
+  // would additionally be bucketed by bkey so repeated probe joins start
+  // co-located.
+
+  private[operators] val annBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def annStageDir(sfDir: String): String =
+    "/tmp/graft_stage/ann_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The SRP band keys of the full corpus — the LSH half of the index;
+    * inline form, used by the stager (and by the spec as the staged
+    * table's executable definition). */
+  private[operators] def corpusBandsInline(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("vec_id"), posexplode(lshBandKeys(col("embedding"))).as(Seq("band", "bkey")))
+
+  /** Ensures the ANN index for `d` is staged; returns
+    * (centroidsPath, bandsPath). Builds at most once per sf dir across
+    * queries AND across JVM runs (marker file); SimilaritySpec asserts the
+    * second call is a no-op and that probe plans scan the staged parquet. */
+  def ensureAnnStaged(s: SparkSession, d: String): (String, String) = {
+    val dir = annStageDir(d)
+    val centroidsPath = dir + "/centroids"
+    val bandsPath = dir + "/bands"
+    val marker = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(marker)) synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        annBuildCount.incrementAndGet()
+        centroidArrays(s, d).write.mode("overwrite").parquet(centroidsPath)
+        corpusBandsInline(s, d).write.mode("overwrite").parquet(bandsPath)
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+    }
+    (centroidsPath, bandsPath)
+  }
+
+  private[operators] def stagedCentroids(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureAnnStaged(s, d)._1)
+
+  private[operators] def stagedCorpusBands(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureAnnStaged(s, d)._2)
+
   /** IVF ANN: probe the NProbe nearest centroids per query, exact re-rank
     * within probed labels only. Approximate by construction; recall vs the
-    * exact path is asserted in SimilaritySpec. */
+    * exact path is asserted in SimilaritySpec. Centroids come from the
+    * STAGED index (build-once/probe-many) — a probe never re-aggregates
+    * the corpus. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_label").asc)
     val probed = queriesDf(s, d)
-      .crossJoin(broadcast(centroidArrays(s, d)))
+      .crossJoin(broadcast(stagedCentroids(s, d)))
       .select(col("q_id"), col("q_emb"), col("c_label"),
         cosine(col("q_emb"), col("centroid")).as("c_cos"))
       .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= NProbe)
@@ -213,8 +271,9 @@ object Similarity {
     * ONE definition, used by both the query and the pruning spec, so the
     * spec always measures the pipeline the query actually runs. */
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val corpusBands = emb(s, d)
-      .select(col("vec_id"), posexplode(lshBandKeys(col("embedding"))).as(Seq("band", "bkey")))
+    // corpus side = the staged index (a parquet scan of n×LshBands narrow
+    // rows); only the tiny query side hashes its bands at probe time
+    val corpusBands = stagedCorpusBands(s, d)
     val queryBands = queriesDf(s, d)
       .select(col("q_id"), posexplode(lshBandKeys(col("q_emb"))).as(Seq("band", "bkey")))
     corpusBands.join(broadcast(queryBands), Seq("band", "bkey"))

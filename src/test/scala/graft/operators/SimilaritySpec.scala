@@ -80,6 +80,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(frac < 0.1, f"blocking degenerate: $frac%.3f of all pairs are candidates")
   }
 
+  test("ANN index staging is build-once: second ensure is a no-op") {
+    Similarity.ensureAnnStaged(s, sf)
+    val builds = Similarity.annBuildCount.get()
+    Similarity.ensureAnnStaged(s, sf)
+    Similarity.ensureAnnStaged(s, sf)
+    assert(Similarity.annBuildCount.get() == builds,
+      "repeat ensureAnnStaged rebuilt the index")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(Similarity.annStageDir(sf), "_STAGED")))
+  }
+
+  test("staged index is bit-identical to the inline build (centroids + band keys)") {
+    import org.apache.spark.sql.functions.col
+    val centDiff = Similarity.stagedCentroids(s, sf)
+      .exceptAll(Similarity.centroidArrays(s, sf))
+      .unionAll(Similarity.centroidArrays(s, sf).exceptAll(Similarity.stagedCentroids(s, sf)))
+    assert(centDiff.count() == 0, "staged centroids diverge from inline build")
+    val bandCols = Seq("vec_id", "band", "bkey").map(col)
+    val inline = Similarity.corpusBandsInline(s, sf).select(bandCols: _*)
+    val staged = Similarity.stagedCorpusBands(s, sf).select(bandCols: _*)
+    assert(staged.exceptAll(inline).unionAll(inline.exceptAll(staged)).count() == 0,
+      "staged band keys diverge from inline build")
+  }
+
+  test("ANN probes scan the staged index, never rebuild it") {
+    val stageDir = Similarity.annStageDir(sf)
+    val ivf = Similarity.annIvf(s, sf)
+    assert(ivf.inputFiles.exists(_.contains(stageDir)),
+      s"IVF probe does not read the staged index: ${ivf.inputFiles.mkString(", ")}")
+    // the inline centroid build is sum(floor(v*1e6)) over embeddings — a
+    // probe plan containing FLOOR would mean the index is being rebuilt
+    val ivfPlan = ivf.queryExecution.optimizedPlan.toString
+    assert(!ivfPlan.toLowerCase.contains("floor"),
+      s"IVF probe re-aggregates centroids inside the query:\n$ivfPlan")
+    val lsh = Similarity.annLsh(s, sf)
+    assert(lsh.inputFiles.exists(_.contains(stageDir)),
+      s"LSH probe does not read the staged index: ${lsh.inputFiles.mkString(", ")}")
+    // corpus band hashing must appear only on the 8-row query side: every
+    // srp_band_keys in the probe plan sits under the vec_id<8 query filter,
+    // never over the full corpus (whose band keys come from the staged scan)
+    val lshPlan = lsh.queryExecution.optimizedPlan.toString
+    val hashedRelations = "srp_band_keys".r.findAllIn(lshPlan).size
+    assert(hashedRelations <= 1,
+      s"corpus side hashes band keys at probe time:\n$lshPlan")
+  }
+
   test("IVF plan buffers no per-vector collections (no collect_list anywhere)") {
     val optimized = Similarity.annIvf(s, sf).queryExecution.optimizedPlan.toString
     assert(!optimized.contains("collect_list"),
