@@ -102,31 +102,100 @@ object Streams {
         col("c.event_id").as("click_id"),
         col("c.value").as("click_value"))
 
+  /** LEFT-OUTER stream-stream interval join: [[clickAttribution]] that
+    * also emits purchases with NO click in the preceding hour (null
+    * click columns) — the attribution form real pipelines need, since
+    * "unattributed purchase" is itself a signal the inner join silently
+    * drops. Matched rows emit as soon as both sides arrive (same as
+    * inner); an UNMATCHED purchase can only emit once the watermark
+    * proves no matching click can still arrive, so null-joined rows
+    * trail the data by the watermark delay — the streaming-correct
+    * behavior for an unbounded source, and why the replay below needs a
+    * watermark-advancing sentinel batch before unmatched rows appear.
+    * Both state stores stay bounded exactly as in the inner form. */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.withWatermark("ts", "1 hour").alias("p")
+      .join(
+        clicks.withWatermark("ts", "1 hour").alias("c"),
+        expr("""p.user_id = c.user_id AND
+                c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""),
+        "leftOuter")
+      .select(
+        col("p.user_id").as("user_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"),
+        col("c.value").as("click_value"))
+
   /** `e_stream_join` — [[clickAttribution]] replayed over the events
     * table as two separate MemoryStreams; SQL-expressible (a BETWEEN
     * join), so fully hash-checked. */
+  private type Ev = (Long, Long, java.sql.Timestamp, Double)
+
+  private def eventSide(s: SparkSession, d: String, t: String): Array[Ev] = {
+    import s.implicits._
+    graft.Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[Ev]
+      .collect()
+  }
+
+  private def namedEv(m: MemoryStream[Ev]): DataFrame =
+    m.toDF().toDF("user_id", "event_id", "ts", "value")
+
   def streamJoinReplay(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    def side(t: String) = graft.Tables.events(s, d)
-      .filter(col("event_type") === t)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      .as[(Long, Long, java.sql.Timestamp, Double)]
-      .collect()
-    val inClicks = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
-    val inPurchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
-    def named(m: MemoryStream[(Long, Long, java.sql.Timestamp, Double)]) =
-      m.toDF().toDF("user_id", "event_id", "ts", "value")
+    val inClicks = MemoryStream[Ev]
+    val inPurchases = MemoryStream[Ev]
     val sink = "e_stream_join_sink"
-    val q = clickAttribution(named(inClicks), named(inPurchases))
+    val q = clickAttribution(namedEv(inClicks), namedEv(inPurchases))
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append).start()
     try {
-      inClicks.addData(side("click").toIndexedSeq)
-      inPurchases.addData(side("purchase").toIndexedSeq)
+      inClicks.addData(eventSide(s, d, "click").toIndexedSeq)
+      inPurchases.addData(eventSide(s, d, "purchase").toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
     s.table(sink).orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  /** `e_stream_join_outer` — [[clickAttributionOuter]] replayed over the
+    * events table. Unmatched purchases emit only after the watermark
+    * proves no match can arrive, and the watermark (computed at batch
+    * boundaries, min across both inputs) needs one batch to advance and a
+    * following batch to flush the expired state — hence TWO far-future
+    * sentinel batches on BOTH streams after the data. The sentinels'
+    * own rows are filtered out of the result. Fully SQL-expressible (a
+    * BETWEEN left join), so the null-click rows are hash-checked too. */
+  def streamJoinOuterReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clicks = eventSide(s, d, "click")
+    val purchases = eventSide(s, d, "purchase")
+    val maxMs = (clicks.iterator ++ purchases.iterator).map(_._3.getTime).max
+    val sentinelUser = -1L
+    def sentinel(dayOff: Long): Ev =
+      (sentinelUser, -1L, new java.sql.Timestamp(maxMs + dayOff * 24 * 3600 * 1000), 0.0)
+    val inClicks = MemoryStream[Ev]
+    val inPurchases = MemoryStream[Ev]
+    val sink = "e_stream_join_outer_sink"
+    val q = clickAttributionOuter(namedEv(inClicks), namedEv(inPurchases))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      inClicks.addData(clicks.toIndexedSeq)
+      inPurchases.addData(purchases.toIndexedSeq)
+      q.processAllAvailable()
+      Seq(10L, 20L).foreach { off =>
+        inClicks.addData(sentinel(off))
+        inPurchases.addData(sentinel(off))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .filter(col("user_id") =!= sentinelUser)
+      .orderBy("user_id", "purchase_id", "click_id")
   }
 
   /** `d_dedup_stream` — streaming exact dedup graded by data: a dup-heavy
@@ -166,6 +235,7 @@ object Streams {
     "d_dedup_stream" -> (dedupStreamReplay _),
     "d_lsh_dedup_stream" -> (lshDedupStreamReplay _),
     "e_stream_join" -> (streamJoinReplay _),
+    "e_stream_join_outer" -> (streamJoinOuterReplay _),
   )
 
   /** The sentinel closes EVERY real session, so the streaming result is
@@ -190,6 +260,18 @@ object Streams {
         |FROM p JOIN c ON p.user_id = c.user_id
         |              AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+    // Spark ASC sort = NULLS FIRST; DuckDB defaults NULLS LAST — spelled
+    // out so the null-click (unattributed) rows land in the same order
+    "e_stream_join_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus,
+        |                  value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pus
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, purchase_id, click_id, click_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |                   AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
+        |ORDER BY p.user_id, purchase_id, click_id NULLS FIRST""".stripMargin,
     // "flagged dup in the stream" == "has a lower-id LSH near-dup" — the
     // batch candidate join recomputed relationally
     "d_lsh_dedup_stream" ->

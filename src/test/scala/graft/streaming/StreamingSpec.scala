@@ -122,6 +122,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(reps == Seq(a, c), "representatives must be A and C, B dropped")
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after watermark expiry") {
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val inC = MemoryStream[(Long, Long, Timestamp, Double)]
+    val inP = MemoryStream[(Long, Long, Timestamp, Double)]
+    def named(m: MemoryStream[(Long, Long, Timestamp, Double)]) =
+      m.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = Streams.clickAttributionOuter(named(inC), named(inP)).writeStream
+      .format("memory").queryName("outer_join_out").outputMode(OutputMode.Append).start()
+    // NOT ts(0): a row at exactly the initial watermark (epoch 0) is
+    // dropped as late data in its own first micro-batch
+    def ots(m: Long) = ts(1000000L + m)
+    try {
+      // user 1: click 30 min before purchase (matched); user 2: purchase
+      // with no click at all (must surface with null click columns)
+      inC.addData((1L, 10L, ots(0), 1.5))
+      inP.addData((1L, 20L, ots(30), 9.0), (2L, 21L, ots(30), 7.0))
+      q.processAllAvailable()
+      val matched = s.sql("SELECT user_id, click_id FROM outer_join_out").collect()
+      assert(matched.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)),
+        "matched row must emit immediately; unmatched must NOT emit before expiry")
+      // two sentinel batches: one advances the watermark past the data,
+      // the next flushes the expired unmatched purchase as a null-joined row
+      Seq(1, 2).foreach { day =>
+        inC.addData((-1L, -1L, ots(60L * 24 * day), 0.0))
+        inP.addData((-1L, -1L, ots(60L * 24 * day), 0.0))
+        q.processAllAvailable()
+      }
+      val rows = s.sql(
+        "SELECT user_id, purchase_id, click_id FROM outer_join_out WHERE user_id > 0")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(rows == Set((1L, 20L, Some(10L)), (2L, 21L, None)),
+        s"outer join rows wrong: $rows")
+    } finally q.stop()
+  }
+
+  test("outer stream join replay = inner rows + null-click purchases, nothing else") {
+    val sf = graft.TestSpark.sf
+    val outer = Streams.streamJoinOuterReplay(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val inner = Streams.streamJoinReplay(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Some(r.getLong(2)))).toSeq
+    assert(outer.filter(_._3.isDefined) == inner,
+      "outer join's matched rows diverge from the inner join")
+    val nullRows = outer.filter(_._3.isEmpty)
+    assert(nullRows.nonEmpty, "no unattributed purchases surfaced (testdata has them)")
+    // a purchase is either matched or null-joined, never both
+    val matchedIds = outer.filter(_._3.isDefined).map(_._2).toSet
+    assert(nullRows.forall(r => !matchedIds.contains(r._2)),
+      "a matched purchase also emitted a null-joined row")
+  }
+
   test("streaming dedup emits first occurrence only, across batches") {
     import s.implicits._
     implicit val sql = s.sqlContext
