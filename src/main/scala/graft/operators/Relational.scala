@@ -244,6 +244,26 @@ object Relational {
       k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** GLOBAL top-k through the rewrite rule: written as the no-partition
+    * window idiom — the worst case for WindowExec, which funnels the
+    * ENTIRE input through one task's sort — and rewritten by
+    * RewriteWindowTopK into [[graft.plans.TopKPerKeyNode]] with empty
+    * keys: per-partition partial heaps, then one AllTuples final heap
+    * over ≤ partitions×k survivors. No task ever sorts more than k rows'
+    * worth of heap. k=25 and the rank dropped, so the rewrite fires;
+    * the window-formulation oracle proves the heap path through the hash
+    * gate (TopKPlanSpec asserts the plan shape: heap operator present,
+    * no sort or window under it). */
+  def topKGlobal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 25)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** Full outer join with asymmetric coverage: high-balance customers vs
     * per-customer order aggregates — rows survive with nulls on either
     * side. Same single-shuffle sort-merge as any fact-fact equi-join. */
@@ -301,6 +321,7 @@ object Relational {
     "r_window_running"  -> (windowRunning _),
     "r_window_lag"      -> (windowLag _),
     "r_topk"            -> (topK _),
+    "r_topk_global"     -> (topKGlobal _),
     "r_set_intersect"   -> (setIntersect _),
     "r_set_except"      -> (setExcept _),
     "r_distinct"        -> (distinctPairs _),
@@ -406,6 +427,12 @@ object Relational {
     "r_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "r_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 25
+        |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin,
     "r_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT

@@ -52,6 +52,24 @@ class TopKPlanSpec extends AnyFunSuite {
       "bounded-heap top-k must not sort")
   }
 
+  test("r_topk_global gate query drives the AllTuples heap path: no sort or window below it") {
+    val df = graft.operators.Relational.topKGlobal(s, sf)
+    assert(df.collect().length == 25)
+    val all = flatten(df.queryExecution.executedPlan)
+    val heapNodes = all.collect { case t: TopKPerKeyExec => t }
+    assert(heapNodes.map(_.partial).sorted == Seq(false, true),
+      "expected partial+final heap pair")
+    assert(heapNodes.forall(_.keys.isEmpty), "global form must carry empty keys")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "window formulation must be rewritten away")
+    // the presentation orderBy on 25 survivors may sort ABOVE the heap;
+    // the data path INTO the heap must be sort-free (no global input sort)
+    heapNodes.foreach { h =>
+      assert(!flatten(h.child).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        "input to the global heap is being sorted")
+    }
+  }
+
   test("k larger than group size returns whole groups") {
     val tiny = Tables.orders(s, sf).filter(col("o_custkey") < 3)
       .select("o_custkey", "o_orderkey")
