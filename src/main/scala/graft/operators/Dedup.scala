@@ -123,13 +123,20 @@ object Dedup {
   /** Duplicate-cluster resolution: connected components over the
     * LSH-confirmed near-dup graph via iterative min-label propagation —
     * the standard large-graph CC pattern. Each round is one distributed
-    * join + min-aggregation; rounds ≈ component diameter (tiny for dup
-    * clusters); the driver sees only a changed-row COUNT per round, never
+    * join + min-aggregation; rounds ≈ component DIAMETER (tiny for dup
+    * clusters — near-dup components are dense perturbation balls, not
+    * chains); the driver sees only a changed-row COUNT per round, never
     * data. `localCheckpoint` truncates the growing lineage each round (at
     * cluster scale, a reliable checkpoint dir instead). Pair lists
     * under-remove transitive chains (a~b, b~c but no a~c candidate);
     * clusters are the principled keep-one-per-group resolution: cluster
-    * id = min reachable doc_id, `is_rep` marks the kept document. */
+    * id = min reachable doc_id, `is_rep` marks the kept document.
+    *
+    * For graphs with DEEP components (diameter ≫ log n — long chains,
+    * web-graph tails), prefer [[dupClustersStar]]: the two-phase
+    * large-star/small-star formulation converges in O(log²n) rounds
+    * regardless of diameter, at the cost of two neighborhood
+    * aggregations per round instead of one. */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = neardupPairs(s, d).select(col("a"), col("b"))
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -161,6 +168,80 @@ object Dedup {
       (col("id") === col("label")).cast("int").as("is_rep"))
       .orderBy("doc_id")
   }
+
+  // ---- Two-phase connected components (large-star / small-star): the
+  // deep-component-safe alternative to label propagation. Both operations
+  // rewire edges toward each neighborhood's minimum; alternating them
+  // halves tree heights geometrically, so rounds grow with log² n, not
+  // with component diameter. Edges stay oriented high→low throughout;
+  // at the fixpoint the edge set is exactly the star (node, component
+  // root) — published as the MapReduce CC algorithm of Kiveris et al.,
+  // "Connected Components in MapReduce and Beyond" (SoCC '14). ----
+
+  /** Large-star: for every node u, connect each STRICTLY LARGER neighbor
+    * to min(N(u) ∪ {u}). One symmetric neighborhood expansion + one
+    * min-aggregation + one equi-join — no data to the driver. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: for every node u, connect its smaller neighbors (and u
+    * itself) to the minimum of the smaller neighborhood. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val directed = edges
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
+    directed.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected pair list (`a`, `b`) via
+    * alternating large-star/small-star to the edge-set fixpoint. Returns
+    * (id, label) with label = component minimum; nodes = pair endpoints
+    * (same domain as the label-propagation form). Convergence is an
+    * edge-set equality check per round — two counts and one limit-1
+    * difference, never edge data on the driver. */
+  private[operators] def ccTwoPhase(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // a non-fixpoint edge set is structurally WRONG, not approximate
+    require(converged, s"two-phase CC did not converge in $rounds rounds")
+    val ids = pairs.select(col("a").as("id")).union(pairs.select(col("b").as("id"))).distinct()
+    val roots = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .withColumnRenamed("u", "id")
+    ids.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** [[dupClusters]] resolved by the two-phase algorithm instead of label
+    * propagation — identical output (same oracle proves both through the
+    * hash gate); the form to reach for when components can be DEEP, where
+    * label propagation's rounds ≈ diameter becomes the bottleneck. */
+  def dupClustersStar(s: SparkSession, d: String): DataFrame =
+    ccTwoPhase(neardupPairs(s, d).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).cast("int").as("is_rep"))
+      .orderBy("doc_id")
 
   /** Exact n-gram Jaccard verification over LSH candidates only. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
@@ -221,6 +302,7 @@ object Dedup {
     "d_minhash_sig" -> (minhashSignatures _),
     "d_neardup_pairs" -> (neardupPairs _),
     "d_dup_clusters" -> (dupClusters _),
+    "d_dup_clusters_star" -> (dupClustersStar _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "d_simhash" -> (simhash _),
     "d_embed_neardup" -> (embedNeardup _),
@@ -256,6 +338,24 @@ object Dedup {
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
 
+  private val clustersOracle: String =
+    sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |nd AS (
+        |  SELECT c.a, c.b
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+        |  WHERE CAST(list_sum(list_transform(range(0, 16),
+        |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM nd UNION ALL SELECT b, a FROM nd),
+        |walk AS (
+        |  SELECT DISTINCT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id AS doc_id, MIN(label) AS cluster_id,
+        |       CAST(id = MIN(label) AS INT) AS is_rep
+        |FROM walk GROUP BY id
+        |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d_exact_dedup" ->
       """WITH n AS (SELECT doc_id, md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS norm_md5
@@ -282,24 +382,10 @@ object Dedup {
           |        i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5
           |ORDER BY a, b""".stripMargin),
     // transitive closure by recursive CTE — independent of the iterative
-    // label-propagation algorithm the engine runs
-    "d_dup_clusters" ->
-      (sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """,
-          |nd AS (
-          |  SELECT c.a, c.b
-          |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
-          |  WHERE CAST(list_sum(list_transform(range(0, 16),
-          |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
-          |edges AS (SELECT a AS src, b AS dst FROM nd UNION ALL SELECT b, a FROM nd),
-          |walk AS (
-          |  SELECT DISTINCT src AS id, src AS label FROM edges
-          |  UNION
-          |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
-          |SELECT id AS doc_id, MIN(label) AS cluster_id,
-          |       CAST(id = MIN(label) AS INT) AS is_rep
-          |FROM walk GROUP BY id
-          |ORDER BY doc_id""".stripMargin),
+    // algorithm the engine runs, so the SAME oracle proves both the
+    // label-propagation and the two-phase large/small-star resolution
+    "d_dup_clusters" -> clustersOracle,
+    "d_dup_clusters_star" -> clustersOracle,
     "d_ngram_jaccard" ->
       (sigCte +
         """

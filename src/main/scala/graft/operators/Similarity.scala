@@ -223,7 +223,7 @@ object Similarity {
     * the executable spec of its semantics. */
   private[operators] def lshBandKeysFold(v: Column): Column = {
     def bit(h: Int): Column =
-      when(aggregate(zip_with(v, array(hyperplanes(h).map(lit): _*),
+      when(aggregate(zip_with(v, array(hyperplanes(h).toIndexedSeq.map(lit): _*),
         (x, y) => x.cast("double") * y), lit(0.0), (acc, p) => acc + p) >= 0, 1).otherwise(0)
     array((0 until LshBands).map { b =>
       (0 until BitsPerBand).map(t => bit(b * BitsPerBand + t) * lit(1 << t))
@@ -299,11 +299,41 @@ object Similarity {
   private[operators] def lshCandidateCount(s: SparkSession, d: String): Long =
     lshCandidates(s, d).count()
 
+  /** POISONED-corpus band keys: the NaN/Inf/null gate query. Derives a
+    * corrupted corpus from `embeddings` deterministically — vec_id%11
+    * picks the poison: 0 → the whole vector nulled, 1 → one component
+    * NaN, 2 → +Inf, 3 → −Inf (at position vec_id%64) — and pushes it
+    * through the SAME native SrpBandKeys path the ANN queries run. This
+    * proves the ugly-float contract end-to-end under the hash gate, not
+    * just in unit tests: a NaN/±Inf dot product takes the `NaN ≥ 0 =
+    * true` branch (Spark SQL and DuckDB order NaN above all values —
+    * SrpBandKeys.scala:75-78), and null vectors surface as explicit
+    * (vec_id, null, null) rows via posexplode_outer rather than
+    * vanishing. bkey is cast to long to match the oracle's BIGINT. */
+  def poisonedLshBands(s: SparkSession, d: String): DataFrame = {
+    val mode = pmod(col("vec_id"), lit(11))
+    val idx = pmod(col("vec_id"), lit(Dim)).cast("int")
+    val replaced = transform(col("embedding"), (v, i) =>
+      when(i =!= idx, v).otherwise(
+        when(mode === 1, lit(Float.NaN))
+          .when(mode === 2, lit(Float.PositiveInfinity))
+          .when(mode === 3, lit(Float.NegativeInfinity))
+          .otherwise(v)))
+    val poisoned = when(mode === 0, lit(null).cast("array<float>")).otherwise(replaced)
+    emb(s, d)
+      .select(col("vec_id"), poisoned.as("pe"))
+      .select(col("vec_id"),
+        posexplode_outer(lshBandKeys(col("pe"))).as(Seq("band", "bkey")))
+      .select(col("vec_id"), col("band"), col("bkey").cast("long").as("bkey"))
+      .orderBy("vec_id", "band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
     "v_lsh_candidates" -> (embedLshCandidates _),
+    "v_poisoned_lsh" -> (poisonedLshBands _),
   )
 
   private val sqlCos = {
@@ -394,6 +424,44 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // rebuilds the poisoned corpus and band keys in DuckDB: same md5
+    // hyperplanes, same sequential fold; NaN/Inf arithmetic is IEEE in
+    // both engines and `NaN >= 0` is TRUE in both (NaN sorts above all)
+    "v_poisoned_lsh" ->
+      s"""WITH hpv AS (
+         |  SELECT hs.h, js.j,
+         |         ${hex8("md5('hp' || CAST(hs.h AS VARCHAR) || '_' || CAST(js.j AS VARCHAR))", 1)}
+         |           / 2147483648.0 - 1.0 AS r
+         |  FROM (SELECT unnest(range(0, $LshBits)) AS h) hs,
+         |       (SELECT unnest(range(0, 64)) AS j) js),
+         |hp AS (SELECT h, list(r ORDER BY j) AS r FROM hpv GROUP BY h),
+         |expl AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM embeddings WHERE vec_id % 11 <> 0 AND embedding IS NOT NULL),
+         |pois AS (
+         |  SELECT vec_id, pos,
+         |         CASE WHEN pos = vec_id % 64 AND vec_id % 11 = 1 THEN CAST('NaN' AS FLOAT)
+         |              WHEN pos = vec_id % 64 AND vec_id % 11 = 2 THEN CAST('Infinity' AS FLOAT)
+         |              WHEN pos = vec_id % 64 AND vec_id % 11 = 3 THEN CAST('-Infinity' AS FLOAT)
+         |              ELSE v END AS v
+         |  FROM expl),
+         |pe AS (SELECT vec_id, list(v ORDER BY pos) AS embedding FROM pois GROUP BY vec_id),
+         |bits AS (
+         |  SELECT e.vec_id, hp.h,
+         |         CASE WHEN list_reduce(list_transform(range(0, 64),
+         |                i -> CAST(e.embedding[i+1] AS DOUBLE) * hp.r[i+1]), (x,y) -> x+y) >= 0
+         |              THEN 1 ELSE 0 END AS bit
+         |  FROM pe e, hp),
+         |bands AS (
+         |  SELECT vec_id, CAST(h // $BitsPerBand AS INT) AS band,
+         |         CAST(SUM(bit * ([${(0 until BitsPerBand).map(1 << _).mkString(",")}])[(h % $BitsPerBand) + 1]) AS BIGINT) AS bkey
+         |  FROM bits GROUP BY vec_id, h // $BitsPerBand)
+         |SELECT vec_id, band, bkey FROM bands
+         |UNION ALL
+         |SELECT vec_id, NULL AS band, NULL AS bkey FROM embeddings
+         |WHERE vec_id % 11 = 0 OR embedding IS NULL
+         |ORDER BY vec_id, band NULLS FIRST""".stripMargin,
     "v_lsh_candidates" ->
       s"""WITH hpv AS (
          |  SELECT hs.h, js.j,

@@ -40,6 +40,24 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase CC resolves a deep path graph in far fewer rounds than its diameter") {
+    import s.implicits._
+    // a 49-edge path 0-1-2-…-49: diameter 49, so label propagation needs
+    // ~49 rounds; large-star/small-star must collapse it within 12
+    // (log²-bounded), proving the deep-component claim the docstring makes
+    val path = (0L until 49L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.ccTwoPhase(path, maxRounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 50)
+    assert(labels.values.forall(_ == 0L), s"path not fully collapsed: $labels")
+  }
+
+  test("two-phase CC output = label-propagation output on the real near-dup graph") {
+    val star = Dedup.dupClustersStar(s, sf).collect().toSeq
+    val prop = Dedup.dupClusters(s, sf).collect().toSeq
+    assert(star.nonEmpty && star == prop)
+  }
+
   test("embedding near-dup never leaves label partitions") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(s, sf).groupBy("label").count()
