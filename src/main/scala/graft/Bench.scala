@@ -76,8 +76,14 @@ object Bench {
         }
       }
 
+    // ms precision: full nano doubles made the one-line artifact long
+    // enough that the driver's capture truncated its tail two rounds
+    // running; Locale.ROOT so the decimal separator is always '.'
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
     def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 
     val primary = benchAll(sfDir)
     val secondary =
@@ -88,7 +94,7 @@ object Bench {
     val total = primary.map(_.sec).sum
     val replays = primary.filter(_.replay >= 0)
     val replayJson =
-      s""","replay_total":${replays.map(_.replay).sum},"replay_sec":${toJson(replays.map(r => r.name -> r.replay))}"""
+      s""","replay_total":${fmt(replays.map(_.replay).sum)},"replay_sec":${toJson(replays.map(r => r.name -> r.replay))}"""
     val extra = secondary.map { rs =>
       val sec2 = rs.map(r => r.name -> r.sec).toMap
       val slopes = primary.flatMap { r =>
@@ -97,10 +103,10 @@ object Bench {
       val flags = slopes.collect {
         case (n, sl) if sl > 1.5 * sfRatio && !streamingNames(n) => "\"" + n + "\""
       }
-      s""","sf2":"$sfDir2","total_sf2":${rs.map(_.sec).sum},"queries_sf2":${toJson(rs.map(r => r.name -> r.sec))}""" +
+      s""","sf2":"$sfDir2","total_sf2":${fmt(rs.map(_.sec).sum)},"queries_sf2":${toJson(rs.map(r => r.name -> r.sec))}""" +
         s""","slope_input_ratio":$sfRatio,"slopes":${toJson(slopes)},"slope_flags":[${flags.mkString(",")}]"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-write, steady-state (warmup+timed); streaming replay harness isolated in replay_sec","queries":${toJson(primary.map(r => r.name -> r.sec))},"sf":"$sfDir"$replayJson$extra}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-write, steady-state (warmup+timed); streaming replay harness isolated in replay_sec","queries":${toJson(primary.map(r => r.name -> r.sec))},"sf":"$sfDir"$replayJson$extra}""")
     spark.stop()
   }
 }
