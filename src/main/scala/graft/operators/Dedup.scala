@@ -243,6 +243,31 @@ object Dedup {
         (col("id") === col("label")).cast("int").as("is_rep"))
       .orderBy("doc_id")
 
+  /** Canonical-document selection: for each duplicate cluster, KEEP the
+    * highest-quality member (tie → lowest doc_id) instead of the naive
+    * min-id representative — the resolution step an LLM corpus pipeline
+    * actually wants (drop the truncated/boilerplate copies, keep the
+    * best one). Cluster membership joins per-doc quality scores, then
+    * the per-cluster argmax runs through the custom bounded-heap top-k
+    * operator (k=1): O(clusters) memory, no per-cluster sort, immune to
+    * one viral cluster dominating a partition. quality_score is exact
+    * cross-engine (see [[TextAnalysis.quality]]), so ordering by it is
+    * deterministic. */
+  def clusterCanonical(s: SparkSession, d: String): DataFrame = {
+    val members = dupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    val scored = members.join(
+      TextAnalysis.quality(s, d).select(col("doc_id"), col("quality_score")), "doc_id")
+    graft.plans.TopK.perKey(scored,
+        keys = Seq(col("cluster_id")),
+        order = Seq(col("quality_score").desc, col("doc_id").asc),
+        k = 1)
+      .join(sizes, "cluster_id")
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+        col("quality_score").as("best_quality"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Exact n-gram Jaccard verification over LSH candidates only. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = withSig(s, d).select(col("doc_id"), col("shingles"))
@@ -303,6 +328,7 @@ object Dedup {
     "d_neardup_pairs" -> (neardupPairs _),
     "d_dup_clusters" -> (dupClusters _),
     "d_dup_clusters_star" -> (dupClustersStar _),
+    "d_cluster_canonical" -> (clusterCanonical _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "d_simhash" -> (simhash _),
     "d_embed_neardup" -> (embedNeardup _),
@@ -338,7 +364,10 @@ object Dedup {
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
 
-  private val clustersOracle: String =
+  /** Recursive-CTE transitive closure over the near-dup graph (`walk`
+    * holds every (reachable id, seed label) pair) — the shared prefix of
+    * every cluster-resolution oracle. */
+  private val closureCte: String =
     sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
         |nd AS (
@@ -350,11 +379,36 @@ object Dedup {
         |walk AS (
         |  SELECT DISTINCT src AS id, src AS label FROM edges
         |  UNION
-        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
+
+  private val clustersOracle: String =
+    closureCte +
+      """
         |SELECT id AS doc_id, MIN(label) AS cluster_id,
         |       CAST(id = MIN(label) AS INT) AS is_rep
         |FROM walk GROUP BY id
         |ORDER BY doc_id""".stripMargin
+
+  private val canonicalOracle: String =
+    closureCte +
+      """,
+        |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+        |qual AS (
+        |  SELECT doc_id,
+        |         0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |           + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS DOUBLE)
+        |                          / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                          / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0, 1.0) AS quality_score
+        |  FROM documents),
+        |m AS (SELECT c.cluster_id, c.doc_id, q.quality_score,
+        |             row_number() OVER (PARTITION BY c.cluster_id
+        |                                ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+        |             COUNT(*) OVER (PARTITION BY c.cluster_id) AS nm
+        |      FROM cl c JOIN qual q USING (doc_id))
+        |SELECT cluster_id, doc_id AS canonical_id, quality_score AS best_quality,
+        |       CAST(nm AS BIGINT) AS n_members
+        |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d_exact_dedup" ->
@@ -386,6 +440,7 @@ object Dedup {
     // label-propagation and the two-phase large/small-star resolution
     "d_dup_clusters" -> clustersOracle,
     "d_dup_clusters_star" -> clustersOracle,
+    "d_cluster_canonical" -> canonicalOracle,
     "d_ngram_jaccard" ->
       (sigCte +
         """

@@ -187,6 +187,102 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals — the MassiveText/Gopher-style quality filters
+    * that catch degenerate (boilerplate/spam/loop) documents: fraction of
+    * repeated tokens, most-frequent-token share, and repeated-2-gram
+    * fraction. The n-gram fractions are pure narrow array ops; the
+    * top-token count is an explode + two map-side-combining aggregations
+    * (never a per-doc O(n²) fold). All divisions are single IEEE ops over
+    * exact integers, so the doubles are bit-identical cross-engine. */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val topWord = docs(s, d)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).cast("int").as("top_word_n"))
+    val nTok = size(words)
+    val grams2 = transform(sequence(lit(0), nTok - 2),
+      i => array_join(slice(words, i + lit(1), lit(2)), " "))
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (lit(1.0) - size(array_distinct(words)).cast("double") / nTok.cast("double"))
+          .as("dup_word_frac"),
+        // sequence(0, n-2) DESCENDS when n<2 — guard stays even though the
+        // corpus has no 1-token docs
+        when(nTok >= 2,
+          lit(1.0) - size(array_distinct(grams2)).cast("double") /
+            (nTok - 1).cast("double"))
+          .otherwise(lit(0.0)).as("dup_2gram_frac"))
+      .join(topWord, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
+        col("top_word_n"),
+        (col("top_word_n").cast("double") / col("n_tokens").cast("double"))
+          .as("top_word_frac"),
+        col("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word 5-gram with the held-out split (val/test by the same content-
+    * hash buckets as [[splitAssign]]) — the exact-n-gram-overlap
+    * decontamination pass every pretraining pipeline runs before
+    * training. Held-out side first: the benchmark set is tiny by
+    * construction (2% here; MBs in practice), so its distinct gram-hash
+    * set BROADCASTS and the 98%-side probe is a map-side hash join over
+    * the corpus scan — no shuffle of the big side, the shape that holds
+    * at 100 TB (swap the broadcast for a bloom filter when even the gram
+    * set outgrows executor memory). Output: contaminated train doc →
+    * number of distinct leaked 5-grams. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100)
+    val grams5 = array_distinct(transform(
+      sequence(lit(0), size(words) - 5),
+      i => md5(array_join(slice(words, i + lit(1), lit(5)), " ").cast("binary"))))
+    def side(pred: Column) = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .filter(pred && size(words) >= 5)
+      .select(col("doc_id"), explode(grams5).as("g5"))
+    val held = side(bucket >= 98).select(col("g5")).distinct()
+    side(bucket < 98)
+      .join(broadcast(held), "g5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val PackCtx = 512
+  private val PackShards = 32
+
+  /** GPT-style sequence packing: concatenate the corpus in a deterministic
+    * order and cut fixed `PackCtx`-token context windows, reporting each
+    * document's chunk span and whether it straddles a boundary. The
+    * global concatenation order is the scale trap — a single total-order
+    * window is one reducer at 100 TB — so packing is per content-hash
+    * SHARD (how real pipelines pack per output file): each shard is an
+    * independent window partition, shuffled once on shard, cumulative
+    * sum inside. Order within a shard is (content md5, doc_id) —
+    * reproducible under any partitioning. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = md5(col("text").cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("m"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), m.as("m"),
+        (conv(substring(m, 1, 8), 16, 10).cast("bigint") % PackShards).as("shard"),
+        size(words).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens").cast("bigint")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        floor((col("cum") - col("n_tokens")) / lit(PackCtx.toDouble)).as("chunk_first"),
+        floor((col("cum") - 1) / lit(PackCtx.toDouble)).as("chunk_last"))
+      .withColumn("straddles",
+        (col("chunk_last") > col("chunk_first")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Heavy hitters: the k most frequent words per language — aggregation
     * feeding the custom bounded-heap top-k operator, so the per-group
     * selection is O(groups×k) memory with no per-group sort even when one
@@ -206,6 +302,9 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_rep_signals" -> (repetitionSignals _),
+    "t_decontaminate" -> (decontaminate _),
+    "t_pack_sequences" -> (packSequences _),
     "t_heavy_hitters" -> (heavyHitters _),
     "t_split_assign" -> (splitAssign _),
     "t_stratified_sample" -> (stratifiedSample _),
@@ -221,6 +320,46 @@ object TextAnalysis {
   private val sqlWords = "string_split(text, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "t_rep_signals" ->
+      s"""WITH ws AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |tw AS (SELECT doc_id, MAX(n) AS top_word_n FROM (
+         |         SELECT doc_id, word, COUNT(*) AS n
+         |         FROM (SELECT doc_id, unnest($sqlWords) AS word FROM documents)
+         |         GROUP BY doc_id, word) GROUP BY doc_id)
+         |SELECT ws.doc_id,
+         |       CAST(len(w) AS INT) AS n_tokens,
+         |       1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+         |       CAST(top_word_n AS INT) AS top_word_n,
+         |       CAST(top_word_n AS DOUBLE) / CAST(len(w) AS DOUBLE) AS top_word_frac,
+         |       CASE WHEN len(w) >= 2
+         |            THEN 1.0 - CAST(len(list_distinct(list_transform(range(0, len(w)-1),
+         |                   i -> array_to_string(w[i+1:i+2],' ')))) AS DOUBLE) / CAST(len(w)-1 AS DOUBLE)
+         |            ELSE 0.0 END AS dup_2gram_frac
+         |FROM ws JOIN tw ON tw.doc_id = ws.doc_id
+         |ORDER BY ws.doc_id""".stripMargin,
+    "t_decontaminate" ->
+      s"""WITH ws AS (SELECT doc_id, $sqlWords AS w, md5(text) AS m FROM documents),
+         |g AS (SELECT doc_id, ${graft.QueryDsl.sqlHex8("m", 1)} % 100 AS bucket,
+         |        unnest(list_distinct(list_transform(range(0, len(w)-4),
+         |          i -> md5(array_to_string(w[i+1:i+5],' '))))) AS g5
+         |      FROM ws WHERE len(w) >= 5),
+         |ev AS (SELECT DISTINCT g5 FROM g WHERE bucket >= 98)
+         |SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN ev USING (g5)
+         |WHERE bucket < 98 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, md5(text) AS m,
+         |                  ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % $PackShards AS shard,
+         |                  len($sqlWords) AS tok FROM documents),
+         |c AS (SELECT doc_id, shard, CAST(tok AS INT) AS n_tokens,
+         |             CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY m, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |       cum - n_tokens AS start_off,
+         |       CAST(floor((cum - n_tokens) / $PackCtx.0) AS BIGINT) AS chunk_first,
+         |       CAST(floor((cum - 1) / $PackCtx.0) AS BIGINT) AS chunk_last,
+         |       CAST(floor((cum - 1) / $PackCtx.0) > floor((cum - n_tokens) / $PackCtx.0) AS INT) AS straddles
+         |FROM c ORDER BY doc_id""".stripMargin,
     "t_heavy_hitters" ->
       """WITH c AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the round-5 LLM-corpus operators (repetition signals,
+  * benchmark decontamination, sequence packing, cluster-canonical
+  * selection). The DuckDB oracle proves value equality; these specs pin
+  * the invariants the oracle can't see — plan shape (the decontamination
+  * probe must broadcast the held-out side) and the algebraic contracts
+  * (packing tiles each shard exactly; the canonical doc really is the
+  * quality argmax of its cluster). */
+class LlmCorpusSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("repetition signals are bounded and agree with token stats") {
+    val rep = TextAnalysis.repetitionSignals(s, sf)
+    assert(rep.count() > 0)
+    val bad = rep.filter(
+      col("dup_word_frac") < 0 || col("dup_word_frac") >= 1 ||
+        col("dup_2gram_frac") < 0 || col("dup_2gram_frac") > 1 ||
+        col("top_word_frac") <= 0 || col("top_word_frac") > 1 ||
+        col("top_word_n") < 1)
+    assert(bad.count() == 0, "repetition fractions out of range")
+    // dup_word_frac must equal 1 - n_distinct/n_tokens from tokenStats
+    val disagree = rep.join(TextAnalysis.tokenStats(s, sf), "doc_id")
+      .filter(abs(col("dup_word_frac") -
+        (lit(1.0) - col("n_distinct").cast("double") / rep("n_tokens").cast("double"))) > 1e-12)
+    assert(disagree.count() == 0, "dup_word_frac disagrees with tokenStats")
+  }
+
+  test("decontamination broadcasts the held-out gram set (no big-side shuffle join)") {
+    val df = TextAnalysis.decontaminate(s, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"held-out probe should be a broadcast join, got:\n$physical")
+    // every flagged doc shares at least one 5-gram
+    assert(df.filter(col("n_shared") < 1).count() == 0)
+  }
+
+  test("sequence packing tiles each shard exactly: contiguous, gap-free, order-reproducible") {
+    val p = TextAnalysis.packSequences(s, sf).cache()
+    try {
+      assert(p.count() > 0)
+      // per shard: offsets sorted by start tile [0, sum(n_tokens)) exactly
+      val shards = p.groupBy("shard")
+        .agg(sum(col("n_tokens").cast("bigint")).as("tok_sum"),
+          max(col("start_off") + col("n_tokens")).as("end_max"),
+          min(col("start_off")).as("start_min"))
+      assert(shards.filter(col("start_min") =!= 0 || col("end_max") =!= col("tok_sum"))
+        .count() == 0, "shard intervals must start at 0 and end at the token sum")
+      // gap/overlap-free: lead(start) == start + n_tokens within each shard
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("start_off")
+      val gaps = p.withColumn("next_start", lead(col("start_off"), 1).over(w))
+        .filter(col("next_start").isNotNull &&
+          col("next_start") =!= col("start_off") + col("n_tokens"))
+      assert(gaps.count() == 0, "packing left a gap or overlap inside a shard")
+      // straddle flag consistent with chunk arithmetic
+      assert(p.filter(col("straddles") =!= (col("chunk_last") > col("chunk_first")).cast("int"))
+        .count() == 0)
+    } finally p.unpersist()
+  }
+
+  test("canonical doc is the quality argmax of its cluster, one row per cluster") {
+    val canon = Dedup.clusterCanonical(s, sf).cache()
+    try {
+      val members = Dedup.dupClusters(s, sf)
+        .join(TextAnalysis.quality(s, sf).select(col("doc_id"), col("quality_score")), "doc_id")
+      val best = members.groupBy("cluster_id")
+        .agg(max(col("quality_score")).as("max_q"), count(lit(1)).as("n"))
+      assert(canon.count() == best.count(), "one canonical row per cluster")
+      val joined = canon.join(best, "cluster_id")
+      assert(joined.filter(col("best_quality") =!= col("max_q") ||
+        col("n_members") =!= col("n")).count() == 0,
+        "canonical quality/size must match the cluster aggregate")
+      // the canonical doc is a member of its own cluster
+      val nonMember = canon.join(
+        members.select(col("doc_id").as("canonical_id"), col("cluster_id")),
+        Seq("cluster_id", "canonical_id"), "left_anti")
+      assert(nonMember.count() == 0, "canonical doc not a member of its cluster")
+    } finally canon.unpersist()
+  }
+}
