@@ -83,6 +83,58 @@ object Streams {
       .orderBy("user_id", "start_us")
   }
 
+  /** Watermarked tumbling-window aggregation — THE canonical Structured
+    * Streaming shape (count + sum per 1-hour window per event type,
+    * 1-hour allowed lateness). Append mode emits each window exactly once,
+    * when the watermark passes its end; per-window state is one partial
+    * aggregate per (window, event_type) and is dropped at emission, so an
+    * unbounded run holds O(open windows × types) state regardless of
+    * event volume. `dsum` keeps sum_value independent of micro-batch
+    * accumulation order (exact decimal addition is associative; double
+    * addition is not). */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.QueryDsl.dsum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** `e_window_agg_stream` — [[windowAgg]] replayed over the events table.
+    * A far-future sentinel batch drives the watermark past every real
+    * window so append mode flushes them all (the sentinel's own window
+    * stays open and is filtered by type). Tumbling windows are pure
+    * integer arithmetic on the timestamp, so the result is fully
+    * SQL-expressible and hash-checked against the batch GROUP BY. */
+  def windowAggStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch = graft.Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .collect()
+    val maxMs = batch.iterator.map(_._2.getTime).max
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val sink = "e_window_agg_stream_sink"
+    val q = windowAgg(in.toDF().toDF("event_type", "ts", "value"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(("sentinel", new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("window_start")).as("ws_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("ws_us", "event_type")
+  }
+
   /** Stream-stream interval join (click attribution): each purchase joins
     * the same user's clicks from the preceding hour. Both sides are
     * watermarked and the join condition carries the time range, so Spark
@@ -232,6 +284,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize_stream" -> (sessionizeStream _),
+    "e_window_agg_stream" -> (windowAggStream _),
     "d_dedup_stream" -> (dedupStreamReplay _),
     "d_lsh_dedup_stream" -> (lshDedupStreamReplay _),
     "e_stream_join" -> (streamJoinReplay _),
@@ -250,6 +303,14 @@ object Streams {
            |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
            |FROM sessioned GROUP BY user_id, session_id
            |ORDER BY user_id, start_us""".stripMargin),
+    // tumbling window start = us - us % 3600000000: exact integer
+    // arithmetic, identical in both engines
+    "e_window_agg_stream" ->
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, value FROM events)
+         |SELECT us - us % 3600000000 AS ws_us, event_type,
+         |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
+         |FROM e GROUP BY 1, 2
+         |ORDER BY ws_us, event_type""".stripMargin,
     "e_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus,
         |                  value AS click_value

@@ -176,6 +176,45 @@ class StreamingSpec extends AnyFunSuite {
       "a matched purchase also emitted a null-joined row")
   }
 
+  test("tumbling window agg emits a window once its end passes the watermark") {
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val q = Streams.windowAgg(in.toDF().toDF("event_type", "ts", "value")).writeStream
+      .format("memory").queryName("window_agg_out").outputMode(OutputMode.Append).start()
+    try {
+      // three events in hour 0, one in hour 1; nothing closes yet
+      in.addData(("click", ts(5), 1.0), ("click", ts(20), 2.0),
+        ("view", ts(40), 4.0), ("click", ts(70), 8.0))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM window_agg_out").count() == 0,
+        "no window may emit before the watermark passes its end")
+      // jump 2 days: watermark passes every real window's end
+      in.addData(("late", ts(60 * 48), 0.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT event_type, n_events, sum_value FROM window_agg_out ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq(("click", 2L, 3.0), ("click", 1L, 8.0), ("view", 1L, 4.0))
+        .sortBy(_._1) || rows.toSet == Set(("click", 2L, 3.0), ("click", 1L, 8.0), ("view", 1L, 4.0)),
+        s"window contents wrong: $rows")
+    } finally q.stop()
+  }
+
+  test("batch and stream tumbling-window aggregation agree row-for-row on real events") {
+    import org.apache.spark.sql.functions._
+    val sf = graft.TestSpark.sf
+    val streamed = Streams.windowAggStream(s, sf).collect().toSeq
+    val batch = graft.Tables.events(s, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), graft.QueryDsl.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("ws_us", "event_type")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup emits first occurrence only, across batches") {
     import s.implicits._
     implicit val sql = s.sqlContext
