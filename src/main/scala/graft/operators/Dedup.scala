@@ -282,25 +282,19 @@ object Dedup {
   }
 
   /** 16-bit SimHash over distinct words: per-word hash = first 4 hex chars
-    * of md5 (integer arithmetic only after that, so both engines agree). */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val ws = array_distinct(words)
-    // per-word 16-bit value from md5 hex prefix
-    val hvs = transform(ws, w => conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("int"))
-    val powers = array((0 until 16).map(j => lit(1 << (15 - j))): _*)
-    // bit j of the simhash: majority vote of word bits
-    val bitsSet = transform(sequence(lit(0), lit(15)), j => {
-      val p = element_at(powers, j + lit(1))
-      val pos = aggregate(col("hvs"), lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(p) > 0, 1).otherwise(0))
-      when(pos * 2 > size(col("hvs")), p).otherwise(0)
-    })
+    * of md5 (integer arithmetic only after that, so both engines agree).
+    * Computed by the native [[graft.functions.SimHash16]] expression — the
+    * declarative majority vote was 16 nested interpreted `aggregate` folds
+    * per document (the round-5 slope-gate flag: 18.3× time at 10× rows);
+    * the native row loop md5s each word once and accumulates all 16
+    * bit-counts together. Explicit repartition for the same byte-small/
+    * compute-dense single-split trap as [[withSig]]. */
+  def simhash(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), hvs.as("hvs"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        aggregate(bitsSet, lit(0), (acc, v) => acc + v).as("simhash"))
+        graft.functions.SimHash16(array_distinct(words)).as("simhash"))
       .orderBy("doc_id")
-  }
 
   /** Embedding near-dup: cosine ≥ 0.4 pairs WITHIN label partitions (the
     * label column is a precomputed coarse quantizer — IVF-style blocking;
