@@ -93,4 +93,24 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftInterop.column(CosineSimilarity(
       GraftInterop.expression(a), GraftInterop.expression(b)))
+
+  /** Bloom-filter build over a pre-hashed LONG column (pair with
+    * `xxhash64`): aggregates to ONE binary value — the serialized filter.
+    * Spark's own runtime-filter aggregate
+    * (catalyst.expressions.aggregate.BloomFilterAggregate), reused as a
+    * first-class operator; bit-OR accumulation is order-independent, so
+    * the filter bytes are deterministic for a given input set. */
+  def bloom_agg(hashed: Column, expectedItems: Long): Column =
+    GraftInterop.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftInterop.expression(hashed), expectedItems).toAggregateExpression())
+
+  /** Membership probe against a serialized bloom filter (a foldable
+    * binary — `lit(bytes)`), over the same `xxhash64` hashing as
+    * [[bloom_agg]]. May return false positives, never false negatives:
+    * callers that need exactness confirm survivors with an exact join. */
+  def bloom_might_contain(bloom: Column, hashed: Column): Column =
+    GraftInterop.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftInterop.expression(bloom), GraftInterop.expression(hashed)))
 }

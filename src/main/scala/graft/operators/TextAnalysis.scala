@@ -234,22 +234,72 @@ object TextAnalysis {
     * at 100 TB (swap the broadcast for a bloom filter when even the gram
     * set outgrows executor memory). Output: contaminated train doc →
     * number of distinct leaked 5-grams. */
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val bucket = (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
-      .cast("bigint") % 100)
+  private def gramBucket: Column =
+    conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+
+  /** (doc_id, g5) distinct word-5-gram md5s of the docs matching `pred`. */
+  private def gramSide(s: SparkSession, d: String, pred: Column): DataFrame = {
     val grams5 = array_distinct(transform(
       sequence(lit(0), size(words) - 5),
       i => md5(array_join(slice(words, i + lit(1), lit(5)), " ").cast("binary"))))
-    def side(pred: Column) = docs(s, d)
+    docs(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(pred && size(words) >= 5)
       .select(col("doc_id"), explode(grams5).as("g5"))
-    val held = side(bucket >= 98).select(col("g5")).distinct()
-    side(bucket < 98)
+  }
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val held = gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
+    gramSide(s, d, gramBucket < 98)
       .join(broadcast(held), "g5")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
+  }
+
+  /** [[decontaminate]] for when even the held-out GRAM SET outgrows
+    * executor memory (a broadcast hash table keyed by 16-byte md5s is an
+    * order of magnitude bigger than a bloom filter of the same set): build
+    * a Bloom filter over the held-out 5-gram hashes — ONE aggregation, a
+    * ~bits/8-byte binary shipped to every task as a plan literal — probe
+    * the 98% side map-side (narrow filter over the corpus scan; false
+    * positives possible, false negatives not), then exact-confirm the
+    * survivors with a gram join so the OUTPUT stays exact (identical to
+    * [[decontaminate]]; the same oracle proves both). The full train-side
+    * gram stream never shuffles — only bloom survivors reach the confirm
+    * join (LlmCorpusSpec asserts survivors ≪ corpus grams and output
+    * equality). `expectedItems` sizes the filter generously (~1.2M bits
+    * here); at a real corpus, size it to the held-out suite and keep fpp
+    * low enough that the confirm join stays tiny. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val held = gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
+    // index-build action, like df.stat.bloomFilter: the serialized filter
+    // comes to the driver once and rides into the plan as a literal
+    val bloomBytes = held
+      .agg(graft.functions.GraftFunctions.bloom_agg(xxhash64(col("g5")), 200000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val survivors = gramSide(s, d, gramBucket < 98)
+      .filter(graft.functions.GraftFunctions.bloom_might_contain(
+        lit(bloomBytes), xxhash64(col("g5"))))
+    survivors
+      .join(held, "g5") // exact confirm: shuffles survivors only, never the corpus
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Exposed for LlmCorpusSpec's pruning assertion: grams surviving the
+    * bloom probe (pre-confirm) vs total train-side grams. */
+  private[operators] def bloomSurvivorCounts(s: SparkSession, d: String): (Long, Long) = {
+    val held = gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
+    val bloomBytes = held
+      .agg(graft.functions.GraftFunctions.bloom_agg(xxhash64(col("g5")), 200000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val train = gramSide(s, d, gramBucket < 98)
+    val survivors = train.filter(graft.functions.GraftFunctions.bloom_might_contain(
+      lit(bloomBytes), xxhash64(col("g5"))))
+    (survivors.count(), train.count())
   }
 
   private val PackCtx = 512
@@ -264,7 +314,10 @@ object TextAnalysis {
     * independent window partition, shuffled once on shard, cumulative
     * sum inside. Order within a shard is (content md5, doc_id) —
     * reproducible under any partitioning. */
-  def packSequences(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc packing spans — the shared core of [[packSequences]] and
+    * [[packChunks]]: one shuffle on shard, cumulative token sum inside,
+    * each doc's global token interval mapped to chunk indices. */
+  private def packSpans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = md5(col("text").cast("binary"))
     val w = Window.partitionBy(col("shard")).orderBy(col("m"), col("doc_id"))
@@ -278,9 +331,48 @@ object TextAnalysis {
         (col("cum") - col("n_tokens")).as("start_off"),
         floor((col("cum") - col("n_tokens")) / lit(PackCtx.toDouble)).as("chunk_first"),
         floor((col("cum") - 1) / lit(PackCtx.toDouble)).as("chunk_last"))
+  }
+
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packSpans(s, d)
       .withColumn("straddles",
         (col("chunk_last") > col("chunk_first")).cast("int"))
       .orderBy("doc_id")
+
+  /** The writer-facing rows [[packSequences]] stops short of: one row per
+    * (shard, chunk, segment) — `seg_pos` orders the document segments
+    * inside each `PackCtx`-token context window, (doc_id, seg_start,
+    * seg_len) says which token slice of the doc fills it, and
+    * `chunk_tokens` is the window's fill (exactly `PackCtx` for every
+    * chunk except each shard's last — LlmCorpusSpec asserts it). A
+    * training-data writer streams these rows grouped by (shard, chunk_id)
+    * and emits finished sequences. Fully deterministic (same md5-order
+    * concatenation as packSequences), so the DuckDB oracle proves it.
+    *
+    * Scale shape: the doc→chunk fan-out is a narrow explode (a doc
+    * touches ⌈len/PackCtx⌉+1 chunks); the seg_pos/chunk_tokens windows
+    * re-use the shard partitioning (HashPartitioning(shard) satisfies the
+    * (shard, chunk_id) clustering — no second shuffle), and no window
+    * partition outgrows a shard. */
+  def packChunks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segStart = greatest(col("chunk_id") * lit(PackCtx.toLong) - col("start_off"), lit(0L))
+    val segEnd = least((col("chunk_id") + 1) * lit(PackCtx.toLong) - col("start_off"),
+      col("n_tokens").cast("bigint"))
+    val segs = packSpans(s, d)
+      .select(col("shard"), col("doc_id"), col("start_off"), col("n_tokens"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .select(col("shard"), col("chunk_id"), col("doc_id"),
+        segStart.as("seg_start"), (segEnd - segStart).as("seg_len"),
+        (col("start_off") + segStart).as("gstart"))
+    val wPos = Window.partitionBy(col("shard"), col("chunk_id")).orderBy(col("gstart"))
+    val wChunk = Window.partitionBy(col("shard"), col("chunk_id"))
+    segs
+      .withColumn("seg_pos", row_number().over(wPos))
+      .withColumn("chunk_tokens", sum(col("seg_len")).over(wChunk))
+      .select(col("shard"), col("chunk_id"), col("seg_pos"), col("doc_id"),
+        col("seg_start"), col("seg_len"), col("chunk_tokens"))
+      .orderBy("shard", "chunk_id", "seg_pos")
   }
 
   /** Heavy hitters: the k most frequent words per language — aggregation
@@ -304,7 +396,9 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_rep_signals" -> (repetitionSignals _),
     "t_decontaminate" -> (decontaminate _),
+    "t_decontaminate_bloom" -> (decontaminateBloom _),
     "t_pack_sequences" -> (packSequences _),
+    "t_pack_chunks" -> (packChunks _),
     "t_heavy_hitters" -> (heavyHitters _),
     "t_split_assign" -> (splitAssign _),
     "t_stratified_sample" -> (stratifiedSample _),
@@ -346,6 +440,18 @@ object TextAnalysis {
          |ev AS (SELECT DISTINCT g5 FROM g WHERE bucket >= 98)
          |SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN ev USING (g5)
          |WHERE bucket < 98 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the bloom path must be output-identical to the broadcast path —
+    // false positives die in the exact confirm — so the SAME oracle
+    // proves both (mirrors the d_dup_clusters/_star twin-oracle pattern)
+    "t_decontaminate_bloom" ->
+      s"""WITH ws AS (SELECT doc_id, $sqlWords AS w, md5(text) AS m FROM documents),
+         |g AS (SELECT doc_id, ${graft.QueryDsl.sqlHex8("m", 1)} % 100 AS bucket,
+         |        unnest(list_distinct(list_transform(range(0, len(w)-4),
+         |          i -> md5(array_to_string(w[i+1:i+5],' '))))) AS g5
+         |      FROM ws WHERE len(w) >= 5),
+         |ev AS (SELECT DISTINCT g5 FROM g WHERE bucket >= 98)
+         |SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN ev USING (g5)
+         |WHERE bucket < 98 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, md5(text) AS m,
          |                  ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % $PackShards AS shard,
@@ -360,6 +466,32 @@ object TextAnalysis {
          |       CAST(floor((cum - 1) / $PackCtx.0) AS BIGINT) AS chunk_last,
          |       CAST(floor((cum - 1) / $PackCtx.0) > floor((cum - n_tokens) / $PackCtx.0) AS INT) AS straddles
          |FROM c ORDER BY doc_id""".stripMargin,
+    "t_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, md5(text) AS m,
+         |                  ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % $PackShards AS shard,
+         |                  len($sqlWords) AS tok FROM documents),
+         |c AS (SELECT doc_id, shard, CAST(tok AS BIGINT) AS n_tokens,
+         |             CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY m, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM t),
+         |spans AS (SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
+         |                 CAST(floor((cum - n_tokens) / $PackCtx.0) AS BIGINT) AS cf,
+         |                 CAST(floor((cum - 1) / $PackCtx.0) AS BIGINT) AS cl
+         |          FROM c),
+         |segs AS (SELECT shard, unnest(range(cf, cl + 1)) AS chunk_id,
+         |                doc_id, start_off, n_tokens
+         |         FROM spans),
+         |cut AS (SELECT shard, chunk_id, doc_id,
+         |               greatest(chunk_id * $PackCtx - start_off, 0) AS seg_start,
+         |               least((chunk_id + 1) * $PackCtx - start_off, n_tokens)
+         |                 - greatest(chunk_id * $PackCtx - start_off, 0) AS seg_len,
+         |               start_off + greatest(chunk_id * $PackCtx - start_off, 0) AS gstart
+         |        FROM segs)
+         |SELECT shard, chunk_id,
+         |       CAST(row_number() OVER (PARTITION BY shard, chunk_id ORDER BY gstart) AS INT) AS seg_pos,
+         |       doc_id, seg_start, seg_len,
+         |       CAST(SUM(seg_len) OVER (PARTITION BY shard, chunk_id) AS BIGINT) AS chunk_tokens
+         |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin,
     "t_heavy_hitters" ->
       """WITH c AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -40,6 +40,78 @@ class LlmCorpusSpec extends AnyFunSuite {
     assert(df.filter(col("n_shared") < 1).count() == 0)
   }
 
+  test("bloom decontamination: output-identical to broadcast path, probe prunes map-side") {
+    val broadcastPath = TextAnalysis.decontaminate(s, sf)
+    val bloomPath = TextAnalysis.decontaminateBloom(s, sf)
+    assert(bloomPath.exceptAll(broadcastPath)
+      .unionAll(broadcastPath.exceptAll(bloomPath)).count() == 0,
+      "bloom path diverged from the broadcast path — exact confirm broken")
+    // the scale claim: the train-side gram stream dies at the bloom filter,
+    // a narrow map over the scan — only survivors reach the confirm join
+    val (survivors, total) = TextAnalysis.bloomSurvivorCounts(s, sf)
+    info(s"bloom survivors: $survivors of $total train grams")
+    assert(survivors < total / 2,
+      s"bloom filter prunes nothing ($survivors of $total) — filter degenerate")
+    // and the probe really is pre-shuffle: the plan's filter carrying the
+    // bloom probe sits over the gram explode, not after an Exchange
+    val plan = bloomPath.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no bloom probe in the physical plan:\n$plan")
+  }
+
+  test("packed chunks: every chunk is exactly PackCtx tokens except each shard's last") {
+    val ch = TextAnalysis.packChunks(s, sf).cache()
+    try {
+      assert(ch.count() > 0)
+      val chunks = ch.groupBy("shard", "chunk_id")
+        .agg(sum("seg_len").as("tok"),
+          max("chunk_tokens").as("ct_max"), min("chunk_tokens").as("ct_min"),
+          count(lit(1)).as("n"), max("seg_pos").as("pos_max"), min("seg_pos").as("pos_min"))
+      // chunk_tokens is the real segment sum, and seg_pos is dense 1..n
+      assert(chunks.filter(col("tok") =!= col("ct_max") || col("ct_max") =!= col("ct_min"))
+        .count() == 0, "chunk_tokens disagrees with its segments")
+      assert(chunks.filter(col("pos_min") =!= 1 || col("pos_max") =!= col("n"))
+        .count() == 0, "seg_pos must be dense from 1")
+      // the packing contract: full context windows everywhere but the tail
+      val lastPerShard = chunks.groupBy("shard").agg(max("chunk_id").as("last_chunk"))
+      val nonFinal = chunks.join(lastPerShard, "shard")
+        .filter(col("chunk_id") =!= col("last_chunk"))
+      assert(nonFinal.count() > 0, "corpus too small to exercise full chunks")
+      assert(nonFinal.filter(col("tok") =!= 512).count() == 0,
+        "a non-final chunk is not exactly 512 tokens")
+      // chunk membership agrees with packSequences' per-doc spans
+      val fromChunks = ch.groupBy("doc_id")
+        .agg(min("chunk_id").as("cf"), max("chunk_id").as("cl"), sum("seg_len").as("tok"))
+      val disagree = fromChunks.join(TextAnalysis.packSequences(s, sf), "doc_id")
+        .filter(col("cf") =!= col("chunk_first") || col("cl") =!= col("chunk_last") ||
+          col("tok") =!= col("n_tokens").cast("bigint"))
+      assert(disagree.count() == 0, "chunk segments disagree with packSequences spans")
+    } finally { ch.unpersist(); () }
+  }
+
+  test("packed chunks reuse the shard partitioning: one hash shuffle in the plan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = TextAnalysis.packChunks(s, sf)
+    df.collect()
+    val hashShuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"the (shard, chunk_id) windows must ride the shard shuffle, got ${hashShuffles.size}:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("sequence packing tiles each shard exactly: contiguous, gap-free, order-reproducible") {
     val p = TextAnalysis.packSequences(s, sf).cache()
     try {
