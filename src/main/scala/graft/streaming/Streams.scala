@@ -214,12 +214,16 @@ object Streams {
 
   /** `e_stream_join_outer` — [[clickAttributionOuter]] replayed over the
     * events table. Unmatched purchases emit only after the watermark
-    * proves no match can arrive, and the watermark (computed at batch
-    * boundaries, min across both inputs) needs one batch to advance and a
-    * following batch to flush the expired state — hence TWO far-future
-    * sentinel batches on BOTH streams after the data. The sentinels'
-    * own rows are filtered out of the result. Fully SQL-expressible (a
-    * BETWEEN left join), so the null-click rows are hash-checked too. */
+    * proves no match can arrive: the watermark (computed at batch
+    * boundaries, min across both inputs) needs one batch to advance, and
+    * the engine's automatic NO-DATA micro-batch (noDataMicroBatches,
+    * on by default) then flushes the expired state — so ONE far-future
+    * sentinel batch on BOTH streams suffices (two explicit rounds through
+    * round 5 — half the replay harness cost); the trailing empty
+    * `processAllAvailable` is a fence that guarantees the flush batch has
+    * committed before the sink is read. The sentinels' own rows are
+    * filtered out of the result. Fully SQL-expressible (a BETWEEN left
+    * join), so the null-click rows are hash-checked too. */
   def streamJoinOuterReplay(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -239,11 +243,10 @@ object Streams {
       inClicks.addData(clicks.toIndexedSeq)
       inPurchases.addData(purchases.toIndexedSeq)
       q.processAllAvailable()
-      Seq(10L, 20L).foreach { off =>
-        inClicks.addData(sentinel(off))
-        inPurchases.addData(sentinel(off))
-        q.processAllAvailable()
-      }
+      inClicks.addData(sentinel(10L))
+      inPurchases.addData(sentinel(10L))
+      q.processAllAvailable()
+      q.processAllAvailable() // fence: the no-data flush batch has committed
     } finally q.stop()
     s.table(sink)
       .filter(col("user_id") =!= sentinelUser)

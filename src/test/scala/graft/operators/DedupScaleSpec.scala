@@ -66,4 +66,28 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(blocked < n.toDouble * (n - 1) / 2 / 5,
       "label blocking must prune the pair space by at least 5x")
   }
+
+  test("dup-cluster staging is build-once and bit-identical to the inline pipeline") {
+    Dedup.ensureClustersStaged(s, sf)
+    val builds = Dedup.clusterBuildCount.get()
+    Dedup.ensureClustersStaged(s, sf)
+    Dedup.ensureClustersStaged(s, sf)
+    assert(Dedup.clusterBuildCount.get() == builds,
+      "repeat ensureClustersStaged rebuilt the cluster table")
+    val staged = Dedup.stagedDupClusters(s, sf)
+    val inline = Dedup.dupClusters(s, sf)
+    assert(staged.exceptAll(inline).unionAll(inline.exceptAll(staged)).count() == 0,
+      "staged clusters diverge from the inline pipeline")
+  }
+
+  test("cluster-canonical selection consumes the staged clusters, never re-runs LSH") {
+    val df = Dedup.clusterCanonical(s, sf)
+    assert(df.inputFiles.exists(_.contains(Dedup.clusterStageDir(sf))),
+      s"canonical selection does not read the staged clusters: ${df.inputFiles.mkString(", ")}")
+    // the inline pipeline's fingerprint is the native MinHash expression —
+    // its presence in the plan would mean the LSH rebuild is back
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("minhash_signature"),
+      s"canonical selection re-runs the MinHash pipeline:\n$plan")
+  }
 }
