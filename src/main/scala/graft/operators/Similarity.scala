@@ -111,19 +111,36 @@ object Similarity {
   //   centroids/  (c_label, centroid)   — the IVF coarse quantizer
   //   bands/      (vec_id, band, bkey)  — the SRP band keys of every
   //                                        corpus vector (LshBands × n rows)
-  // Persisted as parquet once per sf dir (marker file, same pattern as
+  // Persisted once per sf dir (marker file, same pattern as
   // DocStage.ensureStaged) so every later query — and every later JVM —
-  // starts from a parquet scan of the index, never from the embeddings
+  // starts from a scan of the index, never from the embeddings
   // aggregation. Parquet round-trips doubles and longs bit-exactly, so the
   // staged path is hash-identical to the inline build (oracle unchanged).
-  // On a cluster the same code points at shared storage; the bands table
-  // would additionally be bucketed by bkey so repeated probe joins start
-  // co-located.
+  //
+  // The bands table is written BUCKETED by (band, bkey) — the probe-join
+  // key — so repeated probe joins (and band-bucket self-joins) start
+  // co-located: a sort-merge join against the staged table plans with NO
+  // Exchange on the corpus side (SimilaritySpec asserts it), and a filter
+  // on the bucket columns prunes bucket files before the scan. At test
+  // scale the tiny query side is broadcast anyway; bucketing is what keeps
+  // the join shuffle-free when the probe set itself is too big to
+  // broadcast — the 100 TB probe-service shape. Bucket METADATA lives in
+  // the session catalog (in-memory), so a fresh JVM that finds the marker
+  // re-registers the external bucketed table over the staged files with
+  // one DDL statement — bucket ids are encoded in the file names, so
+  // registration restores full co-location without rewriting anything.
 
   private[operators] val annBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val BandBuckets = 16
 
+  // "ann2": the v2 layout (bucketed bands). The bumped prefix makes a
+  // stale v1 staging (plain parquet, non-bucket file names) invisible —
+  // registering bucket metadata over non-bucketed files would fail reads.
   def annStageDir(sfDir: String): String =
-    "/tmp/graft_stage/ann_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/ann2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private[operators] def annBandsTable(sfDir: String): String =
+    ("graft_ann_bands_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
 
   /** The SRP band keys of the full corpus — the LSH half of the index;
     * inline form, used by the stager (and by the spec as the staged
@@ -141,22 +158,51 @@ object Similarity {
     val centroidsPath = dir + "/centroids"
     val bandsPath = dir + "/bands"
     val marker = java.nio.file.Paths.get(dir, "_STAGED")
+    val bandsTable = annBandsTable(d)
     if (!java.nio.file.Files.exists(marker)) synchronized {
       if (!java.nio.file.Files.exists(marker)) {
         annBuildCount.incrementAndGet()
         centroidArrays(s, d).write.mode("overwrite").parquet(centroidsPath)
-        corpusBandsInline(s, d).write.mode("overwrite").parquet(bandsPath)
+        // bucketed external table: DROP forgets metadata only (external
+        // location), so clear any half-built files by hand first
+        s.sql(s"DROP TABLE IF EXISTS $bandsTable")
+        deleteRecursively(new java.io.File(bandsPath))
+        corpusBandsInline(s, d).write
+          .bucketBy(BandBuckets, "band", "bkey").sortBy("band", "bkey")
+          .option("path", bandsPath)
+          .saveAsTable(bandsTable)
         java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+    }
+    // marker present but table unknown = a fresh JVM over a prior JVM's
+    // staging: restore the bucket metadata over the existing files
+    if (!s.catalog.tableExists(bandsTable)) synchronized {
+      if (!s.catalog.tableExists(bandsTable)) {
+        s.sql(
+          s"""CREATE TABLE $bandsTable (vec_id BIGINT, band INT, bkey INT)
+             |USING PARQUET
+             |CLUSTERED BY (band, bkey) SORTED BY (band, bkey) INTO $BandBuckets BUCKETS
+             |LOCATION '$bandsPath'""".stripMargin)
       }
     }
     (centroidsPath, bandsPath)
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   private[operators] def stagedCentroids(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensureAnnStaged(s, d)._1)
 
-  private[operators] def stagedCorpusBands(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ensureAnnStaged(s, d)._2)
+  /** The bands half of the index as the catalog's BUCKETED table — reads
+    * carry the (band, bkey) co-location that a bare parquet-path read
+    * would discard. */
+  private[operators] def stagedCorpusBands(s: SparkSession, d: String): DataFrame = {
+    ensureAnnStaged(s, d)
+    s.table(annBandsTable(d))
+  }
 
   /** IVF ANN: probe the NProbe nearest centroids per query, exact re-rank
     * within probed labels only. Approximate by construction; recall vs the

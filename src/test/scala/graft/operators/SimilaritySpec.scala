@@ -126,6 +126,55 @@ class SimilaritySpec extends AnyFunSuite {
       s"corpus side hashes band keys at probe time:\n$lshPlan")
   }
 
+  test("staged bands table is bucketed: (band,bkey) join plans with zero corpus-side shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions.col
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    // the probe-service shape with a non-broadcastable probe side: a
+    // sort-merge join on the bucket key — both sides read pre-bucketed,
+    // so neither pays an Exchange
+    val bands = Similarity.stagedCorpusBands(s, sf)
+    val probe = bands.as("a").hint("merge")
+      .join(bands.as("b"), Seq("band", "bkey"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+    probe.collect() // force planning + AQE finalization on a real run
+    val all = flatten(probe.queryExecution.executedPlan)
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected SortMergeJoin in:\n${probe.queryExecution.executedPlan}")
+    val shuffles = flatten(smjs.head).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"bucketed bands join must not shuffle either side:\n${smjs.head}")
+  }
+
+  test("fresh-JVM path: lost catalog metadata re-registers bucketed bands without a rebuild") {
+    import org.apache.spark.sql.functions.col
+    Similarity.ensureAnnStaged(s, sf)
+    val builds = Similarity.annBuildCount.get()
+    // simulate a new JVM: the in-memory catalog forgets the table but the
+    // external files + marker survive
+    s.sql(s"DROP TABLE IF EXISTS ${Similarity.annBandsTable(sf)}")
+    val again = Similarity.stagedCorpusBands(s, sf)
+    assert(again.count() > 0)
+    assert(Similarity.annBuildCount.get() == builds,
+      "re-registration must restore metadata, not rebuild the index")
+    // restored table carries the bucket spec, not just the rows
+    val bucketSpec = s.sql(s"DESCRIBE TABLE EXTENDED ${Similarity.annBandsTable(sf)}")
+      .filter(col("col_name").isin("Num Buckets", "Bucket Columns"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bucketSpec.get("Num Buckets").exists(_.trim == "16"), s"bucket spec lost: $bucketSpec")
+    assert(bucketSpec.get("Bucket Columns").exists(c => c.contains("band") && c.contains("bkey")))
+  }
+
   test("IVF plan buffers no per-vector collections (no collect_list anywhere)") {
     val optimized = Similarity.annIvf(s, sf).queryExecution.optimizedPlan.toString
     assert(!optimized.contains("collect_list"),
