@@ -40,6 +40,19 @@ object Extraction {
   def extractHoldings(s: SparkSession, d: String): DataFrame =
     extractedHoldings(s, d).orderBy(outCols.map(col): _*)
 
+  /** [[extractHoldings]] as a Catalyst `Generator` plan
+    * ([[graft.functions.ExtractHoldingsGen]]): the kernel runs inside a
+    * `GenerateExec` over the document column instead of a `flatMap` over a
+    * typed Dataset — no encoder boundary, column pruning flows through.
+    * Same oracle as the flatMap form: identical output is the gate. */
+  def extractHoldingsGen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    FilingDocs.docs(s, d).toDF("doc_id", "doc")
+      .select(graft.functions.ExtractHoldingsGen(col("doc")))
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
   /** X1 — scalar per-document extraction: one reporting date per filing;
     * date-less filings are dropped (ref :80-82). */
   def reportingDates(s: SparkSession, d: String): DataFrame = {
@@ -117,6 +130,7 @@ object Extraction {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_extract_holdings" -> (extractHoldings _),
+    "x_extract_holdings_gen" -> (extractHoldingsGen _),
     "x_reporting_date" -> (reportingDates _),
     "x_doc_source" -> (docSourceHoldings _),
     "x_filing_index" -> (filingIndex _),
@@ -125,6 +139,7 @@ object Extraction {
 
   val oracle: Map[String, String] = Map(
     "x_extract_holdings" -> holdingsOracle,
+    "x_extract_holdings_gen" -> holdingsOracle,
     "x_doc_source" -> holdingsOracle,
     "x_csv_roundtrip" -> holdingsOracle,
     "x_reporting_date" ->

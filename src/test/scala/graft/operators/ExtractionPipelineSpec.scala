@@ -37,6 +37,27 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("Generator form plans a Generate node and matches the flatMap form row-for-row") {
+    val gen = Extraction.extractHoldingsGen(s, sf)
+    // it really is the explode-family plan, not a deserialized flatMap
+    val optimized = gen.queryExecution.optimizedPlan
+    assert(optimized.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.nonEmpty, s"expected a Generate node in:\n$optimized")
+    // the corpus RENDERER is typed (its one encoder boundary is shared by
+    // both forms); the EXTRACTION stage itself must stay relational — the
+    // flatMap form runs it as a typed MapPartitions in object-land
+    assert(optimized.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+    }.isEmpty, s"Generator form must not run extraction as a typed flatMap:\n$optimized")
+    assert(Extraction.extractHoldings(s, sf).queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+    }.nonEmpty, "flatMap form changed shape — comparison no longer meaningful")
+    val a = Extraction.extractHoldings(s, sf).collect().toSeq
+    val b = gen.collect().toSeq
+    assert(a == b)
+  }
+
   test("end-to-end: staged docs → extract → partitioned CSV sink (ref main flow)") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
