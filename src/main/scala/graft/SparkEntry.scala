@@ -37,6 +37,7 @@ object SparkEntry {
       (operators.Extraction.queries, operators.Extraction.oracle),
       (operators.Events.queries, operators.Events.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+      (operators.CorpusClean.queries, operators.CorpusClean.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (multimodal.Media.queries, multimodal.Media.oracle),

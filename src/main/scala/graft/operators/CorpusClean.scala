@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators — the C4/RefinedWeb-style passes a training
+  * pipeline runs between raw ingest and packing: boilerplate-line removal,
+  * PII redaction, and data-mixture sampling. All deterministic (content
+  * hashes, never rand()) so every query is DuckDB-oracle-checked, and all
+  * built from codegen'd built-ins — no UDFs.
+  *
+  * Scale shapes:
+  *   - lineDedup: one shuffle to count lines (map-side combine), the heavy
+  *     set BROADCASTS back (boilerplate lines are heavy-hitters — small by
+  *     construction; swap for a bloom probe à la decontaminateBloom if a
+  *     pathological corpus outgrows it), reassembly groups per doc
+  *     (bounded by document length, never by corpus).
+  *   - piiRedact: a pure narrow map over the scan — regex redaction never
+  *     shuffles anything at any scale.
+  *   - mixtureSample: per-source rates come from a tiny counts aggregate
+  *     (broadcast back); acceptance is a narrow deterministic filter, so
+  *     the corpus is scanned once and never shuffled.
+  */
+object CorpusClean {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def words: Column = split(col("text"), " ")
+
+  // ---- Boilerplate-line removal (C4's "discard any line shared across
+  // documents" pass). The synthetic corpus has no newlines, so a "line"
+  // is a fixed 8-word segment — the segmentation is a parameter, the
+  // operator (explode → heavy-line count → drop → ordered reassembly)
+  // is the real thing. ----
+  private val LineW = 8
+  private val BoilerplateMinDocs = 3
+
+  /** (doc_id, line_idx, line) — every doc segmented into LineW-word lines. */
+  private def lines(s: SparkSession, d: String): DataFrame = {
+    val nLines = floor((size(words) + lit(LineW - 1)).cast("double") / lit(LineW.toDouble))
+      .cast("int")
+    val lineArr = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(words, i * LineW + 1, lit(LineW)), " "))
+    docs(s, d)
+      // byte-small, compute-dense: the fingerprint/withSig repartition trap
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(lineArr).as(Seq("line_idx", "line")))
+  }
+
+  /** Exposed for the spec's pruning assertion. */
+  private[operators] def heavyLines(s: SparkSession, d: String): DataFrame =
+    lines(s, d).groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerplateMinDocs)
+      .select(col("line"))
+
+  /** Drop every line that appears in ≥ BoilerplateMinDocs distinct docs,
+    * reassemble the survivors in order. Docs reduced to nothing stay as
+    * explicit empty-text rows (a filter would silently shrink the corpus —
+    * downstream joins want the tombstone). */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val ls = lines(s, d)
+    val kept = ls.join(broadcast(heavyLines(s, d)), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        // per-doc ordered reassembly: collect is bounded by DOC length
+        // (same bound as the docs themselves), never by corpus size
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          x => x.getField("line")), " ").as("clean_text"))
+    val totals = ls.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_lines"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0))).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  // ---- PII redaction. The corpus is synthetic word-soup with no PII, so
+  // the query derives a POISONED corpus first (the v_poisoned_lsh
+  // pattern): deterministic emails/IPv4s/phones injected by doc_id, then
+  // redacted by the operator under test — proving the redaction contract
+  // end-to-end under the hash gate. Patterns are written in the
+  // Java-regex ∩ RE2 dialect so Spark and DuckDB compile them
+  // identically. ----
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val PhoneRe = "\\+1-555-\\d{4}"
+
+  /** text with deterministic PII appended: doc_id%3==0 → email+IP,
+    * %3==1 → phone, %3==2 → left clean. */
+  private def poisonedText: Column = {
+    val id = col("doc_id")
+    val email = concat(lit("user"), id.cast("string"), lit("@example.com"))
+    val ip = concat(
+      (id % 223).cast("string"), lit("."), ((id * 7) % 256).cast("string"), lit("."),
+      ((id * 13) % 256).cast("string"), lit("."), ((id * 29) % 251).cast("string"))
+    val phone = concat(lit("+1-555-"), lpad((id % 10000).cast("string"), 4, "0"))
+    when(id % 3 === 0, concat(col("text"), lit(" contact "), email, lit(" host "), ip))
+      .when(id % 3 === 1, concat(col("text"), lit(" tel "), phone))
+      .otherwise(col("text"))
+  }
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, phones → `<PHONE>`
+    * (fixed application order — email first, so an address's dotted host
+    * can't half-match the IP pattern later) and count each kind. A pure
+    * narrow map: at 100 TB this is exactly one pass over the scan. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val t = poisonedText
+    docs(s, d)
+      .select(col("doc_id"),
+        regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(t, lit(IpRe)).cast("int").as("n_ips"),
+        regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            IpRe, "<IP>"),
+          PhoneRe, "<PHONE>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Data-mixture sampling: hit target per-source proportions with
+  // rates DERIVED FROM CORPUS STATS (stratifiedSample's rates are
+  // constants; a mixture is specified as output shares and must divide by
+  // observed source sizes). ----
+  private val SampleHalf = 2 // sample size = corpus / SampleHalf
+  private val RateScale = 1000000L
+
+  /** Target output share per source: src0-3 10% each, src4-9 6% each,
+    * src10-19 2.4% each (sums to 1). As a Column over `source`. */
+  private def mixtureWeight: Column = {
+    val idx = substring(col("source"), 4, 8).cast("int")
+    when(idx < 4, 0.10).when(idx < 10, 0.06).otherwise(0.024)
+  }
+
+  /** Deterministic mixture sample: accept doc iff its content-hash
+    * uniform (md5 first-32-bits mod 1e6) falls under the source's rate
+    * `min(1, S·w/n_s)·1e6`, where S is the target sample size and n_s the
+    * source's count. Rates come from one tiny aggregate joined back as a
+    * broadcast; acceptance is a narrow filter — reproducible under any
+    * partitioning, and a source whose share exceeds its size saturates at
+    * keep-everything (rate cap). Every arithmetic step is a single IEEE
+    * op over exact integers, so DuckDB computes identical thresholds. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = docs(s, d).agg(floor(count(lit(1)) / SampleHalf).cast("long").as("target"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("source"),
+        floor(least(
+          col("target").cast("double") * mixtureWeight / col("n_s").cast("double"),
+          lit(1.0)) * lit(RateScale.toDouble)).cast("long").as("thr"))
+    val u = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % RateScale
+    docs(s, d)
+      .select(col("doc_id"), col("source"), u.as("u"))
+      .join(broadcast(rates), "source")
+      .filter(col("u") < col("thr"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_line_dedup" -> (lineDedup _),
+    "t_pii_redact" -> (piiRedact _),
+    "t_mixture_sample" -> (mixtureSample _),
+  )
+
+  private val sqlWords = "string_split(text, ' ')"
+
+  private val sqlLines =
+    s"""ws AS (SELECT doc_id, $sqlWords AS w FROM documents),
+       |lines AS (
+       |  SELECT doc_id, CAST(i AS INT) AS line_idx,
+       |         array_to_string(w[CAST(i*$LineW+1 AS INT):CAST(i*$LineW+$LineW AS INT)], ' ') AS line
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(0, CAST(ceil(len(w)/$LineW.0) AS BIGINT))) AS i
+       |        FROM ws))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t_line_dedup" ->
+      s"""WITH $sqlLines,
+         |heavy AS (SELECT line FROM (
+         |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+         |  WHERE nd >= $BoilerplateMinDocs),
+         |kept AS (SELECT doc_id, line_idx, line FROM lines
+         |         WHERE line NOT IN (SELECT line FROM heavy)),
+         |agg AS (SELECT doc_id,
+         |               array_to_string(list(line ORDER BY line_idx), ' ') AS clean_text,
+         |               CAST(COUNT(*) AS INT) AS n_kept
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines FROM lines GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |       coalesce(a.n_kept, 0) AS n_kept,
+         |       t.n_lines - coalesce(a.n_kept, 0) AS n_dropped
+         |FROM tot t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "t_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |                || '@example.com host' || ' ' || CAST(doc_id % 223 AS VARCHAR) || '.'
+         |                || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+         |                || CAST((doc_id * 13) % 256 AS VARCHAR) || '.'
+         |                || CAST((doc_id * 29) % 251 AS VARCHAR)
+         |              WHEN doc_id % 3 = 1 THEN text || ' tel +1-555-'
+         |                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '$IpRe')) AS INT) AS n_ips,
+         |       CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '$EmailRe', '<EMAIL>', 'g'),
+         |         '$IpRe', '<IP>', 'g'),
+         |         '$PhoneRe', '<PHONE>', 'g') AS clean_text
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "t_mixture_sample" ->
+      s"""WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(floor(COUNT(*) / $SampleHalf) AS BIGINT) AS target FROM documents),
+         |r AS (SELECT source,
+         |        CAST(floor(least(
+         |          CAST(target AS DOUBLE) *
+         |            (CASE WHEN CAST(substr(source, 4) AS INT) < 4 THEN 0.10
+         |                  WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.06
+         |                  ELSE 0.024 END) / CAST(n_s AS DOUBLE),
+         |          1.0) * $RateScale.0) AS BIGINT) AS thr
+         |      FROM n CROSS JOIN tot)
+         |SELECT doc_id, source
+         |FROM (SELECT doc_id, source,
+         |        ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % $RateScale AS u
+         |      FROM documents) d
+         |JOIN r USING (source)
+         |WHERE u < thr
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
