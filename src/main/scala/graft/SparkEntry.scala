@@ -45,6 +45,7 @@ object SparkEntry {
       (operators.Bucketing.queries, operators.Bucketing.oracle),
       (operators.Skew.queries, operators.Skew.oracle),
       (operators.Formats.queries, operators.Formats.oracle),
+      (operators.Layout.queries, operators.Layout.oracle),
       (streaming.Streams.queries, streaming.Streams.oracle),
     )
 

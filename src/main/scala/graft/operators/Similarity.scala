@@ -345,6 +345,58 @@ object Similarity {
   private[operators] def lshCandidateCount(s: SparkSession, d: String): Long =
     lshCandidates(s, d).count()
 
+  // ---- Int8-quantized ANN: scalar quantization (per-vector max-abs
+  // scale, 127 levels) shrinks the scored representation 4× — the
+  // standard memory/bandwidth lever when the corpus outgrows RAM — then
+  // exact re-rank of a small candidate pool restores float precision.
+  // Cross-engine exactness holds because every quantized component is an
+  // INTEGER (|q| ≤ 127): integer products and their sequential sums stay
+  // exact in both engines' doubles, so quantized cosines (and therefore
+  // the candidate pool and final ranks) are bit-identical to the DuckDB
+  // oracle. ----
+  private val QCand = 2 * K
+
+  /** (vec_id, qemb): int8-quantized embedding stored as array<float> so
+    * the codegen'd native cosine applies unchanged (ints ≤ 127 are exact
+    * in float). */
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
+    val sc = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    emb(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") / sc * 127).cast("float")).as("qemb"))
+  }
+
+  /** Quantized brute-force top-`QCand` per query (the cheap int8 scan),
+    * then exact float re-rank to top-K. Same two-phase salted window as
+    * [[cosineTopK]] so no reducer ever holds a full corpus partition. */
+  def annQuantized(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val qQueries = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qemb").as("q_qemb"))
+    val scored = q.crossJoin(broadcast(qQueries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("qemb"), col("q_qemb")).as("qcos"))
+    val w1 = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(Salts)))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val cand = scored
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= QCand)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= QCand)
+      .select(col("q_id"), col("vec_id"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb(s, d).select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), "vec_id") // rerank pool ≪ corpus: never shuffle the corpus
+      .join(broadcast(queriesDf(s, d)), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   /** POISONED-corpus band keys: the NaN/Inf/null gate query. Derives a
     * corrupted corpus from `embeddings` deterministically — vec_id%11
     * picks the poison: 0 → the whole vector nulled, 1 → one component
@@ -378,6 +430,7 @@ object Similarity {
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
+    "v_ann_quantized" -> (annQuantized _),
     "v_lsh_candidates" -> (embedLshCandidates _),
     "v_poisoned_lsh" -> (poisonedLshBands _),
   )
@@ -435,6 +488,46 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // rebuilds the identical int8 quantization (per-vector max-abs scale,
+    // floor to 127 levels): quantized components are exact integers, so
+    // the quantized cosines — and hence candidate pool and final ranks —
+    // are bit-identical cross-engine
+    "v_ann_quantized" -> {
+      def dotq(a: String, b: String) =
+        s"""list_reduce(list_transform(range(0, 64),
+           |  i -> $a[i+1] * $b[i+1]), (x,y) -> x+y)""".stripMargin
+      def cosq(a: String, b: String) =
+        s"${dotq(a, b)} / (sqrt(${dotq(a, a)}) * sqrt(${dotq(b, b)}))"
+      s"""WITH sc AS (
+         |  SELECT vec_id,
+         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+         |  FROM embeddings),
+         |qv AS (
+         |  SELECT e.vec_id,
+         |         list_transform(range(0, 64),
+         |           i -> floor(CAST(e.embedding[i+1] AS DOUBLE) / sc.s * 127)) AS qe
+         |  FROM embeddings e JOIN sc USING (vec_id)),
+         |scored AS (
+         |  SELECT qq.vec_id AS q_id, c.vec_id, ${cosq("c.qe", "qq.qe")} AS qcos
+         |  FROM qv c, qv qq WHERE qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY qcos DESC, vec_id ASC) AS r
+         |    FROM scored) WHERE r <= $QCand),
+         |rer AS (
+         |  SELECT cand.q_id, cand.vec_id, ${sqlCos("e.embedding", "q.embedding")} AS cosine
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+         |            JOIN embeddings q ON q.vec_id = cand.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM rer)
+         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
     // rebuilds the identical md5-derived hyperplane constants, sign bits,
     // and band keys, then re-ranks candidates exactly like the engine
     "v_ann_lsh" ->

@@ -61,6 +61,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.2, f"LSH recall collapsed: $mean%.2f")
   }
 
+  test("int8-quantized ANN recall@5 is near-exact (quantization error ≪ ranking gaps)") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = sets(Similarity.cosineTopK(s, sf))
+    val quant = sets(Similarity.annQuantized(s, sf))
+    val recalls = exact.map { case (q, ex) =>
+      quant.get(q).map(iv => (ex & iv).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean quantized recall@5 = $mean%.2f")
+    // int8 + 2k rerank pool should recover nearly everything — a collapse
+    // here means the quantization itself is broken, not just lossy
+    assert(mean >= 0.6, f"quantized recall collapsed: $mean%.2f")
+  }
+
+  test("quantized components are exact int8: every value an integer in [-127, 127]") {
+    import org.apache.spark.sql.functions._
+    val bad = Similarity.quantized(s, sf)
+      .select(explode(col("qemb")).as("q"))
+      .filter(col("q") =!= floor(col("q")) || abs(col("q")) > 127)
+      .count()
+    assert(bad == 0, s"$bad non-int8 quantized components")
+  }
+
   test("LSH candidate set is a small fraction of the query-corpus cross product") {
     import graft.Tables
     val nCorpus = Tables.embeddings(s, sf).count()
