@@ -162,10 +162,39 @@ object CorpusClean {
       .orderBy("doc_id")
   }
 
+  // ---- Poisoned-TEXT gate: the ugly-input contract for the text stack,
+  // the way v_poisoned_lsh proves it for vectors. Real corpora carry
+  // null/empty/whitespace-only/multibyte documents; this derives them
+  // deterministically and pushes them through the token-stats kernel,
+  // hash-checking the null/empty/unicode semantics cross-engine:
+  // length(NULL) is NULL (never 0), split('') is [''] (one empty token,
+  // both engines), and char counts are code points, not bytes. ----
+
+  /** doc_id%7: 0 → null text, 1 → empty, 2 → whitespace-only, 3 → a
+    * multibyte suffix (accents, CJK, an astral-plane emoji), else clean. */
+  def poisonedTextStats(s: SparkSession, d: String): DataFrame = {
+    val mode = pmod(col("doc_id"), lit(7))
+    val pt = when(mode === 0, lit(null).cast("string"))
+      .when(mode === 1, lit(""))
+      .when(mode === 2, lit("   "))
+      .when(mode === 3, concat(col("text"), lit(" café 中文 🚀")))
+      .otherwise(col("text"))
+    val w = split(col("t"), " ")
+    docs(s, d)
+      .select(col("doc_id"), mode.as("poison_mode"), pt.as("t"))
+      .select(col("doc_id"), col("poison_mode"),
+        col("t").isNotNull.cast("int").as("has_text"),
+        length(col("t")).as("n_chars"),
+        size(w).as("n_tokens"),
+        size(array_distinct(w)).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_line_dedup" -> (lineDedup _),
     "t_pii_redact" -> (piiRedact _),
     "t_mixture_sample" -> (mixtureSample _),
+    "t_poisoned_text" -> (poisonedTextStats _),
   )
 
   private val sqlWords = "string_split(text, ' ')"
@@ -217,6 +246,21 @@ object CorpusClean {
          |         '$EmailRe', '<EMAIL>', 'g'),
          |         '$IpRe', '<IP>', 'g'),
          |         '$PhoneRe', '<PHONE>', 'g') AS clean_text
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "t_poisoned_text" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS poison_mode,
+         |         CASE WHEN doc_id % 7 = 0 THEN NULL
+         |              WHEN doc_id % 7 = 1 THEN ''
+         |              WHEN doc_id % 7 = 2 THEN '   '
+         |              WHEN doc_id % 7 = 3 THEN text || ' café 中文 🚀'
+         |              ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id, poison_mode,
+         |       CAST(t IS NOT NULL AS INT) AS has_text,
+         |       CAST(length(t) AS INT) AS n_chars,
+         |       CAST(len(string_split(t, ' ')) AS INT) AS n_tokens,
+         |       CAST(len(list_distinct(string_split(t, ' '))) AS INT) AS n_distinct
          |FROM p ORDER BY doc_id""".stripMargin,
     "t_mixture_sample" ->
       s"""WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),

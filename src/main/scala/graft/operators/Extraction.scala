@@ -101,6 +101,14 @@ object Extraction {
     FilingIndex.filingIndex(s, d)
       .orderBy("cik", "accession_number")
 
+  /** S1 as a DataSource V2 connector: the source explodes the parallel
+    * arrays and evaluates the pushed NPORT-P filter itself
+    * ([[graft.sources.FilingIndexV2]]); same oracle as the arrays_zip
+    * path — identical output is the gate. */
+  def filingIndexV2(s: SparkSession, d: String): DataFrame =
+    FilingIndex.filingIndexV2(s, d)
+      .orderBy("cik", "accession_number")
+
   /** K1+G2 through the correctness gate: extract → union a decoy
     * SUPERSEDED filing per date (lower filing_seq) → CSV sink (LWW +
     * one-file-per-date partitioned write) → CSV source read-back. The
@@ -134,6 +142,7 @@ object Extraction {
     "x_reporting_date" -> (reportingDates _),
     "x_doc_source" -> (docSourceHoldings _),
     "x_filing_index" -> (filingIndex _),
+    "x_filing_index_v2" -> (filingIndexV2 _),
     "x_csv_roundtrip" -> (csvRoundtrip _),
   )
 
@@ -147,7 +156,11 @@ object Extraction {
         |       CAST(DATE '2020-01-31' + CAST(o_custkey % 360 AS INT) AS VARCHAR) AS reporting_date
         |FROM orders WHERE o_custkey % 50 <> 0
         |ORDER BY doc_id""".stripMargin,
-    "x_filing_index" ->
+    "x_filing_index" -> filingIndexOracle,
+    "x_filing_index_v2" -> filingIndexOracle,
+  )
+
+  private lazy val filingIndexOracle: String =
       """WITH idx AS (
         |  SELECT o_custkey AS cik,
         |         printf('%010d-%02d-%06d', o_custkey, o_orderkey % 100, o_orderkey) AS accession_number,
@@ -163,6 +176,5 @@ object Extraction {
         |                 || replace(accession_number, '-', '') || '/' || primary_document
         |       END AS doc_url
         |FROM idx WHERE form_type = 'NPORT-P'
-        |ORDER BY cik, accession_number""".stripMargin,
-  )
+        |ORDER BY cik, accession_number""".stripMargin
 }

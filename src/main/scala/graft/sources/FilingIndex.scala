@@ -96,9 +96,24 @@ object FilingIndex {
         col("z.form_type").as("form_type"),
         col("z.primary_document").as("primary_document"))
       .filter(col("form_type") === "NPORT-P")
-      .withColumn("doc_url",
-        concat(lit("Archives/edgar/data/"), col("cik").cast("string"), lit("/"),
-          translate(col("accession_number"), "-", ""), lit("/"),
-          col("primary_document")))
+      .withColumn("doc_url", docUrl)
+  }
+
+  /** E1 concat + E2 translate (ref :58): null primary_document ⇒ null URL. */
+  private def docUrl =
+    concat(lit("Archives/edgar/data/"), col("cik").cast("string"), lit("/"),
+      translate(col("accession_number"), "-", ""), lit("/"),
+      col("primary_document"))
+
+  /** [[filingIndex]] through the DataSource V2 connector
+    * ([[FilingIndexV2]]): the source itself zips/explodes the parallel
+    * arrays and evaluates the pushed form_type filter — the query keeps
+    * only the URL build. Output (and oracle) identical to the
+    * arrays_zip path. */
+  def filingIndexV2(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    s.read.format(classOf[FilingIndexV2].getName).load(dir)
+      .filter(col("form_type") === "NPORT-P")
+      .withColumn("doc_url", docUrl)
   }
 }

@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 connector's contracts: output equality with the arrays_zip
+  * path, column pruning reaching the reader, and the form_type filter
+  * evaluated inside the source. */
+class FilingIndexV2Spec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def v2(cols: String*) = {
+    val dir = FilingIndex.ensureStaged(s, sf)
+    val df = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+    if (cols.isEmpty) df else df.select(cols.map(col): _*)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FilingIndexV2.IndexScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.collect { case sc: FilingIndexV2.IndexScan => sc }
+      .getOrElse(fail(s"no FilingIndexV2 scan in:\n${df.queryExecution.executedPlan}"))
+
+  test("V2 source rows == arrays_zip+explode rows, null-fill included") {
+    val a = FilingIndex.filingIndex(s, sf)
+      .orderBy("cik", "accession_number").collect().toSeq
+    val b = FilingIndex.filingIndexV2(s, sf)
+      .orderBy("cik", "accession_number").collect().toSeq
+    assert(a == b)
+    // the deliberately-short primaryDocument array null-fills
+    assert(FilingIndex.filingIndexV2(s, sf)
+      .filter(col("primary_document").isNull).count() > 0)
+  }
+
+  test("column pruning reaches the reader: a 2-column select reads a 2-column schema") {
+    val df = v2("cik", "form_type")
+    assert(scanOf(df).readSchema().fieldNames.toSet == Set("cik", "form_type"))
+  }
+
+  test("form_type equality is pushed into the source and not re-checked") {
+    val df = v2().filter(col("form_type") === "NPORT-P")
+    val scan = scanOf(df)
+    assert(scan.formEq.toSeq == Seq("NPORT-P"), s"filter not pushed: ${scan.description()}")
+    // fully handled by the source: no FilterExec re-evaluating form_type
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter (form_type"),
+      s"pushed filter re-checked above the scan:\n$plan")
+    // and the pushed scan returns exactly the NPORT-P subset
+    assert(df.count() == v2().collect().count(_.getString(3) == "NPORT-P"))
+  }
+
+  test("reads parallelize: one input partition per staged file") {
+    val dir = FilingIndex.ensureStaged(s, sf)
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    val parts = scanOf(v2()).planInputPartitions().length
+    assert(parts == files, s"$parts partitions for $files staged files")
+  }
+}
