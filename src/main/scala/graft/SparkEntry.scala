@@ -38,6 +38,7 @@ object SparkEntry {
       (operators.Events.queries, operators.Events.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.CorpusClean.queries, operators.CorpusClean.oracle),
+      (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (multimodal.Media.queries, multimodal.Media.oracle),

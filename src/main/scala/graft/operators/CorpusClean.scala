@@ -35,24 +35,41 @@ object CorpusClean {
   private val LineW = 8
   private val BoilerplateMinDocs = 3
 
-  /** (doc_id, line_idx, line) — every doc segmented into LineW-word lines. */
-  private def lines(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, line_idx, line) — every doc of `df(doc_id, text)` segmented
+    * into LineW-word lines. Parameterized on the input so the e2e pipeline
+    * can run the pass over an already-filtered corpus. */
+  private[operators] def linesOf(df: DataFrame): DataFrame = {
     val nLines = floor((size(words) + lit(LineW - 1)).cast("double") / lit(LineW.toDouble))
       .cast("int")
     val lineArr = transform(sequence(lit(0), nLines - 1),
       i => array_join(slice(words, i * LineW + 1, lit(LineW)), " "))
-    docs(s, d)
+    df
       // byte-small, compute-dense: the fingerprint/withSig repartition trap
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), posexplode(lineArr).as(Seq("line_idx", "line")))
   }
 
-  /** Exposed for the spec's pruning assertion. */
-  private[operators] def heavyLines(s: SparkSession, d: String): DataFrame =
-    lines(s, d).groupBy(col("line"))
+  private def lines(s: SparkSession, d: String): DataFrame = linesOf(docs(s, d))
+
+  private[operators] def heavyLinesOf(df: DataFrame): DataFrame =
+    linesOf(df).groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= BoilerplateMinDocs)
       .select(col("line"))
+
+  /** Exposed for the spec's pruning assertion. */
+  private[operators] def heavyLines(s: SparkSession, d: String): DataFrame =
+    heavyLinesOf(docs(s, d))
+
+  /** The drop+reassemble core over `df(doc_id, text)`: docs whose every
+    * line is boilerplate DROP OUT (the e2e-pipeline contract; the public
+    * [[lineDedup]] query instead keeps them as tombstones). */
+  private[operators] def cleanedOf(df: DataFrame): DataFrame =
+    linesOf(df).join(broadcast(heavyLinesOf(df)), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_idx"), col("line")))),
+        x => x.getField("line")), " ").as("clean_text"))
 
   /** Drop every line that appears in ≥ BoilerplateMinDocs distinct docs,
     * reassemble the survivors in order. Docs reduced to nothing stay as

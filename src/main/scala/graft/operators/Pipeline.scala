@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end training-data pass — the reason the operator
+  * families exist as a library: train-split selection → quality gate →
+  * near-dup removal → benchmark decontamination → boilerplate-line
+  * removal → fixed-window sequence packing, ONE lazy plan from the corpus
+  * scan to the packed spans, every stage reusing the exact operator the
+  * standalone query runs (same thresholds, same hashes), and the whole
+  * composition hash-checked against a DuckDB oracle that recomputes all
+  * six stages.
+  *
+  * Stage order is the contract (it changes the output): membership
+  * filters (split/quality/dup/contamination) apply to ORIGINAL text;
+  * line-cleaning runs over the surviving corpus only (boilerplate counts
+  * are not inflated by docs already rejected); packing runs over CLEANED
+  * text, so chunk geometry reflects what a trainer would actually see.
+  * Docs cleaned down to nothing drop out (no empty sequences).
+  *
+  * Scale shape: the filters are the operators' own shapes (narrow maps +
+  * broadcast anti-joins of small reject sets); `localCheckpoint` pins the
+  * survivor set so the three downstream consumers (line counting, the
+  * anti-join probe, packing) don't re-execute the LSH/gram subplans; the
+  * packing window stays per-shard. No stage adds a new scale risk beyond
+  * its standalone form.
+  */
+object Pipeline {
+
+  def e2ePack(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    val train = Tables.documents(s, d)
+      .filter(bucket < 98)
+      .select(col("doc_id"), col("text"))
+    val qualityOk = TextAnalysis.quality(s, d)
+      .filter(col("quality_score") >= 0.6).select("doc_id")
+    val dups = Dedup.neardupPairs(s, d).select(col("b").as("doc_id")).distinct()
+    val contaminated = TextAnalysis.decontaminate(s, d).select("doc_id")
+    val survivors = train
+      .join(qualityOk, "doc_id")
+      .join(broadcast(dups), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      // three consumers below — without this the LSH/gram subplans would
+      // execute three times (the csvRoundtrip precedent)
+      .localCheckpoint()
+    val cleaned = CorpusClean.cleanedOf(survivors)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    TextAnalysis.packSpansOf(cleaned)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("chunk_first"), col("chunk_last"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_pipeline_e2e" -> (e2ePack _),
+  )
+
+  private val sqlWords = "string_split(text, ' ')"
+  private def hex8(m: String, p: Int): String = graft.QueryDsl.sqlHex8(m, p)
+
+  val oracle: Map[String, String] = Map(
+    // recomputes all six stages: sig/cand (shared sigCte), dup set,
+    // content-hash split buckets, quality score, 5-gram contamination,
+    // line cleaning over survivors, md5-order packing of cleaned text
+    "t_pipeline_e2e" ->
+      (Dedup.sigCte +
+        s""",
+           |dups AS (
+           |  SELECT DISTINCT c.b AS doc_id
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE CAST(list_sum(list_transform(range(0, 16),
+           |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+           |sp AS (SELECT doc_id, ${hex8("md5(text)", 1)} % 100 AS bucket FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |         0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+           |           + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+           |                          / CAST(len($sqlWords) AS DOUBLE))
+           |           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |                          / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) AS quality_score
+           |  FROM documents),
+           |dg AS (SELECT doc_id, ${hex8("md5(text)", 1)} % 100 AS bucket,
+           |         unnest(list_distinct(list_transform(range(0, len($sqlWords)-4),
+           |           i -> md5(array_to_string(($sqlWords)[i+1:i+5],' '))))) AS g5
+           |       FROM documents WHERE len($sqlWords) >= 5),
+           |ev AS (SELECT DISTINCT g5 FROM dg WHERE bucket >= 98),
+           |contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN ev USING (g5) WHERE bucket < 98),
+           |surv AS (
+           |  SELECT d.doc_id, d.text
+           |  FROM documents d JOIN sp USING (doc_id) JOIN q USING (doc_id)
+           |  WHERE sp.bucket < 98 AND q.quality_score >= 0.6
+           |    AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+           |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |sw AS (SELECT doc_id, $sqlWords AS w FROM surv),
+           |slines AS (
+           |  SELECT doc_id, CAST(i AS INT) AS line_idx,
+           |         array_to_string(w[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS line
+           |  FROM (SELECT doc_id, w,
+           |          unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS i
+           |        FROM sw)),
+           |sheavy AS (SELECT line FROM (
+           |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM slines GROUP BY line)
+           |  WHERE nd >= 3),
+           |skept AS (SELECT doc_id, line_idx, line FROM slines
+           |          WHERE line NOT IN (SELECT line FROM sheavy)),
+           |clean AS (SELECT doc_id,
+           |                 array_to_string(list(line ORDER BY line_idx), ' ') AS ct
+           |          FROM skept GROUP BY doc_id),
+           |t AS (SELECT doc_id, md5(ct) AS m,
+           |             ${hex8("md5(ct)", 1)} % ${TextAnalysis.PackShards} AS shard,
+           |             len(string_split(ct, ' ')) AS tok FROM clean),
+           |c AS (SELECT doc_id, shard, CAST(tok AS INT) AS n_tokens,
+           |             CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY m, doc_id
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |      FROM t)
+           |SELECT doc_id, shard, n_tokens,
+           |       CAST(floor((cum - n_tokens) / ${TextAnalysis.PackCtx}.0) AS BIGINT) AS chunk_first,
+           |       CAST(floor((cum - 1) / ${TextAnalysis.PackCtx}.0) AS BIGINT) AS chunk_last
+           |FROM c ORDER BY doc_id""".stripMargin),
+  )
+}

@@ -302,8 +302,8 @@ object TextAnalysis {
     (survivors.count(), train.count())
   }
 
-  private val PackCtx = 512
-  private val PackShards = 32
+  private[operators] val PackCtx = 512
+  private[operators] val PackShards = 32
 
   /** GPT-style sequence packing: concatenate the corpus in a deterministic
     * order and cut fixed `PackCtx`-token context windows, reporting each
@@ -317,12 +317,17 @@ object TextAnalysis {
   /** Per-doc packing spans — the shared core of [[packSequences]] and
     * [[packChunks]]: one shuffle on shard, cumulative token sum inside,
     * each doc's global token interval mapped to chunk indices. */
-  private def packSpans(s: SparkSession, d: String): DataFrame = {
+  private def packSpans(s: SparkSession, d: String): DataFrame =
+    packSpansOf(docs(s, d))
+
+  /** [[packSpans]] over any `df(doc_id, text)` — the e2e pipeline packs
+    * the CLEANED survivor corpus through the same window. */
+  private[operators] def packSpansOf(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = md5(col("text").cast("binary"))
     val w = Window.partitionBy(col("shard")).orderBy(col("m"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, d)
+    df
       .select(col("doc_id"), m.as("m"),
         (conv(substring(m, 1, 8), 16, 10).cast("bigint") % PackShards).as("shard"),
         size(words).as("n_tokens"))
