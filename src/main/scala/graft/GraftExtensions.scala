@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash16}
+import graft.functions.{CosineSimilarity, ExtractHoldingsGen, MinHashSignature, SimHash16}
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "minhash_signature takes (shingles) or (shingles, num_perms, prime)")
         }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("extract_holdings"),
+      new ExpressionInfo(classOf[ExtractHoldingsGen].getName, "extract_holdings"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "extract_holdings takes exactly 1 argument")
+        new ExtractHoldingsGen(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash16"),

@@ -167,6 +167,37 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Explicit GROUPING SETS — the combos ROLLUP/CUBE can't express
+    * (each dimension alone plus the grand total, no pairwise cell). */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq()),
+        col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("c_mktsegment")).cast("int").as("g_seg"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+
+  /** EXACT median + quartiles per group. Cross-engine-exact because
+    * l_quantity is integral: interpolated quantiles are quarter-steps,
+    * exactly representable, so Spark's `a + (b-a)·f` and DuckDB's
+    * `quantile_cont` land on identical doubles. Exact percentile buffers
+    * per-DISTINCT-value counts (50 here) — fine for low-cardinality
+    * measures; high-cardinality at scale uses the sketch path
+    * (`k_approx_quantiles`). */
+  def medianQuartiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        median(col("l_quantity")).as("med_qty"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.75)").as("p75_qty"))
+      .orderBy("l_returnflag")
+
   /** Date kernel: extraction + truncation (engine-portable subset). */
   def dateKernel(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -327,6 +358,8 @@ object Relational {
     "r_distinct"        -> (distinctPairs _),
     "r_rollup"          -> (rollupAgg _),
     "r_cube"            -> (cubeAgg _),
+    "r_grouping_sets"   -> (groupingSetsAgg _),
+    "r_median"          -> (medianQuartiles _),
     "r_date_kernel"     -> (dateKernel _),
     "r_math_kernel"     -> (mathKernel _),
     "r_case_when"       -> (caseWhen _),
@@ -458,6 +491,21 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r_grouping_sets" ->
+      s"""SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+         |       ${sqlDsum("c_acctbal")} AS sum_acctbal,
+         |       CAST(GROUPING(n_name) AS INT) AS g_nation,
+         |       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+         |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "r_median" ->
+      """SELECT l_returnflag,
+        |       median(l_quantity) AS med_qty,
+        |       quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |       quantile_cont(l_quantity, 0.75) AS p75_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "r_date_kernel" ->
       """SELECT o_orderkey,
         |       CAST(year(o_orderdate) AS INT) AS o_year,

@@ -58,6 +58,13 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("extract_holdings is SQL-registered: plain spark.sql users get the generator") {
+    graft.sources.FilingDocs.docs(s, sf).toDF("doc_id", "doc")
+      .createOrReplaceTempView("gen_docs")
+    val n = s.sql("SELECT extract_holdings(doc) FROM gen_docs").count()
+    assert(n == Extraction.extractHoldings(s, sf).count())
+  }
+
   test("end-to-end: staged docs → extract → partitioned CSV sink (ref main flow)") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
