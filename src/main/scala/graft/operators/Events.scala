@@ -214,7 +214,40 @@ object Events {
       .orderBy("anchor_id")
   }
 
+  private val GridFrom = "2024-01-01"
+  private val GridTo = "2024-01-30"
+
+  /** Time-series GAP-FILL + FORWARD-FILL — the resampling primitive
+    * dashboards and feature pipelines need: a dense per-(user, day) grid
+    * over the full range, missing days zero-filled for counts and
+    * carry-forward-filled for the last observed categorical (leading
+    * nulls before a user's first observation stay null — both engines
+    * agree on that contract).
+    *
+    * Scale shape: the grid is GENERATED (users × a literal date array —
+    * a narrow explode, never a shuffle of data to make rows), the
+    * grid⋈daily join is one shuffle on (user_id, day), and the
+    * forward-fill window partitions by user over a bounded day count. */
+  def gapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 20)
+      .withColumn("day", to_date(col("ts")))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), max(col("event_type")).as("day_type"))
+    val grid = ev.select("user_id").distinct()
+      .select(col("user_id"), explode(sequence(
+        lit(GridFrom).cast("date"), lit(GridTo).cast("date"),
+        expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_type"), ignoreNulls = true).over(w).as("ff_type"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_gapfill" -> (gapfill _),
     "e_sessionize" -> (sessionize _),
     "e_session_funnel" -> (sessionFunnel _),
     "e_asof_join" -> (asofJoin _),
@@ -223,6 +256,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_gapfill" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type
+         |            FROM events WHERE user_id < 20),
+         |daily AS (SELECT user_id, day, COUNT(*) AS n_events, MAX(event_type) AS day_type
+         |          FROM ev GROUP BY user_id, day),
+         |days AS (SELECT CAST(unnest(generate_series(DATE '$GridFrom', DATE '$GridTo',
+         |                 INTERVAL 1 DAY)) AS DATE) AS day),
+         |grid AS (SELECT u.user_id, days.day
+         |         FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days)
+         |SELECT g.user_id, g.day,
+         |       COALESCE(d.n_events, 0) AS n_events,
+         |       last_value(d.day_type IGNORE NULLS) OVER (
+         |         PARTITION BY g.user_id ORDER BY g.day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_type
+         |FROM grid g LEFT JOIN daily d USING (user_id, day)
+         |ORDER BY user_id, day""".stripMargin,
     "e_sessionize" ->
       (sessionedCte +
         s"""
