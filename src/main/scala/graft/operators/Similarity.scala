@@ -358,8 +358,16 @@ object Similarity {
 
   /** (vec_id, qemb): int8-quantized embedding stored as array<float> so
     * the codegen'd native cosine applies unchanged (ints ≤ 127 are exact
-    * in float). */
-  private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
+    * in float). Native expression on the hot path — the declarative form
+    * ([[quantizedFold]]) re-evaluates the 64-element max inside every
+    * element lambda after CollapseProject inlines it. */
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"),
+      graft.functions.Int8Quantize(col("embedding")).as("qemb"))
+
+  /** The declarative formulation the native expression replaces — kept as
+    * the executable spec of its semantics (the lshBandKeysFold pattern). */
+  private[operators] def quantizedFold(s: SparkSession, d: String): DataFrame = {
     val sc = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
     emb(s, d).select(col("vec_id"),
       transform(col("embedding"),

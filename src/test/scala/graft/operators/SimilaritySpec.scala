@@ -77,6 +77,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.6, f"quantized recall collapsed: $mean%.2f")
   }
 
+  test("native int8 quantization == declarative HOF fold, bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val native = Similarity.quantized(s, sf).withColumnRenamed("qemb", "nq")
+    val fold = Similarity.quantizedFold(s, sf).withColumnRenamed("qemb", "fq")
+    val both = native.join(fold, "vec_id")
+    assert(both.filter(!(col("nq") <=> col("fq"))).count() == 0)
+  }
+
   test("quantized components are exact int8: every value an integer in [-127, 127]") {
     import org.apache.spark.sql.functions._
     val bad = Similarity.quantized(s, sf)
