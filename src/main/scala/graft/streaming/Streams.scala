@@ -285,10 +285,53 @@ object Streams {
     s.table(sink).orderBy("dedup_key")
   }
 
+  /** `d_dedup_stream_wm` — the ENGINE-NATIVE streaming dedup next to the
+    * custom-state [[dedupStream]] (built-ins before custom state, when
+    * they fit): `dropDuplicatesWithinWatermark` bounds state by an
+    * EVENT-TIME watermark instead of a processing-time timeout. Its
+    * contract guarantees dedup only for duplicates arriving within the
+    * watermark delay of each other, so the replay attaches a synthetic
+    * second-spaced event time that puts the whole stream inside one delay
+    * window — the production shape where duplicates are retries/replays
+    * clustered in time; duplicates farther apart than the delay would
+    * legitimately re-emit (that's the state bound, not a bug). Output =
+    * first occurrence per key (payload is a function of the key), same
+    * oracle as the custom form. */
+  def dedupStreamWmReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val keyed = graft.Tables.events(s, d)
+      .select((col("event_id") % 997).as("k"))
+      .select(col("k"), md5(col("k").cast("string").cast("binary")).as("payload"))
+      .as[(Long, String)]
+      .collect()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = keyed.zipWithIndex.map { case ((k, p), i) =>
+      (k, p, new java.sql.Timestamp(base.getTime + i * 1000L))
+    }
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val sink = "d_dedup_stream_wm_sink"
+    val q = in.toDS().toDF("dedup_key", "payload", "ts")
+      .withWatermark("ts", "6 hours")
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .select(col("dedup_key"), col("payload"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy("dedup_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize_stream" -> (sessionizeStream _),
     "e_window_agg_stream" -> (windowAggStream _),
     "d_dedup_stream" -> (dedupStreamReplay _),
+    "d_dedup_stream_wm" -> (dedupStreamWmReplay _),
     "d_lsh_dedup_stream" -> (lshDedupStreamReplay _),
     "e_stream_join" -> (streamJoinReplay _),
     "e_stream_join_outer" -> (streamJoinOuterReplay _),
@@ -350,6 +393,12 @@ object Streams {
           |FROM documents d
           |ORDER BY doc_id""".stripMargin),
     "d_dedup_stream" ->
+      """SELECT DISTINCT CAST(event_id % 997 AS BIGINT) AS dedup_key,
+        |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload
+        |FROM events
+        |ORDER BY dedup_key""".stripMargin,
+    // native and custom dedup must agree: the same DISTINCT proves both
+    "d_dedup_stream_wm" ->
       """SELECT DISTINCT CAST(event_id % 997 AS BIGINT) AS dedup_key,
         |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload
         |FROM events
