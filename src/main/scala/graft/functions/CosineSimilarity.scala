@@ -94,6 +94,10 @@ object GraftFunctions {
     GraftInterop.column(CosineSimilarity(
       GraftInterop.expression(a), GraftInterop.expression(b)))
 
+  /** Int8 scalar quantization of an `array<float>` column (per-vector
+    * max-abs scale, 127 levels; see [[Int8Quantize]]). */
+  def int8_quantize(v: Column): Column = Int8Quantize(v)
+
   /** Bloom-filter build over a pre-hashed LONG column (pair with
     * `xxhash64`): aggregates to ONE binary value — the serialized filter.
     * Spark's own runtime-filter aggregate

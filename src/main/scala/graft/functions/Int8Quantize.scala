@@ -32,6 +32,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
   *     only ever nulls WHOLE vectors, which UnaryExpression null-handling
   *     covers; null elements are rejected here loudly rather than
   *     silently diverging.
+  *
+  * Deliberate divergence (Int8QuantizeSpec pins it): an ALL-ZERO vector
+  * has scale 0, and under Spark 4's default ANSI mode the declarative
+  * `x / 0.0` raises DIVIDE_BY_ZERO — one degenerate vector killing a
+  * 100 TB job. The native form follows the IEEE 0/0→NaN→floor-to-long
+  * path to a benign all-zero output instead (the NportKernel
+  * divergence-#1 argument: per-row degradation over job death).
   */
 case class Int8Quantize(child: Expression)
     extends UnaryExpression with CodegenFallback {
