@@ -380,6 +380,23 @@ object TextAnalysis {
       .orderBy("shard", "chunk_id", "seg_pos")
   }
 
+  /** The training-artifact WRITE the packing pipeline feeds: packed chunk
+    * rows materialized to parquet PARTITIONED BY shard (each shard
+    * directory is one trainer's input split; a cluster writer points the
+    * same call at shared storage) and read back — the round trip through
+    * real files is the query, so the hash gate proves the write lost,
+    * duplicated, and reordered nothing. Partition-column type inference
+    * would narrow `shard` to INT on read-back; the cast restores the
+    * written schema. */
+  def packWrite(s: SparkSession, d: String): DataFrame = {
+    val outDir = graft.TempPaths.scratch(s, "pack_write")
+    packChunks(s, d).write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    s.read.parquet(outDir)
+      .select(col("shard").cast("bigint").as("shard"), col("chunk_id"), col("seg_pos"),
+        col("doc_id"), col("seg_start"), col("seg_len"), col("chunk_tokens"))
+      .orderBy("shard", "chunk_id", "seg_pos")
+  }
+
   /** Heavy hitters: the k most frequent words per language — aggregation
     * feeding the custom bounded-heap top-k operator, so the per-group
     * selection is O(groups×k) memory with no per-group sort even when one
@@ -404,6 +421,7 @@ object TextAnalysis {
     "t_decontaminate_bloom" -> (decontaminateBloom _),
     "t_pack_sequences" -> (packSequences _),
     "t_pack_chunks" -> (packChunks _),
+    "t_pack_write" -> (packWrite _),
     "t_heavy_hitters" -> (heavyHitters _),
     "t_split_assign" -> (splitAssign _),
     "t_stratified_sample" -> (stratifiedSample _),
@@ -417,6 +435,33 @@ object TextAnalysis {
   )
 
   private val sqlWords = "string_split(text, ' ')"
+
+  private lazy val packChunksOracle: String =
+    s"""WITH t AS (SELECT doc_id, md5(text) AS m,
+       |                  ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % $PackShards AS shard,
+       |                  len($sqlWords) AS tok FROM documents),
+       |c AS (SELECT doc_id, shard, CAST(tok AS BIGINT) AS n_tokens,
+       |             CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY m, doc_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM t),
+       |spans AS (SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
+       |                 CAST(floor((cum - n_tokens) / $PackCtx.0) AS BIGINT) AS cf,
+       |                 CAST(floor((cum - 1) / $PackCtx.0) AS BIGINT) AS cl
+       |          FROM c),
+       |segs AS (SELECT shard, unnest(range(cf, cl + 1)) AS chunk_id,
+       |                doc_id, start_off, n_tokens
+       |         FROM spans),
+       |cut AS (SELECT shard, chunk_id, doc_id,
+       |               greatest(chunk_id * $PackCtx - start_off, 0) AS seg_start,
+       |               least((chunk_id + 1) * $PackCtx - start_off, n_tokens)
+       |                 - greatest(chunk_id * $PackCtx - start_off, 0) AS seg_len,
+       |               start_off + greatest(chunk_id * $PackCtx - start_off, 0) AS gstart
+       |        FROM segs)
+       |SELECT shard, chunk_id,
+       |       CAST(row_number() OVER (PARTITION BY shard, chunk_id ORDER BY gstart) AS INT) AS seg_pos,
+       |       doc_id, seg_start, seg_len,
+       |       CAST(SUM(seg_len) OVER (PARTITION BY shard, chunk_id) AS BIGINT) AS chunk_tokens
+       |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t_rep_signals" ->
@@ -471,32 +516,9 @@ object TextAnalysis {
          |       CAST(floor((cum - 1) / $PackCtx.0) AS BIGINT) AS chunk_last,
          |       CAST(floor((cum - 1) / $PackCtx.0) > floor((cum - n_tokens) / $PackCtx.0) AS INT) AS straddles
          |FROM c ORDER BY doc_id""".stripMargin,
-    "t_pack_chunks" ->
-      s"""WITH t AS (SELECT doc_id, md5(text) AS m,
-         |                  ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % $PackShards AS shard,
-         |                  len($sqlWords) AS tok FROM documents),
-         |c AS (SELECT doc_id, shard, CAST(tok AS BIGINT) AS n_tokens,
-         |             CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY m, doc_id
-         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         |      FROM t),
-         |spans AS (SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
-         |                 CAST(floor((cum - n_tokens) / $PackCtx.0) AS BIGINT) AS cf,
-         |                 CAST(floor((cum - 1) / $PackCtx.0) AS BIGINT) AS cl
-         |          FROM c),
-         |segs AS (SELECT shard, unnest(range(cf, cl + 1)) AS chunk_id,
-         |                doc_id, start_off, n_tokens
-         |         FROM spans),
-         |cut AS (SELECT shard, chunk_id, doc_id,
-         |               greatest(chunk_id * $PackCtx - start_off, 0) AS seg_start,
-         |               least((chunk_id + 1) * $PackCtx - start_off, n_tokens)
-         |                 - greatest(chunk_id * $PackCtx - start_off, 0) AS seg_len,
-         |               start_off + greatest(chunk_id * $PackCtx - start_off, 0) AS gstart
-         |        FROM segs)
-         |SELECT shard, chunk_id,
-         |       CAST(row_number() OVER (PARTITION BY shard, chunk_id ORDER BY gstart) AS INT) AS seg_pos,
-         |       doc_id, seg_start, seg_len,
-         |       CAST(SUM(seg_len) OVER (PARTITION BY shard, chunk_id) AS BIGINT) AS chunk_tokens
-         |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin,
+    "t_pack_chunks" -> packChunksOracle,
+    // the parquet round trip must change nothing — same oracle
+    "t_pack_write" -> packChunksOracle,
     "t_heavy_hitters" ->
       """WITH c AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
