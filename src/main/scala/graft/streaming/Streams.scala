@@ -327,9 +327,51 @@ object Streams {
     s.table(sink).orderBy("dedup_key")
   }
 
+  private val enrichRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `e_stream_enrich` — the two STATELESS streaming shapes the stateful
+    * five don't cover: a STREAM-STATIC enrichment join (the batch dim is
+    * broadcast into every micro-batch — no state store, the standard
+    * lookup-enrichment at any scale) and a DURABLE FILE SINK (parquet +
+    * checkpoint commit log, Spark's exactly-once append contract) instead
+    * of the memory sink. The query reads its own sink back through real
+    * files, so the hash gate proves the commit log lost and duplicated
+    * nothing across micro-batches. Sink+checkpoint dirs are fresh per
+    * invocation — a reused checkpoint would resume the PREVIOUS replay's
+    * offsets (bench runs every query twice). */
+  def streamStaticEnrichReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dim = graft.Tables.events(s, d).select(col("user_id")).distinct()
+      .select(col("user_id"), (col("user_id") % 5).as("tier"),
+        md5(col("user_id").cast("string").cast("binary")).as("segment"))
+    val rows = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val base = graft.TempPaths.scratch(s, "stream_enrich") + "/run" + enrichRuns.incrementAndGet()
+    val in = MemoryStream[(Long, Long, String)]
+    val q = in.toDS().toDF("event_id", "user_id", "event_type")
+      .join(broadcast(dim), "user_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("tier"), col("segment"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(s"$base/out").orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize_stream" -> (sessionizeStream _),
     "e_window_agg_stream" -> (windowAggStream _),
+    "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "d_dedup_stream" -> (dedupStreamReplay _),
     "d_dedup_stream_wm" -> (dedupStreamWmReplay _),
     "d_lsh_dedup_stream" -> (lshDedupStreamReplay _),
@@ -397,6 +439,12 @@ object Streams {
         |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload
         |FROM events
         |ORDER BY dedup_key""".stripMargin,
+    "e_stream_enrich" ->
+      """SELECT event_id, user_id, event_type,
+        |       CAST(user_id % 5 AS BIGINT) AS tier,
+        |       md5(CAST(user_id AS VARCHAR)) AS segment
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     // native and custom dedup must agree: the same DISTINCT proves both
     "d_dedup_stream_wm" ->
       """SELECT DISTINCT CAST(event_id % 997 AS BIGINT) AS dedup_key,
