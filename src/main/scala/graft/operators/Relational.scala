@@ -198,6 +198,25 @@ object Relational {
         expr("percentile(l_quantity, 0.75)").as("p75_qty"))
       .orderBy("l_returnflag")
 
+  /** UNPIVOT (melt): wide per-group measures → long (group, measure,
+    * value) rows — the inverse of [[pivotAgg]]'s shape and the form
+    * feature stores and plotting layers consume. The wide input is an
+    * aggregation here, so the unpivot itself is a narrow 1-row→3-rows
+    * expansion after the shuffle. */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy("l_returnflag", "measure")
+
   /** Date kernel: extraction + truncation (engine-portable subset). */
   def dateKernel(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -360,6 +379,7 @@ object Relational {
     "r_cube"            -> (cubeAgg _),
     "r_grouping_sets"   -> (groupingSetsAgg _),
     "r_median"          -> (medianQuartiles _),
+    "r_unpivot"         -> (unpivotMeasures _),
     "r_date_kernel"     -> (dateKernel _),
     "r_math_kernel"     -> (mathKernel _),
     "r_case_when"       -> (caseWhen _),
@@ -499,6 +519,16 @@ object Relational {
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
          |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "r_unpivot" ->
+      s"""WITH w AS (
+         |  SELECT l_returnflag,
+         |         ${sqlDsum("l_quantity")} AS sum_qty,
+         |         ${sqlDsum("l_extendedprice")} AS sum_price,
+         |         ${sqlDsum("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, value
+         |FROM (UNPIVOT w ON sum_qty, sum_price, sum_disc INTO NAME measure VALUE value)
+         |ORDER BY l_returnflag, measure""".stripMargin,
     "r_median" ->
       """SELECT l_returnflag,
         |       median(l_quantity) AS med_qty,
