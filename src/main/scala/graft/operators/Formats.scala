@@ -43,8 +43,30 @@ object Formats {
       .orderBy("l_returnflag")
   }
 
+  /** Parquet SCHEMA EVOLUTION — the drift every multi-year 100 TB table
+    * accumulates: batch 1 writes (key, old_metric), batch 2 adds a column
+    * and drops the old one (key, new_metric), and a `mergeSchema` read
+    * reconciles both generations into one frame with nulls where a
+    * generation lacks the column. The oracle rebuilds the union
+    * relationally from the source table, so the merged read must neither
+    * lose a generation nor misalign a column. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "schema_evo")
+    val o = Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+    o.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_metric"))
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    o.filter(col("o_orderkey") % 100 =!= 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("new_metric"))
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .select(col("o_orderkey"), col("old_metric"), col("new_metric"), col("gen"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_format_roundtrip" -> (formatRoundtrip _),
+    "k_schema_evolution" -> (schemaEvolution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -56,5 +78,16 @@ object Formats {
          |FROM lineitem WHERE l_orderkey % 100 = 0
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // the relational truth of the two write generations: the merged read
+    // must reproduce it exactly, nulls where a generation lacks a column
+    "k_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice AS old_metric,
+        |       CAST(NULL AS DOUBLE) AS new_metric, CAST(1 AS INT) AS gen
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE) AS old_metric,
+        |       o_totalprice * 2 AS new_metric, CAST(2 AS INT) AS gen
+        |FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 100 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -103,13 +103,29 @@ object Streams {
         col("w.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** `e_window_agg_stream` — [[windowAgg]] replayed over the events table.
-    * A far-future sentinel batch drives the watermark past every real
-    * window so append mode flushes them all (the sentinel's own window
-    * stays open and is filtered by type). Tumbling windows are pure
-    * integer arithmetic on the timestamp, so the result is fully
-    * SQL-expressible and hash-checked against the batch GROUP BY. */
-  def windowAggStream(s: SparkSession, d: String): DataFrame = {
+  /** SLIDING windows (2 h wide, advancing hourly): every event lands in
+    * TWO open windows, the state shape tumbling windows don't exercise.
+    * Same watermark flush, same exact sums. */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.QueryDsl.dsum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** `e_window_agg_stream` / `e_sliding_agg_stream` — a windowed agg
+    * replayed over the events table. A far-future sentinel batch drives
+    * the watermark past every real window so append mode flushes them all
+    * (the sentinel's own window stays open and is filtered by type).
+    * Window starts are pure integer arithmetic on the timestamp, so the
+    * result is fully SQL-expressible and hash-checked against the batch
+    * GROUP BY. */
+  private def windowedReplay(
+      s: SparkSession, d: String, sink: String, agg: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val batch = graft.Tables.events(s, d)
@@ -118,8 +134,7 @@ object Streams {
       .collect()
     val maxMs = batch.iterator.map(_._2.getTime).max
     val in = MemoryStream[(String, java.sql.Timestamp, Double)]
-    val sink = "e_window_agg_stream_sink"
-    val q = windowAgg(in.toDF().toDF("event_type", "ts", "value"))
+    val q = agg(in.toDF().toDF("event_type", "ts", "value"))
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append).start()
     try {
@@ -134,6 +149,12 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("ws_us", "event_type")
   }
+
+  def windowAggStream(s: SparkSession, d: String): DataFrame =
+    windowedReplay(s, d, "e_window_agg_stream_sink", windowAgg)
+
+  def slidingAggStream(s: SparkSession, d: String): DataFrame =
+    windowedReplay(s, d, "e_sliding_agg_stream_sink", slidingWindowAgg)
 
   /** Stream-stream interval join (click attribution): each purchase joins
     * the same user's clicks from the preceding hour. Both sides are
@@ -371,6 +392,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize_stream" -> (sessionizeStream _),
     "e_window_agg_stream" -> (windowAggStream _),
+    "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "d_dedup_stream" -> (dedupStreamReplay _),
     "d_dedup_stream_wm" -> (dedupStreamWmReplay _),
@@ -439,6 +461,15 @@ object Streams {
         |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload
         |FROM events
         |ORDER BY dedup_key""".stripMargin,
+    // each event contributes to the two sliding windows covering it
+    "e_sliding_agg_stream" ->
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, value FROM events),
+         |x AS (SELECT event_type, us - us % 3600000000 - o.off AS ws_us, value
+         |      FROM e CROSS JOIN (SELECT unnest([0, 3600000000]) AS off) o)
+         |SELECT ws_us, event_type,
+         |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
+         |FROM x GROUP BY 1, 2
+         |ORDER BY ws_us, event_type""".stripMargin,
     "e_stream_enrich" ->
       """SELECT event_id, user_id, event_type,
         |       CAST(user_id % 5 AS BIGINT) AS tier,
