@@ -120,6 +120,26 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Triangle enumeration over the near-dup graph — the graph-analytics
+    * primitive dedup QA runs (a triangle = three mutually-confirmed
+    * near-dups; triangle density distinguishes tight perturbation balls
+    * from chain artifacts). Edges arrive id-oriented (a < b) so each
+    * triangle (x < y < z) is produced exactly once by joining on the
+    * middle vertex and closing with the third edge — two equi-joins,
+    * never an all-pairs step. The near-dup graph's degree is bounded by
+    * LSH bucket size, so id-orientation suffices; on a power-law graph
+    * the same joins run DEGREE-oriented (low→high) to bound the
+    * middle-vertex fan-out. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val e = neardupPairs(s, d).select(col("a"), col("b"))
+    e.as("xy")
+      .join(e.as("yz"), col("xy.b") === col("yz.a"))
+      .join(e.as("xz"),
+        col("xy.a") === col("xz.a") && col("yz.b") === col("xz.b"))
+      .select(col("xy.a").as("x"), col("xy.b").as("y"), col("yz.b").as("z"))
+      .orderBy("x", "y", "z")
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * LSH-confirmed near-dup graph via iterative min-label propagation —
     * the standard large-graph CC pattern. Each round is one distributed
@@ -355,6 +375,7 @@ object Dedup {
     "d_exact_dedup" -> (exactDedup _),
     "d_minhash_sig" -> (minhashSignatures _),
     "d_neardup_pairs" -> (neardupPairs _),
+    "d_triangles" -> (triangles _),
     "d_dup_clusters" -> (dupClusters _),
     "d_dup_clusters_star" -> (dupClustersStar _),
     "d_cluster_canonical" -> (clusterCanonical _),
@@ -464,6 +485,18 @@ object Dedup {
           |WHERE CAST(list_sum(list_transform(range(0, 16),
           |        i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5
           |ORDER BY a, b""".stripMargin),
+    "d_triangles" ->
+      (sigCte +
+        """,
+          |nd AS (
+          |  SELECT c.a, c.b
+          |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          |  WHERE CAST(list_sum(list_transform(range(0, 16),
+          |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5)
+          |SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |FROM nd e1 JOIN nd e2 ON e2.a = e1.b
+          |           JOIN nd e3 ON e3.a = e1.a AND e3.b = e2.b
+          |ORDER BY x, y, z""".stripMargin),
     // transitive closure by recursive CTE — independent of the iterative
     // algorithm the engine runs, so the SAME oracle proves both the
     // label-propagation and the two-phase large/small-star resolution

@@ -217,6 +217,25 @@ object Relational {
         valueColumnName = "value")
       .orderBy("l_returnflag", "measure")
 
+  /** SCD type-2 interval build — the warehouse temporal-dimension
+    * transform: a key's change events become validity intervals
+    * (`valid_from` = the event date, `valid_to` = the NEXT event's date,
+    * open-ended + `is_current` for the latest). One shuffle on the key,
+    * one lead() over the shared sort — the same single-sort shape as the
+    * session windows. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("valid_from"), col("o_totalprice"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
   /** Date kernel: extraction + truncation (engine-portable subset). */
   def dateKernel(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -380,6 +399,7 @@ object Relational {
     "r_grouping_sets"   -> (groupingSetsAgg _),
     "r_median"          -> (medianQuartiles _),
     "r_unpivot"         -> (unpivotMeasures _),
+    "r_scd2"            -> (scd2Intervals _),
     "r_date_kernel"     -> (dateKernel _),
     "r_math_kernel"     -> (mathKernel _),
     "r_case_when"       -> (caseWhen _),
@@ -529,6 +549,14 @@ object Relational {
          |SELECT l_returnflag, measure, value
          |FROM (UNPIVOT w ON sum_qty, sum_price, sum_disc INTO NAME measure VALUE value)
          |ORDER BY l_returnflag, measure""".stripMargin,
+    "r_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from, o_totalprice,
+        |       lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |       CAST(lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) IS NULL AS INT) AS is_current
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
     "r_median" ->
       """SELECT l_returnflag,
         |       median(l_quantity) AS med_qty,
