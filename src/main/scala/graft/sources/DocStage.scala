@@ -26,8 +26,13 @@ object DocStage {
     * use. One file per filing: `doc_<id>.html`. */
   def ensureStaged(s: SparkSession, sfDir: String): String = {
     val dir = stageDir(sfDir)
-    val marker = Paths.get(dir, "_STAGED")
-    if (!Files.exists(marker)) {
+    // fingerprinted marker + atomic publish + cross-process lock
+    // (graft.Staging): the corpus derives from orders.parquet, so a
+    // regenerated fixture re-renders the docs; the per-file writes don't
+    // clear stale output themselves, so the build starts from an empty dir
+    graft.Staging.ensure(dir, Seq(s"$sfDir/orders.parquet")) {
+      Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+        .foreach(f => { f.delete(): Unit })
       Files.createDirectories(Paths.get(dir))
       val ds: Dataset[(Long, String)] = FilingDocs.docs(s, sfDir)
       ds.foreachPartition { it: Iterator[(Long, String)] =>
@@ -37,8 +42,7 @@ object DocStage {
             doc.getBytes(StandardCharsets.UTF_8))
         }
       }
-      Files.write(marker, Array.emptyByteArray)
-    }
+    }: Unit
     dir
   }
 }

@@ -55,12 +55,14 @@ object FilingIndex {
   def stageDir(sfDir: String): String =
     "/tmp/graft_stage/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Stage the fixture once per sf dir (Spark text writer, JSON Lines). */
+  /** Stage the fixture once per sf dir (Spark text writer, JSON Lines).
+    * Fingerprinted marker + atomic publish + cross-process lock
+    * (graft.Staging): regenerating orders.parquet restages the index. */
   def ensureStaged(s: SparkSession, sfDir: String): String = {
     val dir = stageDir(sfDir)
-    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+    graft.Staging.ensure(dir, Seq(s"$sfDir/orders.parquet")) {
       indexJson(s, sfDir).write.mode("overwrite").text(dir)
-    }
+    }: Unit
     dir
   }
 

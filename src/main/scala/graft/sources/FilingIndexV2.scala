@@ -105,30 +105,43 @@ object FilingIndexV2 {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      IndexReaderFactory(required.fieldNames, formEq)
+      // Snapshot the session's Hadoop configuration DRIVER-SIDE and ship it
+      // with the factory: the reader must see the same filesystem settings
+      // (S3A credentials, defaultFS, …) that planInputPartitions listed
+      // with, or the connector only works against the local FS.
+      IndexReaderFactory(required.fieldNames, formEq,
+        new org.apache.spark.util.SerializableConfiguration(
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
   }
 
   private[sources] case class IndexPartition(file: String) extends InputPartition
 
-  private[sources] case class IndexReaderFactory(cols: Array[String], formEq: Array[String])
+  private[sources] case class IndexReaderFactory(
+      cols: Array[String], formEq: Array[String],
+      conf: org.apache.spark.util.SerializableConfiguration)
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-      new IndexReader(partition.asInstanceOf[IndexPartition].file, cols, formEq)
+      new IndexReader(partition.asInstanceOf[IndexPartition].file, cols, formEq, conf.value)
   }
 
   /** Streams one staged file line-by-line; each fund document expands to
     * its zipped filing rows (max array length, null-fill — the arrays_zip
     * contract), filtered by any pushed form_type equality BEFORE a row is
-    * built, projecting only the required columns. */
-  private[sources] class IndexReader(file: String, cols: Array[String], formEq: Array[String])
+    * built, projecting only the required columns. The stream opens lazily
+    * on the first `next()` call — task construction stays cheap and a
+    * partition that is planned but never read opens no file handle. */
+  private[sources] class IndexReader(
+      file: String, cols: Array[String], formEq: Array[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
       extends PartitionReader[InternalRow] {
     private val mapper = new ObjectMapper
-    private val fs = {
+    private var opened = false
+    private lazy val in = {
       val p = new Path(file)
-      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      opened = true
+      new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getFileSystem(hadoopConf).open(p), "UTF-8"))
     }
-    private val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
     private var rows: Iterator[InternalRow] = Iterator.empty
     private var current: InternalRow = _
 
@@ -169,6 +182,6 @@ object FilingIndexV2 {
     }
 
     override def get(): InternalRow = current
-    override def close(): Unit = in.close()
+    override def close(): Unit = if (opened) in.close()
   }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The staleness/race contract of the shared staging helper: the marker
+  * records a SOURCE FINGERPRINT (not mere existence), so regenerating the
+  * fixture rebuilds; publication is atomic; concurrent ensures build once. */
+class StagingSpec extends AnyFunSuite {
+
+  private def freshDirs(): (String, String) = {
+    val base = Files.createTempDirectory("graft_staging_spec").toString
+    (base + "/src", base + "/staged")
+  }
+
+  private def writeSrc(src: String, name: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(src, name), content.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  test("builds once while the source fingerprint is unchanged") {
+    val (src, dir) = freshDirs()
+    writeSrc(src, "a.parquet", "v1")
+    var builds = 0
+    def ensure(): Boolean = Staging.ensure(dir, Seq(src)) { builds += 1 }
+    assert(ensure());  assert(!ensure());  assert(!ensure())
+    assert(builds == 1)
+  }
+
+  test("rebuilds when the source content changes, then settles again") {
+    val (src, dir) = freshDirs()
+    writeSrc(src, "a.parquet", "v1")
+    var builds = 0
+    def ensure(): Boolean = Staging.ensure(dir, Seq(src)) { builds += 1 }
+    assert(ensure())
+    // regenerate the fixture: same path, different size ⇒ new fingerprint
+    writeSrc(src, "a.parquet", "v2 with more bytes")
+    assert(ensure(), "changed source must trigger a rebuild")
+    assert(!ensure())
+    assert(builds == 2)
+    // a NEW file under the source root also changes the fingerprint
+    writeSrc(src, "b.parquet", "part2")
+    assert(ensure())
+    assert(builds == 3)
+  }
+
+  test("a failed build leaves no marker, so the next ensure retries") {
+    val (src, dir) = freshDirs()
+    writeSrc(src, "a.parquet", "v1")
+    intercept[RuntimeException] {
+      Staging.ensure(dir, Seq(src)) { throw new RuntimeException("boom") }
+    }
+    assert(!Files.exists(Paths.get(dir, "_STAGED")),
+      "marker must not be published for a failed build")
+    var ran = false
+    assert(Staging.ensure(dir, Seq(src)) { ran = true })
+    assert(ran)
+  }
+
+  test("marker is published atomically with the fingerprint as content") {
+    val (src, dir) = freshDirs()
+    writeSrc(src, "a.parquet", "v1")
+    Staging.ensure(dir, Seq(src)) {}
+    val marker = Paths.get(dir, "_STAGED")
+    val content = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim
+    assert(content == Staging.fingerprint(Seq(src)))
+    assert(!Files.exists(Paths.get(dir, "_STAGED.tmp")), "tmp sibling must be renamed away")
+  }
+
+  test("concurrent ensures over the same dir build exactly once") {
+    val (src, dir) = freshDirs()
+    writeSrc(src, "a.parquet", "v1")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = Staging.ensure(dir, Seq(src)) {
+            Thread.sleep(20)
+            builds.incrementAndGet(): Unit
+          }
+        })
+      }
+      assert(futures.count(_.get()) == 1)
+      assert(builds.get() == 1)
+    } finally pool.shutdown()
+  }
+
+  test("a missing source root still fingerprints (and changes on creation)") {
+    val (src, dir) = freshDirs()
+    val before = Staging.fingerprint(Seq(src))
+    writeSrc(src, "a.parquet", "now exists")
+    assert(Staging.fingerprint(Seq(src)) != before)
+  }
+}
