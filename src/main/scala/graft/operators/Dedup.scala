@@ -282,14 +282,12 @@ object Dedup {
   def ensureClustersStaged(s: SparkSession, d: String): String = {
     val dir = clusterStageDir(d)
     val path = dir + "/clusters"
-    val marker = java.nio.file.Paths.get(dir, "_STAGED")
-    if (!java.nio.file.Files.exists(marker)) synchronized {
-      if (!java.nio.file.Files.exists(marker)) {
-        clusterBuildCount.incrementAndGet()
-        dupClusters(s, d).write.mode("overwrite").parquet(path)
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
-      }
-    }
+    // fingerprinted marker + atomic publish + cross-process lock
+    // (graft.Staging): a regenerated documents fixture rebuilds the table
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      clusterBuildCount.incrementAndGet()
+      dupClusters(s, d).write.mode("overwrite").parquet(path)
+    }: Unit
     path
   }
 
@@ -371,11 +369,99 @@ object Dedup {
       .orderBy("label", "a", "b")
   }
 
+  /** SemDeDup (the embedding-space twin of LSH near-dup): assign every
+    * vector to its nearest CLUSTER CENTROID, then flag as duplicate any
+    * vector whose cosine to a lower-id member of the SAME cluster meets
+    * the threshold. The cluster assignment is the scale mechanism — the
+    * pairwise cosine step runs only WITHIN clusters, so the all-pairs
+    * O(n²) the method exists to avoid never appears; cluster count is the
+    * recall/cost dial (here the staged IVF coarse quantizer's k; a 100 TB
+    * corpus raises k so n/k stays bounded). Centroids come from the
+    * STAGED index (build-once/consume-many, [[Similarity.ensureAnnStaged]])
+    * — this query never re-aggregates the corpus.
+    *
+    * Determinism: centroids are exact-rational doubles, assignment cosines
+    * are sequential folds (identical in DuckDB), ties break to the lowest
+    * centroid label; the within-cluster cosine is the codegen'd native
+    * float path with the same sequential-fold contract. Output: every
+    * vector with its cluster and dup flag. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val cents = Similarity.stagedCentroids(s, d) // (c_label, centroid)
+    // byte-small, compute-dense: repartition for task parallelism (the
+    // embedNeardup trick), broadcast the k centroids
+    val scored = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c_label"),
+        Similarity.cosine(col("embedding"), col("centroid")).as("c_cos"))
+    // nearest centroid via the bounded-heap per-key top-1: no per-vector sort
+    val assigned = graft.plans.TopK.perKey(scored,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("c_cos").desc, col("c_label").asc),
+        k = 1)
+      .select(col("vec_id"), col("embedding"), col("c_label").as("cluster_id"))
+    val x = assigned.select(col("cluster_id").as("cl"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val y = assigned.select(col("cluster_id").as("cl2"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    val dups = x.join(y, col("cl") === col("cl2") && col("a") < col("b"))
+      .filter(graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb")) >= SemTau)
+      .select(col("b").as("dup_id")).distinct()
+    assigned
+      .join(dups, col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("dup_id").isNotNull.cast("int").as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  private val SemTau = 0.4
+
+  /** Integer-mass PageRank over the verified near-dup graph — the
+    * importance signal dedup QA ranks clusters by (which documents sit at
+    * the center of a duplication neighborhood). Three fixed iterations of
+    * mass propagation with damping 85/100 done ENTIRELY in integer
+    * arithmetic — `(mass × 85) div (100 × degree)` per edge, longs
+    * everywhere — so the trajectory is bit-identical cross-engine (libm-
+    * free, the engine's standard float discipline; flooring leaks mass,
+    * which is fine for a RANKING signal and is the price of exactness).
+    *
+    * Scale shape: per iteration one equi-join of the edge list against
+    * current masses plus a map-side-combining sum — the textbook
+    * distributed PageRank step, never any all-pairs or driver-side state.
+    * The edge list and degrees are invariant across iterations, so they
+    * materialize ONCE (localCheckpoint — at 1000 executors this is the
+    * cached edge RDD every Pregel-style system pins); only the mass table
+    * recomputes per round. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val nd = neardupPairs(s, d).select(col("a"), col("b"))
+    val edges = nd.union(nd.select(col("b"), col("a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val nodes = docs(s, d).select(col("doc_id"))
+    var mass = nodes.select(col("doc_id"), lit(1000000L).as("mass"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(mass.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("(mass * 85L) div (100L * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_mass"))
+      mass = nodes
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("mass"))
+    }
+    mass.orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (exactDedup _),
     "d_minhash_sig" -> (minhashSignatures _),
     "d_neardup_pairs" -> (neardupPairs _),
     "d_triangles" -> (triangles _),
+    "d_semdedup" -> (semDedup _),
+    "d_pagerank" -> (pageRank _),
     "d_dup_clusters" -> (dupClusters _),
     "d_dup_clusters_star" -> (dupClustersStar _),
     "d_cluster_canonical" -> (clusterCanonical _),
@@ -460,7 +546,57 @@ object Dedup {
         |       CAST(nm AS BIGINT) AS n_members
         |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** One PageRank iteration as DuckDB CTEs: contributions (integer floor
+    * division, the engine's exact arithmetic) then left-join back onto the
+    * full node set. */
+  private def prIterCte(i: Int): String =
+    s"""c$i AS (SELECT e.dst AS doc_id, SUM((m.mass * 85) // (100 * g.deg)) AS in_mass
+       |       FROM edges e JOIN m${i - 1} m ON m.doc_id = e.src JOIN deg g ON g.src = e.src
+       |       GROUP BY e.dst),
+       |m$i AS (SELECT d.doc_id, CAST(150000 + COALESCE(c$i.in_mass, 0) AS BIGINT) AS mass
+       |       FROM documents d LEFT JOIN c$i USING (doc_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d_semdedup" ->
+      s"""WITH expl AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos,
+         |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |           / (COUNT(*) * 1000000.0) AS c
+         |  FROM expl GROUP BY label, pos),
+         |carr AS (SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+         |         FROM cent GROUP BY label),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, carr.c_label,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${Similarity.sqlCos("e.embedding", "carr.centroid")} DESC,
+         |                    carr.c_label ASC) AS ar
+         |  FROM embeddings e, carr),
+         |a1 AS (SELECT vec_id, embedding, c_label AS cluster_id FROM asg WHERE ar = 1),
+         |dups AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM a1 x JOIN a1 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+         |  WHERE ${Similarity.sqlCos("x.embedding", "y.embedding")} >= 0.4)
+         |SELECT vec_id, cluster_id,
+         |       CAST(vec_id IN (SELECT vec_id FROM dups) AS INT) AS is_dup
+         |FROM a1 ORDER BY vec_id""".stripMargin,
+    "d_pagerank" ->
+      (sigCte +
+        s""",
+           |nd AS (
+           |  SELECT c.a, c.b
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE CAST(list_sum(list_transform(range(0, 16),
+           |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+           |edges AS (SELECT a AS src, b AS dst FROM nd UNION ALL SELECT b, a FROM nd),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+           |m0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS mass FROM documents),
+           |${prIterCte(1)},
+           |${prIterCte(2)},
+           |${prIterCte(3)}
+           |SELECT doc_id, mass FROM m3 ORDER BY doc_id""".stripMargin),
     "d_exact_dedup" ->
       """WITH n AS (SELECT doc_id, md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS norm_md5
         |           FROM documents)

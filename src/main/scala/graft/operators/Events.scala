@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  private val SessionGapUs: Long = 1800L * 1000000L // 30 min
+  private[graft] val SessionGapUs: Long = 1800L * 1000000L // 30 min
 
   /** The session-boundary derivation every session query builds on: each
     * event with its integer-microsecond `us` and per-user `session_id`

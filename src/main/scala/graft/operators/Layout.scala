@@ -33,18 +33,17 @@ object Layout {
     * size-bounded files per day. */
   def ensureLayout(s: SparkSession, d: String): String = {
     val dir = layoutDir(d)
-    val marker = java.nio.file.Paths.get(dir, "_STAGED")
-    if (!java.nio.file.Files.exists(marker)) synchronized {
-      if (!java.nio.file.Files.exists(marker)) {
-        buildCount.incrementAndGet()
-        Tables.events(s, d)
-          .withColumn("event_date", to_date(col("ts")))
-          .repartition(col("event_date"))
-          .sortWithinPartitions(col("ts"), col("event_id"))
-          .write.partitionBy("event_date").mode("overwrite").parquet(dir)
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
-      }
+    // fingerprinted marker + atomic publish + cross-process lock
+    // (graft.Staging): a regenerated events fixture rebuilds the layout
+    // instead of silently serving stale staged data
+    val built = graft.Staging.ensure(dir, Seq(s"$d/events.parquet")) {
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.partitionBy("event_date").mode("overwrite").parquet(dir)
     }
+    if (built) buildCount.incrementAndGet()
     dir
   }
 
@@ -64,8 +63,75 @@ object Layout {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("event_date", "event_type")
 
+  // ---- Z-ORDER layout: multi-dimensional pruning, the lever date
+  // partitioning can't provide. A query filtering BOTH user_id and date
+  // gets nothing from a 1-D sort: sorting by user spreads every date
+  // range across all files and vice versa. Interleaving the bits of the
+  // two keys (Morton / Z-value) and RANGE-partitioning + sorting by that
+  // value makes each file cover a small RECTANGLE in (user, date) space,
+  // so parquet min-max statistics are tight on BOTH columns at once and
+  // the pushed 2-D predicate skips most row groups (ZOrderSpec asserts
+  // the scan reads a fraction of the rows the unclustered layout reads).
+  // The Z-value is 16+16 bits of pure codegen'd bitwise arithmetic — no
+  // UDF, no HOF — built once at stage time; queries never touch it. ----
+
+  private[operators] val zBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def zorderDir(sfDir: String): String =
+    "/tmp/graft_stage/zorder_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Morton interleave of two 16-bit values (a in even bits, b in odd):
+    * 32 shift/mask/or terms, all codegen'd integer ops. */
+  private def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Stage events Z-ordered on (user_id, day): range-partition by the
+    * Z-value so each output file owns one Z-range (a (user, date)
+    * rectangle), sort within partitions so row groups subdivide it. */
+  def ensureZOrder(s: SparkSession, d: String): String = {
+    val dir = zorderDir(d)
+    val built = graft.Staging.ensure(dir, Seq(s"$d/events.parquet")) {
+      val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+      Tables.events(s, d)
+        .withColumn("zv",
+          zValue(pmod(col("user_id"), lit(65536L)), day.cast("long").bitwiseAND(lit(65535L))))
+        .repartitionByRange(32, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .drop("zv")
+        .write.mode("overwrite").parquet(dir)
+    }
+    if (built) zBuildCount.incrementAndGet()
+    dir
+  }
+
+  // low absolute ids so the range is non-empty at every sf (the user-id
+  // domain scales with the fixture: 0-14 at sf0.001, 0-1499 at sf0.1)
+  private[operators] val UserFrom = 3L
+  private[operators] val UserTo = 7L
+
+  /** The 2-D dashboard query the Z-order exists for: a user-range AND a
+    * date-range, aggregated. Both predicates push to parquet; on the
+    * Z-ordered layout their conjunction prunes most row groups. The
+    * answer (oracle: original events parquet) is layout-independent. */
+  def zorderPrune(s: SparkSession, d: String): DataFrame =
+    // both predicates are RAW-COLUMN ranges (ts, not to_date(ts)) so they
+    // push down to the parquet reader — a function of a column never does
+    s.read.parquet(ensureZOrder(s, d))
+      .filter(col("user_id").between(UserFrom, UserTo) &&
+        col("ts") >= lit(s"$From 00:00:00").cast("timestamp") &&
+        col("ts") < date_add(lit(To).cast("date"), 1).cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_layout_prune" -> (layoutPrune _),
+    "k_zorder_prune" -> (zorderPrune _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -78,5 +144,13 @@ object Layout {
          |WHERE CAST(ts AS DATE) BETWEEN DATE '$From' AND DATE '$To'
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "k_zorder_prune" ->
+      s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |       ${sqlDsum("value")} AS total_value
+         |FROM events
+         |WHERE user_id BETWEEN $UserFrom AND $UserTo
+         |  AND CAST(ts AS DATE) BETWEEN DATE '$From' AND DATE '$To'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
   )
 }

@@ -38,7 +38,7 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[operators] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** float×float cosine: the codegen'd native expression (bit-identical
@@ -157,23 +157,21 @@ object Similarity {
     val dir = annStageDir(d)
     val centroidsPath = dir + "/centroids"
     val bandsPath = dir + "/bands"
-    val marker = java.nio.file.Paths.get(dir, "_STAGED")
     val bandsTable = annBandsTable(d)
-    if (!java.nio.file.Files.exists(marker)) synchronized {
-      if (!java.nio.file.Files.exists(marker)) {
-        annBuildCount.incrementAndGet()
-        centroidArrays(s, d).write.mode("overwrite").parquet(centroidsPath)
-        // bucketed external table: DROP forgets metadata only (external
-        // location), so clear any half-built files by hand first
-        s.sql(s"DROP TABLE IF EXISTS $bandsTable")
-        deleteRecursively(new java.io.File(bandsPath))
-        corpusBandsInline(s, d).write
-          .bucketBy(BandBuckets, "band", "bkey").sortBy("band", "bkey")
-          .option("path", bandsPath)
-          .saveAsTable(bandsTable)
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
-      }
-    }
+    // fingerprinted marker + atomic publish + cross-process lock
+    // (graft.Staging): a regenerated embeddings fixture rebuilds the index
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      annBuildCount.incrementAndGet()
+      centroidArrays(s, d).write.mode("overwrite").parquet(centroidsPath)
+      // bucketed external table: DROP forgets metadata only (external
+      // location), so clear any half-built files by hand first
+      s.sql(s"DROP TABLE IF EXISTS $bandsTable")
+      deleteRecursively(new java.io.File(bandsPath))
+      corpusBandsInline(s, d).write
+        .bucketBy(BandBuckets, "band", "bkey").sortBy("band", "bkey")
+        .option("path", bandsPath)
+        .saveAsTable(bandsTable)
+    }: Unit
     // marker present but table unknown = a fresh JVM over a prior JVM's
     // staging: restore the bucket metadata over the existing files
     if (!s.catalog.tableExists(bandsTable)) synchronized {
@@ -443,7 +441,7 @@ object Similarity {
     "v_poisoned_lsh" -> (poisonedLshBands _),
   )
 
-  private val sqlCos = {
+  private[operators] val sqlCos = {
     def dotSql(a: String, b: String) =
       s"""list_reduce(list_transform(range(0, 64),
          |  i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
@@ -499,7 +497,13 @@ object Similarity {
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
     // floor to 127 levels): quantized components are exact integers, so
     // the quantized cosines — and hence candidate pool and final ranks —
-    // are bit-identical cross-engine
+    // are bit-identical cross-engine. DEGENERATE scales are reproduced
+    // explicitly rather than assumed absent: the native Int8Quantize maps
+    // a 0/NaN/±Inf scale (all-zero, NaN-component, or Inf-component
+    // vector) through IEEE ratio → floor-to-long to an ALL-ZERO output,
+    // while DuckDB's floor(NaN) stays NaN — so the CASE below pins the
+    // same all-zero result and the gate no longer silently depends on the
+    // fixture containing no degenerate vectors
     "v_ann_quantized" -> {
       def dotq(a: String, b: String) =
         s"""list_reduce(list_transform(range(0, 64),
@@ -512,8 +516,10 @@ object Similarity {
          |  FROM embeddings),
          |qv AS (
          |  SELECT e.vec_id,
-         |         list_transform(range(0, 64),
-         |           i -> floor(CAST(e.embedding[i+1] AS DOUBLE) / sc.s * 127)) AS qe
+         |         CASE WHEN sc.s = 0 OR isnan(sc.s) OR isinf(sc.s)
+         |              THEN list_transform(range(0, 64), i -> CAST(0 AS DOUBLE))
+         |              ELSE list_transform(range(0, 64),
+         |                i -> floor(CAST(e.embedding[i+1] AS DOUBLE) / sc.s * 127)) END AS qe
          |  FROM embeddings e JOIN sc USING (vec_id)),
          |scored AS (
          |  SELECT qq.vec_id AS q_id, c.vec_id, ${cosq("c.qe", "qq.qe")} AS qcos

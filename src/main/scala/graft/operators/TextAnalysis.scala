@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the LLM-pipeline primitives
@@ -415,7 +416,103 @@ object TextAnalysis {
       .orderBy(col("lang"), col("n").desc, col("word"))
   }
 
+  /** Hashed-feature linear quality classifier — the fasttext-style filter
+    * shape every LLM corpus pipeline runs (CCNet/GPT-3-style "looks like
+    * reference text" scoring), with md5-derived weights standing in for
+    * trained ones (no model files in this environment; the DATA PATH is
+    * the operator). Each token hashes to a signed 32-bit weight; the doc's
+    * logit is the SUM over all tokens (bag-of-words with counts) and the
+    * label is its sign. All-integer arithmetic end to end, so the scores
+    * are bit-identical cross-engine.
+    *
+    * Scale shape: explode → groupBy(doc_id) with map-side combine — the
+    * explode never crosses a partition boundary (tokens stay with their
+    * doc), so the shuffle carries one partial sum per doc per partition,
+    * O(docs) not O(tokens). NOT an `aggregate()` array fold: interpreted
+    * higher-order lambdas are this repo's round-2/round-5 perf trap. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val w = (conv(substring(md5(concat(lit("w_"), col("word")).cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") - lit(2147483648L))
+    docs(s, d)
+      .select(col("doc_id"), explode(words).as("word"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("logit"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("logit"), col("n_tokens"),
+        (col("logit") >= 0L).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Frequency-vocabulary induction with a coverage cut — the tokenizer-
+    * prep step (which words does a 90%-coverage vocab need?). Global word
+    * counts, ordered by (count desc, word asc), cumulative coverage, keep
+    * every word whose PRECEDING cumulative count is below 90% of total
+    * tokens — an integer comparison (`(cum - n) × 10 < total × 9`), no
+    * float thresholds to diverge on.
+    *
+    * Scale shape: the corpus-sized work is one map-side-combined count;
+    * the global-order window then runs over the DISTINCT VOCABULARY (|V|,
+    * thousands), not the corpus — a single-partition sort over |V| rows is
+    * the right plan at any corpus size because |V| grows ~log(corpus). */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d)
+      .select(explode(words).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val ordW = Window.orderBy(col("n").desc, col("word").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("n")).over(ordW))
+      .filter((col("cum") - col("n")) * 10 < col("total") * 9)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("word").asc)))
+      .select(col("rank"), col("word"), col("n"), col("cum"))
+      .orderBy("rank")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the train and val
+    * splits on the token-count feature — the drift/skew gate a corpus
+    * pipeline runs between snapshots (did the val split land on the same
+    * length distribution?). D = max |F_train(x) − F_val(x)| over the
+    * feature's support; each ECDF value is one integer-over-integer IEEE
+    * division and the difference of two such doubles is deterministic, so
+    * D hash-matches DuckDB exactly (reported with the location of the
+    * max, ties to the lowest x).
+    *
+    * Scale shape: per-(split, length) counts — map-side combined, O(splits
+    * × support) rows out of the shuffle — then windows over the SUPPORT
+    * (distinct lengths, a bounded domain), never over rows. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val split = splitAssign(s, d).select(col("doc_id"), col("split"))
+    val lens = docs(s, d).select(col("doc_id"), size(words).as("len"))
+      .join(split, "doc_id")
+      .filter(col("split").isInCollection(Seq("train", "val")))
+    val byLen = lens.groupBy(col("len"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val cumW = Window.orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val ecdf = byLen
+      .withColumn("c_train", sum(col("n_train")).over(cumW))
+      .withColumn("c_val", sum(col("n_val")).over(cumW))
+      .withColumn("t_train", sum(col("n_train")).over(tot))
+      .withColumn("t_val", sum(col("n_val")).over(tot))
+      .select(col("len"),
+        abs(col("c_train").cast("double") / col("t_train").cast("double") -
+          col("c_val").cast("double") / col("t_val").cast("double")).as("gap"))
+    graft.plans.TopK.perKey(
+        ecdf.withColumn("g", lit(1)),
+        keys = Seq(col("g")),
+        order = Seq(col("gap").desc, col("len").asc),
+        k = 1)
+      .select(col("gap").as("ks_d"), col("len").as("at_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_quality_classifier" -> (qualityClassifier _),
+    "t_vocab_coverage" -> (vocabCoverage _),
+    "t_ks_drift" -> (ksDrift _),
     "t_rep_signals" -> (repetitionSignals _),
     "t_decontaminate" -> (decontaminate _),
     "t_decontaminate_bloom" -> (decontaminateBloom _),
@@ -464,6 +561,51 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t_quality_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlWords) AS word FROM documents),
+         |w AS (SELECT doc_id,
+         |             ${graft.QueryDsl.sqlHex8("md5('w_' || word)", 1)} - 2147483648 AS w
+         |      FROM tok)
+         |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS logit, COUNT(*) AS n_tokens,
+         |       CAST(CAST(SUM(w) AS BIGINT) >= 0 AS INT) AS keep
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_vocab_coverage" ->
+      s"""WITH tok AS (SELECT unnest($sqlWords) AS word FROM documents),
+         |c AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+         |t AS (SELECT word, n,
+         |             SUM(n) OVER () AS total,
+         |             SUM(n) OVER (ORDER BY n DESC, word ASC ROWS UNBOUNDED PRECEDING) AS cum,
+         |             row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+         |      FROM c)
+         |SELECT CAST(rank AS INT) AS rank, word, n, CAST(cum AS BIGINT) AS cum
+         |FROM t WHERE (cum - n) * 10 < total * 9
+         |ORDER BY rank""".stripMargin,
+    "t_ks_drift" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |                   ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 100 AS bucket
+         |            FROM documents),
+         |s2 AS (SELECT doc_id, CASE WHEN bucket < 98 THEN 'train'
+         |                           WHEN bucket = 98 THEN 'val'
+         |                           ELSE 'test' END AS split FROM sp),
+         |l AS (SELECT d.doc_id, len($sqlWords) AS len, s2.split
+         |      FROM documents d JOIN s2 USING (doc_id)
+         |      WHERE s2.split IN ('train', 'val')),
+         |bl AS (SELECT len,
+         |              SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         |              SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val
+         |       FROM l GROUP BY len),
+         |e AS (SELECT len,
+         |             SUM(n_train) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS c_train,
+         |             SUM(n_val) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS c_val,
+         |             SUM(n_train) OVER () AS t_train,
+         |             SUM(n_val) OVER () AS t_val
+         |      FROM bl),
+         |g AS (SELECT len,
+         |             abs(CAST(c_train AS DOUBLE) / CAST(t_train AS DOUBLE)
+         |                 - CAST(c_val AS DOUBLE) / CAST(t_val AS DOUBLE)) AS gap
+         |      FROM e)
+         |SELECT gap AS ks_d, CAST(len AS INT) AS at_len
+         |FROM g ORDER BY gap DESC, len ASC LIMIT 1""".stripMargin,
     "t_rep_signals" ->
       s"""WITH ws AS (SELECT doc_id, $sqlWords AS w FROM documents),
          |tw AS (SELECT doc_id, MAX(n) AS top_word_n FROM (

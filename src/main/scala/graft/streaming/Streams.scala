@@ -330,10 +330,16 @@ object Streams {
     val rows = keyed.zipWithIndex.map { case ((k, p), i) =>
       (k, p, new java.sql.Timestamp(base.getTime + i * 1000L))
     }
+    // The delay is DERIVED from the replay's row count: at 1s spacing the
+    // stream spans `rows.length` seconds, so a fixed delay would silently
+    // break the all-duplicates-within-one-window precondition (and the
+    // DISTINCT oracle with it) once a larger events fixture pushes the
+    // span past the delay. delay ≥ span + 1h keeps the gate sf-proof.
+    val delayHours = math.max(6L, rows.length.toLong / 3600L + 2L)
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
     val sink = "d_dedup_stream_wm_sink"
     val q = in.toDS().toDF("dedup_key", "payload", "ts")
-      .withWatermark("ts", "6 hours")
+      .withWatermark("ts", s"$delayHours hours")
       .dropDuplicatesWithinWatermark("dedup_key")
       .select(col("dedup_key"), col("payload"))
       .writeStream.format("memory").queryName(sink)
@@ -346,6 +352,153 @@ object Streams {
       q.processAllAvailable()
     } finally q.stop()
     s.table(sink).orderBy("dedup_key")
+  }
+
+  // ---- Streaming session funnel: the batch gap-sessionization funnel
+  // (Events.sessionFunnel) as an explicit flatMapGroupsWithState state
+  // machine — the custom-state shape for session analytics that
+  // session_window can't express (per-session funnel flags need ordered
+  // event inspection, not just an aggregate). State per user is O(1): the
+  // open session's counters only, never buffered events. Sessions emit as
+  // soon as a gap closes them mid-stream; the still-open tail session
+  // emits via EVENT-TIME TIMEOUT when the watermark passes its gap
+  // boundary. A session flushed by timeout leaves a TOMBSTONE (emitted
+  // flag) so session NUMBERING continues seamlessly when the user's next
+  // event arrives — without it a mid-stream timeout would restart
+  // session_id at 1 and diverge from the batch numbering.
+  //
+  // Ordering contract (same as every keyed state machine over event
+  // time): events are processed in (event-time, event_id) order — the
+  // function sorts within each micro-batch, and the replay feeds batches
+  // in global event-time order; at scale the upstream source provides
+  // per-key order (Kafka key-partitioning) or a watermark-sorter stage
+  // does. The one order-sensitive subtlety — a purchase and the session's
+  // FIRST click at the SAME microsecond, where the batch form counts the
+  // purchase as converted because MIN(click us) ≤ purchase us regardless
+  // of event order — is handled by tracking the latest click-less
+  // purchase timestamp (maxEarlyPurchaseUs); FunnelStreamSpec pins the
+  // tie. ----
+
+  final case class FunnelEv(
+    user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class FunnelSt(
+    sessionId: Long, lastUs: Long, nClicks: Long, nPurchases: Long,
+    firstClickUs: Long, maxEarlyPurchaseUs: Long, converted: Boolean, emitted: Boolean)
+  final case class FunnelRow(
+    user_id: Long, session_id: Long, n_clicks: Long, n_purchases: Long, converted: Int)
+
+  private val FunnelGapUs = graft.operators.Events.SessionGapUs
+  private val FunnelGapMs = FunnelGapUs / 1000L
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def funnelAdvance(st: FunnelSt, us: Long, typ: String): FunnelSt = {
+    val base = st.copy(lastUs = us)
+    typ match {
+      case "click" =>
+        base.copy(
+          nClicks = base.nClicks + 1,
+          firstClickUs = if (base.firstClickUs >= 0) base.firstClickUs else us,
+          converted = base.converted ||
+            (base.maxEarlyPurchaseUs >= 0 && us <= base.maxEarlyPurchaseUs))
+      case "purchase" =>
+        // ordered processing ⇒ us >= firstClickUs whenever a click exists
+        if (base.firstClickUs >= 0)
+          base.copy(nPurchases = base.nPurchases + 1, converted = true)
+        else
+          base.copy(nPurchases = base.nPurchases + 1,
+            maxEarlyPurchaseUs = math.max(base.maxEarlyPurchaseUs, us))
+      case _ => base
+    }
+  }
+
+  /** The transform: per-user funnel rows in append mode, one per closed
+    * session — output matches [[graft.operators.Events.sessionFunnel]]
+    * row-for-row once the watermark passes every session (spec-asserted,
+    * and the replay query shares the batch funnel's hash oracle). */
+  def funnelStream(events: Dataset[FunnelEv]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelSt]) =>
+          def emit(st: FunnelSt): FunnelRow =
+            FunnelRow(user, st.sessionId, st.nClicks, st.nPurchases,
+              if (st.converted) 1 else 0)
+          def fresh(id: Long, us: Long): FunnelSt =
+            FunnelSt(id, us, 0L, 0L, -1L, -1L, converted = false, emitted = false)
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.emitted) {
+              // flush the open session; tombstone keeps the numbering
+              state.update(st.copy(emitted = true))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+              Iterator.single(emit(st))
+            } else {
+              state.remove()
+              Iterator.empty
+            }
+          } else {
+            val sorted = evs.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelRow]
+            for (e <- sorted) {
+              val us = tsMicros(e.ts)
+              if (st == null) st = fresh(1L, us)
+              else if (st.emitted) st = fresh(st.sessionId + 1L, us)
+              else if (us - st.lastUs > FunnelGapUs) {
+                out += emit(st)
+                st = fresh(st.sessionId + 1L, us)
+              }
+              st = funnelAdvance(st, us, e.event_type)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastUs / 1000L + FunnelGapMs + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** `e_funnel_stream` — the events table replayed through
+    * [[funnelStream]] in global event-time order (two data batches + one
+    * far-future sentinel to flush every open session via timeout). Shares
+    * the batch funnel's full hash oracle. */
+  def funnelStreamReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .collect()
+      .sortBy(r => (tsMicros(r._3), r._2))
+    val maxMs = rows.iterator.map(_._3.getTime).max
+    val sentinelUser = -1L
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val sink = "e_funnel_stream_sink"
+    val q = funnelStream(
+        in.toDF().toDF("user_id", "event_id", "ts", "event_type").as[FunnelEv])
+      .toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData((sentinelUser, -1L,
+        new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), "noop"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .filter(col("user_id") =!= sentinelUser)
+      .orderBy("user_id", "session_id")
   }
 
   private val enrichRuns = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -391,6 +544,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_sessionize_stream" -> (sessionizeStream _),
+    "e_funnel_stream" -> (funnelStreamReplay _),
     "e_window_agg_stream" -> (windowAggStream _),
     "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
@@ -406,6 +560,9 @@ object Streams {
     * fully SQL-expressible: the streaming operator gets a hash-checked
     * oracle, not just rows>0. */
   val oracle: Map[String, String] = Map(
+    // identical output contract to the batch funnel: once the sentinel
+    // closes every session, streaming ≡ batch row-for-row
+    "e_funnel_stream" -> graft.operators.Events.oracle("e_session_funnel"),
     "e_sessionize_stream" ->
       (graft.operators.Events.sessionedCte +
         s"""

@@ -46,4 +46,46 @@ class LayoutSpec extends AnyFunSuite {
     Layout.ensureLayout(s, sf)
     assert(Layout.buildCount.get() == builds)
   }
+
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val scan = flatten(df.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.isDefined, s"expected a FileSourceScanExec in:\n${df.queryExecution.executedPlan}")
+    assert(scan.get.metadata("PushedFilters") != "[]",
+      s"predicates must reach the parquet reader:\n${scan.get}")
+    scan.get.metrics("numOutputRows").value
+  }
+
+  test("Z-order: the 2-D predicate skips most row groups vs the unclustered layout") {
+    import org.apache.spark.sql.functions._
+    // sf0.01, not the default spec fixture: Morton pruning power grows
+    // with key BIT-DEPTH, and sf0.001's 15-user domain (4 bits) gives the
+    // curve almost nothing to cluster on — a real property of Z-ordering
+    // (it pays off as domains grow), not a tuning artifact of this test
+    val zsf = "/root/testdata/sf0.01"
+    val pred = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("user_id").between(Layout.UserFrom, Layout.UserTo) &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+    val zRead = scanRows(pred(s.read.parquet(Layout.ensureZOrder(s, zsf))))
+    // same predicate over the SAME rows staged with no clustering at all:
+    // a single sort-free file whose row groups span the full key ranges
+    val flatDir = graft.TempPaths.scratch(s, "zorder_flat")
+    graft.Tables.events(s, zsf).coalesce(1).write.mode("overwrite").parquet(flatDir)
+    val flatRead = scanRows(pred(s.read.parquet(flatDir)))
+    assert(zRead > 0, "the 2-D predicate matches no rows — fixture drifted?")
+    assert(zRead * 4 <= flatRead,
+      s"Z-order should skip ≥75% of what the unclustered scan reads: z=$zRead flat=$flatRead")
+    // and the answers agree regardless of layout
+    assert(pred(s.read.parquet(Layout.ensureZOrder(s, zsf))).count() ==
+      pred(s.read.parquet(flatDir)).count())
+  }
+
+  test("zorder staging is build-once (marker): repeat ensure is a no-op") {
+    Layout.ensureZOrder(s, sf)
+    val builds = Layout.zBuildCount.get()
+    Layout.ensureZOrder(s, sf)
+    assert(Layout.zBuildCount.get() == builds)
+  }
 }

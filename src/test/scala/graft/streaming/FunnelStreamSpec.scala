@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming funnel's batch-equivalence contract and its two
+  * order-sensitive edges: the same-microsecond purchase/click tie, and
+  * session numbering across a MID-STREAM watermark timeout. */
+class FunnelStreamSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def tsUs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private type Row4 = (Long, Long, Timestamp, String)
+
+  /** Replays batches through funnelStream and returns the sink rows. */
+  private def run(batches: Seq[Seq[Row4]]): Seq[(Long, Long, Long, Long, Int)] = {
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val in = MemoryStream[Row4]
+    val q = Streams.funnelStream(
+        in.toDF().toDF("user_id", "event_id", "ts", "event_type").as[Streams.FunnelEv])
+      .toDF()
+      .writeStream.format("memory").queryName("funnel_spec_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("funnel_spec_out")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq.sorted
+  }
+
+  private val Day: Long = 86400L * 1000000L
+
+  test("same-microsecond purchase/click tie converts, strictly-earlier purchase does not") {
+    // user 1: purchase and the session's first click at the SAME us — the
+    // batch form counts it converted (purchase us >= MIN(click us));
+    // user 2: purchase strictly before the first click — not converted
+    val base = 10L * Day
+    val rows = Seq[Row4](
+      (1L, 100L, tsUs(base), "purchase"),
+      (1L, 101L, tsUs(base), "click"),
+      (2L, 200L, tsUs(base), "purchase"),
+      (2L, 201L, tsUs(base + 1L), "click"),
+      // sentinel to flush both open sessions
+      (-1L, -1L, tsUs(base + 30L * Day), "noop"))
+    val out = run(Seq(rows)).filter(_._1 >= 0)
+    assert(out == Seq(
+      (1L, 1L, 1L, 1L, 1),
+      (2L, 1L, 1L, 1L, 0)))
+  }
+
+  test("session numbering survives a mid-stream timeout flush") {
+    val base = 10L * Day
+    val gap = graft.operators.Events.SessionGapUs
+    val b1 = Seq[Row4]((5L, 1L, tsUs(base), "click"))
+    // another user far in the future: watermark jumps past user 5's
+    // session-gap boundary, so session 1 flushes via TIMEOUT mid-stream
+    val b2 = Seq[Row4]((6L, 2L, tsUs(base + 5L * Day), "view"))
+    // user 5 returns (in global event-time order): must be session 2
+    val b3 = Seq[Row4]((5L, 3L, tsUs(base + 6L * Day), "purchase"))
+    val b4 = Seq[Row4]((-1L, -1L, tsUs(base + 40L * Day), "noop"))
+    val out = run(Seq(b1, b2, b3, b4)).filter(t => t._1 == 5L)
+    assert(out == Seq(
+      (5L, 1L, 1L, 0L, 0), // flushed by the mid-stream timeout
+      (5L, 2L, 0L, 1L, 0)), // numbering continued past the tombstone
+      s"got $out")
+    assert(base + 5L * Day - 3600L * 1000000L > base + gap,
+      "precondition: b2 must push the watermark past user 5's gap boundary")
+  }
+
+  test("streamed funnel equals the batch funnel row-for-row on real events") {
+    val sf = TestSpark.sf
+    val streamed = Streams.funnelStreamReplay(s, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Events.sessionFunnel(s, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}
