@@ -343,6 +343,32 @@ object Similarity {
   private[operators] def lshCandidateCount(s: SparkSession, d: String): Long =
     lshCandidates(s, d).count()
 
+  // ---- Hard-negative mining: the contrastive-training data op (pick,
+  // per query/anchor, the most-similar items that are NOT near-dups —
+  // informative negatives a random sample would almost never contain).
+  // Pure composition of the staged-index candidate generator with a
+  // similarity CEILING: candidates come from the same LSH buckets as
+  // ANN probes (O(bucket overlap), never a corpus scan), scored exactly,
+  // anything at/above the near-dup cutoff (a positive, not a negative)
+  // excluded, top-3 kept per anchor. ----
+  private val HardNegCut = 0.4 // aligned with the embedding near-dup threshold
+  private val HardNegK = 3
+
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val cand = lshCandidates(s, d)
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb(s, d).select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .filter(col("cosine") < HardNegCut)
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= HardNegK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- Int8-quantized ANN: scalar quantization (per-vector max-abs
   // scale, 127 levels) shrinks the scored representation 4× — the
   // standard memory/bandwidth lever when the corpus outgrows RAM — then
@@ -437,6 +463,7 @@ object Similarity {
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
     "v_ann_quantized" -> (annQuantized _),
+    "v_hard_negatives" -> (hardNegatives _),
     "v_lsh_candidates" -> (embedLshCandidates _),
     "v_poisoned_lsh" -> (poisonedLshBands _),
   )
@@ -450,6 +477,37 @@ object Similarity {
   }
 
   private def hex8(m: String, s: Int): String = graft.QueryDsl.sqlHex8(m, s)
+
+  /** Shared DuckDB prefix rebuilding the SRP-LSH probe pipeline up to the
+    * exact-scored candidate set (`scored`): md5-derived hyperplanes, sign
+    * bits, band keys, bucket-join candidates, exact cosine. Used by both
+    * the ANN top-k and the hard-negative oracles. */
+  private lazy val lshScoredCte: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+       |hpv AS (
+       |  SELECT hs.h, js.j,
+       |         ${hex8("md5('hp' || CAST(hs.h AS VARCHAR) || '_' || CAST(js.j AS VARCHAR))", 1)}
+       |           / 2147483648.0 - 1.0 AS r
+       |  FROM (SELECT unnest(range(0, $LshBits)) AS h) hs,
+       |       (SELECT unnest(range(0, 64)) AS j) js),
+       |hp AS (SELECT h, list(r ORDER BY j) AS r FROM hpv GROUP BY h),
+       |bits AS (
+       |  SELECT e.vec_id, hp.h,
+       |         CASE WHEN list_reduce(list_transform(range(0, 64),
+       |                i -> CAST(e.embedding[i+1] AS DOUBLE) * hp.r[i+1]), (x,y) -> x+y) >= 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, hp WHERE e.embedding IS NOT NULL),
+       |bands AS (
+       |  SELECT vec_id, CAST(h // $BitsPerBand AS INT) AS band,
+       |         CAST(SUM(bit * ([${(0 until BitsPerBand).map(1 << _).mkString(",")}])[(h % $BitsPerBand) + 1]) AS BIGINT) AS bkey
+       |  FROM bits GROUP BY vec_id, h // $BitsPerBand),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+       |  FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+       |  WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "v_cosine_topk" ->
@@ -545,38 +603,27 @@ object Similarity {
     // rebuilds the identical md5-derived hyperplane constants, sign bits,
     // and band keys, then re-ranks candidates exactly like the engine
     "v_ann_lsh" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
-         |hpv AS (
-         |  SELECT hs.h, js.j,
-         |         ${hex8("md5('hp' || CAST(hs.h AS VARCHAR) || '_' || CAST(js.j AS VARCHAR))", 1)}
-         |           / 2147483648.0 - 1.0 AS r
-         |  FROM (SELECT unnest(range(0, $LshBits)) AS h) hs,
-         |       (SELECT unnest(range(0, 64)) AS j) js),
-         |hp AS (SELECT h, list(r ORDER BY j) AS r FROM hpv GROUP BY h),
-         |bits AS (
-         |  SELECT e.vec_id, hp.h,
-         |         CASE WHEN list_reduce(list_transform(range(0, 64),
-         |                i -> CAST(e.embedding[i+1] AS DOUBLE) * hp.r[i+1]), (x,y) -> x+y) >= 0
-         |              THEN 1 ELSE 0 END AS bit
-         |  FROM embeddings e, hp WHERE e.embedding IS NOT NULL),
-         |bands AS (
-         |  SELECT vec_id, CAST(h // $BitsPerBand AS INT) AS band,
-         |         CAST(SUM(bit * ([${(0 until BitsPerBand).map(1 << _).mkString(",")}])[(h % $BitsPerBand) + 1]) AS BIGINT) AS bkey
-         |  FROM bits GROUP BY vec_id, h // $BitsPerBand),
-         |cand AS (
-         |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
-         |  FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bkey = cb.bkey
-         |  WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
-         |scored AS (
-         |  SELECT c.q_id, c.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
-         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cosine,
-         |         CAST(row_number() OVER (PARTITION BY q_id
-         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-         |  FROM scored)
-         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+      (lshScoredCte +
+        """,
+          |ranked AS (
+          |  SELECT q_id, vec_id, cosine,
+          |         CAST(row_number() OVER (PARTITION BY q_id
+          |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+          |  FROM scored)
+          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+          |ORDER BY q_id, rank""".stripMargin),
+    // same candidate/score pipeline, inverted keep-rule: similarity
+    // CEILING (near-dups are positives, not negatives) then top-3
+    "v_hard_negatives" ->
+      (lshScoredCte +
+        s""",
+           |ranked AS (
+           |  SELECT q_id, vec_id, cosine,
+           |         CAST(row_number() OVER (PARTITION BY q_id
+           |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+           |  FROM scored WHERE cosine < $HardNegCut)
+           |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $HardNegK
+           |ORDER BY q_id, rank""".stripMargin),
     // rebuilds the poisoned corpus and band keys in DuckDB: same md5
     // hyperplanes, same sequential fold; NaN/Inf arithmetic is IEEE in
     // both engines and `NaN >= 0` is TRUE in both (NaN sorts above all)

@@ -509,7 +509,38 @@ object TextAnalysis {
       .select(col("gap").as("ks_d"), col("len").as("at_len"))
   }
 
+  /** Source-level (domain-level) corpus filtering — the RefinedWeb/C4
+    * move of scoring whole SOURCES rather than documents: per source, doc
+    * count, mean quality (exact-decimal sum / count), and near-duplicate
+    * rate (docs with a lower-id LSH-verified near-dup), with a keep flag
+    * from fixed thresholds. A blocklisted domain is dropped wholesale no
+    * matter how its individual pages score — that decision needs this
+    * aggregation, not the per-doc one.
+    *
+    * Scale shape: per-doc quality and the near-dup flags are reused
+    * pipelines; the aggregation is one groupBy over O(sources) output
+    * rows with map-side combine. Mean quality goes through `dsum` (exact
+    * decimal) so the division is one IEEE op on identical operands in
+    * both engines. */
+  def sourceFilter(s: SparkSession, d: String): DataFrame = {
+    val q = quality(s, d).select(col("doc_id"), col("quality_score"))
+    val dupDocs = Dedup.stagedNeardupPairs(s, d)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("nd", lit(1L))
+    val perDoc = docs(s, d).select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .join(dupDocs, Seq("doc_id"), "left")
+    val meanQ = graft.QueryDsl.dsum(col("quality_score")) / count(lit(1)).cast("double")
+    val dupRate = sum(coalesce(col("nd"), lit(0L))).cast("double") / count(lit(1)).cast("double")
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), meanQ.as("mean_quality"), dupRate.as("dup_rate"))
+      .select(col("source"), col("n_docs"), col("mean_quality"), col("dup_rate"),
+        (col("mean_quality") >= 0.70 && col("dup_rate") <= 0.08).cast("int").as("keep"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_source_filter" -> (sourceFilter _),
     "t_quality_classifier" -> (qualityClassifier _),
     "t_vocab_coverage" -> (vocabCoverage _),
     "t_ks_drift" -> (ksDrift _),
@@ -561,6 +592,32 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t_source_filter" ->
+      (Dedup.sigCte +
+        s""",
+           |nd AS (
+           |  SELECT c.a, c.b
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE CAST(list_sum(list_transform(range(0, 16),
+           |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+           |dupdocs AS (SELECT DISTINCT b AS doc_id FROM nd),
+           |qs AS (
+           |  SELECT doc_id, source,
+           |         0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+           |           + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+           |                          / CAST(len($sqlWords) AS DOUBLE))
+           |           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |                          / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) AS q,
+           |         CASE WHEN doc_id IN (SELECT doc_id FROM dupdocs) THEN 1 ELSE 0 END AS nd_flag
+           |  FROM documents),
+           |agg AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |         ${graft.QueryDsl.sqlDsum("q")} / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+           |         CAST(SUM(nd_flag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+           |  FROM qs GROUP BY source)
+           |SELECT source, n_docs, mean_quality, dup_rate,
+           |       CAST(mean_quality >= 0.70 AND dup_rate <= 0.08 AS INT) AS keep
+           |FROM agg ORDER BY source""".stripMargin),
     "t_quality_classifier" ->
       s"""WITH tok AS (SELECT doc_id, unnest($sqlWords) AS word FROM documents),
          |w AS (SELECT doc_id,
