@@ -246,7 +246,34 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** Day-over-day volume anomaly gate — the ingest-monitoring query a
+    * pipeline runs before trusting a day's data (did clicks triple
+    * overnight?): per (day, type) counts against a TRAILING 7-day
+    * baseline, flagged when the day exceeds 2× the trailing mean. The
+    * comparison is pure integer cross-multiplication
+    * (`n × trailing_days > 2 × trailing_sum`) — no float mean to diverge
+    * on. Days with under 3 days of history emit nothing (no baseline).
+    *
+    * Scale shape: the corpus-sized work is one map-side-combined count to
+    * O(days × types) rows; the trailing window then runs over that
+    * bounded domain per type. */
+  def rateAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_trail", sum(col("n")).over(trail))
+      .withColumn("d_trail", count(col("n")).over(trail))
+      .filter(col("d_trail") >= 3)
+      .select(col("day"), col("event_type"), col("n"), col("n_trail"), col("d_trail"),
+        ((col("n") * col("d_trail")) > (col("n_trail") * 2)).cast("int").as("is_spike"))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_rate_anomaly" -> (rateAnomaly _),
     "e_gapfill" -> (gapfill _),
     "e_sessionize" -> (sessionize _),
     "e_session_funnel" -> (sessionFunnel _),
@@ -256,6 +283,21 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_rate_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT day, event_type, n,
+        |         SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_trail,
+        |         COUNT(n) OVER (PARTITION BY event_type ORDER BY day
+        |                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS d_trail
+        |  FROM daily)
+        |SELECT day, event_type, n, CAST(n_trail AS BIGINT) AS n_trail, d_trail,
+        |       CAST(n * d_trail > n_trail * 2 AS INT) AS is_spike
+        |FROM t WHERE d_trail >= 3
+        |ORDER BY day, event_type""".stripMargin,
     "e_gapfill" ->
       s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type
          |            FROM events WHERE user_id < 20),

@@ -354,6 +354,33 @@ object Similarity {
   private val HardNegCut = 0.4 // aligned with the embedding near-dup threshold
   private val HardNegK = 3
 
+  // ---- Hybrid retrieval: keyword prefilter × vector rerank — the RAG
+  // retrieval shape (BM25/inverted-index candidates, embedding rerank).
+  // The keyword predicate prunes the corpus BEFORE any vector math — the
+  // filter rides the document scan (pushdown-friendly), and only the
+  // surviving ids join their embeddings for the exact cosine; at scale
+  // the keyword side is the inverted index and the vector side reranks
+  // its postings, never the corpus. doc_id and vec_id share an id space
+  // in the fixture (one embedding per document). ----
+  private val HybridKeyword = "spark"
+
+  def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    val matching = Tables.documents(s, d)
+      .filter(array_contains(split(col("text"), " "), HybridKeyword))
+      .select(col("doc_id").as("vec_id"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb(s, d)
+      .join(matching, "vec_id") // keyword-pruned corpus: rerank postings only
+      .crossJoin(broadcast(queriesDf(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val cand = lshCandidates(s, d)
     val rankW = Window.partitionBy(col("q_id"))
@@ -464,6 +491,7 @@ object Similarity {
     "v_ann_lsh" -> (annLsh _),
     "v_ann_quantized" -> (annQuantized _),
     "v_hard_negatives" -> (hardNegatives _),
+    "v_hybrid_search" -> (hybridSearch _),
     "v_lsh_candidates" -> (embedLshCandidates _),
     "v_poisoned_lsh" -> (poisonedLshBands _),
   )
@@ -612,6 +640,21 @@ object Similarity {
           |  FROM scored)
           |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
           |ORDER BY q_id, rank""".stripMargin),
+    "v_hybrid_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |kw AS (SELECT doc_id FROM documents
+         |       WHERE list_contains(string_split(text, ' '), '$HybridKeyword')),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+         |  FROM embeddings e JOIN kw ON kw.doc_id = e.vec_id, q
+         |  WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     // same candidate/score pipeline, inverted keep-rule: similarity
     // CEILING (near-dups are positives, not negatives) then top-3
     "v_hard_negatives" ->

@@ -539,7 +539,42 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-document bigram NOVELTY against the train split — the
+    * distribution-shift/memorization probe (how much of a val document's
+    * bigram vocabulary never appears in training data?). The per-doc twin
+    * of decontamination: that query flags overlap with a tiny held-out
+    * suite (broadcast/bloom probe); this one scores against the
+    * CORPUS-SIZED train dictionary, where the honest 100 TB shape is a
+    * shuffle equi-join on the bigram — no broadcast exists that holds the
+    * train set. Left-anti join counts each val doc's unseen distinct
+    * bigrams; the ratio is one integer-over-integer division. */
+  def bigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val bigrams =
+      when(size(words) >= 2, array_distinct(transform(
+        sequence(lit(0), size(words) - 2),
+        i => array_join(slice(words, i + lit(1), lit(2)), " "))))
+        .otherwise(array().cast("array<string>"))
+    val withSplit = docs(s, d)
+      .join(splitAssign(s, d).select(col("doc_id"), col("split")), "doc_id")
+      .select(col("doc_id"), col("split"), bigrams.as("bgs"))
+    val trainBigrams = withSplit.filter(col("split") === "train")
+      .select(explode(col("bgs")).as("bg")).distinct()
+    val v = withSplit.filter(col("split") === "val")
+      .select(col("doc_id"), col("bgs"), size(col("bgs")).as("n_bigrams"))
+    val novel = v.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .join(trainBigrams, Seq("bg"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    v.join(novel, Seq("doc_id"), "left")
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_bigrams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bigram_novelty" -> (bigramNovelty _),
     "t_source_filter" -> (sourceFilter _),
     "t_quality_classifier" -> (qualityClassifier _),
     "t_vocab_coverage" -> (vocabCoverage _),
@@ -592,6 +627,30 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t_bigram_novelty" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |                   ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 100 AS bucket
+         |            FROM documents),
+         |s2 AS (SELECT doc_id, CASE WHEN bucket < 98 THEN 'train'
+         |                           WHEN bucket = 98 THEN 'val'
+         |                           ELSE 'test' END AS split FROM sp),
+         |bg AS (
+         |  SELECT d.doc_id, s2.split,
+         |         CASE WHEN len($sqlWords) >= 2
+         |              THEN list_distinct(list_transform(range(0, len($sqlWords) - 1),
+         |                     i -> array_to_string(($sqlWords)[i+1:i+2], ' ')))
+         |              ELSE [] END AS bgs
+         |  FROM documents d JOIN s2 USING (doc_id)),
+         |train AS (SELECT DISTINCT unnest(bgs) AS bgr FROM bg WHERE split = 'train'),
+         |v AS (SELECT doc_id, bgs, len(bgs) AS n_bigrams FROM bg WHERE split = 'val'),
+         |ex AS (SELECT doc_id, unnest(bgs) AS bgr FROM v),
+         |nov AS (SELECT doc_id, COUNT(*) AS n_novel
+         |        FROM ex WHERE bgr NOT IN (SELECT bgr FROM train) GROUP BY doc_id)
+         |SELECT v.doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+         |       COALESCE(n_novel, 0) AS n_novel,
+         |       CAST(COALESCE(n_novel, 0) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS novelty
+         |FROM v LEFT JOIN nov USING (doc_id)
+         |WHERE n_bigrams > 0 ORDER BY v.doc_id""".stripMargin,
     "t_source_filter" ->
       (Dedup.sigCte +
         s""",
