@@ -143,10 +143,36 @@ object Media {
       .orderBy("media_id")
   }
 
+  /** `m_pair_assembly` — vision-language training-PAIR assembly: image
+    * records joined to their caption documents (shared id space), with
+    * the pair-level quality gates a VLM data pipeline applies before
+    * writing a manifest — caption length bounds and an integer
+    * aspect-ratio gate (no float thresholds). The downstream writer
+    * consumes exactly this manifest shape: (media identity + dimensions,
+    * caption identity + stats, keep flag). One broadcast-or-shuffle
+    * equi-join on the id — pair assembly at 100 TB is a join problem, and
+    * this is its minimal honest form. */
+  def pairAssembly(s: SparkSession, d: String): DataFrame = {
+    val media = mediaTable(s, d).toDF()
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("width"), col("height"))
+    val captions = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("lang"),
+        size(split(col("text"), " ")).as("caption_tokens"),
+        md5(col("text").cast("binary")).as("caption_md5"))
+    media.join(captions, "media_id")
+      .select(col("media_id"), col("width"), col("height"), col("lang"),
+        col("caption_tokens"), col("caption_md5"),
+        (col("caption_tokens").between(8, 200) &&
+          (col("width") * 2) >= col("height")).cast("int").as("keep"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_frame_sample" -> (frameSamples _),
     "m_resize_thumb" -> (resizeThumbs _),
+    "m_pair_assembly" -> (pairAssembly _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -176,6 +202,19 @@ object Media {
         |       md5(substr(text, CAST(frame_idx * 16 AS INT) + 1, 16)) AS frame_md5
         |FROM frames WHERE frame_idx % 3 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // image records are doc_id % 3 == 0 (media_type index 1); width and
+    // height rebuild the mediaTable arithmetic over n_chars
+    "m_pair_assembly" ->
+      """SELECT doc_id AS media_id,
+        |       CAST((n_chars % 64) + 16 AS INT) AS width,
+        |       CAST((n_chars % 48) + 16 AS INT) AS height,
+        |       lang,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS caption_tokens,
+        |       md5(text) AS caption_md5,
+        |       CAST(len(string_split(text, ' ')) BETWEEN 8 AND 200
+        |            AND ((n_chars % 64) + 16) * 2 >= (n_chars % 48) + 16 AS INT) AS keep
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
     // out[i] = bytes[(i*n) // 64] for i in 0..63 (nearest-neighbor grid)
     "m_resize_thumb" ->
       """WITH px AS (

@@ -129,9 +129,60 @@ object Layout {
         dsum(col("value")).as("total_value"))
       .orderBy("event_type")
 
+  // ---- Small-file COMPACTION: the table-maintenance pass every long-
+  // lived 100 TB table needs (streaming appends and over-parallel writes
+  // leave thousands of KB-scale files; each costs a task + an open per
+  // scan, and at cluster scale the scheduler drowns before the I/O
+  // does). The staging materializes the problem (a 256-file fragmented
+  // copy) and its fix (rewritten into a handful of size-bounded files
+  // via repartition + maxRecordsPerFile); queries read the compacted
+  // copy, and CompactionSpec asserts the scan opens ~64× fewer files for
+  // the same rows. Compaction must never change ANSWERS — the oracle
+  // reads the original parquet. ----
+
+  private[operators] val compactBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val FragmentFiles = 256
+  private val CompactFiles = 4
+
+  def compactionDir(sfDir: String): String =
+    "/tmp/graft_stage/compact_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Returns (fragmentedPath, compactedPath), building both once. */
+  def ensureCompaction(s: SparkSession, d: String): (String, String) = {
+    val dir = compactionDir(d)
+    val frag = dir + "/fragmented"
+    val comp = dir + "/compacted"
+    val built = graft.Staging.ensure(dir, Seq(s"$d/events.parquet")) {
+      Tables.events(s, d).repartition(FragmentFiles)
+        .write.mode("overwrite").parquet(frag)
+      // the compaction pass itself: read the fragmented table, rewrite
+      // into CompactFiles size-bounded outputs (maxRecordsPerFile caps a
+      // file even if a partition is larger — the size-bounding half of
+      // real compaction; repartition sets the floor)
+      val rows = s.read.parquet(frag).count()
+      s.read.parquet(frag)
+        .repartition(CompactFiles)
+        .write.option("maxRecordsPerFile", (rows / CompactFiles + 1).toString)
+        .mode("overwrite").parquet(comp)
+    }
+    if (built) compactBuildCount.incrementAndGet()
+    (frag, comp)
+  }
+
+  /** The routine aggregate, run against the COMPACTED copy; same answer
+    * as the original table (oracle), far fewer files than the fragmented
+    * one (spec). */
+  def compactionQuery(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureCompaction(s, d)._2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_layout_prune" -> (layoutPrune _),
     "k_zorder_prune" -> (zorderPrune _),
+    "k_compaction" -> (compactionQuery _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +201,12 @@ object Layout {
          |FROM events
          |WHERE user_id BETWEEN $UserFrom AND $UserTo
          |  AND CAST(ts AS DATE) BETWEEN DATE '$From' AND DATE '$To'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+    "k_compaction" ->
+      s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |       ${sqlDsum("value")} AS total_value
+         |FROM events
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
   )

@@ -356,9 +356,10 @@ object Similarity {
 
   // ---- Hybrid retrieval: keyword prefilter × vector rerank — the RAG
   // retrieval shape (BM25/inverted-index candidates, embedding rerank).
-  // The keyword predicate prunes the corpus BEFORE any vector math — the
-  // filter rides the document scan (pushdown-friendly), and only the
-  // surviving ids join their embeddings for the exact cosine; at scale
+  // The keyword predicate prunes the corpus BEFORE any vector math — it
+  // evaluates inside the document scan stage (codegen over the reader;
+  // a tokenized-column layout would push it to the format itself), and
+  // only the surviving ids join their embeddings for the exact cosine; at scale
   // the keyword side is the inverted index and the vector side reranks
   // its postings, never the corpus. doc_id and vec_id share an id space
   // in the fixture (one embedding per document). ----

@@ -88,4 +88,21 @@ class LayoutSpec extends AnyFunSuite {
     Layout.ensureZOrder(s, sf)
     assert(Layout.zBuildCount.get() == builds)
   }
+
+  test("compaction: same rows, ~64x fewer files opened by the scan") {
+    val (frag, comp) = Layout.ensureCompaction(s, sf)
+    def files(dir: String): Int = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(frag) >= 200, s"fragmented copy should have ~256 files, saw ${files(frag)}")
+    assert(files(comp) <= 8, s"compacted copy should have ~4 files, saw ${files(comp)}")
+    // identical content either way
+    assert(s.read.parquet(frag).count() == s.read.parquet(comp).count())
+    // and the routine query's scan opens only the compacted files
+    val df = Layout.compactionQuery(s, sf)
+    df.collect()
+    val scan = flatten(df.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.isDefined)
+    assert(scan.get.metrics("numFiles").value <= 8)
+  }
 }
