@@ -421,6 +421,40 @@ object Dedup {
 
   private val SemTau = 0.4
 
+  // ---- Exact duplicated-SPAN detection: the fixed-n distributed form
+  // of exact-substring training-data dedup (whole-doc dedup misses the
+  // boilerplate paragraph pasted into thousands of otherwise-unique
+  // pages; span-level detection finds it). Every word-8-gram is exploded
+  // WITH its position, grams appearing in ≥2 distinct docs are the
+  // duplicated spans, and each doc reports how much of it is covered by
+  // cross-document duplication — the per-doc signal a filter thresholds
+  // on. Two shuffles, both O(total grams): the per-gram distinct-doc
+  // count (map-side combined) and the flag-join back; never pairwise,
+  // never a suffix array on one machine. ----
+
+  private val SpanN = 8
+
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val gramsCol = transform(
+      sequence(lit(0), size(words) - SpanN),
+      i => array_join(slice(words, i + lit(1), lit(SpanN)), " "))
+    val g = docs(s, d)
+      .filter(size(words) >= SpanN)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(gramsCol).as(Seq("pos", "gram")))
+    val dupGrams = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram")).withColumn("dup", lit(1L))
+    g.join(dupGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   // ---- Near-dup pair staging: build once per corpus, consume many
   // times. The verified pair set (shingle→MinHash→LSH→Jaccard-est) is
   // the input to clustering, PageRank, and source-level dup rates —
@@ -536,6 +570,7 @@ object Dedup {
     "d_semdedup" -> (semDedup _),
     "d_pagerank" -> (pageRank _),
     "d_incremental_dedup" -> (incrementalDedup _),
+    "d_span_dedup" -> (spanDedup _),
     "d_dup_clusters" -> (dupClusters _),
     "d_dup_clusters_star" -> (dupClustersStar _),
     "d_cluster_canonical" -> (clusterCanonical _),
@@ -631,6 +666,20 @@ object Dedup {
        |       FROM documents d LEFT JOIN c$i USING (doc_id))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d_span_dedup" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, pos, array_to_string(w[pos+1:pos+$SpanN], ' ') AS gram
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - ${SpanN - 1})) AS pos
+         |        FROM ws WHERE len(w) >= $SpanN) t),
+         |dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+         |per AS (
+         |  SELECT doc_id, COUNT(*) AS n_spans,
+         |         SUM(CASE WHEN gram IN (SELECT gram FROM dupg) THEN 1 ELSE 0 END) AS n_dup
+         |  FROM g GROUP BY doc_id)
+         |SELECT doc_id, n_spans, CAST(n_dup AS BIGINT) AS n_dup_spans,
+         |       CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac
+         |FROM per ORDER BY doc_id""".stripMargin,
     "d_incremental_dedup" ->
       (sigCte +
         s""",
