@@ -501,6 +501,101 @@ object Streams {
       .orderBy("user_id", "session_id")
   }
 
+  // ---- Per-key rate limiting on Spark 4's transformWithState — the NEW
+  // arbitrary-state API (StatefulProcessor + typed state handles +
+  // TTL/timers), exercised alongside the classic flatMapGroupsWithState
+  // operators so the engine covers both state surfaces. The operator
+  // itself is the ingestion-throttle every event collector runs: admit
+  // at most N events per user per event-time minute, flag the rest.
+  // State per user is ONE (window_start, count) pair — O(keys), no
+  // buffering; production adds a TTL (TTLConfig) to evict idle users,
+  // NONE here so the replay's full history stays checkable.
+  //
+  // Ordering contract: same as the funnel — per-user event-time order
+  // (replay feeds global order, processor sorts within each batch).
+  // transformWithState requires the RocksDB state store; the replay
+  // scopes that provider to THIS query (set before start, restored
+  // after) rather than changing every streaming query's backend. ----
+
+  final case class RlEv(user_id: Long, event_id: Long, us: Long)
+  final case class RlState(windowStart: Long, count: Long)
+  final case class RlOut(user_id: Long, event_id: Long, us: Long, admitted: Int)
+
+  private val RlLimit = 5L
+  private val RlWindowUs = 60L * 1000000L // one event-time minute
+
+  class RateLimitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RlEv, RlOut] {
+    @transient private var bucket: org.apache.spark.sql.streaming.ValueState[RlState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bucket = getHandle.getValueState[RlState]("bucket",
+        org.apache.spark.sql.Encoders.product[RlState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RlEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RlOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      var cur = if (bucket.exists()) bucket.get() else RlState(-1L, 0L)
+      val out = sorted.map { e =>
+        val w = e.us - e.us % RlWindowUs
+        if (w != cur.windowStart) cur = RlState(w, 0L)
+        val admit = cur.count < RlLimit
+        if (admit) cur = cur.copy(count = cur.count + 1)
+        RlOut(e.user_id, e.event_id, e.us, if (admit) 1 else 0)
+      }
+      bucket.update(cur)
+      out.iterator
+    }
+  }
+
+  /** `e_rate_limit_stream` — the events table replayed through the
+    * transformWithState rate limiter in global event-time order; fully
+    * SQL-expressible (a row_number per (user, minute) window), so the
+    * new-API operator gets a complete hash oracle. */
+  def rateLimitStreamReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(r => (r._3, r._2))
+    val in = MemoryStream[(Long, Long, Long)]
+    val sink = "e_rate_limit_stream_sink"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    // provider is captured at STREAM START (not mutable mid-query);
+    // scope RocksDB to this query and restore the session default after
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = in.toDS()
+        .map { case (u, e, us) => RlEv(u, e, us) }
+        .groupByKey(_.user_id)
+        .transformWithState(new RateLimitProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    s.table(sink).orderBy("user_id", "event_id")
+  }
+
   private val upsertRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `e_stream_upsert` — keyed LAST-WRITE-WINS upsert through
@@ -601,6 +696,7 @@ object Streams {
     "e_sessionize_stream" -> (sessionizeStream _),
     "e_funnel_stream" -> (funnelStreamReplay _),
     "e_stream_upsert" -> (streamUpsertReplay _),
+    "e_rate_limit_stream" -> (rateLimitStreamReplay _),
     "e_window_agg_stream" -> (windowAggStream _),
     "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
@@ -619,6 +715,16 @@ object Streams {
     // identical output contract to the batch funnel: once the sentinel
     // closes every session, streaming ≡ batch row-for-row
     "e_funnel_stream" -> graft.operators.Events.oracle("e_session_funnel"),
+    // per (user, event-time minute): first RlLimit events in (us,
+    // event_id) order admit, the rest flag — a windowed row_number
+    "e_rate_limit_stream" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+         |r AS (SELECT user_id, event_id, us,
+         |             row_number() OVER (PARTITION BY user_id, us - us % $RlWindowUs
+         |                                ORDER BY us, event_id) AS rn
+         |      FROM e)
+         |SELECT user_id, event_id, us, CAST(rn <= $RlLimit AS INT) AS admitted
+         |FROM r ORDER BY user_id, event_id""".stripMargin,
     // LWW merge is batch-split-independent: the final generation is the
     // plain per-key argmax over the whole table
     "e_stream_upsert" ->
