@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, ExtractHoldingsGen, MinHashSignature, SimHash16}
+import graft.functions.{CosineSimilarity, ExtractHoldingsGen, Int8Quantize, MinHashSignature, SimHash16, SrpBandKeys}
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
@@ -61,6 +61,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash16 takes exactly 1 argument")
         new SimHash16(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "int8_quantize takes exactly 1 argument")
+        Int8Quantize(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_band_keys"),
+      new ExpressionInfo(classOf[SrpBandKeys].getName, "srp_band_keys"),
+      (children: Seq[Expression]) => {
+        // srp_band_keys(vector, bands): the engine's standard md5-derived
+        // 16×64 hyperplane matrix; `bands` must divide 16
+        require(children.length == 2, "srp_band_keys takes (vector, bands)")
+        val bands = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"srp_band_keys: bands must be an integer literal, got $other")
+        }
+        new SrpBandKeys(children.head, SrpBandKeys.mdHyperplanes(16, 64), bands)
       }))
   }
 }

@@ -89,4 +89,20 @@ object SrpBandKeys {
   def apply(vector: Column, matrix: Array[Array[Double]], bands: Int): Column =
     GraftInterop.column(new SrpBandKeys(
       GraftInterop.expression(vector), matrix, bands))
+
+  /** The engine's STANDARD md5-derived hyperplane matrix — plane (h, j) is
+    * the first 8 hex chars of `md5("hp<h>_<j>")` mapped to [-1, 1). ONE
+    * definition shared by the Column API user (operators.Similarity), the
+    * SQL registration (GraftExtensions), and — re-derived by formula — the
+    * DuckDB oracles; deterministic everywhere, no RNG, no broadcast of
+    * trained state. */
+  def mdHyperplanes(bits: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dim) { (h, j) =>
+      md.reset()
+      val hex = md.digest(s"hp${h}_$j".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+    }
+  }
 }

@@ -244,15 +244,8 @@ object Similarity {
     * [-1, 1). Derived from md5 so the DuckDB oracle rebuilds bit-identical
     * constants; a plan literal, so signatures are a narrow map — no join,
     * no shuffle to compute them. */
-  private lazy val hyperplanes: Array[Array[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(LshBits, Dim) { (h, j) =>
-      md.reset()
-      val hex = md.digest(s"hp${h}_$j".getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
-    }
-  }
+  private lazy val hyperplanes: Array[Array[Double]] =
+    graft.functions.SrpBandKeys.mdHyperplanes(LshBits, Dim)
 
   /** Band keys for a vector (array position = band id): bkey packs the
     * band's sign bits. Native expression on the hot path — one tight loop
