@@ -29,7 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def e2ePack(s: SparkSession, d: String): DataFrame = {
+  def e2ePack(s: SparkSession, d: String): DataFrame = e2ePackWith(s, d, None)
+
+  /** The same e2e plan with SINGLE-PASS QC metrics: an `observe` node on
+    * the survivor set makes the counts a side product of the run itself —
+    * at 100 TB a separate QC scan is a second full read of the corpus,
+    * so production pipelines piggyback their dashboard numbers on the
+    * training pass exactly like this. Metrics (survivor count, survivor
+    * chars) are available from the Observation as soon as the survivor
+    * checkpoint materializes; ObservabilitySpec asserts they equal an
+    * independent recomputation. */
+  def e2ePackObserved(s: SparkSession, d: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("pipeline_qc")
+    (e2ePackWith(s, d, Some(obs)), obs)
+  }
+
+  private def e2ePackWith(
+      s: SparkSession, d: String,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val bucket = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
       .cast("bigint") % 100
     val train = Tables.documents(s, d)
@@ -39,13 +56,20 @@ object Pipeline {
       .filter(col("quality_score") >= 0.6).select("doc_id")
     val dups = Dedup.neardupPairs(s, d).select(col("b").as("doc_id")).distinct()
     val contaminated = TextAnalysis.decontaminate(s, d).select("doc_id")
-    val survivors = train
+    val surRaw = train
       .join(qualityOk, "doc_id")
       .join(broadcast(dups), Seq("doc_id"), "left_anti")
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-      // three consumers below — without this the LSH/gram subplans would
-      // execute three times (the csvRoundtrip precedent)
-      .localCheckpoint()
+    val surObserved = obs match {
+      case Some(o) => surRaw.observe(o,
+        count(lit(1)).as("n_survivors"),
+        sum(length(col("text"))).as("survivor_chars"))
+      case None => surRaw
+    }
+    // three consumers below — without this the LSH/gram subplans would
+    // execute three times (the csvRoundtrip precedent); the eager
+    // checkpoint is also the action that fires the observed metrics
+    val survivors = surObserved.localCheckpoint()
     val cleaned = CorpusClean.cleanedOf(survivors)
       .select(col("doc_id"), col("clean_text").as("text"))
     TextAnalysis.packSpansOf(cleaned)
