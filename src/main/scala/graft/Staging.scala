@@ -27,18 +27,26 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   * This is the single-machine form; on a cluster against an object store
   * the same protocol runs with the store's primitives (conditional PUT of
   * the marker key instead of rename+flock). The fingerprint check reads
-  * only metadata — O(source file count), no data I/O — so probing an
-  * already-staged artifact stays effectively free.
+  * metadata plus an 8 KiB head/tail content witness per file — O(source
+  * file count), bounded I/O — so probing an already-staged artifact stays
+  * effectively free while a same-size-same-mtime regeneration is still
+  * caught.
   */
 object Staging {
 
   private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Fingerprint of the source files an artifact is derived from: md5 over
-    * the sorted (relative path, size, mtime-millis) lines of every regular
-    * file under the given roots (a root may be a single file). Any
-    * regeneration of the fixture — new rows, same rows rewritten — moves
-    * size or mtime and changes the fingerprint. */
+    * the sorted (relative path, size, mtime-millis, content-witness) lines
+    * of every regular file under the given roots (a root may be a single
+    * file). The CONTENT WITNESS is an md5 of the first and last 4 KiB of
+    * the file: a fixture regenerated with different rows but identical
+    * file sizes inside the filesystem's mtime granularity (or with
+    * timestamps deliberately preserved) still changes the fingerprint —
+    * for parquet the tail window covers the footer, whose row-group
+    * statistics and offsets move with the data. Cost stays O(file count):
+    * two bounded 4 KiB reads per file on top of the metadata walk, never
+    * a full-content scan. */
   def fingerprint(sources: Seq[String]): String = {
     val lines = sources.sorted.flatMap { root =>
       val rp = Paths.get(root)
@@ -49,7 +57,7 @@ object Staging {
           import scala.jdk.CollectionConverters._
           stream.iterator().asScala
             .filter(p => Files.isRegularFile(p))
-            .map(p => s"${rp.relativize(p)}\t${Files.size(p)}\t${Files.getLastModifiedTime(p).toMillis}")
+            .map(p => s"${rp.relativize(p)}\t${Files.size(p)}\t${Files.getLastModifiedTime(p).toMillis}\t${witness(p)}")
             .toVector.sorted
         } finally stream.close()
       }
@@ -57,6 +65,28 @@ object Staging {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+  }
+
+  /** md5 of the file's first and last 4 KiB (whole file when ≤ 8 KiB,
+    * non-overlapping). Two positioned reads, no buffering of the middle. */
+  private def witness(p: Path): String = {
+    val W = 4096L
+    val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val head = java.nio.ByteBuffer.allocate(math.min(W, size).toInt)
+      while (head.hasRemaining && ch.read(head, head.position().toLong) >= 0) {}
+      md.update(head.array(), 0, head.position())
+      if (size > W) {
+        val tailLen = math.min(W, size - W).toInt
+        val tail = java.nio.ByteBuffer.allocate(tailLen)
+        val off = size - tailLen
+        while (tail.hasRemaining && ch.read(tail, off + tail.position()) >= 0) {}
+        md.update(tail.array(), 0, tail.position())
+      }
+      md.digest().map("%02x".format(_)).mkString
+    } finally ch.close()
   }
 
   /** Ensures `dir` holds a staging built from the CURRENT content of

@@ -248,11 +248,17 @@ object Events {
 
   /** Day-over-day volume anomaly gate — the ingest-monitoring query a
     * pipeline runs before trusting a day's data (did clicks triple
-    * overnight?): per (day, type) counts against a TRAILING 7-day
-    * baseline, flagged when the day exceeds 2× the trailing mean. The
-    * comparison is pure integer cross-multiplication
+    * overnight?): per (day, type) counts against a trailing CALENDAR
+    * 7-day baseline, flagged when the day exceeds 2× the trailing mean.
+    * The window is a RANGE frame over the integer day number, so a
+    * calendar day with no data simply contributes nothing — a spike
+    * after a quiet gap is compared against exactly the prior week, not
+    * against however many present rows a ROWS frame would reach back to.
+    * `d_trail` counts the OBSERVED days inside that week. The comparison
+    * is pure integer cross-multiplication
     * (`n × trailing_days > 2 × trailing_sum`) — no float mean to diverge
-    * on. Days with under 3 days of history emit nothing (no baseline).
+    * on. Days with under 3 observed days in the week emit nothing (no
+    * baseline).
     *
     * Scale shape: the corpus-sized work is one map-side-combined count to
     * O(days × types) rows; the trailing window then runs over that
@@ -261,8 +267,11 @@ object Events {
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val trail = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-7, -1)
+      // integer day number: RANGE frames need a numeric order key, and
+      // days-since-epoch is exact in both engines
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-7, -1)
     daily
       .withColumn("n_trail", sum(col("n")).over(trail))
       .withColumn("d_trail", count(col("n")).over(trail))
@@ -289,10 +298,10 @@ object Events {
         |  FROM events GROUP BY 1, 2),
         |t AS (
         |  SELECT day, event_type, n,
-        |         SUM(n) OVER (PARTITION BY event_type ORDER BY day
-        |                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_trail,
-        |         COUNT(n) OVER (PARTITION BY event_type ORDER BY day
-        |                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS d_trail
+        |         SUM(n) OVER (PARTITION BY event_type ORDER BY (day - DATE '1970-01-01')
+        |                      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_trail,
+        |         COUNT(n) OVER (PARTITION BY event_type ORDER BY (day - DATE '1970-01-01')
+        |                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS d_trail
         |  FROM daily)
         |SELECT day, event_type, n, CAST(n_trail AS BIGINT) AS n_trail, d_trail,
         |       CAST(n * d_trail > n_trail * 2 AS INT) AS is_spike

@@ -138,9 +138,13 @@ object FilingIndexV2 {
     private var opened = false
     private lazy val in = {
       val p = new Path(file)
-      opened = true
-      new java.io.BufferedReader(
+      val r = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getFileSystem(hadoopConf).open(p), "UTF-8"))
+      // only after the open SUCCEEDED — if it threw, close() must stay a
+      // no-op rather than re-force this lazy val, re-attempt the failed
+      // open, and mask the original task failure with its own exception
+      opened = true
+      r
     }
     private var rows: Iterator[InternalRow] = Iterator.empty
     private var current: InternalRow = _

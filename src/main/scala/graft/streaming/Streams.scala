@@ -432,12 +432,20 @@ object Streams {
           if (state.hasTimedOut) {
             val st = state.get
             if (!st.emitted) {
-              // flush the open session; tombstone keeps the numbering
+              // Flush the open session and leave a PERMANENT tombstone:
+              // no timeout is re-armed, so this state is never visited
+              // again until the user's next event. A user who returns
+              // any number of micro-batches later resumes at
+              // sessionId + 1 — removing the tombstone (e.g. on a
+              // second timeout firing) would restart numbering at 1 and
+              // break batch-funnel equivalence. Cost: one compact row
+              // per distinct user ever seen, the same O(keys) bound the
+              // batch funnel's groupBy carries; evicting it is only
+              // sound if the numbering caveat is acceptable.
               state.update(st.copy(emitted = true))
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
               Iterator.single(emit(st))
             } else {
-              state.remove()
+              // Unreachable (tombstones arm no timeout); defensive only.
               Iterator.empty
             }
           } else {

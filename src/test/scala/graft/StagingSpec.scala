@@ -88,6 +88,43 @@ class StagingSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("same-size same-mtime regeneration is caught by the content witness") {
+    // the staleness mode metadata alone cannot see: the fixture is
+    // rewritten with DIFFERENT bytes of IDENTICAL length, and the mtime
+    // is restored (as a regeneration inside fs timestamp granularity, or
+    // a copy with preserved timestamps, would produce)
+    val (src, dir) = freshDirs()
+    writeSrc(src, "a.parquet", "content-version-1")
+    val p = Paths.get(src, "a.parquet")
+    val mtime = Files.getLastModifiedTime(p)
+    var builds = 0
+    def ensure(): Boolean = Staging.ensure(dir, Seq(src)) { builds += 1 }
+    assert(ensure())
+    writeSrc(src, "a.parquet", "content-version-2") // same byte length
+    Files.setLastModifiedTime(p, mtime)
+    assert(Files.size(p) == "content-version-1".length.toLong)
+    assert(ensure(), "same-size same-mtime regeneration must still rebuild")
+    assert(builds == 2)
+  }
+
+  test("witness covers the tail of large files beyond the 4 KiB head") {
+    // flipping one byte in the FOOTER region of a >8 KiB file (where
+    // parquet keeps row-group stats) changes the fingerprint even with
+    // size and mtime pinned
+    val (src, _) = freshDirs()
+    val big = new Array[Byte](32 * 1024)
+    java.util.Arrays.fill(big, 'x'.toByte)
+    Files.createDirectories(Paths.get(src))
+    val p = Paths.get(src, "big.parquet")
+    Files.write(p, big)
+    val mtime = Files.getLastModifiedTime(p)
+    val before = Staging.fingerprint(Seq(src))
+    big(big.length - 100) = 'y'.toByte
+    Files.write(p, big)
+    Files.setLastModifiedTime(p, mtime)
+    assert(Staging.fingerprint(Seq(src)) != before)
+  }
+
   test("a missing source root still fingerprints (and changes on creation)") {
     val (src, dir) = freshDirs()
     val before = Staging.fingerprint(Seq(src))

@@ -77,6 +77,29 @@ class FunnelStreamSpec extends AnyFunSuite {
       "precondition: b2 must push the watermark past user 5's gap boundary")
   }
 
+  test("tombstone survives many micro-batches: a late-returning user keeps numbering") {
+    // Regression for the second-timeout-firing bug: the user's return
+    // arrives SEVERAL micro-batches (and several watermark advances)
+    // after the timeout flush. If the tombstone were removed at a later
+    // timeout firing, the return would see null state and restart at
+    // session 1, duplicating (user_id, session_id) = (7, 1).
+    val base = 10L * Day
+    val b1 = Seq[Row4]((7L, 1L, tsUs(base), "click"))
+    // three successive watermark advances with NO user-7 traffic — each
+    // one re-fires any armed timeout; the tombstone must outlive them all
+    val b2 = Seq[Row4]((8L, 2L, tsUs(base + 5L * Day), "view"))
+    val b3 = Seq[Row4]((8L, 3L, tsUs(base + 10L * Day), "view"))
+    val b4 = Seq[Row4]((8L, 4L, tsUs(base + 15L * Day), "view"))
+    // user 7 finally returns: must be session 2, not a fresh session 1
+    val b5 = Seq[Row4]((7L, 5L, tsUs(base + 20L * Day), "purchase"))
+    val b6 = Seq[Row4]((-1L, -1L, tsUs(base + 60L * Day), "noop"))
+    val out = run(Seq(b1, b2, b3, b4, b5, b6)).filter(_._1 == 7L)
+    assert(out == Seq(
+      (7L, 1L, 1L, 0L, 0),
+      (7L, 2L, 0L, 1L, 0)),
+      s"got $out")
+  }
+
   test("streamed funnel equals the batch funnel row-for-row on real events") {
     val sf = TestSpark.sf
     val streamed = Streams.funnelStreamReplay(s, sf)
