@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, ExtractHoldingsGen, Int8Quantize, MinHashSignature, SimHash16, SrpBandKeys}
+import graft.functions.{CosineSimilarity, ExtractHoldingsGen, Int8Quantize, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys}
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "extract_holdings takes exactly 1 argument")
         new ExtractHoldingsGen(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_agreement"),
+      new ExpressionInfo(classOf[SigAgreement].getName, "sig_agreement"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sig_agreement takes exactly 2 arguments")
+        SigAgreement(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash16"),

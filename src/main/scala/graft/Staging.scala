@@ -12,8 +12,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   *      the old staging after the underlying fixture is regenerated, so a
   *      staged query silently diverges from an oracle that reads the
   *      original parquet. The marker now RECORDS a fingerprint of the
-  *      source files (relative path, length, mtime of every regular file
-  *      under each source root), and a mismatch rebuilds.
+  *      source files (relative path, length, mtime, plus an 8 KiB
+  *      head/tail CONTENT WITNESS of every regular file under each
+  *      source root — see [[fingerprint]]), and a mismatch rebuilds.
   *   2. RACES — `exists(marker)` → build → `write(marker)` is not atomic
   *      across processes: a reader can see a half-written staging (marker
   *      present, files incomplete) or two processes can build over each

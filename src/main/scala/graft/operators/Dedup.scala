@@ -59,14 +59,19 @@ object Dedup {
     * identical pre-sig subtree is ReuseExchange'd when queries self-join
     * signatures. */
   private[graft] def withSig(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    sigOf(s, docs(s, d))
+
+  /** The signature pipeline over an arbitrary (doc_id, text) frame — lets
+    * incremental dedup run it over the DELTA slice only (the filter lands
+    * below the compute-dense map, so only delta rows pay for MinHash). */
+  private def sigOf(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles.as("shingles"))
       .select(col("doc_id"), col("shingles"), signature.as("sig"))
 
   /** LSH banding over any (doc_id, sig) frame: 4 bands × 4 rows; band key
     * = the band's joined slice. */
-  private def bandsFrom(sigDf: DataFrame): DataFrame =
+  private[graft] def bandsFrom(sigDf: DataFrame): DataFrame =
     sigDf.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -109,13 +114,19 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))
       .orderBy("doc_id", "perm")
 
+  /** Estimated Jaccard from two signatures: native agreement count (one
+    * JVM loop per pair — [[graft.functions.SigAgreement]]; the interpreted
+    * `aggregate(zip_with(…))` form paid lambda dispatch per element per
+    * candidate) divided by numPerms — an exact integer through a single
+    * IEEE divide, bit-identical cross-engine. */
+  private def estJaccard(sa: Column, sb: Column): Column =
+    graft.functions.SigAgreement(sa, sb).cast("double") / lit(NumPerms.toDouble)
+
   /** Near-duplicate pairs: LSH candidates scored by signature agreement
     * (estimated Jaccard), kept at est ≥ 0.5. */
   def neardupPairs(s: SparkSession, d: String): DataFrame = {
     val sig = withSig(s, d).select(col("doc_id"), col("sig"))
-    val est = (aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / lit(NumPerms.toDouble))
+    val est = estJaccard(col("sa"), col("sb"))
     candidatePairs(s, d)
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
@@ -488,22 +499,122 @@ object Dedup {
   // delta-vs-delta with a lower-id witness), so per-ingest cost is
   // O(delta × bucket overlap), independent of corpus history. Base docs
   // are never flagged and base-vs-base candidates never exist in the
-  // plan; at 100 TB the base bands table is the staged/bucketed index
-  // (the ensureAnnStaged pattern) and each ingest touches only its
-  // bucket intersections. The delta here is a deterministic slice of the
-  // fixture (doc_id % 10 = 7) standing in for an arriving batch. ----
+  // plan. The BASE INDEX (signatures + band keys) is STAGED via the
+  // Staging protocol: built once per corpus, the bands half written as a
+  // BUCKETED table on (band, bkey) — the probe-join key, the
+  // Similarity.ensureAnnStaged layout — so every ingest probes a narrow
+  // parquet index and recomputes NO base signature (IncrementalDedupSpec
+  // asserts the ingest plan holds no minhash_signature at all). The delta
+  // here is a deterministic slice of the fixture (doc_id % 10 = 7)
+  // standing in for an arriving batch. ----
 
   private val DeltaMod = 10L
   private val DeltaRem = 7L
+  private val isDeltaDoc: Column = pmod(col("doc_id"), lit(DeltaMod)) === lit(DeltaRem)
+
+  private[operators] val baseIndexBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val BaseBandBuckets = 16
+
+  def baseIndexStageDir(sfDir: String): String =
+    "/tmp/graft_stage/dedupbase_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private[operators] def baseBandsTable(sfDir: String): String =
+    ("graft_dedup_base_bands_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Ensures the base-corpus dedup index is staged; returns
+    * (sigsPath, bandsPath). One signature pass over the base (pinned)
+    * feeds both halves: a plain parquet (doc_id, sig) table for scoring
+    * and a (band, bkey)-bucketed band-key table for probing, so repeated
+    * ingest joins start co-located and a bucket filter prunes band files
+    * before the scan. Bucket metadata is in-session; a fresh JVM over a
+    * prior JVM's staging re-registers the external table with one DDL
+    * (bucket ids live in the file names — nothing is rewritten). */
+  def ensureBaseIndexStaged(s: SparkSession, d: String): (String, String) = {
+    val dir = baseIndexStageDir(d)
+    val sigsPath = dir + "/sigs"
+    val bandsPath = dir + "/bands"
+    val table = baseBandsTable(d)
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      baseIndexBuildCount.incrementAndGet()
+      val baseSig = sigOf(s, docs(s, d).filter(!isDeltaDoc))
+        .select(col("doc_id"), col("sig")).localCheckpoint()
+      baseSig.write.mode("overwrite").parquet(sigsPath)
+      // bucketed external table: DROP forgets metadata only, so clear any
+      // half-built files by hand first (the ensureAnnStaged pattern)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      deleteRecursively(new java.io.File(bandsPath))
+      bandsFrom(baseSig).write
+        .bucketBy(BaseBandBuckets, "band", "bkey").sortBy("band", "bkey")
+        .option("path", bandsPath)
+        .saveAsTable(table)
+    }: Unit
+    if (!s.catalog.tableExists(table)) synchronized {
+      if (!s.catalog.tableExists(table)) {
+        s.sql(
+          s"""CREATE TABLE $table (doc_id BIGINT, band INT, bkey STRING)
+             |USING PARQUET
+             |CLUSTERED BY (band, bkey) SORTED BY (band, bkey) INTO $BaseBandBuckets BUCKETS
+             |LOCATION '$bandsPath'""".stripMargin)
+      }
+    }
+    (sigsPath, bandsPath)
+  }
+
+  private[operators] def stagedBaseSigs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureBaseIndexStaged(s, d)._1)
+
+  private[operators] def stagedBaseBands(s: SparkSession, d: String): DataFrame = {
+    ensureBaseIndexStaged(s, d)
+    s.table(baseBandsTable(d))
+  }
 
   /** `d_incremental_dedup` — dup flags for the DELTA docs only: a delta
     * doc is a duplicate if any BASE doc, or any LOWER-ID delta doc,
-    * shares an LSH bucket and agrees on ≥ half the MinHash signature. */
+    * shares an LSH bucket and agrees on ≥ half the MinHash signature.
+    * Per-ingest work: one signature pass over the DELTA slice (computed
+    * once and pinned — it feeds the delta bands and both score sides;
+    * unpinned, each consumer would re-execute the compute-dense MinHash
+    * map), two bucket equi-joins against the staged base index, and a
+    * candidates-only scoring join. Nothing in this plan touches a base
+    * document's text. */
   def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val deltaSig = sigOf(s, docs(s, d).filter(isDeltaDoc))
+      .select(col("doc_id"), col("sig")).localCheckpoint()
+    val deltaBands = bandsFrom(deltaSig)
+    def cand(other: DataFrame, extra: Column): DataFrame =
+      deltaBands.as("x").join(other.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") && extra)
+        .select(col("x.doc_id").as("b"), col("y.doc_id").as("a"))
+    val candidates = cand(stagedBaseBands(s, d), lit(true))
+      .union(cand(deltaBands, col("y.doc_id") < col("x.doc_id")))
+      .distinct()
+    // the a side is a base id or a lower delta id: staged base signatures
+    // unioned with the pinned delta slice — never a corpus-wide recompute
+    val aSigs = stagedBaseSigs(s, d).unionByName(deltaSig)
+    val dups = candidates
+      .join(aSigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(deltaSig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+      .filter(estJaccard(col("sa"), col("sb")) >= 0.5)
+      .select(col("b").as("dup_id")).distinct()
+    docs(s, d).filter(isDeltaDoc)
+      .join(dups, col("doc_id") === col("dup_id"), "left")
+      .select(col("doc_id"), col("dup_id").isNotNull.cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** The one-plan inline formulation — kept as the executable spec of
+    * [[incrementalDedup]]'s semantics (IncrementalDedupSpec asserts staged
+    * ≡ inline row-for-row); NOT the production shape: it recomputes the
+    * full-corpus signature subtree per consumer. */
+  private[operators] def incrementalDedupInline(s: SparkSession, d: String): DataFrame = {
     val all = withSig(s, d)
-    val isDelta = pmod(col("doc_id"), lit(DeltaMod)) === lit(DeltaRem)
-    val deltaBands = bandsFrom(all.filter(isDelta))
-    val baseBands = bandsFrom(all.filter(!isDelta))
+    val deltaBands = bandsFrom(all.filter(isDeltaDoc))
+    val baseBands = bandsFrom(all.filter(!isDeltaDoc))
     def cand(other: DataFrame, extra: Column): DataFrame =
       deltaBands.as("x").join(other.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") && extra)
@@ -512,15 +623,12 @@ object Dedup {
       .union(cand(deltaBands, col("y.doc_id") < col("x.doc_id")))
       .distinct()
     val sig = all.select(col("doc_id"), col("sig"))
-    val est = (aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / lit(NumPerms.toDouble))
     val dups = candidates
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
-      .filter(est >= 0.5)
+      .filter(estJaccard(col("sa"), col("sb")) >= 0.5)
       .select(col("b").as("dup_id")).distinct()
-    docs(s, d).filter(isDelta)
+    docs(s, d).filter(isDeltaDoc)
       .join(dups, col("doc_id") === col("dup_id"), "left")
       .select(col("doc_id"), col("dup_id").isNotNull.cast("int").as("is_dup"))
       .orderBy("doc_id")

@@ -44,9 +44,10 @@ object Pipeline {
     (e2ePackWith(s, d, Some(obs)), obs)
   }
 
-  private def e2ePackWith(
-      s: SparkSession, d: String,
-      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+  /** The survivor set (train split ∩ quality gate − dups − contamination)
+    * as a LAZY plan — split out so PipelineSpec can assert its join
+    * strategy before the checkpoint materializes it. */
+  private[operators] def survivorFrame(s: SparkSession, d: String): DataFrame = {
     val bucket = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
       .cast("bigint") % 100
     val train = Tables.documents(s, d)
@@ -54,12 +55,25 @@ object Pipeline {
       .select(col("doc_id"), col("text"))
     val qualityOk = TextAnalysis.quality(s, d)
       .filter(col("quality_score") >= 0.6).select("doc_id")
-    val dups = Dedup.neardupPairs(s, d).select(col("b").as("doc_id")).distinct()
+    // Dup reject set: read from the STAGED pair table (built once per
+    // corpus, bit-exact vs the inline pipeline) and joined WITHOUT a
+    // broadcast hint — the set is corpus-proportional (unlike
+    // `contaminated`, bounded by the held-out suite, which broadcasts
+    // safely), so at 10B docs a forced broadcast ships hundreds of
+    // millions of ids to every executor; let the planner pick the
+    // anti-join strategy from actual sizes (AQE).
+    val dups = Dedup.stagedNeardupPairs(s, d).select(col("b").as("doc_id")).distinct()
     val contaminated = TextAnalysis.decontaminate(s, d).select("doc_id")
-    val surRaw = train
+    train
       .join(qualityOk, "doc_id")
-      .join(broadcast(dups), Seq("doc_id"), "left_anti")
+      .join(dups, Seq("doc_id"), "left_anti")
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
+
+  private def e2ePackWith(
+      s: SparkSession, d: String,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val surRaw = survivorFrame(s, d)
     val surObserved = obs match {
       case Some(o) => surRaw.observe(o,
         count(lit(1)).as("n_survivors"),

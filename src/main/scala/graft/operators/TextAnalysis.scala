@@ -144,14 +144,17 @@ object TextAnalysis {
   /** The composed corpus-cleaning pass a real LLM pipeline runs: quality
     * gate + near-duplicate removal (keep the lower doc_id of each LSH-
     * confirmed pair) in ONE lazy plan — the per-doc scoring is a narrow
-    * map, the dup set comes from the banded candidate join, and the final
-    * anti-join broadcasts the (small) dup set against the corpus scan. */
+    * map, and the dup set is read from the STAGED pair table
+    * (build-once/consume-many, bit-exact vs the inline LSH pipeline) and
+    * anti-joined WITHOUT a broadcast hint: the dup set grows with the
+    * corpus, so a forced broadcast is exactly the hint that OOMs at 10B
+    * docs — the planner picks the strategy from actual sizes (AQE). */
   def corpusFilter(s: SparkSession, d: String): DataFrame = {
-    val dups = Dedup.neardupPairs(s, d).select(col("b").as("doc_id")).distinct()
+    val dups = Dedup.stagedNeardupPairs(s, d).select(col("b").as("doc_id")).distinct()
     quality(s, d)
       .select(col("doc_id"), col("quality_score"))
       .filter(col("quality_score") >= 0.6)
-      .join(broadcast(dups), Seq("doc_id"), "left_anti")
+      .join(dups, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

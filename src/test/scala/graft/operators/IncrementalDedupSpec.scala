@@ -30,4 +30,33 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out.count() == deltaCount)
     out.unpersist(); nd.unpersist(): Unit
   }
+
+  test("staged-index path is row-identical to the inline one-plan formulation") {
+    val staged = Dedup.incrementalDedup(s, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val inline = Dedup.incrementalDedupInline(s, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(staged == inline, "staged ingest diverges from the inline formulation")
+  }
+
+  test("ingest plan recomputes no signature and probes the staged base index") {
+    val df = Dedup.incrementalDedup(s, sf)
+    // every signature in the plan is either staged parquet or the pinned
+    // (localCheckpoint'd) delta slice — the round-8 slope flag was the
+    // corpus-wide MinHash subtree re-executing per consumer
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("minhash_signature"),
+      s"ingest plan recomputes MinHash signatures:\n$plan")
+    val stageDir = Dedup.baseIndexStageDir(sf)
+    assert(df.inputFiles.exists(_.contains(stageDir)),
+      s"ingest does not read the staged base index: ${df.inputFiles.mkString(", ")}")
+  }
+
+  test("base index builds at most once across ingests") {
+    Dedup.incrementalDedup(s, sf).count(): Unit
+    val before = Dedup.baseIndexBuildCount.get()
+    Dedup.incrementalDedup(s, sf).count(): Unit
+    assert(Dedup.baseIndexBuildCount.get() == before,
+      "second ingest rebuilt the base index")
+  }
 }
