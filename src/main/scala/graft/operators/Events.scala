@@ -263,12 +263,21 @@ object Events {
     * Scale shape: the corpus-sized work is one map-side-combined count to
     * O(days × types) rows; the trailing window then runs over that
     * bounded domain per type. */
-  def rateAnomaly(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+  def rateAnomaly(s: SparkSession, d: String): DataFrame =
+    rateAnomalyOf(Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      // integer day number: RANGE frames need a numeric order key, and
-      // days-since-epoch is exact in both engines
+      .agg(count(lit(1)).as("n")))
+
+  /** The anomaly gate over an already-aggregated (day, event_type, n)
+    * frame — split out so RateAnomalySpec can feed a synthetic calendar
+    * WITH a quiet gap: the sf fixtures are gap-free (every calendar day
+    * observed), so on them a ROWS(-7,-1) frame would produce the same
+    * rows and only a gapped fixture discriminates the calendar-RANGE
+    * semantics. */
+  private[operators] def rateAnomalyOf(daily0: DataFrame): DataFrame = {
+    // integer day number: RANGE frames need a numeric order key, and
+    // days-since-epoch is exact in both engines
+    val daily = daily0
       .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
     val trail = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
       .rangeBetween(-7, -1)

@@ -84,6 +84,22 @@ object Extraction {
       .orderBy(outCols.map(col): _*)
   }
 
+  /** S2+K — [[docSourceHoldings]] over the COMPACTED corpus (a few
+    * parquet files instead of one file per doc): identical rows, same
+    * oracle, ~docs/4 fewer file opens — the layout fix for the
+    * many-small-files scan demonstrated on the extraction path itself. */
+  def docSourceCompactedHoldings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = DocStage.ensureCompacted(s, d)
+    s.read.parquet(path)
+      .select(col("value"))
+      .as[String]
+      .flatMap(NportKernel.extractRows)
+      .toDF()
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
   private val holdingsOracle: String =
     s"""SELECT * FROM (
        |  SELECT ${FilingDocs.oracleFields.linesIterator.mkString(" ")}
@@ -141,6 +157,7 @@ object Extraction {
     "x_extract_holdings_gen" -> (extractHoldingsGen _),
     "x_reporting_date" -> (reportingDates _),
     "x_doc_source" -> (docSourceHoldings _),
+    "x_doc_source_compacted" -> (docSourceCompactedHoldings _),
     "x_filing_index" -> (filingIndex _),
     "x_filing_index_v2" -> (filingIndexV2 _),
     "x_csv_roundtrip" -> (csvRoundtrip _),
@@ -150,6 +167,7 @@ object Extraction {
     "x_extract_holdings" -> holdingsOracle,
     "x_extract_holdings_gen" -> holdingsOracle,
     "x_doc_source" -> holdingsOracle,
+    "x_doc_source_compacted" -> holdingsOracle,
     "x_csv_roundtrip" -> holdingsOracle,
     "x_reporting_date" ->
       """SELECT DISTINCT o_custkey AS doc_id,

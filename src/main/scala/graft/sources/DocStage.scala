@@ -45,4 +45,32 @@ object DocStage {
     }: Unit
     dir
   }
+
+  def compactDir(sfDir: String): String =
+    "/tmp/graft_stage/docs_compact_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The COMPACTED twin of the one-file-per-doc corpus: the same document
+    * bodies packed into a handful of parquet files — the `k_compaction`
+    * layout fix applied to the engine's own hottest scan (`x_doc_source`
+    * pays the many-small-files tax by design: one open + one split floor
+    * per document). Compaction reads the staged small-file corpus ONCE and
+    * rewrites it as `repartition(CompactFiles)` parquet, so the extraction
+    * twin opens ~docs/CompactFiles fewer files for identical rows
+    * (DocCompactionSpec asserts the executed scan's file count; the twin
+    * query shares `x_doc_source`'s hash oracle — compaction must never
+    * change answers). Fingerprinted on orders.parquet — the same ultimate
+    * source as the doc stage — so both stagings rebuild together. */
+  private val CompactFiles = 4
+
+  def ensureCompacted(s: SparkSession, sfDir: String): String = {
+    val src = ensureStaged(s, sfDir)
+    val dir = compactDir(sfDir)
+    val path = dir + "/docs"
+    graft.Staging.ensure(dir, Seq(s"$sfDir/orders.parquet")) {
+      s.read.option("wholetext", "true").text(src)
+        .repartition(CompactFiles)
+        .write.mode("overwrite").parquet(path)
+    }: Unit
+    path
+  }
 }

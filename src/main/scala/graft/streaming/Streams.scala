@@ -18,6 +18,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Replay-scoped shuffle-partition tuning. Streaming micro-batch cost
+    * has a term proportional to shuffle partitions × batches: every
+    * stateful operator commits one state-store delta PER PARTITION per
+    * micro-batch (plus maintenance snapshots), so a driver-fed replay at
+    * the session's 32 partitions pays 32 store commits per batch for a
+    * few thousand rows. 8-way state is ample for replay volume and cuts
+    * the per-batch store I/O 4× with NO semantic effect — state is
+    * keyed, results are re-sorted, and the conf is captured at stream
+    * START so the production transforms are untouched. (At cluster scale
+    * the state partition count is sized to keys/executors, not to this
+    * replay constant.) */
+  private def withReplayShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Streaming gap-sessionization: native `session_window` (30-min gap)
     * with a 1-hour watermark. Emits one row per closed session in append
     * mode — the streaming equivalent of Events.sessionize (equivalence
@@ -63,17 +81,19 @@ object Streams {
     val sentinelUser = -1L
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
     val sink = "e_sessionize_stream_sink"
-    val q = sessionAgg(in.toDF().toDF("user_id", "ts", "value"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      in.addData(batch.toIndexedSeq)
-      q.processAllAvailable()
-      // watermark advances at batch boundaries: the sentinel batch moves it
-      // 10 days past the data, closing every real session
-      in.addData((sentinelUser, new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = sessionAgg(in.toDF().toDF("user_id", "ts", "value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        // watermark advances at batch boundaries: the sentinel batch moves
+        // it 10 days past the data, closing every real session
+        in.addData((sentinelUser, new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(sink)
       .filter(col("user_id") =!= sentinelUser)
       .select(col("user_id"),
@@ -134,15 +154,17 @@ object Streams {
       .collect()
     val maxMs = batch.iterator.map(_._2.getTime).max
     val in = MemoryStream[(String, java.sql.Timestamp, Double)]
-    val q = agg(in.toDF().toDF("event_type", "ts", "value"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      in.addData(batch.toIndexedSeq)
-      q.processAllAvailable()
-      in.addData(("sentinel", new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = agg(in.toDF().toDF("event_type", "ts", "value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(("sentinel", new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(sink)
       .filter(col("event_type") =!= "sentinel")
       .select(unix_micros(col("window_start")).as("ws_us"),
@@ -222,14 +244,16 @@ object Streams {
     val inClicks = MemoryStream[Ev]
     val inPurchases = MemoryStream[Ev]
     val sink = "e_stream_join_sink"
-    val q = clickAttribution(namedEv(inClicks), namedEv(inPurchases))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      inClicks.addData(eventSide(s, d, "click").toIndexedSeq)
-      inPurchases.addData(eventSide(s, d, "purchase").toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = clickAttribution(namedEv(inClicks), namedEv(inPurchases))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        inClicks.addData(eventSide(s, d, "click").toIndexedSeq)
+        inPurchases.addData(eventSide(s, d, "purchase").toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(sink).orderBy("user_id", "purchase_id", "click_id")
   }
 
@@ -257,18 +281,20 @@ object Streams {
     val inClicks = MemoryStream[Ev]
     val inPurchases = MemoryStream[Ev]
     val sink = "e_stream_join_outer_sink"
-    val q = clickAttributionOuter(namedEv(inClicks), namedEv(inPurchases))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      inClicks.addData(clicks.toIndexedSeq)
-      inPurchases.addData(purchases.toIndexedSeq)
-      q.processAllAvailable()
-      inClicks.addData(sentinel(10L))
-      inPurchases.addData(sentinel(10L))
-      q.processAllAvailable()
-      q.processAllAvailable() // fence: the no-data flush batch has committed
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = clickAttributionOuter(namedEv(inClicks), namedEv(inPurchases))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        inClicks.addData(clicks.toIndexedSeq)
+        inPurchases.addData(purchases.toIndexedSeq)
+        q.processAllAvailable()
+        inClicks.addData(sentinel(10L))
+        inPurchases.addData(sentinel(10L))
+        q.processAllAvailable()
+        q.processAllAvailable() // fence: the no-data flush batch has committed
+      } finally q.stop()
+    }
     s.table(sink)
       .filter(col("user_id") =!= sentinelUser)
       .orderBy("user_id", "purchase_id", "click_id")
@@ -291,18 +317,20 @@ object Streams {
       .collect()
     val in = MemoryStream[(Long, String)]
     val sink = "d_dedup_stream_sink"
-    val q = dedupStream(in.toDS(),
-        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
-      .toDF("dedup_key", "payload")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      val (b1, b2) = keyed.splitAt(keyed.length / 2)
-      in.addData(b1.toIndexedSeq)
-      q.processAllAvailable()
-      in.addData(b2.toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = dedupStream(in.toDS(),
+          timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .toDF("dedup_key", "payload")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        val (b1, b2) = keyed.splitAt(keyed.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(sink).orderBy("dedup_key")
   }
 
@@ -338,19 +366,21 @@ object Streams {
     val delayHours = math.max(6L, rows.length.toLong / 3600L + 2L)
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
     val sink = "d_dedup_stream_wm_sink"
-    val q = in.toDS().toDF("dedup_key", "payload", "ts")
-      .withWatermark("ts", s"$delayHours hours")
-      .dropDuplicatesWithinWatermark("dedup_key")
-      .select(col("dedup_key"), col("payload"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      val (b1, b2) = rows.splitAt(rows.length / 2)
-      in.addData(b1.toIndexedSeq)
-      q.processAllAvailable()
-      in.addData(b2.toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = in.toDS().toDF("dedup_key", "payload", "ts")
+        .withWatermark("ts", s"$delayHours hours")
+        .dropDuplicatesWithinWatermark("dedup_key")
+        .select(col("dedup_key"), col("payload"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(sink).orderBy("dedup_key")
   }
 
@@ -489,21 +519,23 @@ object Streams {
     val sentinelUser = -1L
     val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
     val sink = "e_funnel_stream_sink"
-    val q = funnelStream(
-        in.toDF().toDF("user_id", "event_id", "ts", "event_type").as[FunnelEv])
-      .toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      val (b1, b2) = rows.splitAt(rows.length / 2)
-      in.addData(b1.toIndexedSeq)
-      q.processAllAvailable()
-      in.addData(b2.toIndexedSeq)
-      q.processAllAvailable()
-      in.addData((sentinelUser, -1L,
-        new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), "noop"))
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = funnelStream(
+          in.toDF().toDF("user_id", "event_id", "ts", "event_type").as[FunnelEv])
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData((sentinelUser, -1L,
+          new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), "noop"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(sink)
       .filter(col("user_id") =!= sentinelUser)
       .orderBy("user_id", "session_id")
@@ -532,15 +564,16 @@ object Streams {
   private val RlLimit = 5L
   private val RlWindowUs = 60L * 1000000L // one event-time minute
 
-  class RateLimitProcessor
+  class RateLimitProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RlEv, RlOut] {
     @transient private var bucket: org.apache.spark.sql.streaming.ValueState[RlState] = _
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       bucket = getHandle.getValueState[RlState]("bucket",
-        org.apache.spark.sql.Encoders.product[RlState],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[RlState], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[RlEv],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RlOut] = {
@@ -562,7 +595,58 @@ object Streams {
     * transformWithState rate limiter in global event-time order; fully
     * SQL-expressible (a row_number per (user, minute) window), so the
     * new-API operator gets a complete hash oracle. */
-  def rateLimitStreamReplay(s: SparkSession, d: String): DataFrame = {
+  def rateLimitStreamReplay(s: SparkSession, d: String): DataFrame =
+    rateLimitReplayWith(s, d, "e_rate_limit_stream_sink",
+      new RateLimitProcessor,
+      org.apache.spark.sql.streaming.TimeMode.None(), interBatchSleepMs = 0L)
+
+  /** `e_rate_limit_ttl` — the SAME rate limiter with a REAL state TTL
+    * (TimeMode.ProcessingTime + TTLConfig), replayed so every key's
+    * batch-1 state provably EVICTS before batch 2 arrives: the replay
+    * sleeps ≥ 3× the TTL between the two micro-batches, so each user's
+    * (window, count) bucket reads as absent in batch 2 and the per-minute
+    * budget RE-ADMITS — TTL is what makes O(keys) state honest on an
+    * unbounded key domain (idle keys leave, returning keys start fresh).
+    * Determinism is one-sided and therefore replay-safe: extra elapsed
+    * time only strengthens expiry (state cannot un-expire), so a slow
+    * machine cannot flip a verdict. Oracle: the same windowed row_number,
+    * PARTITIONED ADDITIONALLY BY BATCH HALF (the deterministic
+    * first-⌊n/2⌋ split) — the TTL horizon restriction in SQL form.
+    * StreamingTtlSpec pins the discriminating case (a window spanning
+    * the batch boundary re-admits with TTL, stays throttled without). */
+  def rateLimitTtlStreamReplay(s: SparkSession, d: String): DataFrame =
+    rateLimitReplayWith(s, d, "e_rate_limit_ttl_sink",
+      new RateLimitProcessor(
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(RlTtlMs))),
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+      interBatchSleepMs = 3 * RlTtlMs)
+
+  private[streaming] val RlTtlMs = 1000L
+
+  /** Commit fence for PROCESSING-TIME streams: `processAllAvailable`
+    * never returns under TimeMode.ProcessingTime, because the engine
+    * keeps scheduling non-idle micro-batches to fire timers/TTL and the
+    * no-new-data signal the fence waits on is never raised (the
+    * ProcessingTimeTimeout/idle-MemoryStream trap in TTL form). The
+    * limiter emits exactly one row per input row, so "batch committed"
+    * is observable from the SINK: poll until the expected row count
+    * lands. Monotone-append sink ⇒ the poll is race-free. */
+  private[streaming] def awaitSinkRows(
+      s: SparkSession, q: org.apache.spark.sql.streaming.StreamingQuery,
+      sink: String, n: Long): Unit = {
+    val deadline = System.nanoTime() + 300L * 1000L * 1000L * 1000L
+    while (s.table(sink).count() < n) {
+      if (!q.isActive) q.awaitTermination() // surface the stream's failure
+      if (System.nanoTime() > deadline) sys.error(s"sink $sink stuck below $n rows")
+      Thread.sleep(50L)
+    }
+  }
+
+  private def rateLimitReplayWith(
+      s: SparkSession, d: String, sink: String,
+      processor: RateLimitProcessor,
+      timeMode: org.apache.spark.sql.streaming.TimeMode,
+      interBatchSleepMs: Long): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = graft.Tables.events(s, d)
@@ -571,7 +655,6 @@ object Streams {
       .collect()
       .sortBy(r => (r._3, r._2))
     val in = MemoryStream[(Long, Long, Long)]
-    val sink = "e_rate_limit_stream_sink"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(providerKey)
     // provider is captured at STREAM START (not mutable mid-query);
@@ -579,22 +662,30 @@ object Streams {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = in.toDS()
-        .map { case (u, e, us) => RlEv(u, e, us) }
-        .groupByKey(_.user_id)
-        .transformWithState(new RateLimitProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          OutputMode.Append())
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append).start()
-      try {
-        val (b1, b2) = rows.splitAt(rows.length / 2)
-        in.addData(b1.toIndexedSeq)
-        q.processAllAvailable()
-        in.addData(b2.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+      withReplayShuffle(s) {
+        val q = in.toDS()
+          .map { case (u, e, us) => RlEv(u, e, us) }
+          .groupByKey(_.user_id)
+          .transformWithState(processor, timeMode, OutputMode.Append())
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append).start()
+        try {
+          // ProcessingTime mode (the TTL variant) cannot use the
+          // processAllAvailable fence — see [[awaitSinkRows]]
+          val poll = interBatchSleepMs > 0
+          val (b1, b2) = rows.splitAt(rows.length / 2)
+          in.addData(b1.toIndexedSeq)
+          if (poll) awaitSinkRows(s, q, sink, b1.length.toLong)
+          else q.processAllAvailable()
+          // TTL variant: wall-clock gap ≥ 3×TTL AFTER batch 1 commits, so
+          // batch-1 state is expired — never marginal — at batch 2
+          if (interBatchSleepMs > 0) Thread.sleep(interBatchSleepMs)
+          in.addData(b2.toIndexedSeq)
+          if (poll) awaitSinkRows(s, q, sink, rows.length.toLong)
+          else q.processAllAvailable()
+        } finally q.stop()
+      }
     } finally {
       prevProvider match {
         case Some(p) => s.conf.set(providerKey, p)
@@ -631,28 +722,34 @@ object Streams {
     val base = graft.TempPaths.scratch(s, "stream_upsert") + "/run" + upsertRuns.incrementAndGet()
     val in = MemoryStream[(Long, Long, Long, Double)]
     @volatile var current: Option[String] = None
-    val q = in.toDF().toDF("user_id", "event_id", "us", "value")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("us").desc, col("event_id").desc)
-        val merged = current match {
-          case Some(p) => batch.sparkSession.read.parquet(p).unionByName(batch)
-          case None => batch
+    withReplayShuffle(s) {
+      val q = in.toDF().toDF("user_id", "event_id", "us", "value")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("event_id").desc)
+          val merged = current match {
+            case Some(p) => batch.sparkSession.read.parquet(p).unionByName(batch)
+            case None => batch
+          }
+          val next = s"$base/gen$id"
+          merged
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+            .write.mode("overwrite").parquet(next)
+          current = Some(next)
         }
-        val next = s"$base/gen$id"
-        merged
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-          .write.mode("overwrite").parquet(next)
-        current = Some(next)
-      }
-      .start()
-    try {
-      rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
-        in.addData(b.toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+        .start()
+      try {
+        // one processAllAvailable per generation: without the fence the
+        // planner would coalesce all three addData blocks into ONE
+        // micro-batch and the generation chain (the thing this replay
+        // demonstrates) would collapse to a single merge
+        rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+          in.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     s.read.parquet(current.getOrElse(sys.error("upsert replay produced no generation")))
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("us").as("last_us"), col("value").as("last_value"))
@@ -682,21 +779,23 @@ object Streams {
       .as[(Long, Long, String)].collect().sortBy(_._1)
     val base = graft.TempPaths.scratch(s, "stream_enrich") + "/run" + enrichRuns.incrementAndGet()
     val in = MemoryStream[(Long, Long, String)]
-    val q = in.toDS().toDF("event_id", "user_id", "event_type")
-      .join(broadcast(dim), "user_id")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("tier"), col("segment"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode(OutputMode.Append).start()
-    try {
-      val (b1, b2) = rows.splitAt(rows.length / 2)
-      in.addData(b1.toIndexedSeq)
-      q.processAllAvailable()
-      in.addData(b2.toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = in.toDS().toDF("event_id", "user_id", "event_type")
+        .join(broadcast(dim), "user_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("tier"), col("segment"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.read.parquet(s"$base/out").orderBy("event_id")
   }
 
@@ -705,6 +804,7 @@ object Streams {
     "e_funnel_stream" -> (funnelStreamReplay _),
     "e_stream_upsert" -> (streamUpsertReplay _),
     "e_rate_limit_stream" -> (rateLimitStreamReplay _),
+    "e_rate_limit_ttl" -> (rateLimitTtlStreamReplay _),
     "e_window_agg_stream" -> (windowAggStream _),
     "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
@@ -731,6 +831,25 @@ object Streams {
          |             row_number() OVER (PARTITION BY user_id, us - us % $RlWindowUs
          |                                ORDER BY us, event_id) AS rn
          |      FROM e)
+         |SELECT user_id, event_id, us, CAST(rn <= $RlLimit AS INT) AS admitted
+         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // TTL variant: state evicts between the two replay batches (sleep ≥
+    // 3×TTL), so the budget window restarts at the batch boundary — the
+    // SQL form partitions the same row_number additionally by BATCH HALF
+    // (the deterministic first-⌊n/2⌋ split of the (us, event_id) order)
+    "e_rate_limit_ttl" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+         |o AS (SELECT user_id, event_id, us,
+         |             row_number() OVER (ORDER BY us, event_id) AS g,
+         |             count(*) OVER () AS n
+         |      FROM e),
+         |h AS (SELECT user_id, event_id, us,
+         |             CASE WHEN g <= n // 2 THEN 1 ELSE 2 END AS half
+         |      FROM o),
+         |r AS (SELECT user_id, event_id, us,
+         |             row_number() OVER (PARTITION BY user_id, half, us - us % $RlWindowUs
+         |                                ORDER BY us, event_id) AS rn
+         |      FROM h)
          |SELECT user_id, event_id, us, CAST(rn <= $RlLimit AS INT) AS admitted
          |FROM r ORDER BY user_id, event_id""".stripMargin,
     // LWW merge is batch-split-independent: the final generation is the
@@ -922,8 +1041,14 @@ object Streams {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val numPerms = graft.functions.MinHashSignature.DefaultNumPerms
-    val rows = graft.operators.Dedup.bands(s, d)
-      .join(graft.operators.Dedup.withSig(s, d).select(col("doc_id"),
+    // ONE pinned signature pass feeds both the band keys and the raw
+    // signature payload — the bands+withSig join used to plan the
+    // compute-dense MinHash subtree twice (half the replay's cost at
+    // sf0.1 was batch prep, not streaming)
+    val sig = graft.operators.Dedup.withSig(s, d)
+      .select(col("doc_id"), col("sig")).localCheckpoint()
+    val rows = graft.operators.Dedup.bandsFrom(sig)
+      .join(sig.select(col("doc_id"),
         transform(col("sig"), v => coalesce(v, lit(-1L))).as("sigArr")), "doc_id")
       .select(concat(col("band").cast("string"), lit("#"), col("bkey")).as("bucket"),
         col("doc_id"), col("sigArr"))
@@ -932,19 +1057,21 @@ object Streams {
       .sortBy(_._2)
     val in = MemoryStream[(String, Long, Seq[Long])]
     val sink = "d_lsh_dedup_stream_sink"
-    val q = lshDedupStream(in.toDS(), numPerms, 0.5,
-        timeout = GroupStateTimeout.NoTimeout)
-      .toDF("doc_id", "flag")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      // doc_id order across batches is the determinism contract
-      val (b1, b2) = rows.splitAt(rows.length / 2)
-      in.addData(b1.toIndexedSeq)
-      q.processAllAvailable()
-      in.addData(b2.toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayShuffle(s) {
+      val q = lshDedupStream(in.toDS(), numPerms, 0.5,
+          timeout = GroupStateTimeout.NoTimeout)
+        .toDF("doc_id", "flag")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // doc_id order across batches is the determinism contract
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(sink)
       .groupBy(col("doc_id"))
       .agg(max(col("flag")).as("is_dup"))
