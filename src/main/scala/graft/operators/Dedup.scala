@@ -161,8 +161,11 @@ object Dedup {
     * join + min-aggregation; rounds ≈ component DIAMETER (tiny for dup
     * clusters — near-dup components are dense perturbation balls, not
     * chains); the driver sees only a changed-row COUNT per round, never
-    * data. `localCheckpoint` truncates the growing lineage each round (at
-    * cluster scale, a reliable checkpoint dir instead). Pair lists
+    * data. A per-round pin truncates the growing lineage:
+    * `localCheckpoint` by default, or a RELIABLE `checkpoint(dir)` via
+    * [[dupClustersWith]]'s `reliableDir` for cluster runs that must
+    * survive executor loss (CheckpointModeSpec proves both modes
+    * bit-identical). Pair lists
     * under-remove transitive chains (a~b, b~c but no a~c candidate);
     * clusters are the principled keep-one-per-group resolution: cluster
     * id = min reachable doc_id, `is_rep` marks the kept document.
@@ -172,14 +175,33 @@ object Dedup {
     * large-star/small-star formulation converges in O(log²n) rounds
     * regardless of diameter, at the cost of two neighborhood
     * aggregations per round instead of one. */
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    dupClustersWith(s, d, reliableDir = None)
+
+  /** Per-round lineage pin for the iterative operators. Default =
+    * `localCheckpoint` (executor-local blocks: fastest, but an executor
+    * loss mid-run kills the job — fine single-JVM). `reliableDir` switches
+    * every pin to a RELIABLE `checkpoint` into that directory (HDFS/object
+    * store on a cluster), which survives executor loss — the form a
+    * long-running 100 TB CC job uses. Results are bit-identical either way
+    * (CheckpointModeSpec asserts it); only failure-recovery differs. */
+  private def pinner(
+      s: SparkSession, reliableDir: Option[String]): DataFrame => DataFrame =
+    reliableDir match {
+      case Some(dir) =>
+        s.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+
+  private[operators] def dupClustersWith(
+      s: SparkSession, d: String, reliableDir: Option[String]): DataFrame = {
+    val pin = pinner(s, reliableDir)
     val pairs = stagedNeardupPairs(s, d).select(col("a"), col("b"))
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val edges = pin(pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 32) {
@@ -187,12 +209,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      val updated = pin(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"),
-          col("label"))
-        .localCheckpoint()
+          col("label")))
       changed = updated.filter(col("next") =!= col("label")).count()
       labels = updated.select(col("id"), col("next").as("label"))
       rounds += 1
@@ -246,15 +267,16 @@ object Dedup {
     * (same domain as the label-propagation form). Convergence is an
     * edge-set equality check per round — two counts and one limit-1
     * difference, never edge data on the driver. */
-  private[operators] def ccTwoPhase(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
-    var edges = pairs
+  private[operators] def ccTwoPhase(
+      pairs: DataFrame, maxRounds: Int = 16,
+      pin: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    var edges = pin(pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = pin(smallStar(largeStar(edges)))
       converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
       edges = next
       rounds += 1

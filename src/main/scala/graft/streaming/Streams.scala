@@ -446,8 +446,21 @@ object Streams {
   /** The transform: per-user funnel rows in append mode, one per closed
     * session — output matches [[graft.operators.Events.sessionFunnel]]
     * row-for-row once the watermark passes every session (spec-asserted,
-    * and the replay query shares the batch funnel's hash oracle). */
-  def funnelStream(events: Dataset[FunnelEv]): Dataset[FunnelRow] = {
+    * and the replay query shares the batch funnel's hash oracle).
+    *
+    * @param tombstoneTtlUs OPT-IN tombstone eviction for long-lived
+    *   deployments: with the default `None`, a flushed user's tombstone
+    *   is permanent — one compact row per distinct user ever seen, which
+    *   keeps session NUMBERING exact forever but means state grows
+    *   monotonically with the key domain. A ttl evicts a tombstone once
+    *   the EVENT-TIME watermark passes `lastUs + ttl` (idle users leave
+    *   the store), accepting the documented caveat: a user returning
+    *   AFTER eviction restarts at session_id 1, diverging from the batch
+    *   numbering — so the hash-gated replay keeps `None`, and
+    *   FunnelStreamSpec pins both behaviors. */
+  def funnelStream(
+      events: Dataset[FunnelEv],
+      tombstoneTtlUs: Option[Long] = None): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "1 hour")
@@ -462,20 +475,25 @@ object Streams {
           if (state.hasTimedOut) {
             val st = state.get
             if (!st.emitted) {
-              // Flush the open session and leave a PERMANENT tombstone:
-              // no timeout is re-armed, so this state is never visited
-              // again until the user's next event. A user who returns
-              // any number of micro-batches later resumes at
-              // sessionId + 1 — removing the tombstone (e.g. on a
-              // second timeout firing) would restart numbering at 1 and
-              // break batch-funnel equivalence. Cost: one compact row
-              // per distinct user ever seen, the same O(keys) bound the
-              // batch funnel's groupBy carries; evicting it is only
-              // sound if the numbering caveat is acceptable.
+              // Flush the open session and leave a tombstone. Default:
+              // PERMANENT (no timeout re-armed) — a user who returns any
+              // number of micro-batches later resumes at sessionId + 1;
+              // removing the tombstone early would restart numbering at 1
+              // and break batch-funnel equivalence. With `tombstoneTtlUs`
+              // a second event-time timeout is armed at lastUs + ttl, and
+              // its firing EVICTS the idle user's state (the opt-in
+              // numbering caveat above).
               state.update(st.copy(emitted = true))
+              tombstoneTtlUs.foreach { ttl =>
+                state.setTimeoutTimestamp(
+                  math.max((st.lastUs + ttl) / 1000L,
+                    state.getCurrentWatermarkMs() + 1L))
+              }
               Iterator.single(emit(st))
             } else {
-              // Unreachable (tombstones arm no timeout); defensive only.
+              // A timeout on a tombstone: only armed in TTL mode — evict.
+              // (Unreachable with permanent tombstones; defensive there.)
+              state.remove()
               Iterator.empty
             }
           } else {

@@ -22,12 +22,15 @@ class FunnelStreamSpec extends AnyFunSuite {
   private type Row4 = (Long, Long, Timestamp, String)
 
   /** Replays batches through funnelStream and returns the sink rows. */
-  private def run(batches: Seq[Seq[Row4]]): Seq[(Long, Long, Long, Long, Int)] = {
+  private def run(
+      batches: Seq[Seq[Row4]],
+      tombstoneTtlUs: Option[Long] = None): Seq[(Long, Long, Long, Long, Int)] = {
     import s.implicits._
     implicit val sql = s.sqlContext
     val in = MemoryStream[Row4]
     val q = Streams.funnelStream(
-        in.toDF().toDF("user_id", "event_id", "ts", "event_type").as[Streams.FunnelEv])
+        in.toDF().toDF("user_id", "event_id", "ts", "event_type").as[Streams.FunnelEv],
+        tombstoneTtlUs)
       .toDF()
       .writeStream.format("memory").queryName("funnel_spec_out")
       .outputMode(OutputMode.Append).start()
@@ -98,6 +101,37 @@ class FunnelStreamSpec extends AnyFunSuite {
       (7L, 1L, 1L, 0L, 0),
       (7L, 2L, 0L, 1L, 0)),
       s"got $out")
+  }
+
+  test("opt-in tombstone TTL evicts idle users; the default never does") {
+    // user 9's session flushes by timeout, then stays idle while the
+    // watermark advances far past lastUs + ttl (2 days). With the TTL the
+    // tombstone EVICTS, so the eventual return restarts at session 1 —
+    // the documented renumbering trade for bounded state; with the
+    // default permanent tombstone the same replay resumes at session 2.
+    val base = 10L * Day
+    val ttl = 2L * Day
+    val batches = Seq(
+      Seq[Row4]((9L, 1L, tsUs(base), "click")),
+      // watermark pushes past the gap boundary (flush) and then past
+      // lastUs + ttl (eviction point), with no user-9 traffic
+      Seq[Row4]((8L, 2L, tsUs(base + 5L * Day), "view")),
+      Seq[Row4]((8L, 3L, tsUs(base + 10L * Day), "view")),
+      // user 9 returns long after the eviction horizon
+      Seq[Row4]((9L, 4L, tsUs(base + 20L * Day), "purchase")),
+      Seq[Row4]((-1L, -1L, tsUs(base + 60L * Day), "noop")))
+    // run() returns tuple-sorted rows; both sessions carry id 1 after
+    // eviction, so the purchase session (0 clicks) sorts first
+    val withTtl = run(batches, Some(ttl)).filter(_._1 == 9L)
+    assert(withTtl == Seq(
+      (9L, 1L, 0L, 1L, 0), // the RETURN restarted at 1: state was evicted
+      (9L, 1L, 1L, 0L, 0)),
+      s"got $withTtl")
+    val without = run(batches).filter(_._1 == 9L)
+    assert(without == Seq(
+      (9L, 1L, 1L, 0L, 0),
+      (9L, 2L, 0L, 1L, 0)), // permanent tombstone: numbering continues
+      s"got $without")
   }
 
   test("streamed funnel equals the batch funnel row-for-row on real events") {
