@@ -336,6 +336,32 @@ object Similarity {
   private[operators] def lshCandidateCount(s: SparkSession, d: String): Long =
     lshCandidates(s, d).count()
 
+  /** Recall@K eval harness: per-query recall of each approximate path
+    * (IVF, SRP-LSH) against the exact top-K — the accept/tune gate every
+    * ANN deployment runs before swapping the exact path out. Pure
+    * composition: both sides are the already-k-bounded query outputs
+    * (queries × K rows each), so the whole harness is an O(queries × K)
+    * overlay on indexes that are already staged — at any corpus size the
+    * expensive work happens once in the probe queries, and this join
+    * never touches the corpus. 0-hit queries are kept via the left join
+    * (a recall harness that silently drops them overstates recall). */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopK(s, d).select(col("q_id"), col("vec_id"))
+    val qs = exact.select(col("q_id")).distinct()
+    def recallOf(approx: DataFrame, method: String): DataFrame = {
+      val hits = exact
+        .join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      qs.join(hits, Seq("q_id"), "left")
+        .select(lit(method).as("method"), col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / lit(K.toDouble))
+    }
+    recallOf(annIvf(s, d), "ivf")
+      .unionByName(recallOf(annLsh(s, d), "lsh"))
+      .orderBy("method", "q_id")
+  }
+
   // ---- Hard-negative mining: the contrastive-training data op (pick,
   // per query/anchor, the most-similar items that are NOT near-dups —
   // informative negatives a random sample would almost never contain).
@@ -483,6 +509,7 @@ object Similarity {
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
+    "v_ann_recall" -> (annRecall _),
     "v_ann_quantized" -> (annQuantized _),
     "v_hard_negatives" -> (hardNegatives _),
     "v_hybrid_search" -> (hybridSearch _),
@@ -531,21 +558,34 @@ object Similarity {
        |  SELECT c.q_id, c.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
        |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "v_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT q.q_id, e.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
-         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cosine,
-         |         CAST(row_number() OVER (PARTITION BY q_id
-         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-         |  FROM scored)
-         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
-    "v_ann_ivf" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+  /** The exact and approximate top-k oracles as standalone vals so the
+    * recall harness can embed each as a parenthesized subquery. */
+  private lazy val cosineTopkOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  private lazy val annLshOracle: String =
+    lshScoredCte +
+      """,
+        |ranked AS (
+        |  SELECT q_id, vec_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
+
+  private lazy val annIvfOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
          |expl AS (
          |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
          |         unnest(embedding) AS v
@@ -573,7 +613,11 @@ object Similarity {
          |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+         |ORDER BY q_id, rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "v_cosine_topk" -> cosineTopkOracle,
+    "v_ann_ivf" -> annIvfOracle,
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
     // floor to 127 levels): quantized components are exact integers, so
     // the quantized cosines — and hence candidate pool and final ranks —
@@ -624,16 +668,26 @@ object Similarity {
     },
     // rebuilds the identical md5-derived hyperplane constants, sign bits,
     // and band keys, then re-ranks candidates exactly like the engine
-    "v_ann_lsh" ->
-      (lshScoredCte +
-        """,
-          |ranked AS (
-          |  SELECT q_id, vec_id, cosine,
-          |         CAST(row_number() OVER (PARTITION BY q_id
-          |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-          |  FROM scored)
-          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
-          |ORDER BY q_id, rank""".stripMargin),
+    "v_ann_lsh" -> annLshOracle,
+    // recall@k: each approximate top-k subquery is the EXACT oracle text
+    // of its own gate, embedded verbatim — the recall numbers are over
+    // the same result sets the per-path gates hash-check
+    "v_ann_recall" ->
+      s"""WITH exr AS (SELECT q_id, vec_id FROM ($cosineTopkOracle) t),
+         |qs AS (SELECT DISTINCT q_id FROM exr),
+         |ivfr AS (SELECT q_id, vec_id FROM ($annIvfOracle) t),
+         |lshr AS (SELECT q_id, vec_id FROM ($annLshOracle) t),
+         |ih AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN ivfr USING (q_id, vec_id)
+         |       GROUP BY q_id),
+         |lh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN lshr USING (q_id, vec_id)
+         |       GROUP BY q_id)
+         |SELECT method, q_id, n_hit, CAST(n_hit AS DOUBLE) / $K.0 AS recall FROM (
+         |  SELECT 'ivf' AS method, qs.q_id, CAST(COALESCE(ih.n, 0) AS BIGINT) AS n_hit
+         |  FROM qs LEFT JOIN ih USING (q_id)
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, qs.q_id, CAST(COALESCE(lh.n, 0) AS BIGINT) AS n_hit
+         |  FROM qs LEFT JOIN lh USING (q_id)) u
+         |ORDER BY method, q_id""".stripMargin,
     "v_hybrid_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
          |kw AS (SELECT doc_id FROM documents

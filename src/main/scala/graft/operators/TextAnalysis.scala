@@ -60,24 +60,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // quality sub-expressions shared by `quality` and `tokenBudget` (the
+  // budget sampler orders by the same score — one formula, one oracle
+  // mirror, computed identically wherever it appears)
+  private def qNTokens: Column = size(words).cast("double")
+  private def qStopRatio: Column =
+    size(filter(words, w => w.isInCollection(Seq("a", "the")))).cast("double") / qNTokens
+  private def qAvgLen: Column =
+    length(regexp_replace(col("text"), " ", "")).cast("double") / qNTokens
+  private def qLenScore: Column = least(qNTokens / lit(100.0), lit(1.0))
+  private def qScore: Column =
+    lit(0.5) * qLenScore + lit(0.3) * (lit(1.0) - qStopRatio) +
+      lit(0.2) * least(qAvgLen / lit(6.0), lit(1.0))
+
   /** Quality scoring: length score, stopword ratio, mean token length —
     * combined with fixed-order arithmetic mirrored 1:1 in the oracle. */
-  def quality(s: SparkSession, d: String): DataFrame = {
-    val nTokens = size(words).cast("double")
-    val stopRatio =
-      size(filter(words, w => w.isInCollection(Seq("a", "the")))).cast("double") / nTokens
-    val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
-    val lenScore = least(nTokens / lit(100.0), lit(1.0))
+  def quality(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(
         col("doc_id"),
-        stopRatio.as("stop_ratio"),
-        avgLen.as("avg_token_len"),
-        lenScore.as("len_score"),
-        (lit(0.5) * lenScore + lit(0.3) * (lit(1.0) - stopRatio) +
-          lit(0.2) * least(avgLen / lit(6.0), lit(1.0))).as("quality_score"))
+        qStopRatio.as("stop_ratio"),
+        qAvgLen.as("avg_token_len"),
+        qLenScore.as("len_score"),
+        qScore.as("quality_score"))
       .orderBy("doc_id")
-  }
 
   /** Document fingerprinting: whole-doc md5 plus a winnowing-style
     * min-hash over word 4-gram shingles (rolling-window fingerprint). */
@@ -304,6 +310,84 @@ object TextAnalysis {
     val survivors = train.filter(graft.functions.GraftFunctions.bloom_might_contain(
       lit(bloomBytes), xxhash64(col("g5"))))
     (survivors.count(), train.count())
+  }
+
+  /** [[decontaminate]]'s boolean verdict as a MEASURE: per train doc, the
+    * fraction of its distinct 5-grams present in the held-out suite — the
+    * dial for a threshold gate (drop at ≥x%) instead of drop-on-any-hit,
+    * and the number a contamination report aggregates. Same gram
+    * machinery, same broadcast-bounded held-out side; the LEFT join keeps
+    * zero-overlap docs (a report that drops them overstates
+    * contamination). Scale shape is [[decontaminate]]'s: the corpus gram
+    * stream never shuffles — it joins a broadcast set and aggregates
+    * per doc with map-side combine. */
+  def overlapFrac(s: SparkSession, d: String): DataFrame = {
+    val held = gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
+    gramSide(s, d, gramBucket < 98)
+      .join(broadcast(held.withColumn("hit", lit(1L))), Seq("g5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Sliding-window chunking: the RAG / context-window prep op. Fixed
+  // token windows with overlap; a window whose span the PREVIOUS window
+  // already covered (possible only at the ragged tail) is suppressed, so
+  // chunks are unique and every token is covered. Pure narrow map +
+  // explode over the scan — zero shuffles at any corpus size (the final
+  // orderBy exists for the deterministic oracle compare only). ----
+  private[operators] val ChunkSize = 64
+  private[operators] val ChunkOverlap = 16
+  private[operators] val ChunkStep = ChunkSize - ChunkOverlap
+
+  def chunking(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    docs(s, d)
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), w,
+        explode(sequence(lit(0), greatest(size(w) - 1, lit(0)),
+          lit(ChunkStep))).as("st"))
+      // the tail window starting at `st` is contained in its predecessor
+      // iff that predecessor already reached the document end
+      .filter(col("st") === 0 || col("st") + lit(ChunkOverlap) < size(w))
+      .select(col("doc_id"),
+        (col("st") / lit(ChunkStep)).cast("long").as("chunk_id"),
+        col("st").cast("long").as("start_tok"),
+        size(slice(w, col("st") + 1, lit(ChunkSize))).cast("long").as("n_tokens"),
+        md5(array_join(slice(w, col("st") + 1, lit(ChunkSize)), " ").cast("binary"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Per-source TOKEN-BUDGET sampling — the data-mixture cap: each source
+    * contributes its highest-quality documents until its token budget is
+    * spent (greedy quality-first prefix; ties broken by doc_id). One hash
+    * shuffle on `source` + a per-source running sum; at 100 TB sources
+    * vastly outnumber partitions so the windows parallelize — a single
+    * pathological mega-source is the same skew a two-phase per-shard
+    * prefix-sum (shard sums broadcast as offsets) would shard, noted here
+    * rather than built because the budget cap is per-SOURCE by
+    * definition. Ordering by the float quality score is cross-engine
+    * deterministic: both engines compute the identical IEEE doubles
+    * (t_quality's hash gate proves it) and doc_id breaks ties. */
+  private[operators] val TokenBudget = 800L
+
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(words).cast("long").as("n_tokens"),
+        qScore.as("quality_score"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
   }
 
   private[operators] val PackCtx = 512
@@ -585,6 +669,9 @@ object TextAnalysis {
     "t_rep_signals" -> (repetitionSignals _),
     "t_decontaminate" -> (decontaminate _),
     "t_decontaminate_bloom" -> (decontaminateBloom _),
+    "t_overlap_frac" -> (overlapFrac _),
+    "t_chunking" -> (chunking _),
+    "t_token_budget" -> (tokenBudget _),
     "t_pack_sequences" -> (packSequences _),
     "t_pack_chunks" -> (packChunks _),
     "t_pack_write" -> (packWrite _),
@@ -751,6 +838,46 @@ object TextAnalysis {
          |ev AS (SELECT DISTINCT g5 FROM g WHERE bucket >= 98)
          |SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN ev USING (g5)
          |WHERE bucket < 98 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_overlap_frac" ->
+      s"""WITH ws AS (SELECT doc_id, $sqlWords AS w, md5(text) AS m FROM documents),
+         |g AS (SELECT doc_id, ${graft.QueryDsl.sqlHex8("m", 1)} % 100 AS bucket,
+         |        unnest(list_distinct(list_transform(range(0, len(w)-4),
+         |          i -> md5(array_to_string(w[i+1:i+5],' '))))) AS g5
+         |      FROM ws WHERE len(w) >= 5),
+         |ev AS (SELECT DISTINCT g5 FROM g WHERE bucket >= 98),
+         |j AS (SELECT g.doc_id, CASE WHEN ev.g5 IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM g LEFT JOIN ev USING (g5) WHERE g.bucket < 98)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(SUM(hit) AS BIGINT) AS n_shared,
+         |       CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS overlap_frac
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |st AS (SELECT doc_id, w,
+         |         unnest(generate_series(0, GREATEST(len(w) - 1, 0), $ChunkStep)) AS st
+         |       FROM t)
+         |SELECT doc_id, CAST(st // $ChunkStep AS BIGINT) AS chunk_id,
+         |       CAST(st AS BIGINT) AS start_tok,
+         |       CAST(len(w[st+1:st+$ChunkSize]) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(w[st+1:st+$ChunkSize], ' ')) AS chunk_md5
+         |FROM st WHERE st = 0 OR st + $ChunkOverlap < len(w)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t_token_budget" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |             CAST(len($sqlWords) AS BIGINT) AS n_tokens,
+         |             0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+         |               + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+         |                              / CAST(len($sqlWords) AS DOUBLE))
+         |               + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                              / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) AS quality_score
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |             ORDER BY quality_score DESC, doc_id ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM q)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudget ORDER BY source, doc_id""".stripMargin,
     // the bloom path must be output-identical to the broadcast path —
     // false positives die in the exact confirm — so the SAME oracle
     // proves both (mirrors the d_dup_clusters/_star twin-oracle pattern)

@@ -155,4 +155,76 @@ class LlmCorpusSpec extends AnyFunSuite {
       assert(nonMember.count() == 0, "canonical doc not a member of its cluster")
     } finally canon.unpersist()
   }
+
+  test("chunking tiles every document: coverage, overlap, no contained chunk") {
+    val docTok = TextAnalysis.tokenStats(s, sf)
+      .select(col("doc_id"), col("n_tokens").as("doc_tokens"))
+    val c = TextAnalysis.chunking(s, sf).join(docTok, "doc_id")
+    val step = TextAnalysis.ChunkStep
+    val size = TextAnalysis.ChunkSize
+    // starts are chunk_id * step; chunk length is min(size, remaining)
+    val shapeBad = c.filter(
+      col("start_tok") =!= col("chunk_id") * step ||
+        col("n_tokens") =!= least(lit(size), col("doc_tokens") - col("start_tok")))
+    assert(shapeBad.count() == 0, "chunk start/length broken")
+    // every doc starts at 0 and its LAST chunk reaches the end
+    val perDoc = c.groupBy(col("doc_id"), col("doc_tokens"))
+      .agg(min(col("start_tok")).as("first"),
+        max(col("start_tok") + col("n_tokens")).as("reach"))
+    assert(perDoc.filter(col("first") =!= 0 ||
+      col("reach") =!= col("doc_tokens")).count() == 0, "coverage broken")
+    // a chunk fully contained in its predecessor must be suppressed:
+    // any non-first chunk starts strictly before the doc end - overlap
+    val contained = c.filter(col("chunk_id") > 0 &&
+      col("start_tok") + (size - step) >= col("doc_tokens"))
+    assert(contained.count() == 0, "redundant tail chunk emitted")
+  }
+
+  test("token budget keeps the maximal quality-first prefix per source") {
+    val kept = TextAnalysis.tokenBudget(s, sf)
+    val budget = TextAnalysis.TokenBudget
+    // never over budget
+    val over = kept.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
+      .filter(col("tot") > budget)
+    assert(over.count() == 0, "source over its token budget")
+    assert(kept.filter(col("cum_tokens") > budget).count() == 0)
+    // maximal: the best excluded doc would overflow the remaining budget
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val ranked = TextAnalysis.quality(s, sf)
+      .join(graft.Tables.documents(s, sf).select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).as("n_tok")), "doc_id")
+      .withColumn("rank", row_number().over(w))
+    val keptMax = kept.join(ranked.select(col("doc_id"), col("rank")), "doc_id")
+      .groupBy(col("source")).agg(max(col("rank")).as("kept_upto"),
+        sum(col("n_tokens")).as("kept_tok"))
+    val firstExcluded = ranked.join(keptMax, "source")
+      .filter(col("rank") === col("kept_upto") + 1)
+    val notMaximal = firstExcluded.filter(col("kept_tok") + col("n_tok") <= budget)
+    assert(notMaximal.count() == 0,
+      "a higher-quality doc still fit inside the budget but was excluded")
+    // kept rows are a PREFIX in quality order (no gaps)
+    val gaps = kept.join(ranked.select(col("doc_id"), col("rank")), "doc_id")
+      .join(keptMax.select(col("source"), col("kept_upto")), "source")
+      .groupBy(col("source"), col("kept_upto")).agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("kept_upto"))
+    assert(gaps.count() == 0, "kept set is not a quality-order prefix")
+  }
+
+  test("overlap fraction agrees with decontamination counts and is bounded") {
+    val frac = TextAnalysis.overlapFrac(s, sf)
+    val bad = frac.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1 ||
+      col("n_shared") > col("n_grams"))
+    assert(bad.count() == 0, "overlap_frac out of range")
+    // docs flagged by decontaminate carry the same n_shared here
+    val decon = TextAnalysis.decontaminate(s, sf)
+      .withColumnRenamed("n_shared", "n_shared_decon")
+    val disagree = frac.join(decon, "doc_id")
+      .filter(col("n_shared") =!= col("n_shared_decon"))
+    assert(disagree.count() == 0, "n_shared disagrees with decontaminate")
+    // and docs NOT flagged there have zero overlap here
+    val zeroSide = frac.join(decon, Seq("doc_id"), "left_anti")
+    assert(zeroSide.filter(col("n_shared") =!= 0).count() == 0,
+      "unflagged doc with nonzero overlap")
+  }
 }

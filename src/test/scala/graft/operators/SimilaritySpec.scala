@@ -214,4 +214,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"centroid build must not buffer whole groups:\n$optimized")
     assert(!optimized.contains("sort_array"))
   }
+
+  test("v_ann_recall equals independently-computed set intersections, both paths") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = sets(Similarity.cosineTopK(s, sf))
+    val approx = Map(
+      "ivf" -> sets(Similarity.annIvf(s, sf)),
+      "lsh" -> sets(Similarity.annLsh(s, sf)))
+    val out = Similarity.annRecall(s, sf).collect()
+    assert(out.length == 2 * exact.size, "one row per (method, query)")
+    out.foreach { r =>
+      val (m, q) = (r.getString(0), r.getLong(1))
+      val nHit = r.getLong(2)
+      val recall = r.getDouble(3)
+      val expected = (exact(q) & approx(m).getOrElse(q, Set.empty[Long])).size
+      assert(nHit == expected.toLong, s"$m q=$q: n_hit $nHit != $expected")
+      assert(recall == expected.toDouble / 5.0, s"$m q=$q recall")
+    }
+  }
 }
