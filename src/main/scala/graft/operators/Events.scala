@@ -290,7 +290,63 @@ object Events {
       .orderBy("day", "event_type")
   }
 
+  /** Cohort RETENTION — the product-analytics classic: users grouped by
+    * their first-activity week; each later week's activity counted as
+    * (cohort_week, week_offset, n_active, cohort_size, retention).
+    *
+    * Scale shape: the corpus-sized work is ONE distinct to (user, week)
+    * pairs with map-side combine; the cohort min and the join back are
+    * co-partitioned on user_id (the identical distinct subtree appears
+    * twice and Catalyst's ReuseExchange ships its shuffle once); the
+    * final aggregate runs over the O(weeks²) offset domain and cohort
+    * sizes broadcast. After the first distinct, nothing is
+    * corpus-proportional. Each (user, week) pair is unique, so the
+    * offset-level count needs no expensive count-distinct. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.events(s, d)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) / 7)
+          .cast("long").as("week"))
+      .distinct()
+    val cohorts = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    wk.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Rolling active users — DAU and trailing-7-day WAU per calendar day,
+    * WITHOUT a range join or a window over the corpus: each distinct
+    * (user, day) pair is EXPLODED into the 7 days it contributes to, and
+    * WAU is a plain count over the re-deduped contributions. Everything
+    * after the first distinct is equi-shuffles over bounded domains
+    * (days × users-per-week); the 7× fan-out is the fixed price of
+    * turning a sliding COUNT DISTINCT into hash aggregation — the shape
+    * that parallelizes at any corpus size. */
+  def activeUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    // joining on observed days drops the phantom tail past the last event
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_retention" -> (retention _),
+    "e_active_users" -> (activeUsers _),
     "e_rate_anomaly" -> (rateAnomaly _),
     "e_gapfill" -> (gapfill _),
     "e_sessionize" -> (sessionize _),
@@ -301,6 +357,29 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |              CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS week
+        |            FROM events),
+        |ch AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+        |sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |       FROM ch GROUP BY cohort_week),
+        |act AS (SELECT ch.cohort_week, wk.week - ch.cohort_week AS week_offset
+        |        FROM wk JOIN ch USING (user_id))
+        |SELECT a.cohort_week, CAST(a.week_offset AS BIGINT) AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_active, sz.cohort_size,
+        |       CAST(COUNT(*) AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+        |FROM act a JOIN sz USING (cohort_week)
+        |GROUP BY a.cohort_week, a.week_offset, sz.cohort_size
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "e_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+        |contrib AS (SELECT DISTINCT u.user_id, u.day + CAST(x.i AS INT) AS day
+        |            FROM ud u, (SELECT unnest(range(0, 7)) AS i) x),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM contrib GROUP BY day)
+        |SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w USING (day)
+        |ORDER BY day""".stripMargin,
     "e_rate_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n

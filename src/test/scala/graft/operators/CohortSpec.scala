@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the semantic contracts of the cohort-analytics operators that the
+  * value-equality oracle can't discriminate on its own: retention's
+  * offset-0 identity (everyone is active in their own cohort week) and
+  * WAU's sliding-window meaning, cross-checked against a brute-force
+  * range join the production operator deliberately avoids. */
+class CohortSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("retention: offset 0 is the full cohort; counts conserve user-weeks") {
+    val r = Events.retention(s, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    // week 0 of every cohort contains exactly the cohort
+    val off0 = rows.filter(_.getLong(1) == 0L)
+    assert(off0.nonEmpty)
+    off0.foreach { row =>
+      assert(row.getLong(2) == row.getLong(3),
+        s"cohort ${row.getLong(0)}: offset-0 n_active != cohort_size")
+    }
+    rows.foreach { row =>
+      assert(row.getLong(1) >= 0, "negative week offset")
+      val ret = row.getDouble(4)
+      assert(ret > 0.0 && ret <= 1.0, s"retention out of (0,1]: $ret")
+    }
+    // sum of n_active over all cells == distinct (user, week) pairs
+    val totalActive = rows.map(_.getLong(2)).sum
+    val userWeeks = Tables.events(s, sf)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) / 7)
+          .cast("long").as("week"))
+      .distinct().count()
+    assert(totalActive == userWeeks, "retention cells lose or invent user-weeks")
+  }
+
+  test("active users: WAU equals the brute-force trailing-7-day distinct count") {
+    val out = Events.activeUsers(s, sf)
+    val ud = Tables.events(s, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // test-only brute force: a genuine range join over the bounded domain
+    val brute = ud.select(col("day")).distinct()
+      .join(ud.select(col("user_id"), col("day").as("aday")),
+        datediff(col("day"), col("aday")).between(0, 6))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("expect_wau"))
+    val joined = out.join(brute, "day")
+    assert(joined.count() == out.count(), "day domains differ")
+    assert(joined.filter(col("wau") =!= col("expect_wau")).count() == 0,
+      "WAU disagrees with the brute-force sliding count")
+    assert(out.filter(col("wau") < col("dau")).count() == 0, "WAU below DAU")
+  }
+}
