@@ -54,4 +54,37 @@ class CohortSpec extends AnyFunSuite {
       "WAU disagrees with the brute-force sliding count")
     assert(out.filter(col("wau") < col("dau")).count() == 0, "WAU below DAU")
   }
+
+  test("retention and WAU plan equi-joins and map-side-combined aggregates only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    def nonEqui(p: SparkPlan) = flatten(p).collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    val r = Events.retention(s, sf)
+    r.collect() // force AQE finalization
+    assert(nonEqui(r.queryExecution.executedPlan).isEmpty,
+      s"retention must stay equi-join only:\n${r.queryExecution.executedPlan}")
+    // Catalyst rewrites min-over-distinct into a direct partial min (a
+    // smaller shuffle payload than reusing the distinct's exchange);
+    // what matters is that every corpus-sized aggregate combines
+    // map-side before its shuffle
+    val rStr = r.queryExecution.executedPlan.toString
+    assert(rStr.contains("partial_min") && rStr.contains("partial_count"),
+      s"cohort/offset aggregates must combine map-side:\n$rStr")
+    val w = Events.activeUsers(s, sf)
+    w.collect()
+    assert(nonEqui(w.queryExecution.executedPlan).isEmpty,
+      s"WAU must stay equi-join/aggregate only:\n${w.queryExecution.executedPlan}")
+  }
 }

@@ -180,6 +180,29 @@ class LlmCorpusSpec extends AnyFunSuite {
     assert(contained.count() == 0, "redundant tail chunk emitted")
   }
 
+  test("chunking plans zero hash shuffles: narrow map + explode over the scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = TextAnalysis.chunking(s, sf)
+    df.collect() // finalize AQE
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    // the single allowed exchange is the range partitioning backing the
+    // deterministic oracle orderBy — never a hash shuffle
+    assert(shuffles.size <= 1 &&
+      shuffles.forall(_.outputPartitioning.toString.toLowerCase.contains("range")),
+      s"chunking must not hash-shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
   test("token budget keeps the maximal quality-first prefix per source") {
     val kept = TextAnalysis.tokenBudget(s, sf)
     val budget = TextAnalysis.TokenBudget
