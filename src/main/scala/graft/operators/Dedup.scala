@@ -84,6 +84,26 @@ object Dedup {
   private[graft] def bands(s: SparkSession, d: String): DataFrame =
     bandsFrom(withSig(s, d))
 
+  /** LSH index HEALTH metrics — the skew forecaster an operator reads
+    * before anything joins the bands: per band, bucket count, rows, the
+    * largest bucket, and the exact candidate-pair volume the band will
+    * emit (Σ c·(c−1)/2 over its buckets). A hot bucket is the LSH failure
+    * mode at scale — one boilerplate-heavy bkey can quadratically blow up
+    * the candidate join; this query is the dial that says "re-band or
+    * salt" BEFORE paying that join. Shape: one map-side-combined count to
+    * O(buckets) rows, then an aggregate over the O(bands) domain —
+    * nothing after the first combine is corpus-proportional. */
+  def bandStats(s: SparkSession, d: String): DataFrame =
+    bands(s, d)
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("(c * (c - 1)) div 2")).as("cand_pairs"))
+      .orderBy("band")
+
   /** Candidate pairs from the band equi-join — the only pair generator. */
   def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val x = bands(s, d).as("x")
@@ -695,6 +715,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (exactDedup _),
     "d_minhash_sig" -> (minhashSignatures _),
+    "d_band_stats" -> (bandStats _),
     "d_neardup_pairs" -> (neardupPairs _),
     "d_triangles" -> (triangles _),
     "d_semdedup" -> (semDedup _),
@@ -879,6 +900,17 @@ object Dedup {
           |SELECT doc_id, CAST(i AS INT) AS perm, sig[i+1] AS minhash
           |FROM sig, generate_series(0, 15) g(i)
           |ORDER BY doc_id, perm""".stripMargin),
+    "d_band_stats" ->
+      (sigCte +
+        """,
+          |bs AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS c
+          |       FROM bands GROUP BY band, bkey)
+          |SELECT CAST(band AS INT) AS band,
+          |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          |       CAST(SUM(c) AS BIGINT) AS n_rows,
+          |       CAST(MAX(c) AS BIGINT) AS max_bucket,
+          |       CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs
+          |FROM bs GROUP BY band ORDER BY band""".stripMargin),
     "d_neardup_pairs" ->
       (sigCte +
         """

@@ -90,4 +90,25 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(!plan.contains("minhash_signature"),
       s"canonical selection re-runs the MinHash pipeline:\n$plan")
   }
+
+  test("band stats forecast the candidate join: row conservation and pair bounds") {
+    val stats = Dedup.bandStats(s, sf).collect()
+    assert(stats.length == 4, "one row per band")
+    val nDocs = Tables.documents(s, sf).count()
+    stats.foreach { r =>
+      val (nBuckets, nRows, maxBucket, candPairs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // every doc lands in exactly one bucket per band
+      assert(nRows == nDocs, s"band ${r.getInt(0)}: rows $nRows != docs $nDocs")
+      assert(nBuckets <= nRows && maxBucket <= nRows)
+      // the hottest bucket alone accounts for ≤ the band's pair volume
+      assert(candPairs >= maxBucket * (maxBucket - 1) / 2)
+    }
+    // per-band pair volumes upper-bound the DISTINCT candidate pair set
+    // (a pair colliding in several bands is counted once per band)
+    val totalForecast = stats.map(_.getLong(4)).sum
+    val distinctPairs = Dedup.candidatePairs(s, sf).count()
+    assert(totalForecast >= distinctPairs,
+      s"forecast $totalForecast below the real candidate count $distinctPairs")
+  }
 }
