@@ -337,8 +337,9 @@ object Similarity {
     lshCandidates(s, d).count()
 
   /** Recall@K eval harness: per-query recall of each approximate path
-    * (IVF, SRP-LSH) against the exact top-K — the accept/tune gate every
-    * ANN deployment runs before swapping the exact path out. Pure
+    * (IVF, SRP-LSH, int8-quantized) against the exact top-K — the
+    * accept/tune gate every ANN deployment runs before swapping the
+    * exact path out. Pure
     * composition: both sides are the already-k-bounded query outputs
     * (queries × K rows each), so the whole harness is an O(queries × K)
     * overlay on indexes that are already staged — at any corpus size the
@@ -359,6 +360,7 @@ object Similarity {
     }
     recallOf(annIvf(s, d), "ivf")
       .unionByName(recallOf(annLsh(s, d), "lsh"))
+      .unionByName(recallOf(annQuantized(s, d), "quant"))
       .orderBy("method", "q_id")
   }
 
@@ -615,6 +617,55 @@ object Similarity {
          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
 
+  // rebuilds the identical int8 quantization (per-vector max-abs scale,
+  // floor to 127 levels): quantized components are exact integers, so
+  // the quantized cosines — and hence candidate pool and final ranks —
+  // are bit-identical cross-engine. DEGENERATE scales are reproduced
+  // explicitly rather than assumed absent: the native Int8Quantize maps
+  // a 0/NaN/±Inf scale (all-zero, NaN-component, or Inf-component
+  // vector) through IEEE ratio → floor-to-long to an ALL-ZERO output,
+  // while DuckDB's floor(NaN) stays NaN — so the CASE below pins the
+  // same all-zero result and the gate no longer silently depends on the
+  // fixture containing no degenerate vectors
+  private lazy val annQuantizedOracle: String = {
+    def dotq(a: String, b: String) =
+      s"""list_reduce(list_transform(range(0, 64),
+         |  i -> $a[i+1] * $b[i+1]), (x,y) -> x+y)""".stripMargin
+    def cosq(a: String, b: String) =
+      s"${dotq(a, b)} / (sqrt(${dotq(a, a)}) * sqrt(${dotq(b, b)}))"
+    s"""WITH sc AS (
+       |  SELECT vec_id,
+       |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT e.vec_id,
+       |         CASE WHEN sc.s = 0 OR isnan(sc.s) OR isinf(sc.s)
+       |              THEN list_transform(range(0, 64), i -> CAST(0 AS DOUBLE))
+       |              ELSE list_transform(range(0, 64),
+       |                i -> floor(CAST(e.embedding[i+1] AS DOUBLE) / sc.s * 127)) END AS qe
+       |  FROM embeddings e JOIN sc USING (vec_id)),
+       |scored AS (
+       |  SELECT qq.vec_id AS q_id, c.vec_id, ${cosq("c.qe", "qq.qe")} AS qcos
+       |  FROM qv c, qv qq WHERE qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY qcos DESC, vec_id ASC) AS r
+       |    FROM scored) WHERE r <= $QCand),
+       |rer AS (
+       |  SELECT cand.q_id, cand.vec_id, ${sqlCos("e.embedding", "q.embedding")} AS cosine
+       |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+       |            JOIN embeddings q ON q.vec_id = cand.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM rer)
+       |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "v_cosine_topk" -> cosineTopkOracle,
     "v_ann_ivf" -> annIvfOracle,
@@ -628,44 +679,7 @@ object Similarity {
     // while DuckDB's floor(NaN) stays NaN — so the CASE below pins the
     // same all-zero result and the gate no longer silently depends on the
     // fixture containing no degenerate vectors
-    "v_ann_quantized" -> {
-      def dotq(a: String, b: String) =
-        s"""list_reduce(list_transform(range(0, 64),
-           |  i -> $a[i+1] * $b[i+1]), (x,y) -> x+y)""".stripMargin
-      def cosq(a: String, b: String) =
-        s"${dotq(a, b)} / (sqrt(${dotq(a, a)}) * sqrt(${dotq(b, b)}))"
-      s"""WITH sc AS (
-         |  SELECT vec_id,
-         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
-         |  FROM embeddings),
-         |qv AS (
-         |  SELECT e.vec_id,
-         |         CASE WHEN sc.s = 0 OR isnan(sc.s) OR isinf(sc.s)
-         |              THEN list_transform(range(0, 64), i -> CAST(0 AS DOUBLE))
-         |              ELSE list_transform(range(0, 64),
-         |                i -> floor(CAST(e.embedding[i+1] AS DOUBLE) / sc.s * 127)) END AS qe
-         |  FROM embeddings e JOIN sc USING (vec_id)),
-         |scored AS (
-         |  SELECT qq.vec_id AS q_id, c.vec_id, ${cosq("c.qe", "qq.qe")} AS qcos
-         |  FROM qv c, qv qq WHERE qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
-         |cand AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id,
-         |           row_number() OVER (PARTITION BY q_id
-         |             ORDER BY qcos DESC, vec_id ASC) AS r
-         |    FROM scored) WHERE r <= $QCand),
-         |rer AS (
-         |  SELECT cand.q_id, cand.vec_id, ${sqlCos("e.embedding", "q.embedding")} AS cosine
-         |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
-         |            JOIN embeddings q ON q.vec_id = cand.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cosine,
-         |         CAST(row_number() OVER (PARTITION BY q_id
-         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-         |  FROM rer)
-         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin
-    },
+    "v_ann_quantized" -> annQuantizedOracle,
     // rebuilds the identical md5-derived hyperplane constants, sign bits,
     // and band keys, then re-ranks candidates exactly like the engine
     "v_ann_lsh" -> annLshOracle,
@@ -677,16 +691,22 @@ object Similarity {
          |qs AS (SELECT DISTINCT q_id FROM exr),
          |ivfr AS (SELECT q_id, vec_id FROM ($annIvfOracle) t),
          |lshr AS (SELECT q_id, vec_id FROM ($annLshOracle) t),
+         |qur AS (SELECT q_id, vec_id FROM ($annQuantizedOracle) t),
          |ih AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN ivfr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |lh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN lshr USING (q_id, vec_id)
+         |       GROUP BY q_id),
+         |qh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN qur USING (q_id, vec_id)
          |       GROUP BY q_id)
          |SELECT method, q_id, n_hit, CAST(n_hit AS DOUBLE) / $K.0 AS recall FROM (
          |  SELECT 'ivf' AS method, qs.q_id, CAST(COALESCE(ih.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN ih USING (q_id)
          |  UNION ALL
          |  SELECT 'lsh' AS method, qs.q_id, CAST(COALESCE(lh.n, 0) AS BIGINT) AS n_hit
-         |  FROM qs LEFT JOIN lh USING (q_id)) u
+         |  FROM qs LEFT JOIN lh USING (q_id)
+         |  UNION ALL
+         |  SELECT 'quant' AS method, qs.q_id, CAST(COALESCE(qh.n, 0) AS BIGINT) AS n_hit
+         |  FROM qs LEFT JOIN qh USING (q_id)) u
          |ORDER BY method, q_id""".stripMargin,
     "v_hybrid_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

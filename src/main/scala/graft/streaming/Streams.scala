@@ -639,7 +639,10 @@ object Streams {
       org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
       interBatchSleepMs = 3 * RlTtlMs)
 
-  private[streaming] val RlTtlMs = 1000L
+  // 500 ms keeps the replay honest (expiry is one-sided: the 3× sleep is
+  // a floor, extra elapsed time only strengthens it) while halving the
+  // replay's fixed inter-batch wait
+  private[streaming] val RlTtlMs = 500L
 
   /** Commit fence for PROCESSING-TIME streams: `processAllAvailable`
     * never returns under TimeMode.ProcessingTime, because the engine

@@ -222,9 +222,10 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = sets(Similarity.cosineTopK(s, sf))
     val approx = Map(
       "ivf" -> sets(Similarity.annIvf(s, sf)),
-      "lsh" -> sets(Similarity.annLsh(s, sf)))
+      "lsh" -> sets(Similarity.annLsh(s, sf)),
+      "quant" -> sets(Similarity.annQuantized(s, sf)))
     val out = Similarity.annRecall(s, sf).collect()
-    assert(out.length == 2 * exact.size, "one row per (method, query)")
+    assert(out.length == 3 * exact.size, "one row per (method, query)")
     out.foreach { r =>
       val (m, q) = (r.getString(0), r.getLong(1))
       val nHit = r.getLong(2)
