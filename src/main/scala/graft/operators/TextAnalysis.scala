@@ -37,6 +37,28 @@ object TextAnalysis {
           size(words).cast("double")).as("avg_token_len"))
       .orderBy("doc_id")
 
+  // BPE-ish pre-tokenization pattern (GPT-2 shape, lookahead-free so the
+  // same regex runs identically under Java regex and RE2): a piece is a
+  // space-prefixed letter run, digit run, or punctuation run. Both
+  // engines use leftmost-first alternation, so piece boundaries agree.
+  private val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token counting, the second axis the pipeline budget actually bills
+    * in: whitespace tokens next to BPE-ish regex PIECES (the proxy for
+    * what a subword tokenizer would charge). pieces/token is the
+    * fragmentation signal — prose sits near 1, code/digit soup higher.
+    * Narrow codegen'd map over the scan, like [[tokenStats]]. */
+  def bpeTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_pieces"))
+      .withColumn("pieces_per_token",
+        col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+
   /** Language-ID mechanism: score marker-token sets, argmax with a fixed
     * tie-break — the standard stopword-list heuristic. Marker sets are
     * chosen for the synthetic corpus vocabulary (the driver's documents
@@ -680,6 +702,7 @@ object TextAnalysis {
     "t_stratified_sample" -> (stratifiedSample _),
     "t_corpus_filter" -> (corpusFilter _),
     "t_token_stats" -> (tokenStats _),
+    "t_bpe_tokens" -> (bpeTokens _),
     "t_langid" -> (langId _),
     "t_quality" -> (quality _),
     "t_fingerprint" -> (fingerprint _),
@@ -961,6 +984,13 @@ object TextAnalysis {
          |       CAST(len(list_distinct($sqlWords)) AS INT) AS n_distinct,
          |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
          |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($sqlWords) AS DOUBLE) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len($sqlWords) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_pieces,
+         |       CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS DOUBLE)
+         |         / CAST(len($sqlWords) AS DOUBLE) AS pieces_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t_langid" ->
       s"""SELECT doc_id, lang,
