@@ -179,6 +179,42 @@ object CorpusClean {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled LANGUAGE mixture — the multilingual rebalancing
+    * pass (GPT-3 / T5 / XLM-R style): output share per language is
+    * `w_l = n_l^α / Σ n^α` with temperature α = 1/2, flattening the head
+    * so low-resource languages are over-sampled relative to their raw
+    * counts. Differs from [[mixtureSample]] in that the shares are
+    * DERIVED from the observed distribution, not specified constants —
+    * the knob a mixture tuner actually turns.
+    *
+    * α = 1/2 is chosen deliberately: `n^0.5` is `sqrt`, a correctly-
+    * rounded single IEEE op in both engines, where a general `pow` is
+    * libm and cross-engine-unsafe. The normalizer Z = Σ sqrt(n_l) is an
+    * order-independent decimal sum ([[graft.QueryDsl.dsum]]), so the
+    * per-language thresholds are bit-identical cross-engine. Scale shape
+    * is [[mixtureSample]]'s: rates come from a languages-sized aggregate
+    * broadcast back; acceptance is a narrow deterministic filter over a
+    * single scan of the corpus — nothing corpus-sized ever shuffles. */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val total = docs(s, d).agg(floor(count(lit(1)) / SampleHalf).cast("long").as("target"))
+    val z = counts.agg(graft.QueryDsl.dsum(sqrt(col("n_l").cast("double"))).as("z"))
+    val rates = counts.crossJoin(broadcast(total)).crossJoin(broadcast(z))
+      .select(col("lang"),
+        floor(least(
+          col("target").cast("double") * (sqrt(col("n_l").cast("double")) / col("z"))
+            / col("n_l").cast("double"),
+          lit(1.0)) * lit(RateScale.toDouble)).cast("long").as("thr"))
+    val u = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % RateScale
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), u.as("u"))
+      .join(broadcast(rates), "lang")
+      .filter(col("u") < col("thr"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   // ---- Poisoned-TEXT gate: the ugly-input contract for the text stack,
   // the way v_poisoned_lsh proves it for vectors. Real corpora carry
   // null/empty/whitespace-only/multibyte documents; this derives them
@@ -211,6 +247,7 @@ object CorpusClean {
     "t_line_dedup" -> (lineDedup _),
     "t_pii_redact" -> (piiRedact _),
     "t_mixture_sample" -> (mixtureSample _),
+    "t_temperature_mixture" -> (temperatureMixture _),
     "t_poisoned_text" -> (poisonedTextStats _),
   )
 
@@ -279,6 +316,23 @@ object CorpusClean {
          |       CAST(len(string_split(t, ' ')) AS INT) AS n_tokens,
          |       CAST(len(list_distinct(string_split(t, ' '))) AS INT) AS n_distinct
          |FROM p ORDER BY doc_id""".stripMargin,
+    "t_temperature_mixture" ->
+      s"""WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(floor(COUNT(*) / $SampleHalf) AS BIGINT) AS target FROM documents),
+         |z AS (SELECT ${graft.QueryDsl.sqlDsum("sqrt(CAST(n_l AS DOUBLE))")} AS z FROM n),
+         |r AS (SELECT lang,
+         |        CAST(floor(least(
+         |          CAST(target AS DOUBLE) * (sqrt(CAST(n_l AS DOUBLE)) / z)
+         |            / CAST(n_l AS DOUBLE),
+         |          1.0) * $RateScale.0) AS BIGINT) AS thr
+         |      FROM n CROSS JOIN tot CROSS JOIN z)
+         |SELECT doc_id, lang
+         |FROM (SELECT doc_id, lang,
+         |        ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % $RateScale AS u
+         |      FROM documents) d
+         |JOIN r USING (lang)
+         |WHERE u < thr
+         |ORDER BY doc_id""".stripMargin,
     "t_mixture_sample" ->
       s"""WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
          |tot AS (SELECT CAST(floor(COUNT(*) / $SampleHalf) AS BIGINT) AS target FROM documents),

@@ -344,9 +344,88 @@ object Events {
       .orderBy("day")
   }
 
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned decomposition of every week's active-user count (the
+    * standard product-growth ledger next to [[retention]]'s cohort
+    * view). Classification per (user, week): `new` = first-ever active
+    * week, `retained` = also active the prior week, `resurrected` =
+    * returning after a gap; `churned(w)` = active in w−1 but not w
+    * (attributed to w, and only for weeks before the observed horizon —
+    * nobody churns "after" the last week we can see).
+    *
+    * Scale shape: ONE corpus-sized distinct to (user, week) — the same
+    * first shuffle [[retention]] pays, and Catalyst's ReuseExchange
+    * ships it once across the four consumers — then every join is an
+    * equi-join on (user_id, week±1) over the distinct pairs, and the
+    * final aggregate lives on the O(weeks) domain. The horizon is a
+    * one-row aggregate broadcast into the churn filter. No windows, no
+    * range joins, nothing corpus-sized after the first distinct. */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.events(s, d)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) / 7)
+          .cast("long").as("week"))
+      .distinct()
+    val first = wk.groupBy("user_id").agg(min(col("week")).as("first_week"))
+    // "was active the week before", re-keyed to the week it explains
+    val prev = wk.select(col("user_id"), (col("week") + 1).as("week"), lit(1).as("was_prev"))
+    val act = wk.join(first, "user_id")
+      .join(prev, Seq("user_id", "week"), "left")
+      .select(col("week"),
+        (col("week") === col("first_week")).cast("int").as("is_new"),
+        coalesce(col("was_prev"), lit(0)).as("is_retained"))
+    val perWeek = act.groupBy("week").agg(
+      sum(col("is_new")).as("n_new"),
+      sum(col("is_retained")).as("n_retained"),
+      sum(lit(1) - col("is_new") - col("is_retained")).as("n_resurrected"))
+    val horizon = wk.agg(max(col("week")).as("max_week"))
+    // active at w with no (user, w+1) row → churned, attributed to w+1
+    val next = wk.select(col("user_id"), (col("week") - 1).as("week"))
+    val churned = wk.crossJoin(broadcast(horizon))
+      .filter(col("week") < col("max_week"))
+      .join(next, Seq("user_id", "week"), "left_anti")
+      .groupBy((col("week") + 1).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    perWeek.join(churned, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
+  /** Power-user curve — the engagement histogram: how many users were
+    * active exactly k distinct days (plus each bucket's share of all
+    * user-days, the "what fraction of activity comes from the heavy
+    * tail" read). The L-shape vs bell-shape of this curve is the
+    * standard first diagnostic on any activity corpus.
+    *
+    * Scale shape: corpus → distinct (user, day) pairs (one shuffle,
+    * map-side combine) → O(users) per-user counts → O(max-days)
+    * histogram. Each reduction is a plain hash aggregate; the totals
+    * are one-row aggregates broadcast into the final projection. The
+    * share is a single IEEE division of exact integers, so it is
+    * bit-identical cross-engine. */
+  def powerCurve(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val perUser = ud.groupBy("user_id").agg(count(lit(1)).as("n_days"))
+    val hist = perUser.groupBy("n_days").agg(count(lit(1)).as("n_users"))
+    val totals = perUser.agg(sum(col("n_days")).as("total_user_days"))
+    hist.crossJoin(broadcast(totals))
+      .select(col("n_days"), col("n_users"),
+        (col("n_days") * col("n_users")).as("user_days"),
+        ((col("n_days") * col("n_users")).cast("double")
+          / col("total_user_days").cast("double")).as("share_of_activity"))
+      .orderBy("n_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_retention" -> (retention _),
+    "e_power_curve" -> (powerCurve _),
     "e_active_users" -> (activeUsers _),
+    "e_growth_accounting" -> (growthAccounting _),
     "e_rate_anomaly" -> (rateAnomaly _),
     "e_gapfill" -> (gapfill _),
     "e_sessionize" -> (sessionize _),
@@ -357,6 +436,45 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_power_curve" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days FROM ud GROUP BY user_id),
+        |h AS (SELECT n_days, CAST(COUNT(*) AS BIGINT) AS n_users FROM pu GROUP BY n_days),
+        |t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS total_user_days FROM pu)
+        |SELECT n_days, n_users,
+        |       n_days * n_users AS user_days,
+        |       CAST(n_days * n_users AS DOUBLE) / CAST(total_user_days AS DOUBLE)
+        |         AS share_of_activity
+        |FROM h CROSS JOIN t
+        |ORDER BY n_days""".stripMargin,
+    "e_growth_accounting" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |              CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS week
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(week) AS first_week FROM wk GROUP BY user_id),
+        |act AS (SELECT w.week,
+        |          CASE WHEN w.week = f.first_week THEN 1 ELSE 0 END AS is_new,
+        |          CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_retained
+        |        FROM wk w JOIN f USING (user_id)
+        |        LEFT JOIN wk p ON p.user_id = w.user_id AND p.week = w.week - 1),
+        |pw AS (SELECT week, CAST(SUM(is_new) AS BIGINT) AS n_new,
+        |              CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+        |              CAST(SUM(1 - is_new - is_retained) AS BIGINT) AS n_resurrected
+        |       FROM act GROUP BY week),
+        |mx AS (SELECT MAX(week) AS max_week FROM wk),
+        |ch AS (SELECT w.week + 1 AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |       FROM wk w CROSS JOIN mx
+        |       WHERE w.week < mx.max_week
+        |         AND NOT EXISTS (SELECT 1 FROM wk n
+        |                         WHERE n.user_id = w.user_id AND n.week = w.week + 1)
+        |       GROUP BY w.week + 1)
+        |SELECT COALESCE(pw.week, ch.week) AS week,
+        |       COALESCE(n_new, 0) AS n_new,
+        |       COALESCE(n_retained, 0) AS n_retained,
+        |       COALESCE(n_resurrected, 0) AS n_resurrected,
+        |       COALESCE(n_churned, 0) AS n_churned
+        |FROM pw FULL OUTER JOIN ch ON pw.week = ch.week
+        |ORDER BY week""".stripMargin,
     "e_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id,
         |              CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS week

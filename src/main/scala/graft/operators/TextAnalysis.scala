@@ -682,7 +682,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tukey-fence LENGTH OUTLIERS per source — the distributional cousin
+    * of the rule-based [[quality]] gate: flag documents whose length sits
+    * outside `[q1 − k·IQR, q3 + k·IQR]` of their OWN source's length
+    * distribution (truncation artifacts, concatenation blobs, boilerplate
+    * stubs). Per-source fences matter because a length that is normal for
+    * one crawl is pathological for another.
+    *
+    * k = 0.5 (inner fences, aggressive on the near-uniform fixture) —
+    * and deliberately a small binary fraction: quartiles of an integral
+    * column land on exact quarter-steps (the [[Relational.medianQuartiles]]
+    * argument), `k·IQR` is then an exact eighth-step, and the fence
+    * arithmetic is exact in both engines — no libm, no rounding-order
+    * hazard. Production tunes k; 1.5 is the textbook value.
+    *
+    * Scale shape: one map-side-combined aggregate to O(sources) fence
+    * rows, broadcast back into a single narrow filter over one corpus
+    * scan — nothing corpus-sized shuffles. The exact-percentile buffer
+    * is per-distinct-length (bounded by the length domain); the
+    * high-cardinality path swaps in `approx_percentile` unchanged. */
+  def lengthOutliers(s: SparkSession, d: String): DataFrame = {
+    val fences = docs(s, d)
+      .groupBy(col("source"))
+      .agg(
+        expr("percentile(n_chars, 0.25)").as("q1"),
+        expr("percentile(n_chars, 0.75)").as("q3"))
+      .select(col("source"),
+        (col("q1") - (col("q3") - col("q1")) * 0.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 0.5).as("hi"))
+    docs(s, d)
+      .join(broadcast(fences), "source")
+      .filter(col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("lo"), col("hi"),
+        (col("n_chars") > col("hi")).cast("int").as("is_high"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_length_outliers" -> (lengthOutliers _),
     "t_bigram_novelty" -> (bigramNovelty _),
     "t_source_filter" -> (sourceFilter _),
     "t_quality_classifier" -> (qualityClassifier _),
@@ -740,6 +778,18 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t_length_outliers" ->
+      """WITH q AS (SELECT source,
+        |             quantile_cont(n_chars, 0.25) AS q1,
+        |             quantile_cont(n_chars, 0.75) AS q3
+        |           FROM documents GROUP BY source),
+        |f AS (SELECT source, q1 - (q3 - q1) * 0.5 AS lo,
+        |             q3 + (q3 - q1) * 0.5 AS hi FROM q)
+        |SELECT doc_id, source, n_chars, lo, hi,
+        |       CAST(n_chars > hi AS INT) AS is_high
+        |FROM documents JOIN f USING (source)
+        |WHERE n_chars < lo OR n_chars > hi
+        |ORDER BY doc_id""".stripMargin,
     "t_bigram_novelty" ->
       s"""WITH sp AS (SELECT doc_id,
          |                   ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 100 AS bucket

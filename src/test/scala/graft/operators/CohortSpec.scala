@@ -55,6 +55,55 @@ class CohortSpec extends AnyFunSuite {
     assert(out.filter(col("wau") < col("dau")).count() == 0, "WAU below DAU")
   }
 
+  test("growth accounting conserves weekly actives and balances churn") {
+    val wk = Tables.events(s, sf)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) / 7)
+          .cast("long").as("week"))
+      .distinct()
+    val active = wk.groupBy("week").agg(count(lit(1)).as("n_active"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Events.growthAccounting(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, nNew, nRet, nRes, nChu) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // new + retained + resurrected decomposes exactly this week's actives
+      assert(nNew + nRet + nRes == active.getOrElse(w, 0L),
+        s"week $w: decomposition does not sum to the active count")
+      // churn balance: everyone active last week either retained or churned
+      if (active.contains(w - 1))
+        assert(nRet + nChu == active(w - 1),
+          s"week $w: retained + churned != last week's actives")
+    }
+    // nobody can churn after the horizon: the last week carries no
+    // phantom churn row beyond max_week (attribution stops at horizon)
+    val maxWeek = active.keys.max
+    assert(rows.forall(_.getLong(0) <= maxWeek), "churn attributed past the horizon")
+    // the first observed week is all-new
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(1) == active(first.getLong(0)) &&
+      first.getLong(2) == 0L && first.getLong(3) == 0L,
+      "first week must be entirely new users")
+  }
+
+  test("power curve is a complete partition of users and activity") {
+    val ud = Tables.events(s, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val rows = Events.powerCurve(s, sf).collect()
+    assert(rows.nonEmpty)
+    // buckets partition the user base and the (user, day) activity mass
+    val users = rows.map(_.getLong(1)).sum
+    assert(users == ud.select("user_id").distinct().count(), "histogram loses users")
+    val userDays = rows.map(_.getLong(2)).sum
+    assert(userDays == ud.count(), "user-day mass not conserved")
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares must sum to 1, got $shareSum")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), "user_days != n_days * n_users")
+    }
+  }
+
   test("retention and WAU plan equi-joins and map-side-combined aggregates only") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
