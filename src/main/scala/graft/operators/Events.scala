@@ -421,9 +421,91 @@ object Events {
       .orderBy("n_days")
   }
 
+  private val DebounceGapUs = 1800L * 1000000L // 30 min, in exact integer µs
+
+  /** DEBOUNCE — telemetry burst collapse: chains of same-(user, type)
+    * events with inter-arrival ≤ the gap collapse to their FIRST event,
+    * annotated with how many raw events the burst absorbed (retry storms,
+    * double-clicks, at-least-once replays). The batch twin of the
+    * streaming dedup family: those drop exact duplicate ids; this
+    * collapses distinct-but-bursty events by time proximity.
+    *
+    * Scale shape: [[sessioned]]'s — one shuffle on (user, type), two
+    * intra-partition window passes (lag, running sum) over integer
+    * microseconds, then a per-burst aggregate on the same partitioning.
+    * Nothing leaves the (user, type) partition; ties break on event_id
+    * in both engines so burst heads are deterministic. */
+  def debounce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_head",
+        when(col("prev_us").isNull || (col("us") - col("prev_us")) > DebounceGapUs, 1)
+          .otherwise(0))
+      .withColumn("burst_id", sum(col("is_head")).over(run))
+      .groupBy(col("user_id"), col("event_type"), col("burst_id"))
+      .agg(
+        // exactly one row per burst carries is_head = 1: its event_id
+        max(when(col("is_head") === 1, col("event_id"))).as("event_id"),
+        min(col("us")).as("us"),
+        count(lit(1)).as("n_collapsed"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("us"), col("n_collapsed"))
+      .orderBy("user_id", "event_type", "us", "event_id")
+  }
+
+  private[operators] val rollupBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def rollupStageDir(sfDir: String): String =
+    "/tmp/graft_stage/rollup_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** INCREMENTAL ROLLUP — materialized-view maintenance, the lambda shape:
+    * daily (day, event_type) aggregates for every SEALED day (all days
+    * before the newest observed date) are STAGED once via the Staging
+    * protocol; a query re-aggregates only the HOT day from raw events and
+    * unions it on. Sealed days never rescan raw data — at 100 TB the
+    * nightly ingest appends one day's rollup rows and a month query reads
+    * O(days × types) staged rows plus a single day of raw events (on the
+    * production date-partitioned layout the tail filter prunes to the hot
+    * partition — `k_layout_prune` proves that machinery; the fixture is a
+    * single file, so here the filter merely rides the scan).
+    *
+    * The hot/sealed boundary is a one-row max-date aggregate collected on
+    * the driver (an index-build action, same class as the bloom builds) so
+    * the tail predicate is a literal. Counts are exact integers and sums
+    * go through the exact-decimal [[dsum]]; each output row is produced by
+    * exactly ONE of the two paths (no double-count at the boundary), so
+    * staged + fresh is bit-identical to the full recompute the oracle
+    * runs. */
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = rollupStageDir(d)
+    val path = dir + "/daily"
+    val maxDay = Tables.events(s, d)
+      .agg(max(to_date(col("ts"))).as("mx")).head().getDate(0)
+    val boundary = lit(maxDay).cast("timestamp")
+    def daily(df: DataFrame): DataFrame = df
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    graft.Staging.ensure(dir, Seq(s"$d/events.parquet")) {
+      rollupBuildCount.incrementAndGet()
+      daily(Tables.events(s, d).filter(col("ts") < boundary))
+        .write.mode("overwrite").parquet(path)
+    }: Unit
+    s.read.parquet(path)
+      .unionByName(daily(Tables.events(s, d).filter(col("ts") >= boundary)))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_retention" -> (retention _),
     "e_power_curve" -> (powerCurve _),
+    "e_debounce" -> (debounce _),
+    "e_incremental_rollup" -> (incrementalRollup _),
     "e_active_users" -> (activeUsers _),
     "e_growth_accounting" -> (growthAccounting _),
     "e_rate_anomaly" -> (rateAnomaly _),
@@ -436,6 +518,34 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // the full recompute the incremental path must reproduce exactly
+    "e_incremental_rollup" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type,
+         |       CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY day, event_type""".stripMargin,
+    "e_debounce" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us,
+         |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id, event_type
+         |                                         ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $DebounceGapUs
+         |                 THEN 1 ELSE 0 END AS is_head
+         |  FROM lagged),
+         |bursts AS (
+         |  SELECT *, SUM(is_head) OVER (PARTITION BY user_id, event_type
+         |                               ORDER BY us, event_id
+         |                               ROWS UNBOUNDED PRECEDING) AS burst_id
+         |  FROM flagged)
+         |SELECT user_id, event_type,
+         |       MAX(CASE WHEN is_head = 1 THEN event_id END) AS event_id,
+         |       MIN(us) AS us, COUNT(*) AS n_collapsed
+         |FROM bursts
+         |GROUP BY user_id, event_type, burst_id
+         |ORDER BY user_id, event_type, us, event_id""".stripMargin,
     "e_power_curve" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days FROM ud GROUP BY user_id),

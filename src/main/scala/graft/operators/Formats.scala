@@ -64,9 +64,45 @@ object Formats {
       .orderBy("o_orderkey")
   }
 
+  /** SNAPSHOT DIFF — the dataset-regression primitive: classify every key
+    * of two corpus versions as added / removed / changed (unchanged rows,
+    * the overwhelming majority at scale, are filtered out BEFORE the
+    * result materializes). The "new" snapshot is derived in-query by a
+    * deterministic md5-keyed mutation of the base corpus — drop one
+    * residue class, revise another, clone a third under fresh ids — so
+    * the diff has known ground truth without writing a second fixture.
+    *
+    * Scale shape: two scans of the corpus and ONE full-outer equi-join on
+    * the key; the content comparison is an md5 riding each scan (narrow),
+    * so the join payload is (key, 32-byte digest), not the documents.
+    * At 100 TB both snapshots bucket on the key and the join is
+    * co-located; output is proportional to the CHANGE volume, not the
+    * corpus. This is the nightly "what did the rebuild touch" gate. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val k = (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 17).as("k")
+    val a = Tables.documents(s, d).select(col("doc_id"), col("text"), k)
+    val b = a.filter(col("k") =!= 0) // residue 0 rows are "removed" in B
+      .select(col("doc_id"),
+        when(col("k") === 1, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(a.filter(col("k") === 2) // clones under fresh ids: "added"
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val av = a.select(col("doc_id"), md5(col("text").cast("binary")).as("ha"))
+    val bv = b.select(col("doc_id"), md5(col("text").cast("binary")).as("hb"))
+    av.join(bv, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ha").isNull, lit("added"))
+          .when(col("hb").isNull, lit("removed"))
+          .when(col("ha") =!= col("hb"), lit("changed")).as("status"))
+      .filter(col("status").isNotNull)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_format_roundtrip" -> (formatRoundtrip _),
     "k_schema_evolution" -> (schemaEvolution _),
+    "k_snapshot_diff" -> (snapshotDiff _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,5 +125,24 @@ object Formats {
         |       o_totalprice * 2 AS new_metric, CAST(2 AS INT) AS gen
         |FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 100 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    "k_snapshot_diff" ->
+      s"""WITH a AS (SELECT doc_id, text,
+         |             ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 17 AS k
+         |           FROM documents),
+         |b AS (SELECT doc_id,
+         |             CASE WHEN k = 1 THEN text || ' [rev2]' ELSE text END AS text
+         |      FROM a WHERE k <> 0
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, text FROM a WHERE k = 2),
+         |av AS (SELECT doc_id, md5(text) AS ha FROM a),
+         |bv AS (SELECT doc_id, md5(text) AS hb FROM b)
+         |SELECT doc_id, status FROM (
+         |  SELECT doc_id,
+         |         CASE WHEN ha IS NULL THEN 'added'
+         |              WHEN hb IS NULL THEN 'removed'
+         |              WHEN ha <> hb THEN 'changed' END AS status
+         |  FROM av FULL OUTER JOIN bv USING (doc_id))
+         |WHERE status IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
   )
 }
