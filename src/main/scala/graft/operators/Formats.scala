@@ -99,10 +99,52 @@ object Formats {
       .orderBy("doc_id")
   }
 
+  /** QUARANTINE READ — malformed-record handling, the ingest reality the
+    * poisoned-VALUE gates (`v_poisoned_lsh`, `t_poisoned_text`) don't
+    * cover: raw 100 TB feeds carry rows that fail to PARSE at all. A CSV
+    * feed is derived in-query with a deterministic corruption class
+    * (every orderkey ≡ 0 mod 50 emits a type-garbled line), then read
+    * back PERMISSIVE with `columnNameOfCorruptRecord`: parse failures
+    * surface as rows with the raw line preserved in the corrupt column
+    * instead of killing the job (FAILFAST) or vanishing (DROPMALFORMED).
+    * The output is the operational summary both sides of the quarantine
+    * split — good-row count + exact-decimal spend next to the quarantined
+    * count — proving no row is lost OR double-counted across the split.
+    *
+    * Scale shape: parsing, the split predicate, and the partial
+    * aggregates all ride the distributed scan; the result is O(1) rows.
+    * The quarantine side at scale is written to a dead-letter table for
+    * replay — here it feeds the same one-row aggregate. */
+  def quarantineRead(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "quarantine")
+    val o = Tables.orders(s, d).filter(col("o_orderkey") % 20 === 0)
+    o.select(
+        when(col("o_orderkey") % 50 === 0,
+          concat(lit("X"), col("o_orderkey").cast("string"), lit(",notanumber")))
+          .otherwise(concat_ws(",",
+            col("o_orderkey").cast("string"), col("o_totalprice").cast("string")))
+          .as("line"))
+      .write.mode("overwrite").text(base)
+    val read = s.read
+      .schema("o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(base)
+    read
+      .select(
+        when(col("_corrupt").isNull, lit("good")).otherwise(lit("quarantined"))
+          .as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_format_roundtrip" -> (formatRoundtrip _),
     "k_schema_evolution" -> (schemaEvolution _),
     "k_snapshot_diff" -> (snapshotDiff _),
+    "k_quarantine_read" -> (quarantineRead _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -144,5 +186,15 @@ object Formats {
          |  FROM av FULL OUTER JOIN bv USING (doc_id))
          |WHERE status IS NOT NULL
          |ORDER BY doc_id""".stripMargin,
+    // the quarantine split must conserve the feed exactly: good rows carry
+    // the original spend, corrupt rows only a count (spend unparseable)
+    "k_quarantine_read" ->
+      s"""SELECT 'good' AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${sqlDsum("o_totalprice")} AS spend
+         |FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey % 50 <> 0
+         |UNION ALL
+         |SELECT 'quarantined', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+         |FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey % 50 = 0
+         |ORDER BY bucket""".stripMargin,
   )
 }

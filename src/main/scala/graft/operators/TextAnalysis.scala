@@ -719,7 +719,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- Substring search over a STAGED trigram inverted index: grep-at-
+  // scale without the full-corpus LIKE scan. ----
+
+  private[operators] val SearchNeedle = "slow scan"
+
+  private[operators] val postingsBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def postingsStageDir(sfDir: String): String =
+    "/tmp/graft_stage/trigram_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build-once trigram postings: one (trigram, doc_id) row per DISTINCT
+    * character trigram per document. ~len distinct trigrams per doc, so
+    * the index is O(corpus chars) rows but only (3-char key, id) wide. */
+  private def ensurePostingsStaged(s: SparkSession, d: String): String = {
+    val dir = postingsStageDir(d)
+    val path = dir + "/postings"
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      postingsBuildCount.incrementAndGet()
+      docs(s, d)
+        .filter(length(col("text")) >= 3) // sequence(1, len-2) must ascend
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+        .select(col("doc_id"), expr("substr(text, i, 3)").as("trigram"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }: Unit
+    path
+  }
+
+  private[operators] def searchCandidates(s: SparkSession, d: String): DataFrame = {
+    val needles = SearchNeedle.sliding(3).toSeq.distinct
+    s.read.parquet(ensurePostingsStaged(s, d))
+      .filter(col("trigram").isin(needles: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits")) // postings are distinct per (trigram, doc)
+      .filter(col("hits") === needles.size)
+  }
+
+  /** SUBSTRING SEARCH via the staged trigram index — the inverted-index
+    * primitive under corpus search: a `%needle%` scan over 100 TB becomes
+    * (a) a pushed-down lookup of the needle's DISTINCT trigrams in the
+    * postings table, (b) a doc-level count-match (a doc is a candidate
+    * only if it contains ALL needle trigrams — the classic conjunctive
+    * posting intersection as one hash aggregate), and (c) an exact
+    * `instr` verify against ONLY the candidate documents (semi-join
+    * pruned scan, never the corpus). Trigrams of a candidate needn't be
+    * contiguous, so candidates strictly over-approximate matches and the
+    * verify does real work (SubstringSearchSpec quantifies it).
+    *
+    * The needle is a query-time literal; its trigram set is computed
+    * driver-side (pure string ops). At scale the postings table is
+    * additionally partitioned/bucketed by trigram prefix so the (a)
+    * lookup touches a few files; per-doc distinct trigrams bound the
+    * index at O(corpus chars) narrow rows. The oracle is the full LIKE
+    * scan — the index path must reproduce it exactly. */
+  def substringSearch(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .join(searchCandidates(s, d).select("doc_id"), "doc_id")
+      .filter(instr(col("text"), SearchNeedle) > 0)
+      .select(col("doc_id"), instr(col("text"), SearchNeedle).as("first_pos"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_substring_search" -> (substringSearch _),
     "t_length_outliers" -> (lengthOutliers _),
     "t_bigram_novelty" -> (bigramNovelty _),
     "t_source_filter" -> (sourceFilter _),
@@ -778,6 +842,12 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the full scan the index path must reproduce exactly
+    "t_substring_search" ->
+      s"""SELECT doc_id, CAST(strpos(text, '$SearchNeedle') AS INT) AS first_pos
+         |FROM documents
+         |WHERE text LIKE '%$SearchNeedle%'
+         |ORDER BY doc_id""".stripMargin,
     "t_length_outliers" ->
       """WITH q AS (SELECT source,
         |             quantile_cont(n_chars, 0.25) AS q1,
