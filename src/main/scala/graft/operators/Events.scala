@@ -421,6 +421,31 @@ object Events {
       .orderBy("n_days")
   }
 
+  /** STICKINESS — DAU / trailing-28-day MAU per day, the engagement dial
+    * product teams actually watch. Same sliding-distinct-count strategy
+    * as [[activeUsers]]: each distinct (user, day) pair EXPLODES into the
+    * 28 days it contributes to, MAU is a re-deduped hash count — no range
+    * join, no corpus-wide window. The 28× fan-out of the already-distinct
+    * (user, day) table is the fixed, partition-parallel price of sliding
+    * COUNT DISTINCT at any scale; the ratio is one IEEE division of exact
+    * integers. Days with < 28 days of observed history still report (the
+    * standard dashboard convention); the join on observed days drops the
+    * phantom tail past the last event. */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(27))).as("i"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
+
   private val DebounceGapUs = 1800L * 1000000L // 30 min, in exact integer µs
 
   /** DEBOUNCE — telemetry burst collapse: chains of same-(user, type)
@@ -506,6 +531,7 @@ object Events {
     "e_power_curve" -> (powerCurve _),
     "e_debounce" -> (debounce _),
     "e_incremental_rollup" -> (incrementalRollup _),
+    "e_stickiness" -> (stickiness _),
     "e_active_users" -> (activeUsers _),
     "e_growth_accounting" -> (growthAccounting _),
     "e_rate_anomaly" -> (rateAnomaly _),
@@ -518,6 +544,16 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+        |contrib AS (SELECT DISTINCT u.user_id, u.day + CAST(x.i AS INT) AS day
+        |            FROM ud u, (SELECT unnest(range(0, 28)) AS i) x),
+        |mau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS mau FROM contrib GROUP BY day)
+        |SELECT d.day, d.dau, m.mau,
+        |       CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+        |FROM dau d JOIN mau m USING (day)
+        |ORDER BY day""".stripMargin,
     // the full recompute the incremental path must reproduce exactly
     "e_incremental_rollup" ->
       s"""SELECT CAST(ts AS DATE) AS day, event_type,

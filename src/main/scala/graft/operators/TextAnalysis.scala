@@ -764,10 +764,13 @@ object TextAnalysis {
     * postings table, (b) a doc-level count-match (a doc is a candidate
     * only if it contains ALL needle trigrams — the classic conjunctive
     * posting intersection as one hash aggregate), and (c) an exact
-    * `instr` verify against ONLY the candidate documents (semi-join
-    * pruned scan, never the corpus). Trigrams of a candidate needn't be
-    * contiguous, so candidates strictly over-approximate matches and the
-    * verify does real work (SubstringSearchSpec quantifies it).
+    * `instr` verify evaluated only on rows surviving the equi-join with
+    * the candidate set — the corpus scan itself stays a plain
+    * (doc_id, text) column-pruned scan here; at scale the candidate ids
+    * feed a broadcast/DPP join so the expensive predicate never runs
+    * corpus-wide. Trigrams of a candidate needn't be contiguous, so
+    * candidates strictly over-approximate matches and the verify does
+    * real work (SubstringSearchSpec quantifies it).
     *
     * The needle is a query-time literal; its trigram set is computed
     * driver-side (pure string ops). At scale the postings table is

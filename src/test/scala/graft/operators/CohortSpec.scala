@@ -55,6 +55,24 @@ class CohortSpec extends AnyFunSuite {
     assert(out.filter(col("wau") < col("dau")).count() == 0, "WAU below DAU")
   }
 
+  test("stickiness: MAU equals the brute-force trailing-28-day distinct count") {
+    val out = Events.stickiness(s, sf)
+    val ud = Tables.events(s, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // test-only brute force: a genuine range join over the bounded domain
+    val brute = ud.select(col("day")).distinct()
+      .join(ud.select(col("user_id"), col("day").as("aday")),
+        datediff(col("day"), col("aday")).between(0, 27))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("expect_mau"))
+    val joined = out.join(brute, "day")
+    assert(joined.count() == out.count(), "day domains differ")
+    assert(joined.filter(col("mau") =!= col("expect_mau")).count() == 0,
+      "MAU disagrees with the brute-force sliding count")
+    assert(out.filter(col("mau") < col("dau")).count() == 0, "MAU below DAU")
+    assert(out.filter(col("stickiness") <= 0.0 || col("stickiness") > 1.0).count() == 0,
+      "stickiness out of (0, 1]")
+  }
+
   test("growth accounting conserves weekly actives and balances churn") {
     val wk = Tables.events(s, sf)
       .select(col("user_id"),
