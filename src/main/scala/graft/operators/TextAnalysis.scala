@@ -728,11 +728,17 @@ object TextAnalysis {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def postingsStageDir(sfDir: String): String =
-    "/tmp/graft_stage/trigram_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/trigram_p1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Build-once trigram postings: one (trigram, doc_id) row per DISTINCT
-    * character trigram per document. ~len distinct trigrams per doc, so
-    * the index is O(corpus chars) rows but only (3-char key, id) wide. */
+    * character trigram per document — ~len distinct trigrams per doc, so
+    * the index is O(corpus chars) rows but only (3-char key, id) wide —
+    * written PARTITIONED by the trigram's first byte (`a0`, a
+    * filesystem-safe int). A needle lookup then PRUNES at the directory
+    * level before any row is read (SubstringSearchSpec asserts the
+    * executed scan's `numFiles` against the on-disk total). The
+    * repartition on a0 keeps the write to one file per populated
+    * partition instead of tasks × partitions small files. */
   private def ensurePostingsStaged(s: SparkSession, d: String): String = {
     val dir = postingsStageDir(d)
     val path = dir + "/postings"
@@ -744,15 +750,18 @@ object TextAnalysis {
           explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
         .select(col("doc_id"), expr("substr(text, i, 3)").as("trigram"))
         .distinct()
-        .write.mode("overwrite").parquet(path)
+        .withColumn("a0", ascii(col("trigram")))
+        .repartition(col("a0"))
+        .write.mode("overwrite").partitionBy("a0").parquet(path)
     }: Unit
     path
   }
 
   private[operators] def searchCandidates(s: SparkSession, d: String): DataFrame = {
     val needles = SearchNeedle.sliding(3).toSeq.distinct
+    val firstBytes = needles.map(_.charAt(0).toInt).distinct
     s.read.parquet(ensurePostingsStaged(s, d))
-      .filter(col("trigram").isin(needles: _*))
+      .filter(col("a0").isin(firstBytes: _*) && col("trigram").isin(needles: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("hits")) // postings are distinct per (trigram, doc)
       .filter(col("hits") === needles.size)

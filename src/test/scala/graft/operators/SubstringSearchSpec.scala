@@ -43,4 +43,29 @@ class SubstringSearchSpec extends AnyFunSuite {
     assert(candidates.size < total,
       s"index must prune: ${candidates.size} candidates of $total docs")
   }
+
+  test("needle lookup prunes postings partitions at the directory level") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = TextAnalysis.searchCandidates(s, sf)
+    df.collect() // force AQE finalization; metrics are for the executed scan
+    val scan = flatten(df.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.isDefined, s"expected a postings scan:\n${df.queryExecution.executedPlan}")
+    val opened = scan.get.metrics("numFiles").value
+    val dir = new java.io.File(TextAnalysis.postingsStageDir(sf) + "/postings")
+    val onDisk = dir.listFiles().count(_.getName.startsWith("a0="))
+    // "slow scan" touches 6 distinct first bytes; the corpus populates far
+    // more a0 partitions than that, so the executed scan must skip dirs
+    assert(opened < onDisk,
+      s"partition pruning must skip postings dirs: opened $opened of $onDisk partitions")
+  }
 }
