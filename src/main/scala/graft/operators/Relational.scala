@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDsl, Tables}
 import graft.QueryDsl.{davg, dsum, sqlDavg, sqlDsum}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -417,7 +417,49 @@ object Relational {
       .orderBy("key1", "key2")
   }
 
+  /** Descriptive-statistics kernel — per-group mean / sample variance /
+    * stddev / Pearson correlation, computed the CROSS-ENGINE-EXACT way:
+    * the aggregate collects only exact integer POWER SUMS (n, Σx, Σx²,
+    * Σy, Σy², Σxy — l_quantity and l_linenumber are integral, so every
+    * sum is a BIGINT with no rounding anywhere), and each statistic is
+    * then ONE fixed double expression over those integers — e.g.
+    * `var = (n·Σx² − (Σx)²) / (n·(n−1))`, `sd = sqrt(var)`. Every IEEE
+    * op in that tree is correctly rounded and the oracle spells the
+    * identical tree, so results are bit-identical — unlike the built-in
+    * `stddev`/`corr`, whose streaming double accumulators are
+    * partition-order-dependent. sqrt is fine (single correctly-rounded
+    * op); that is why stddev is in and no libm transcendental is.
+    *
+    * Scale shape: one map-side-combined hash aggregate to O(groups) rows;
+    * the statistics are a narrow projection after the shuffle. The BIGINT
+    * power sums bound n·Σx² below 2^63 up to ~10^13 rows at these value
+    * ranges; past that the same shape runs on decimal(38) sums. */
+  def statsKernel(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = col("l_linenumber").cast("long")
+    val dd = (c: Column) => c.cast("double")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (dd(col("sx")) / dd(col("n"))).as("mean_qty"),
+        (dd(col("n") * col("sxx") - col("sx") * col("sx"))
+          / dd(col("n") * (col("n") - 1))).as("var_qty"),
+        sqrt(dd(col("n") * col("sxx") - col("sx") * col("sx"))
+          / dd(col("n") * (col("n") - 1))).as("sd_qty"),
+        (dd(col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(dd(col("n") * col("sxx") - col("sx") * col("sx")))
+            * sqrt(dd(col("n") * col("syy") - col("sy") * col("sy")))))
+          .as("corr_qty_line"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_stats_kernel"    -> (statsKernel _),
     "r_fuzzy_join"      -> (fuzzyJoin _),
     "r_join_full_outer" -> (joinFullOuter _),
     "r_window_dist"     -> (windowDist _),
@@ -450,6 +492,25 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the identical power-sum → fixed-expression tree, spelled in SQL:
+    // every sum is BIGINT-exact, every double op correctly rounded, so
+    // the statistics are bit-identical to the Spark side
+    "r_stats_kernel" ->
+      """WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |             CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
+        |             CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS syy,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |       CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+        |       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd_qty,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_line
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "r_fuzzy_join" ->
       """WITH n AS (SELECT s_suppkey AS key, s_name AS name FROM supplier),
         |v0 AS (SELECT key, name,
