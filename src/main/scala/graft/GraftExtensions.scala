@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, ExtractHoldingsGen, Int8Quantize, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys}
+import graft.functions.{CosineSimilarity, ExtractHoldingsGen, Int8Quantize, KmvHashes, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys}
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
@@ -90,6 +90,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"srp_band_keys: bands must be an integer literal, got $other")
         }
         new SrpBandKeys(children.head, SrpBandKeys.mdHyperplanes(16, 64), bands)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_hashes"),
+      new ExpressionInfo(classOf[KmvHashes].getName, "kmv_hashes"),
+      (children: Seq[Expression]) => {
+        // kmv_hashes(value_string, k): k smallest distinct hex8(md5(v))
+        require(children.length == 2, "kmv_hashes takes (value, k)")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_hashes: k must be an integer literal, got $other")
+        }
+        KmvHashes(children.head, k)
       }))
   }
 }

@@ -47,11 +47,56 @@ object Sketches {
         col("z.exact_pcts").as("exact"))
       .orderBy("o_orderpriority", "pct")
 
+  private val KmvK = 32
+
+  /** KMV distinct sketch per event_type — the ORACLE-CHECKABLE sketch:
+    * unlike HLL++ (above, rows-only), the KMV state is a deterministic
+    * function of the value set (the k smallest portable md5-derived
+    * hashes — [[graft.functions.KmvHashes]], the engine's custom
+    * TypedImperativeAggregate), so the driver hash-compares the sketch
+    * CONTENTS row-for-row against a windowed-SQL recompute, estimate
+    * included. Groups with fewer than k distinct values report their
+    * exact size — the sketch degrades to exact, as KMV should.
+    *
+    * Scale shape: O(k) mergeable buffers, map-side combined; output is
+    * O(types × k) rows. */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr(s"kmv_hashes(cast(user_id as string), $KmvK)").as("hs"))
+      .select(col("event_type"),
+        when(size(col("hs")) < lit(KmvK), size(col("hs")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * 4294967296.0)
+            / element_at(col("hs"), size(col("hs"))).cast("double"))
+          .as("est_distinct"),
+        posexplode(col("hs")).as(Seq("rank", "h")))
+      .select(col("event_type"), col("rank"), col("h"), col("est_distinct"))
+      .orderBy("event_type", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_approx_distinct" -> (approxDistinct _),
     "k_approx_quantiles" -> (approxQuantiles _),
+    "k_kmv_distinct" -> (kmvDistinct _),
   )
 
-  /** Intentionally empty: sketch outputs are engine-specific. */
-  val oracle: Map[String, String] = Map.empty
+  /** HLL/percentile sketch outputs are engine-specific (rows-only); the
+    * KMV sketch is deterministic by construction and fully checked. */
+  val oracle: Map[String, String] = Map(
+    "k_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |             ${graft.QueryDsl.sqlHex8("md5(CAST(user_id AS VARCHAR))", 1)} AS h
+         |           FROM events),
+         |r AS (SELECT event_type, h,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM h),
+         |f AS (SELECT event_type, h, rn FROM r WHERE rn <= $KmvK)
+         |SELECT event_type, CAST(rn - 1 AS INT) AS rank, h,
+         |       CASE WHEN MAX(rn) OVER (PARTITION BY event_type) < $KmvK
+         |            THEN CAST(MAX(rn) OVER (PARTITION BY event_type) AS DOUBLE)
+         |            ELSE ${(KmvK - 1).toDouble} * 4294967296.0
+         |                 / CAST(MAX(h) OVER (PARTITION BY event_type) AS DOUBLE)
+         |       END AS est_distinct
+         |FROM f
+         |ORDER BY event_type, rank""".stripMargin,
+  )
 }
