@@ -172,6 +172,54 @@ object Streams {
       .orderBy("ws_us", "event_type")
   }
 
+  /** Streaming KMV distinct sketch per (6 h window, type): the engine's
+    * custom `TypedImperativeAggregate` ([[graft.functions.KmvHashes]])
+    * running INSIDE streaming aggregation state — partial sketch buffers
+    * live in the state store via the aggregate's own serialize/merge,
+    * proving the custom-aggregate machinery composes with watermarked
+    * state eviction exactly like a built-in. O(open windows × types × k)
+    * state; the sketch is a deterministic function of the value set, so
+    * the flushed windows hash-match a windowed-SQL recompute — a
+    * streaming DISTINCT sketch an oracle can actually check. */
+  def kmvWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(expr("kmv_hashes(cast(user_id as string), 16)").as("hs"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("hs"))
+
+  /** `e_kmv_stream` — [[kmvWindowAgg]] replayed over the events table;
+    * same sentinel-flush shape as [[windowedReplay]], then the sketch
+    * arrays explode to (rank, hash) rows for the driver's row compare. */
+  def kmvStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch = graft.Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("user_id"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .collect()
+    val maxMs = batch.iterator.map(_._2.getTime).max
+    val in = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val sink = "e_kmv_stream_sink"
+    withReplayShuffle(s) {
+      val q = kmvWindowAgg(in.toDF().toDF("event_type", "ts", "user_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(("sentinel",
+          new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("window_start")).as("ws_us"), col("event_type"),
+        posexplode(col("hs")).as(Seq("rank", "h")))
+      .orderBy("ws_us", "event_type", "rank")
+  }
+
   def windowAggStream(s: SparkSession, d: String): DataFrame =
     windowedReplay(s, d, "e_window_agg_stream_sink", windowAgg)
 
@@ -828,6 +876,7 @@ object Streams {
     "e_rate_limit_ttl" -> (rateLimitTtlStreamReplay _),
     "e_window_agg_stream" -> (windowAggStream _),
     "e_sliding_agg_stream" -> (slidingAggStream _),
+    "e_kmv_stream" -> (kmvStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "d_dedup_stream" -> (dedupStreamReplay _),
     "d_dedup_stream_wm" -> (dedupStreamWmReplay _),
@@ -897,6 +946,20 @@ object Streams {
          |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
          |FROM e GROUP BY 1, 2
          |ORDER BY ws_us, event_type""".stripMargin,
+    // the KMV sketch is a deterministic function of each window's value
+    // set (k smallest md5-derived hashes), so the flushed streaming
+    // windows hash-match this windowed recompute, rank for rank
+    "e_kmv_stream" ->
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, user_id FROM events),
+         |h AS (SELECT DISTINCT us - us % 21600000000 AS ws_us, event_type,
+         |             ${graft.QueryDsl.sqlHex8("md5(CAST(user_id AS VARCHAR))", 1)} AS h
+         |      FROM e),
+         |r AS (SELECT ws_us, event_type, h,
+         |             row_number() OVER (PARTITION BY ws_us, event_type ORDER BY h) AS rn
+         |      FROM h)
+         |SELECT ws_us, event_type, CAST(rn - 1 AS INT) AS rank, h
+         |FROM r WHERE rn <= 16
+         |ORDER BY ws_us, event_type, rank""".stripMargin,
     "e_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus,
         |                  value AS click_value
