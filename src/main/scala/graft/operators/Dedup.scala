@@ -535,6 +535,32 @@ object Dedup {
   private[operators] def stagedNeardupPairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensurePairsStaged(s, d))
 
+  /** Cross-source SYNDICATION matrix: the verified near-dup pair table
+    * joined to each side's source and aggregated to unordered source
+    * pairs — which sources share content (mirrors, scrapes, syndication
+    * feeds), the evidence a source-level dedup policy ranks on. The fixture
+    * has no EXACT cross-source duplicates (checked — whole-doc md5 groups
+    * are all singletons), so this rides the near-dup pairs, which is also
+    * the honest production form: syndicated copies differ in boilerplate.
+    *
+    * Scale shape: consumes the STAGED pair table (build-once/consume-many,
+    * its 7th consumer), so no LSH recompute; two equi-joins whose probe
+    * side is the pair table (∝ duplicate volume, not the corpus) against
+    * the narrow (doc_id, source) projection; output is at most
+    * O(sources²) rows. */
+  def crossSource(s: SparkSession, d: String): DataFrame = {
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    stagedNeardupPairs(s, d)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross_source", (col("src_lo") =!= col("src_hi")).cast("int"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   // ---- Incremental dedup: the delta-ingest shape. A growing corpus
   // never re-pairs its accumulated base against itself — each ingest
   // batch joins its OWN band keys against the base's band keys (plus
@@ -717,6 +743,7 @@ object Dedup {
     "d_minhash_sig" -> (minhashSignatures _),
     "d_band_stats" -> (bandStats _),
     "d_neardup_pairs" -> (neardupPairs _),
+    "d_cross_source" -> (crossSource _),
     "d_triangles" -> (triangles _),
     "d_semdedup" -> (semDedup _),
     "d_pagerank" -> (pageRank _),
@@ -922,6 +949,22 @@ object Dedup {
           |WHERE CAST(list_sum(list_transform(range(0, 16),
           |        i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5
           |ORDER BY a, b""".stripMargin),
+    "d_cross_source" ->
+      (sigCte +
+        """,
+          |nd AS (
+          |  SELECT c.a, c.b
+          |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          |  WHERE CAST(list_sum(list_transform(range(0, 16),
+          |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+          |j AS (SELECT least(da.source, db.source) AS src_lo,
+          |             greatest(da.source, db.source) AS src_hi
+          |      FROM nd JOIN documents da ON da.doc_id = nd.a
+          |              JOIN documents db ON db.doc_id = nd.b)
+          |SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
+          |       CAST(src_lo <> src_hi AS INT) AS is_cross_source
+          |FROM j GROUP BY src_lo, src_hi
+          |ORDER BY src_lo, src_hi""".stripMargin),
     "d_triangles" ->
       (sigCte +
         """,

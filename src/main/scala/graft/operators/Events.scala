@@ -290,6 +290,38 @@ object Events {
       .orderBy("day", "event_type")
   }
 
+  /** MAD robust-anomaly gate — the GLOBAL robust twin of [[rateAnomaly]]'s
+    * trailing-mean rule: per (day, type) counts scored against the
+    * per-type median and median-absolute-deviation, flagged when
+    * |n − median| > 3·MAD (the robust z-score rule monitoring stacks use
+    * where a handful of spike days would drag a mean/stddev baseline).
+    *
+    * Cross-engine exactness: the counts are integers, so every median is
+    * an integer or an exact half, |n − med| is an exact binary fraction,
+    * and the 3·MAD comparison is exact — both engines interpolate the
+    * even-count median identically (the `r_median` precedent), so no
+    * epsilon is needed. MAD = 0 (over half the days identical) flags any
+    * deviating day, deterministically.
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined count to
+    * O(days × types) rows; medians aggregate that bounded domain and
+    * broadcast back. Nothing after the first count is
+    * corpus-proportional. */
+  def madAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(median(col("n").cast("double")).as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("adev", abs(col("n").cast("double") - col("med")))
+    val mad = dev.groupBy("event_type").agg(median(col("adev")).as("mad"))
+    dev.join(mad, "event_type")
+      .select(col("day"), col("event_type"), col("n"), col("med"), col("mad"),
+        (col("adev") > col("mad") * 3).cast("int").as("is_anomaly"))
+      .orderBy("day", "event_type")
+  }
+
   /** Cohort RETENTION — the product-analytics classic: users grouped by
     * their first-activity week; each later week's activity counted as
     * (cohort_week, week_offset, n_active, cohort_size, retention).
@@ -535,6 +567,7 @@ object Events {
     "e_active_users" -> (activeUsers _),
     "e_growth_accounting" -> (growthAccounting _),
     "e_rate_anomaly" -> (rateAnomaly _),
+    "e_mad_anomaly" -> (madAnomaly _),
     "e_gapfill" -> (gapfill _),
     "e_sessionize" -> (sessionize _),
     "e_session_funnel" -> (sessionFunnel _),
@@ -658,6 +691,20 @@ object Events {
         |SELECT day, event_type, n, CAST(n_trail AS BIGINT) AS n_trail, d_trail,
         |       CAST(n * d_trail > n_trail * 2 AS INT) AS is_spike
         |FROM t WHERE d_trail >= 3
+        |ORDER BY day, event_type""".stripMargin,
+    "e_mad_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, median(CAST(n AS DOUBLE)) AS med
+        |        FROM daily GROUP BY 1),
+        |dev AS (SELECT day, daily.event_type, n, med,
+        |               abs(CAST(n AS DOUBLE) - med) AS adev
+        |        FROM daily JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+        |SELECT day, dev.event_type, n, med, mad,
+        |       CAST(adev > mad * 3 AS INT) AS is_anomaly
+        |FROM dev JOIN mad USING (event_type)
         |ORDER BY day, event_type""".stripMargin,
     "e_gapfill" ->
       s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type

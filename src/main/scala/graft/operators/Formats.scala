@@ -140,10 +140,52 @@ object Formats {
       .orderBy("bucket")
   }
 
+  /** CDC MERGE apply — the companion to [[snapshotDiff]]'s detect: a
+    * change batch with explicit op codes (Insert / Update / Delete, the
+    * Debezium-shape feed) applied to the base snapshot in one plan. The
+    * batch is derived in-query by the same md5-residue scheme the diff
+    * uses (residue 0 → D, 1 → U, 2 → I under fresh ids), so the merged
+    * state has known ground truth. Output is the NEW snapshot as
+    * (key, action, content digest): deletes absent, updates carrying the
+    * revised digest, inserts appended — any mis-applied op diverges.
+    *
+    * Scale shape: the MERGE kernel is ONE left equi-join of the base on
+    * its key against the U/D half of the batch (∝ change volume — small,
+    * so AQE broadcasts it; never hinted, the batch CAN be corpus-sized in
+    * a backfill) plus a union of inserts. At 100 TB base and batch bucket
+    * on the key, the join is co-located, and only changed files rewrite
+    * under a copy-on-write table layout. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val k = (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 17).as("k")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"), k)
+    val cdc = base.filter(col("k").isin(0L, 1L, 2L))
+      .select(
+        when(col("k") === 0, lit("D")).when(col("k") === 1, lit("U"))
+          .otherwise(lit("I")).as("op"),
+        when(col("k") === 2, col("doc_id") + 1000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("k") === 1, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("new_text"))
+    val applied = base.select(col("doc_id"), col("text"))
+      .join(cdc.filter(col("op") =!= "I"), Seq("doc_id"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("doc_id"),
+        when(col("op") === "U", lit("update")).otherwise(lit("keep")).as("action"),
+        md5(coalesce(when(col("op") === "U", col("new_text")), col("text"))
+          .cast("binary")).as("digest"))
+    applied
+      .unionByName(cdc.filter(col("op") === "I")
+        .select(col("doc_id"), lit("insert").as("action"),
+          md5(col("new_text").cast("binary")).as("digest")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_format_roundtrip" -> (formatRoundtrip _),
     "k_schema_evolution" -> (schemaEvolution _),
     "k_snapshot_diff" -> (snapshotDiff _),
+    "k_merge_upsert" -> (mergeUpsert _),
     "k_quarantine_read" -> (quarantineRead _),
   )
 
@@ -185,6 +227,24 @@ object Formats {
          |              WHEN ha <> hb THEN 'changed' END AS status
          |  FROM av FULL OUTER JOIN bv USING (doc_id))
          |WHERE status IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
+    "k_merge_upsert" ->
+      s"""WITH a AS (SELECT doc_id, text,
+         |             ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 17 AS k
+         |           FROM documents),
+         |cdc AS (SELECT CASE WHEN k = 0 THEN 'D' WHEN k = 1 THEN 'U' ELSE 'I' END AS op,
+         |               CASE WHEN k = 2 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+         |               CASE WHEN k = 1 THEN text || ' [rev2]' ELSE text END AS new_text
+         |        FROM a WHERE k IN (0, 1, 2)),
+         |m AS (SELECT a.doc_id,
+         |             CASE WHEN c.op = 'U' THEN 'update' ELSE 'keep' END AS action,
+         |             md5(CASE WHEN c.op = 'U' THEN c.new_text ELSE a.text END) AS digest
+         |      FROM a LEFT JOIN cdc c ON c.doc_id = a.doc_id AND c.op <> 'I'
+         |      WHERE c.op IS NULL OR c.op <> 'D')
+         |SELECT doc_id, action, digest FROM m
+         |UNION ALL
+         |SELECT doc_id, 'insert' AS action, md5(new_text) AS digest
+         |FROM cdc WHERE op = 'I'
          |ORDER BY doc_id""".stripMargin,
     // the quarantine split must conserve the feed exactly: good rows carry
     // the original spend, corrupt rows only a count (spend unparseable)

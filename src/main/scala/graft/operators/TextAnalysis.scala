@@ -255,6 +255,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Gopher-style rule-gate thresholds (the Rae et al. 2021 MassiveText
+  // family: hard per-rule gates, unlike `quality`'s blended score), bounds
+  // tuned so the synthetic corpus populates both sides of every gate.
+  // Every gate COMPARISON is exact-integer (cross-multiplied), so the
+  // flags are bit-identical cross-engine even where the reported ratio
+  // column is a double.
+  private val RuleMinWords = 15
+  private val RuleMaxWords = 90
+
+  /** Rule-based quality GATES (the published-heuristic family next to the
+    * continuous [[quality]] score): word-count bounds, mean-word-length
+    * bounds, minimum stopword evidence, duplicate-word cap, and a
+    * top-word-share cap — one int flag per rule plus the conjunction, so
+    * a pipeline can both filter on `keep` and report per-rule kill rates.
+    * Everything is a narrow map over the scan except the top-word count,
+    * which reuses [[repetitionSignals]]'s explode → map-side-combined
+    * groupBy (never a per-doc O(n²) fold). */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val topWord = docs(s, d)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).cast("int").as("top_count"))
+    val nw = size(words)
+    val chars = length(regexp_replace(col("text"), " ", ""))
+    val nStop = size(filter(words, w => w.isInCollection(Seq("a", "the"))))
+    val nDistinct = size(array_distinct(words))
+    docs(s, d)
+      .select(col("doc_id"), nw.as("n_words"), chars.as("n_word_chars"),
+        nStop.as("n_stop"), nDistinct.as("n_distinct"))
+      .join(topWord, "doc_id")
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("n_word_chars").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        ((col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words").cast("double")).as("dup_frac"),
+        (col("top_count").cast("double") / col("n_words").cast("double"))
+          .as("top_share"),
+        (col("n_words") >= RuleMinWords && col("n_words") <= RuleMaxWords)
+          .cast("int").as("r_len"),
+        (col("n_word_chars") >= col("n_words") * 4 &&
+          col("n_word_chars") <= col("n_words") * 10).cast("int").as("r_word_len"),
+        (col("n_stop") >= 2).cast("int").as("r_stop"),
+        ((col("n_words") - col("n_distinct")) * 2 <= col("n_words"))
+          .cast("int").as("r_dup"),
+        (col("top_count") * 5 <= col("n_words")).cast("int").as("r_top"))
+      .withColumn("keep",
+        (col("r_len") === 1 && col("r_word_len") === 1 && col("r_stop") === 1 &&
+          col("r_dup") === 1 && col("r_top") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag training documents that share any
     * word 5-gram with the held-out split (val/test by the same content-
     * hash buckets as [[splitAssign]]) — the exact-n-gram-overlap
@@ -803,6 +855,7 @@ object TextAnalysis {
     "t_vocab_coverage" -> (vocabCoverage _),
     "t_ks_drift" -> (ksDrift _),
     "t_rep_signals" -> (repetitionSignals _),
+    "t_gopher_rules" -> (gopherRules _),
     "t_decontaminate" -> (decontaminate _),
     "t_decontaminate_bloom" -> (decontaminateBloom _),
     "t_overlap_frac" -> (overlapFrac _),
@@ -984,6 +1037,31 @@ object TextAnalysis {
          |            ELSE 0.0 END AS dup_2gram_frac
          |FROM ws JOIN tw ON tw.doc_id = ws.doc_id
          |ORDER BY ws.doc_id""".stripMargin,
+    "t_gopher_rules" ->
+      s"""WITH ws AS (SELECT doc_id, text, $sqlWords AS w FROM documents),
+         |tw AS (SELECT doc_id, MAX(n) AS topc FROM (
+         |         SELECT doc_id, word, COUNT(*) AS n
+         |         FROM (SELECT doc_id, unnest($sqlWords) AS word FROM documents)
+         |         GROUP BY doc_id, word) GROUP BY doc_id),
+         |m AS (SELECT ws.doc_id, len(w) AS nw,
+         |        length(replace(text, ' ', '')) AS chars,
+         |        len(list_filter(w, x -> x IN ('a','the'))) AS n_stop,
+         |        len(list_distinct(w)) AS nd, topc
+         |      FROM ws JOIN tw ON tw.doc_id = ws.doc_id)
+         |SELECT doc_id, CAST(nw AS INT) AS n_words,
+         |       CAST(chars AS DOUBLE) / CAST(nw AS DOUBLE) AS mean_word_len,
+         |       CAST(nw - nd AS DOUBLE) / CAST(nw AS DOUBLE) AS dup_frac,
+         |       CAST(topc AS DOUBLE) / CAST(nw AS DOUBLE) AS top_share,
+         |       CAST(nw >= $RuleMinWords AND nw <= $RuleMaxWords AS INT) AS r_len,
+         |       CAST(chars >= nw * 4 AND chars <= nw * 10 AS INT) AS r_word_len,
+         |       CAST(n_stop >= 2 AS INT) AS r_stop,
+         |       CAST((nw - nd) * 2 <= nw AS INT) AS r_dup,
+         |       CAST(topc * 5 <= nw AS INT) AS r_top,
+         |       CAST(nw >= $RuleMinWords AND nw <= $RuleMaxWords
+         |            AND chars >= nw * 4 AND chars <= nw * 10
+         |            AND n_stop >= 2 AND (nw - nd) * 2 <= nw
+         |            AND topc * 5 <= nw AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "t_decontaminate" ->
       s"""WITH ws AS (SELECT doc_id, $sqlWords AS w, md5(text) AS m FROM documents),
          |g AS (SELECT doc_id, ${graft.QueryDsl.sqlHex8("m", 1)} % 100 AS bucket,

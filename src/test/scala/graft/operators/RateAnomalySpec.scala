@@ -50,4 +50,28 @@ class RateAnomalySpec extends AnyFunSuite {
       s"d_trail=${r.getAs[Long]("d_trail")} — the frame is not the prior 7 CALENDAR days")
     assert(r.getAs[Int]("is_spike") == 1, "30 vs a 10/day week must flag")
   }
+
+  test("MAD gate matches a driver-side robust-z recompute and discriminates") {
+    val sf = TestSpark.sf
+    val out = Events.madAnomaly(s, sf).collect()
+    assert(out.exists(_.getAs[Int]("is_anomaly") == 1), "no anomaly flagged — gate can't discriminate")
+    assert(out.exists(_.getAs[Int]("is_anomaly") == 0), "everything flagged")
+    // brute-force per-type median/MAD over the same daily counts
+    def medianOf(xs: Seq[Double]): Double = {
+      val v = xs.sorted
+      if (v.size % 2 == 1) v(v.size / 2) else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0
+    }
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rows) =>
+      val ns = rows.map(_.getAs[Long]("n").toDouble).toSeq
+      val med = medianOf(ns)
+      val mad = medianOf(ns.map(n => math.abs(n - med)))
+      rows.foreach { r =>
+        assert(r.getAs[Double]("med") == med && r.getAs[Double]("mad") == mad,
+          s"median/MAD drifted from the exact recompute for ${r}")
+        val expect = if (math.abs(r.getAs[Long]("n") - med) > 3 * mad) 1 else 0
+        assert(r.getAs[Int]("is_anomaly") == expect, s"flag wrong for $r")
+      }
+    }
+  }
 }
