@@ -846,8 +846,59 @@ object TextAnalysis {
       .select(col("doc_id"), instr(col("text"), SearchNeedle).as("first_pos"))
       .orderBy("doc_id")
 
+  /** The N-needle query batch: grep-at-scale takes a QUERY TABLE, not one
+    * literal. Mixed hit profiles on the fixture corpus: three hitting
+    * bigrams (each with a large false-positive candidate set the exact
+    * verify must kill — SubstringSearchSpec quantifies it), one needle
+    * sharing SOME trigrams with the vocabulary ('que','uer',…) so the
+    * probe reads postings rows but the conjunctive count yields zero
+    * candidates, and one fully out-of-vocabulary needle that dies at the
+    * pruned directory level. */
+  private[operators] val SearchNeedles =
+    Seq("slow scan", "hash join", "window sort", "query plan", "zz missing")
+
+  /** MULTI-NEEDLE SUBSTRING SEARCH over the same staged trigram postings:
+    * one postings probe answers the whole query batch. Each needle's
+    * distinct trigram set is computed driver-side (pure string ops on the
+    * bounded query table — the classic small side); the probe reads the
+    * postings ONCE filtered to the UNION of all needles' trigrams (with
+    * the same first-byte directory pruning as the single-needle path),
+    * broadcast-joins the (needle, trigram) map, and a doc is a candidate
+    * for a needle iff its distinct-trigram hit count equals that needle's
+    * trigram count — conjunctive posting intersection per (needle, doc)
+    * in one hash aggregate. Only candidate (needle, doc) pairs reach the
+    * exact `instr` verify against the corpus scan, so the expensive
+    * predicate runs on O(candidates) rows however many needles the batch
+    * carries — the postings table is probed once, not once per needle.
+    * Oracle = the N-way LIKE cross-scan the index must reproduce. */
+  def substringSearchMulti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val needleTris = SearchNeedles
+      .filter(_.length >= 3)
+      .flatMap(n => n.sliding(3).toSeq.distinct.map(t => (n, t)))
+    val nTris = needleTris.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val allTris = needleTris.map(_._2).distinct
+    val firstBytes = allTris.map(_.charAt(0).toInt).distinct
+    val needleMap = needleTris.toDF("needle", "trigram")
+    val candidates = s.read.parquet(ensurePostingsStaged(s, d))
+      .filter(col("a0").isin(firstBytes: _*) && col("trigram").isin(allTris: _*))
+      .join(broadcast(needleMap), "trigram")
+      .groupBy(col("needle"), col("doc_id"))
+      .agg(count(lit(1)).as("hits")) // postings distinct per (trigram, doc)
+      .join(broadcast(nTris.toSeq.toDF("needle", "n_tris")), "needle")
+      .filter(col("hits") === col("n_tris"))
+      .select(col("needle"), col("doc_id"))
+    docs(s, d)
+      .join(candidates, "doc_id")
+      .filter(expr("instr(text, needle)") > 0)
+      .select(col("needle"), col("doc_id"),
+        expr("instr(text, needle)").as("first_pos"))
+      .orderBy("needle", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_substring_search" -> (substringSearch _),
+    "t_substring_multi" -> (substringSearchMulti _),
     "t_length_outliers" -> (lengthOutliers _),
     "t_bigram_novelty" -> (bigramNovelty _),
     "t_source_filter" -> (sourceFilter _),
@@ -913,6 +964,13 @@ object TextAnalysis {
          |FROM documents
          |WHERE text LIKE '%$SearchNeedle%'
          |ORDER BY doc_id""".stripMargin,
+    // the N-way LIKE cross-scan the one-probe index path must reproduce
+    "t_substring_multi" ->
+      s"""WITH needles(needle) AS (VALUES ${SearchNeedles.map(n => s"('$n')").mkString(", ")})
+         |SELECT n.needle, d.doc_id, CAST(strpos(d.text, n.needle) AS INT) AS first_pos
+         |FROM documents d CROSS JOIN needles n
+         |WHERE strpos(d.text, n.needle) > 0
+         |ORDER BY needle, doc_id""".stripMargin,
     "t_length_outliers" ->
       """WITH q AS (SELECT source,
         |             quantile_cont(n_chars, 0.25) AS q1,

@@ -68,4 +68,39 @@ class SubstringSearchSpec extends AnyFunSuite {
     assert(opened < onDisk,
       s"partition pruning must skip postings dirs: opened $opened of $onDisk partitions")
   }
+
+  test("multi-needle batch equals the per-needle brute-force scans") {
+    val got = TextAnalysis.substringSearchMulti(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val brute = TextAnalysis.SearchNeedles.flatMap { n =>
+      Tables.documents(s, sf)
+        .filter(instr(col("text"), n) > 0)
+        .select(col("doc_id"), instr(col("text"), n).as("p"))
+        .collect().map(r => (n, r.getLong(0), r.getInt(1)))
+    }.sortBy(t => (t._1, t._2))
+    assert(got == brute, "one-probe batch diverges from per-needle scans")
+    // the batch's hit profile must exercise both hit and miss needles
+    val perNeedle = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perNeedle.getOrElse("slow scan", 0) > 0)
+    assert(!perNeedle.contains("query plan"), "adjacent-words-absent needle must verify to zero")
+    assert(!perNeedle.contains("zz missing"), "OOV needle must verify to zero")
+  }
+
+  test("batch candidates over-approximate: the exact verify kills real false positives") {
+    // conjunctive trigram containment is necessary, not sufficient — a doc
+    // holding 'slo','low','ow s','sca','can',… scattered across different
+    // words is a candidate without containing the adjacent bigram. On the
+    // fixture this FP set is large (~6× the match set), so the instr
+    // verify in the batch path does real work, not a rubber stamp.
+    val needleTris = "slow scan".sliding(3).toSeq.distinct
+    val cand = s.read.parquet(TextAnalysis.postingsStageDir(sf) + "/postings")
+      .filter(col("trigram").isin(needleTris: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === needleTris.size)
+      .count()
+    val matches = Tables.documents(s, sf)
+      .filter(instr(col("text"), "slow scan") > 0).count()
+    assert(cand > matches,
+      s"fixture must produce false-positive candidates: $cand candidates vs $matches matches")
+  }
 }
