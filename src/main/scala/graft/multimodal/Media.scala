@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * metadata, decoded executor-side in batches (the Scala analog of a
   * Pandas-UDF/`mapInPandas` stage).
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB — no image/audio codecs ship in
-  * this environment, so [[MediaStub.decode]] computes features from raw
-  * bytes (size, unsigned-byte sum/mean, md5 content hash, frame count).
+  * The image decode path is REAL for PPM — [[PpmCodec]] parses the actual
+  * binary P6 format (see `m_ppm_decode`). Codec-bound formats (JPEG,
+  * audio, video) have no native libraries in this environment, so for
+  * those [[MediaStub.decode]] remains a DETERMINISTIC STUB computing
+  * features from raw bytes (size, unsigned-byte sum/mean, md5, frame
+  * count).
   * Everything around it is the real 100 TB pattern: a typed
   * `Dataset[MediaRecord]`, `mapPartitions` with explicit batching (batch
   * size bounds peak memory per task exactly like a Pandas-UDF batch), and
@@ -168,14 +171,86 @@ object Media {
       .orderBy("media_id")
   }
 
+  // ---- REAL image decode (no stub): binary PPM, the raster format with
+  // no native-library dependency. Payloads are genuine P6 files encoded
+  // executor-side from id-derived pixels, so the decode stage parses a
+  // real on-disk format (comment-tolerant header + raw RGB raster) while
+  // the DECODED output — dimensions from the header, channel sums from
+  // the raster — still has a closed-form DuckDB oracle. The codec-bound
+  // formats (JPEG/audio/video) remain behind [[MediaStub]]; swapping them
+  // in changes the same one function this does. ----
+
+  /** Image table with real PPM payloads: w=(id%13)+2, h=(id%7)+2,
+    * raster byte i = (id*31+i)%256 — small images (≤ 14×8) so the per-row
+    * payload is bounded, one per image-typed media id. */
+  def ppmTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .map { id =>
+        val w = (id % 13).toInt + 2
+        val h = (id % 7).toInt + 2
+        val raster = Array.tabulate(3 * w * h)(i => ((id * 31 + i) % 256).toByte)
+        (id, PpmCodec.encode(w, h, 255, raster))
+      }
+  }
+
+  /** `m_ppm_decode` — decode REAL image bytes per record (batched like
+    * [[mediaFeatures]]): every output column is computed from the parsed
+    * payload — width/height/maxval from the ASCII header, per-channel
+    * sums from the raw raster — none from metadata riding alongside. */
+  def ppmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val img = PpmCodec.decode(bytes)
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < img.raster.length) {
+          val v = img.raster(i) & 0xff
+          (i % 3: @annotation.switch) match {
+            case 0 => r += v
+            case 1 => g += v
+            case 2 => b += v
+          }
+          i += 1
+        }
+        (id, img.width, img.height, img.maxval,
+          img.width.toLong * img.height, r, g, b)
+      }))
+      .toDF("media_id", "width", "height", "maxval", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
+    "m_ppm_decode" -> (ppmDecode _),
     "m_frame_sample" -> (frameSamples _),
     "m_resize_thumb" -> (resizeThumbs _),
     "m_pair_assembly" -> (pairAssembly _),
   )
 
   val oracle: Map[String, String] = Map(
+    // the decoded-payload stats rebuilt from the pixel formula: raster
+    // byte i = (id*31+i)%256, channel = i%3 — dimensions and sums must
+    // match what the Spark side PARSED out of the PPM bytes
+    "m_ppm_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, (doc_id % 13) + 2 AS w, (doc_id % 7) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i, (doc_id * 31 + i) % 256 AS v, i % 3 AS ch
+        |  FROM imgs, LATERAL (SELECT unnest(generate_series(0, CAST(3*w*h - 1 AS BIGINT))) AS i))
+        |SELECT doc_id AS media_id,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height, 255 AS maxval,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY media_id""".stripMargin,
     // text is ASCII (lowercase words + spaces): byte values == char codes.
     "m_media_features" ->
       """WITH m AS (
