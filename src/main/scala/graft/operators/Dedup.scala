@@ -738,7 +738,70 @@ object Dedup {
     mass.orderBy("doc_id")
   }
 
+  // ---- EXACT set-similarity self-join via PREFIX FILTERING (the
+  // AllPairs/PPJoin family): the third dedup algorithm class next to
+  // MinHash-LSH (approximate, probabilistic) and SimHash (approximate,
+  // bitwise) — EXACT Jaccard ≥ t over word-5-gram shingle sets with no
+  // false positives or negatives, yet never all-pairs. The filter's
+  // theorem: order every set by one global token order (document
+  // frequency ascending, rarest first — ties on the token text) and take
+  // each set's first |x| − ⌈t·|x|⌉ + 1 tokens; any pair with Jaccard ≥ t
+  // MUST share a prefix token. Candidates are pairs sharing ≥1 prefix
+  // token (an equi-join on the rarest tokens, so the blocking key is
+  // maximally selective by construction), cheap length filter
+  // t·|x| ≤ |y| ≤ |x|/t at the join, exact intersection verify only on
+  // survivors. All thresholds exact rationals (t = 4/5): prefix length
+  // and the Jaccard gate are integer arithmetic, bit-identical in any
+  // engine. Scale shape: two O(total-shingles) shuffles (df count,
+  // per-doc re-assembly) + an equi-join whose key is a rare token —
+  // never a cartesian; skewed common-token blocks are impossible because
+  // prefixes hold the RAREST tokens. ----
+
+  private val SetSimN = 5
+  /** Jaccard threshold 4/5 as an exact rational (num, den). */
+  private val SetSimT = (4, 5)
+
+  private val shingles5: Column =
+    when(size(words) >= SetSimN,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - SetSimN),
+        i => array_join(slice(words, i + lit(1), lit(SetSimN)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  def setSimJoin(s: SparkSession, d: String): DataFrame = {
+    val (tn, td) = SetSimT
+    val tok = docs(s, d).select(col("doc_id"), explode(shingles5).as("sh"))
+    val dfreq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // canonical global order: (df asc, sh asc) — array_sort on the struct
+    val ranked = tok.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), t => t.getField("sh")).as("toks"),
+        size(col("ts")).cast("long").as("n"))
+    // prefix length |x| − ⌈t|x|⌉ + 1; ⌈tn·n/td⌉ = (tn·n + td − 1) div td
+    val prefLen = (col("n") - expr(s"(($tn * n + ${td - 1}) div $td)") + 1).cast("int")
+    val pref = ranked.select(col("doc_id"), col("n"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("p"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id") &&
+          // |y| ≥ t|x| and |x| ≥ t|y|, cross-multiplied exact
+          col("x.n") * tn <= col("y.n") * td && col("y.n") * tn <= col("x.n") * td)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val arrs = ranked.select(col("doc_id"), col("toks"), col("n"))
+    cand
+      .join(arrs.select(col("doc_id").as("a"), col("toks").as("ta"), col("n").as("n_a")), "a")
+      .join(arrs.select(col("doc_id").as("b"), col("toks").as("tb"), col("n").as("n_b")), "b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      // J ≥ tn/td ⟺ td·inter ≥ tn·(n_a + n_b − inter) ⟺ (td+tn)·inter ≥ tn·(n_a+n_b)
+      .filter(col("inter") * (td + tn) >= (col("n_a") + col("n_b")) * tn)
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("inter"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_setsim_join" -> (setSimJoin _),
     "d_exact_dedup" -> (exactDedup _),
     "d_minhash_sig" -> (minhashSignatures _),
     "d_band_stats" -> (bandStats _),
@@ -844,6 +907,28 @@ object Dedup {
        |       FROM documents d LEFT JOIN c$i USING (doc_id))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // brute-force exact Jaccard over 5-gram shingle sets: the shingle
+    // equi-join enumerates every pair sharing ANY shingle (feasible in the
+    // oracle because shingle collisions are rare outside true near-dups),
+    // then the same integer-exact threshold gate
+    "d_setsim_join" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${SetSimN - 1}], ' ') AS sh
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${SetSimN - 1})) AS i
+         |        FROM ws WHERE len(w) >= $SetSimN) t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+         |  FROM tok x JOIN tok y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |       CAST(p.inter AS BIGINT) AS inter
+         |FROM pairs p
+         |JOIN sz sa ON p.a = sa.doc_id
+         |JOIN sz sb ON p.b = sb.doc_id
+         |WHERE p.inter * ${SetSimT._1 + SetSimT._2} >= (sa.n + sb.n) * ${SetSimT._1}
+         |ORDER BY a, b""".stripMargin,
     "d_span_dedup" ->
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (

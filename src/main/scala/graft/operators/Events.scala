@@ -558,7 +558,29 @@ object Events {
       .orderBy("day", "event_type")
   }
 
+  /** MISSING-WINDOW (heartbeat blackout) detection — the data-
+    * completeness audit every telemetry ingest runs: for each user,
+    * every calendar day between their first and last activity with ZERO
+    * events. The sensor/source that went dark mid-life is invisible to
+    * per-day aggregates (no row, no group); this op materializes the
+    * absence. Shape: per-user bounds in one map-side-combined aggregate,
+    * expected days generated by a narrow `sequence`+`explode` (rows
+    * bounded by the user's lifespan, not the corpus), then a LEFT ANTI
+    * join against observed (user, day) — both sides shuffle on the same
+    * (user_id, day) key, never corpus × days. */
+  def missingWindows(s: SparkSession, d: String): DataFrame = {
+    val seen = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val expected = seen.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    expected.join(seen, Seq("user_id", "day"), "left_anti")
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_missing_windows" -> (missingWindows _),
     "e_retention" -> (retention _),
     "e_power_curve" -> (powerCurve _),
     "e_debounce" -> (debounce _),
@@ -577,6 +599,19 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // set difference of expected-vs-observed (user, day): EXCEPT is the
+    // anti-join's relational spelling
+    "e_missing_windows" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM a GROUP BY user_id),
+        |ex AS (SELECT user_id,
+        |              CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |                                          CAST(hi AS TIMESTAMP),
+        |                                          INTERVAL 1 DAY)) AS DATE) AS day
+        |       FROM b)
+        |SELECT user_id, day FROM ex
+        |EXCEPT SELECT user_id, day FROM a
+        |ORDER BY user_id, day""".stripMargin,
     "e_stickiness" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),

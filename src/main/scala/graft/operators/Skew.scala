@@ -45,8 +45,37 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
+  private val SkewTopK = 10
+
+  /** JOIN-KEY SKEW DIAGNOSTIC — the measurement that decides between a
+    * plain shuffle join, AQE skew splitting, and [[saltedJoin]]-style
+    * salting: per-key row counts reduced to the top-K heaviest keys,
+    * each annotated with corpus-level context (total rows, distinct
+    * keys, the key's share and its skew factor = share × distinct-keys,
+    * i.e. how many times the mean key weight it carries). Shape: ONE
+    * map-side-combined aggregate to O(keys) rows, a driver-free top-K
+    * (TakeOrdered — no global sort shuffle), and a broadcast of the
+    * one-row totals; the fact table is scanned once. The two ratios are
+    * single IEEE divisions of exact integers — bit-identical in any
+    * engine. */
+  def skewStats(s: SparkSession, d: String): DataFrame = {
+    val perKey = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    perKey.orderBy(col("cnt").desc, col("user_id")).limit(SkewTopK)
+      .crossJoin(broadcast(totals))
+      .select(col("user_id"), col("cnt"), col("total_rows"), col("n_keys"),
+        (col("cnt").cast("double") / col("total_rows").cast("double")).as("share"),
+        ((col("cnt") * col("n_keys")).cast("double") / col("total_rows").cast("double"))
+          .as("skew_factor"))
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_salted_join" -> (saltedJoin _),
+    "k_skew_stats" -> (skewStats _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -60,5 +89,17 @@ object Skew {
          |FROM lineitem JOIN dim ON l_returnflag = flag
          |GROUP BY l_returnflag, flag_rows
          |ORDER BY l_returnflag""".stripMargin,
+    "k_skew_stats" ->
+      s"""WITH pk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |            FROM events GROUP BY user_id),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         |               CAST(COUNT(*) AS BIGINT) AS n_keys FROM pk),
+         |top AS (SELECT user_id, cnt FROM pk
+         |        ORDER BY cnt DESC, user_id LIMIT $SkewTopK)
+         |SELECT t.user_id, t.cnt, o.total_rows, o.n_keys,
+         |       CAST(t.cnt AS DOUBLE) / CAST(o.total_rows AS DOUBLE) AS share,
+         |       CAST(t.cnt * o.n_keys AS DOUBLE) / CAST(o.total_rows AS DOUBLE) AS skew_factor
+         |FROM top t CROSS JOIN tot o
+         |ORDER BY t.cnt DESC, t.user_id""".stripMargin,
   )
 }

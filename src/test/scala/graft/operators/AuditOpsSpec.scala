@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the pipeline-audit operators: heartbeat
+  * missing-window detection and the join-key skew diagnostic. */
+class AuditOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("missing windows: endpoints never missing; missing + observed = full span") {
+    val missing = Events.missingWindows(s, sf)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSeq
+    val observed = Tables.events(s, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSeq
+    val obsByUser = observed.groupBy(_._1)
+    assert(missing.nonEmpty, "fixture must contain blackout days")
+    missing.foreach { case (u, day) =>
+      val days = obsByUser(u).map(_._2)
+      assert(day.isAfter(days.min) && day.isBefore(days.max),
+        s"user $u: missing day $day outside or at the observed bounds")
+      assert(!days.contains(day), s"user $u: observed day $day reported missing")
+    }
+    // exact cover: span length == observed + missing for every user
+    val missByUser = missing.groupBy(_._1).view.mapValues(_.size).toMap
+    obsByUser.foreach { case (u, rows) =>
+      val days = rows.map(_._2)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max) + 1
+      assert(span == days.size + missByUser.getOrElse(u, 0),
+        s"user $u: span $span != observed ${days.size} + missing ${missByUser.getOrElse(u, 0)}")
+    }
+  }
+
+  test("skew stats: descending top-k, exact totals, factor centered on the mean") {
+    val rows = Skew.skewStats(s, sf).collect()
+    assert(rows.length == 10)
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.sameElements(cnts.sorted.reverse), "top-k must be count-descending")
+    val total = rows.head.getLong(2)
+    val nKeys = rows.head.getLong(3)
+    val trueTotal = Tables.events(s, sf).count()
+    val trueKeys = Tables.events(s, sf).select("user_id").distinct().count()
+    assert(total == trueTotal && nKeys == trueKeys)
+    rows.foreach { r =>
+      assert(r.getDouble(5) == r.getLong(1).toDouble * nKeys / total)
+      assert(r.getDouble(5) >= 1.0 - 1e-9 || cnts.head > cnts.last,
+        "heaviest keys of a skewed column sit at or above the mean weight")
+    }
+  }
+}
