@@ -458,7 +458,41 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  private val HistBuckets = 16
+
+  /** EQUI-WIDTH HISTOGRAM, integer-exact: the distribution profile a cost
+    * model or a data-quality report reads. Bucket assignment is pure
+    * integer arithmetic — `(v − min) · B div (max − min + 1)` — so the
+    * same row lands in the same bucket in any engine (no double
+    * width, no libm, no boundary-epsilon hazard), and bucket bounds are
+    * reported back in the same closed form. Shape: one map-side-combined
+    * min/max aggregate broadcast as a one-row dim, then one
+    * map-side-combined groupBy over the scan — O(B) output rows, the
+    * corpus is read twice and shuffled never (both aggregates reduce to
+    * O(1)/O(B) rows at the combiner). Empty buckets are materialized
+    * (count 0) — a histogram that silently skips them misleads. */
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val v = col("n_chars")
+    val bounds = Tables.documents(s, d)
+      .agg(min(v).as("lo"), max(v).as("hi"),
+        (max(v) - min(v) + 1).as("span"))
+    val counts = Tables.documents(s, d)
+      .crossJoin(broadcast(bounds))
+      .select(expr(s"((n_chars - lo) * $HistBuckets) div span").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val all = bounds.select(col("lo"), col("span"),
+      explode(sequence(lit(0L), lit(HistBuckets - 1L))).as("bucket"))
+    all.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        // bucket b covers [lo + ceil(b*span/B), lo + ceil((b+1)*span/B) - 1]
+        expr(s"lo + ((bucket * span + ${HistBuckets - 1}) div $HistBuckets)").as("b_lo"),
+        expr(s"lo + (((bucket + 1) * span + ${HistBuckets - 1}) div $HistBuckets) - 1").as("b_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_histogram"       -> (histogram _),
     "r_stats_kernel"    -> (statsKernel _),
     "r_fuzzy_join"      -> (fuzzyJoin _),
     "r_join_full_outer" -> (joinFullOuter _),
@@ -492,6 +526,20 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // same integer bucket arithmetic: (v-lo)*B // span, ceil bounds
+    "r_histogram" ->
+      s"""WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi,
+         |                  max(n_chars) - min(n_chars) + 1 AS span FROM documents),
+         |c AS (SELECT ((n_chars - b.lo) * $HistBuckets) // b.span AS bucket,
+         |             CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM documents, b GROUP BY 1),
+         |a AS (SELECT unnest(range(0, $HistBuckets)) AS bucket, lo, span FROM b)
+         |SELECT a.bucket,
+         |       a.lo + (a.bucket * a.span + ${HistBuckets - 1}) // $HistBuckets AS b_lo,
+         |       a.lo + ((a.bucket + 1) * a.span + ${HistBuckets - 1}) // $HistBuckets - 1 AS b_hi,
+         |       COALESCE(c.cnt, 0) AS cnt
+         |FROM a LEFT JOIN c ON a.bucket = c.bucket
+         |ORDER BY a.bucket""".stripMargin,
     // the identical power-sum → fixed-expression tree, spelled in SQL:
     // every sum is BIGINT-exact, every double op correctly rounded, so
     // the statistics are bit-identical to the Spark side

@@ -868,7 +868,86 @@ object Streams {
     s.read.parquet(s"$base/out").orderBy("event_id")
   }
 
+  // ---- STREAMING AS-OF ENRICH: the unbounded form of
+  // Events.asofJoinTables — each purchase decorated with the LATEST
+  // click at-or-before it, per user, via explicit keyed state instead of
+  // a carry-forward window (a global per-key sort is a batch luxury; a
+  // stream holds only the latest right row). State is ONE row per key
+  // (the newest click seen), O(keys) regardless of event volume — the
+  // same footprint class as the rate limiter; production adds a TTL for
+  // key churn exactly like the funnel tombstones. Tie semantics match
+  // the batch operator: at equal event time the click counts
+  // (at-or-before includes ties) and the GREATEST click_id among tied
+  // clicks is carried — enforced by per-batch (us, side, id) ascending
+  // processing with last-write-wins state. Correctness across batches
+  // needs event-time-ordered feeding (true of a replay and of any
+  // per-key-ordered source, e.g. a Kafka topic keyed by user). ----
+
+  final case class AsofIn(user_id: Long, side: Int, event_id: Long, us: Long, value: Double)
+  final case class AsofSt(click_id: Long, click_value: Double, us: Long)
+  final case class AsofOut(user_id: Long, purchase_id: Long, purchase_us: Long,
+      click_id: Option[Long], click_value: Option[Double])
+
+  def asofEnrichStream(events: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[AsofIn], state: GroupState[AsofSt]) =>
+          // side 0 = click, 1 = purchase: clicks first at equal us; among
+          // tied clicks, ascending id + overwrite leaves the greatest id
+          val sorted = evs.toArray.sortBy(e => (e.us, e.side, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          for (e <- sorted) {
+            if (e.side == 0) st = AsofSt(e.event_id, e.value, e.us)
+            else out += AsofOut(user, e.event_id, e.us,
+              Option(st).map(_.click_id), Option(st).map(_.click_value))
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** `e_stream_asof` — [[asofEnrichStream]] replayed over the events
+    * table in FOUR event-time-ordered micro-batches, so most purchases
+    * are enriched from a click carried in state across a batch boundary
+    * — the cross-batch path is the operator, not an edge case. Oracle =
+    * DuckDB's native ASOF LEFT JOIN (independent sorted-merge
+    * algorithm), identical to the batch twin's gate. */
+  def streamAsofReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = graft.Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[AsofIn]
+      .collect()
+      .sortBy(e => (e.us, e.side, e.event_id))
+    val chunks = {
+      val k = math.max(1, rows.length / 4)
+      rows.grouped(k).toSeq
+    }
+    val in = MemoryStream[AsofIn]
+    val sink = "e_stream_asof_sink"
+    withReplayShuffle(s) {
+      val q = asofEnrichStream(in.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        chunks.foreach { c =>
+          in.addData(c.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    s.table(sink).orderBy("user_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_stream_asof" -> (streamAsofReplay _),
     "e_sessionize_stream" -> (sessionizeStream _),
     "e_funnel_stream" -> (funnelStreamReplay _),
     "e_stream_upsert" -> (streamUpsertReplay _),
@@ -890,6 +969,17 @@ object Streams {
     * fully SQL-expressible: the streaming operator gets a hash-checked
     * oracle, not just rows>0. */
   val oracle: Map[String, String] = Map(
+    // the batch as-of gate verbatim: DuckDB's native ASOF LEFT JOIN —
+    // the streaming state machine must land on the sorted-merge answer
+    "e_stream_asof" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS purchase_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id AS click_id,
+        |             value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_us >= c.us
+        |ORDER BY p.user_id, p.purchase_id""".stripMargin,
     // identical output contract to the batch funnel: once the sentinel
     // closes every session, streaming ≡ batch row-for-row
     "e_funnel_stream" -> graft.operators.Events.oracle("e_session_funnel"),
