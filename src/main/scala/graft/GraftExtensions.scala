@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, ExtractHoldingsGen, Int8Quantize, KmvHashes, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys}
+import graft.functions.{CosineSimilarity, ExtractHoldingsGen, Int8Quantize, KmvHashes, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys, TopKPairs}
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
@@ -104,6 +104,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"kmv_hashes: k must be an integer literal, got $other")
         }
         KmvHashes(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (children: Seq[Expression]) => {
+        // topk_pairs(value_double, id_long, k): k largest (value, id)
+        // pairs as struct rows in descending rank order
+        require(children.length == 3, "topk_pairs takes (value, id, k)")
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk_pairs: k must be an integer literal, got $other")
+        }
+        TopKPairs(children.head, children(1), k)
       }))
   }
 }

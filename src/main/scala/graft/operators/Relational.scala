@@ -491,7 +491,30 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Per-key top-k via the native BOUNDED-HEAP AGGREGATE
+    * ([[graft.functions.TopKPairs]], SQL name `topk_pairs`) — the THIRD
+    * top-k form next to the window idiom (`r_topk_perkey`'s oracle) and
+    * the custom physical plan (`graft.plans.TopK`). What the aggregate
+    * form uniquely buys: it runs inside the standard hash-aggregate
+    * machinery, so it (a) COMBINES MAP-SIDE — the shuffle carries ≤ k
+    * pairs per key per map task, not the key's full row set — and (b)
+    * COMPOSES with other aggregates in the same groupBy: this query
+    * computes the count and the top-3 in ONE pass and ONE shuffle, which
+    * the window form (full sort) and the plan node (dedicated operator)
+    * both cannot. posexplode unpacks the rank order the buffer
+    * maintains. */
+  def topKAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("topk_pairs(value, event_id, 3)").as("tk"))
+      .select(col("user_id"), col("n_events"), posexplode(col("tk")))
+      .select(col("user_id"), col("n_events"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), col("col.value").as("value"))
+      .orderBy("user_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_topk_agg"        -> (topKAgg _),
     "r_histogram"       -> (histogram _),
     "r_stats_kernel"    -> (statsKernel _),
     "r_fuzzy_join"      -> (fuzzyJoin _),
@@ -526,6 +549,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the window formulation the heap aggregate must reproduce exactly —
+    // same (value DESC, id DESC) rank order, same composed count
+    "r_topk_agg" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY value DESC, event_id DESC) AS rnk,
+        |             count(*) OVER (PARTITION BY user_id) AS n_events
+        |           FROM events)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(rnk AS INT) AS rank, event_id, value
+        |FROM r WHERE rnk <= 3
+        |ORDER BY user_id, rank""".stripMargin,
     // same integer bucket arithmetic: (v-lo)*B // span, ceil bounds
     "r_histogram" ->
       s"""WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi,
