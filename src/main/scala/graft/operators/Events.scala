@@ -579,7 +579,46 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  private val ConcHoldUs = 1800L * 1000000L  // each event holds a slot 30 min
+  private val ConcBucketUs = 3600L * 1000000L
+
+  /** MAX-CONCURRENCY sweep line (peak simultaneous sessions per hour) via
+    * the DISTRIBUTED TWO-PHASE PREFIX SUM — the pattern for any global
+    * running total at scale. The naive form is a window over the global
+    * event order: one task sorts the entire corpus. Instead: each
+    * interval emits ±1 deltas; deltas bucket by hour; phase 1 computes
+    * per-bucket totals (map-side combined, O(buckets) rows) and turns
+    * them into per-bucket STARTING OFFSETS with a window over that
+    * bounded table (single-partition is fine at O(buckets) ≪ O(rows));
+    * phase 2 runs the within-bucket running sum partitioned BY BUCKET —
+    * every task sorts only its bucket's deltas — and adds the offset.
+    * Ties at one instant are ordered (−1 before +1), so concurrency is
+    * the half-open [start, end) count and the per-hour max is a
+    * deterministic multiset maximum in both engines. */
+  def concurrency(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val ev = Tables.events(s, d)
+    val deltas = ev.select(us.as("us"), lit(1L).as("delta"))
+      .unionAll(ev.select((us + ConcHoldUs).as("us"), lit(-1L).as("delta")))
+      .withColumn("bucket", expr(s"us div ${ConcBucketUs}L"))
+    val offsets = deltas.groupBy(col("bucket"))
+      .agg(sum(col("delta")).as("tot"))
+      .withColumn("offset",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wInner = Window.partitionBy(col("bucket")).orderBy(col("us"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), "bucket")
+      .withColumn("conc", col("offset") + sum(col("delta")).over(wInner))
+      .groupBy((col("bucket") * ConcBucketUs).as("hour_us"))
+      .agg(max(col("conc")).as("max_conc"))
+      .orderBy("hour_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_concurrency" -> (concurrency _),
     "e_missing_windows" -> (missingWindows _),
     "e_retention" -> (retention _),
     "e_power_curve" -> (powerCurve _),
@@ -599,6 +638,21 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // the naive single-window global running sum the two-phase prefix
+    // sum must reproduce: same tie order (−1 before +1 at one instant),
+    // same per-hour multiset maximum
+    "e_concurrency" ->
+      s"""WITH pts AS (
+         |  SELECT epoch_ns(ts) // 1000 AS us, 1 AS delta FROM events
+         |  UNION ALL
+         |  SELECT epoch_ns(ts) // 1000 + $ConcHoldUs, -1 FROM events),
+         |run AS (
+         |  SELECT us, SUM(delta) OVER (ORDER BY us, delta
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM pts)
+         |SELECT (us // $ConcBucketUs) * $ConcBucketUs AS hour_us,
+         |       CAST(MAX(conc) AS BIGINT) AS max_conc
+         |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
     // set difference of expected-vs-observed (user, day): EXCEPT is the
     // anti-join's relational spelling
     "e_missing_windows" ->
