@@ -179,13 +179,66 @@ object Layout {
         dsum(col("value")).as("total_value"))
       .orderBy("event_type")
 
+  /** DYNAMIC partition pruning — the fact⋈dim pattern static pruning
+    * can't serve: which partitions survive is decided by DATA (the
+    * busier-than-average days), not by a literal in the query, so the
+    * day set exists only at runtime. The dim subtree aggregates per-day
+    * counts and keeps days more than 5% above the mean — an
+    * integer-exact comparison (`day_n·n_days·20 > total·21`) referencing
+    * non-key aggregates, so no optimizer constraint propagation can turn
+    * it into a static partition filter on the fact side; the fact scan
+    * prunes via the DPP subquery reusing the dim's broadcast (DppSpec
+    * asserts `dynamicpruning` in the executed scan's partition filters
+    * and that pruned partitions stay unread). At 100 TB this is the
+    * difference between scanning the month and scanning the busy days. */
+  def dppPrune(s: SparkSession, d: String): DataFrame = {
+    val perDay = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("day_n"))
+    // one-row totals resolved driver-side (an index-build action, same
+    // class as the bloom-filter and rollup-boundary head() calls): DPP's
+    // selectivity check needs a plain Filter node on the dim — written
+    // as a crossJoin with the totals row, the optimizer folds the
+    // predicate into a join CONDITION and the pruning rule no longer
+    // sees a selective filter
+    val t = perDay.agg(sum(col("day_n")), count(lit(1))).head()
+    val (total, nDays) = (t.getLong(0), t.getLong(1))
+    val busy = perDay
+      .filter(col("day_n") * nDays * 20 > total * 21)
+      .select(col("event_date"), col("day_n"))
+    // broadcast(busy) pins the DIM as the build side — at fixture scale
+    // the planner would otherwise broadcast the (locally tiny) FACT,
+    // putting the partitioned scan on the build side where DPP cannot
+    // attach; at 100 TB the fact could never broadcast and this hint is
+    // what the planner would pick anyway
+    stagedEvents(s, d).join(broadcast(busy), "event_date")
+      .groupBy(col("event_date"), col("day_n"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("event_date")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_layout_prune" -> (layoutPrune _),
     "k_zorder_prune" -> (zorderPrune _),
     "k_compaction" -> (compactionQuery _),
+    "k_dpp_prune" -> (dppPrune _),
   )
 
   val oracle: Map[String, String] = Map(
+    // same data-dependent day selection over the original parquet: the
+    // runtime-pruned fact join must change scan cost, never the answer
+    "k_dpp_prune" ->
+      s"""WITH pd AS (SELECT CAST(ts AS DATE) AS event_date,
+         |                   CAST(COUNT(*) AS BIGINT) AS day_n
+         |            FROM events GROUP BY 1),
+         |t AS (SELECT CAST(SUM(day_n) AS BIGINT) AS total,
+         |             CAST(COUNT(*) AS BIGINT) AS n_days FROM pd),
+         |busy AS (SELECT event_date, day_n FROM pd, t
+         |         WHERE day_n * n_days * 20 > total * 21)
+         |SELECT b.event_date, b.day_n, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${sqlDsum("e.value")} AS total_value
+         |FROM events e JOIN busy b ON CAST(e.ts AS DATE) = b.event_date
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // the oracle reads the ORIGINAL events parquet: the staged layout must
     // change the scan cost, never the answer
     "k_layout_prune" ->
