@@ -868,6 +868,55 @@ object Streams {
     s.read.parquet(s"$base/out").orderBy("event_id")
   }
 
+  /** `e_stream_enrich_scd` — stream-static enrich where the DIM CHANGES
+    * MID-STREAM: the slowly-changing-dimension refresh discipline. A
+    * static DataFrame captured at stream start freezes its file listing,
+    * so a dim updated while the query runs is silently stale — the
+    * production pattern is `foreachBatch` re-reading the dim's CURRENT
+    * version pointer per micro-batch (the dim read is a fresh batch plan
+    * each time; the pointer swap is the atomic publish). The replay
+    * feeds two chunks (event_id rank below/above the midpoint) and swaps
+    * the pointer from v1 to v2 between them, so the output pins the
+    * contract: each event is enriched with the dim version CURRENT AT
+    * ITS MICRO-BATCH — deterministic here because the chunking is, and
+    * SQL-expressible (rank CASE), so fully hash-checked. */
+  def streamEnrichScdReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val users = graft.Tables.events(s, d).select(col("user_id")).distinct()
+    val base = graft.TempPaths.scratch(s, "stream_enrich_scd") + "/run" + enrichRuns.incrementAndGet()
+    users.select(col("user_id"), (col("user_id") % 5).as("tier"), lit(1L).as("dim_ver"))
+      .write.mode("overwrite").parquet(s"$base/dim/v1")
+    users.select(col("user_id"), ((col("user_id") + 1) % 5).as("tier"), lit(2L).as("dim_ver"))
+      .write.mode("overwrite").parquet(s"$base/dim/v2")
+    val dimPtr = new java.util.concurrent.atomic.AtomicReference[String](s"$base/dim/v1")
+    val rows = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Long)]
+    withReplayShuffle(s) {
+      val q = in.toDS().toDF("event_id", "user_id")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val dim = batch.sparkSession.read.parquet(dimPtr.get())
+          batch.join(broadcast(dim), "user_id")
+            .select(col("event_id"), col("user_id"), col("tier"), col("dim_ver"))
+            .write.mode("append").parquet(s"$base/out"): Unit
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        dimPtr.set(s"$base/dim/v2") // the atomic publish between batches
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.read.parquet(s"$base/out").orderBy("event_id")
+  }
+
   // ---- STREAMING AS-OF ENRICH: the unbounded form of
   // Events.asofJoinTables — each purchase decorated with the LATEST
   // click at-or-before it, per user, via explicit keyed state instead of
@@ -957,6 +1006,7 @@ object Streams {
     "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_kmv_stream" -> (kmvStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
+    "e_stream_enrich_scd" -> (streamEnrichScdReplay _),
     "d_dedup_stream" -> (dedupStreamReplay _),
     "d_dedup_stream_wm" -> (dedupStreamWmReplay _),
     "d_lsh_dedup_stream" -> (lshDedupStreamReplay _),
@@ -983,6 +1033,16 @@ object Streams {
     // identical output contract to the batch funnel: once the sentinel
     // closes every session, streaming ≡ batch row-for-row
     "e_funnel_stream" -> graft.operators.Events.oracle("e_session_funnel"),
+    // the per-batch dim resolution spelled as a rank CASE: first-half
+    // event ids (dense 0..n-1) saw dim v1, the rest v2
+    "e_stream_enrich_scd" ->
+      """SELECT e.event_id, e.user_id,
+        |       CASE WHEN e.event_id < (SELECT COUNT(*) // 2 FROM events)
+        |            THEN e.user_id % 5 ELSE (e.user_id + 1) % 5 END AS tier,
+        |       CASE WHEN e.event_id < (SELECT COUNT(*) // 2 FROM events)
+        |            THEN 1 ELSE 2 END AS dim_ver
+        |FROM events e
+        |ORDER BY e.event_id""".stripMargin,
     // per (user, event-time minute): first RlLimit events in (us,
     // event_id) order admit, the rest flag — a windowed row_number
     "e_rate_limit_stream" ->
