@@ -800,7 +800,41 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** CALIBRATION of the MinHash estimate against EXACT Jaccard — the
+    * measurement that justifies (or retunes) the est ≥ 0.5 gate every
+    * LSH consumer trusts: for each STAGED near-dup pair (8th consumer,
+    * no LSH recompute), the exact 3-gram-set Jaccard and the estimate's
+    * signed error. Scale shape: the corpus shingle stream is first
+    * semi-joined down to the pair-member docs (broadcast of the bounded
+    * dup-doc id set), so the exact intersection — the expensive part —
+    * touches O(dup-volume) shingle rows, never the corpus; then two
+    * equi-joins and one count per pair. All error arithmetic is single
+    * IEEE ops over exact integers. */
+  def jaccardCalibration(s: SparkSession, d: String): DataFrame = {
+    val pairs = stagedNeardupPairs(s, d)
+    val dupDocs = pairs.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val tok = docs(s, d)
+      .join(broadcast(dupDocs), "doc_id")
+      .select(col("doc_id"), explode(shingles).as("sh"))
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs.select(col("a"), col("b"))
+      .join(tok.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(tok.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(sz.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .select(col("a"), col("b"), col("est_jaccard"),
+        col("n_a"), col("n_b"), coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("exact_jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .withColumn("est_error", col("est_jaccard") - col("exact_jaccard"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_jaccard_calibration" -> (jaccardCalibration _),
     "d_setsim_join" -> (setSimJoin _),
     "d_exact_dedup" -> (exactDedup _),
     "d_minhash_sig" -> (minhashSignatures _),
@@ -1023,6 +1057,32 @@ object Dedup {
           |       CAST(MAX(c) AS BIGINT) AS max_bucket,
           |       CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs
           |FROM bs GROUP BY band ORDER BY band""".stripMargin),
+    // exact side from the `sh` CTE's shingle lists, restricted to the
+    // estimated pairs — same est formula, list_intersect for the truth
+    "d_jaccard_calibration" ->
+      (sigCte +
+        """,
+          |pr AS (
+          |  SELECT c.a, c.b,
+          |         CAST(list_sum(list_transform(range(0, 16),
+          |                i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE)
+          |           / 16.0 AS est_jaccard
+          |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          |  WHERE CAST(list_sum(list_transform(range(0, 16),
+          |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5)
+          |SELECT p.a, p.b, p.est_jaccard,
+          |       CAST(len(xa.shingles) AS BIGINT) AS n_a,
+          |       CAST(len(xb.shingles) AS BIGINT) AS n_b,
+          |       CAST(len(list_intersect(xa.shingles, xb.shingles)) AS BIGINT) AS inter,
+          |       CAST(len(list_intersect(xa.shingles, xb.shingles)) AS DOUBLE)
+          |         / CAST(len(xa.shingles) + len(xb.shingles)
+          |                - len(list_intersect(xa.shingles, xb.shingles)) AS DOUBLE) AS exact_jaccard,
+          |       p.est_jaccard
+          |         - CAST(len(list_intersect(xa.shingles, xb.shingles)) AS DOUBLE)
+          |           / CAST(len(xa.shingles) + len(xb.shingles)
+          |                  - len(list_intersect(xa.shingles, xb.shingles)) AS DOUBLE) AS est_error
+          |FROM pr p JOIN sh xa ON xa.doc_id = p.a JOIN sh xb ON xb.doc_id = p.b
+          |ORDER BY a, b""".stripMargin),
     "d_neardup_pairs" ->
       (sigCte +
         """

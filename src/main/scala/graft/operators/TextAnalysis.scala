@@ -896,7 +896,35 @@ object TextAnalysis {
       .orderBy("needle", "doc_id")
   }
 
+  /** CURRICULUM ORDERING — a GLOBAL ordinal over the corpus (sort by
+    * difficulty, here length-ascending, ties by doc_id) WITHOUT the
+    * global-sort bottleneck: `row_number() OVER (ORDER BY …)` funnels
+    * 100 TB through one task. Two-phase instead (the ranking twin of
+    * `e_concurrency`'s prefix sum): per-difficulty-value counts →
+    * cumulative STARTING OFFSETS over that bounded O(distinct values)
+    * table, broadcast back; within-value ranks partition BY VALUE, so
+    * no task orders more than one value's docs. The emitted
+    * (rank, doc_id) manifest is what a data loader streams in order; at
+    * scale the write is `repartitionByRange(rank)` so files are
+    * rank-contiguous. */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val perLen = docs(s, d).groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val offsets = perLen
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("n_chars")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("n_chars"), col("offset"))
+    docs(s, d)
+      .join(broadcast(offsets), "n_chars")
+      .withColumn("rank", col("offset") +
+        row_number().over(Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_curriculum" -> (curriculum _),
     "t_substring_search" -> (substringSearch _),
     "t_substring_multi" -> (substringSearchMulti _),
     "t_length_outliers" -> (lengthOutliers _),
@@ -958,6 +986,12 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the naive global window the two-phase ranking must reproduce
+    "t_curriculum" ->
+      """SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+        |       doc_id, n_chars
+        |FROM documents
+        |ORDER BY rank""".stripMargin,
     // the full scan the index path must reproduce exactly
     "t_substring_search" ->
       s"""SELECT doc_id, CAST(strpos(text, '$SearchNeedle') AS INT) AS first_pos

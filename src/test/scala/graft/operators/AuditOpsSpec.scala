@@ -34,6 +34,26 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum ranking is a permutation: ranks 1..n, each exactly once") {
+    val ranks = TextAnalysis.curriculum(s, sf).collect().map(_.getLong(0))
+    val n = Tables.documents(s, sf).count()
+    assert(ranks.length == n)
+    assert(ranks.toSet == (1L to n).toSet, "two-phase ranking must emit a dense permutation")
+  }
+
+  test("jaccard calibration covers every staged pair; exact is in [0,1]; error in [-1,1]") {
+    val rows = Dedup.jaccardCalibration(s, sf).collect()
+    val staged = Dedup.stagedNeardupPairs(s, sf).count()
+    assert(rows.length == staged, "every staged pair must be calibrated")
+    rows.foreach { r =>
+      val exact = r.getDouble(6); val err = r.getDouble(7)
+      assert(exact >= 0.0 && exact <= 1.0)
+      assert(err >= -1.0 && err <= 1.0)
+      assert(r.getLong(5) <= math.min(r.getLong(3), r.getLong(4)),
+        "intersection cannot exceed either set size")
+    }
+  }
+
   test("skew stats: descending top-k, exact totals, factor centered on the mean") {
     val rows = Skew.skewStats(s, sf).collect()
     assert(rows.length == 10)
