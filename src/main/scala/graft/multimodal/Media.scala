@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * metadata, decoded executor-side in batches (the Scala analog of a
   * Pandas-UDF/`mapInPandas` stage).
   *
-  * The image decode path is REAL for PPM — [[PpmCodec]] parses the actual
-  * binary P6 format (see `m_ppm_decode`). Codec-bound formats (JPEG,
-  * audio, video) have no native libraries in this environment, so for
-  * those [[MediaStub.decode]] remains a DETERMINISTIC STUB computing
-  * features from raw bytes (size, unsigned-byte sum/mean, md5, frame
-  * count).
+  * TWO modalities decode REAL bytes: [[PpmCodec]] parses binary P6
+  * images (`m_ppm_decode`) and [[WavCodec]] parses RIFF/WAVE PCM16 audio
+  * (`m_wav_decode`) — both formats need no native library. Only
+  * genuinely codec-bound formats (JPEG, MP3, video) remain behind
+  * [[MediaStub.decode]], a DETERMINISTIC STUB computing features from
+  * raw bytes (size, unsigned-byte sum/mean, md5, frame count).
   * Everything around it is the real 100 TB pattern: a typed
   * `Dataset[MediaRecord]`, `mapPartitions` with explicit batching (batch
   * size bounds peak memory per task exactly like a Pandas-UDF batch), and
@@ -224,9 +224,51 @@ object Media {
       .orderBy("media_id")
   }
 
+  /** Audio table with real WAV payloads (audio-typed ids, doc_id%3==1):
+    * frames=(id%50)+20, channels=1+(id%2), rate=8000+(id%3)·4000,
+    * interleaved sample i = ((id·7 + i·13) % 65536) − 32768. */
+  def wavTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .map { id =>
+        val frames = (id % 50).toInt + 20
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val samples = Array.tabulate(frames * channels)(
+          i => (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort)
+        (id, WavCodec.encode(rate, channels, samples))
+      }
+  }
+
+  /** `m_wav_decode` — REAL audio decode per record ([[WavCodec]]): rate
+    * and channel count from the parsed fmt chunk, frame count and
+    * per-channel sums from the PCM data chunk — the audio twin of
+    * [[ppmDecode]], closing the second modality's kernel. */
+  def wavDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val a = WavCodec.decode(bytes)
+        var c0 = 0L; var cAll = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val v = a.samples(i).toLong
+          cAll += v
+          if (i % a.channels == 0) c0 += v
+          i += 1
+        }
+        (id, a.sampleRate, a.channels, a.nFrames.toLong, c0, cAll)
+      }))
+      .toDF("media_id", "sample_rate", "n_channels", "n_frames", "sum_ch0", "sum_all")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_ppm_decode" -> (ppmDecode _),
+    "m_wav_decode" -> (wavDecode _),
     "m_frame_sample" -> (frameSamples _),
     "m_resize_thumb" -> (resizeThumbs _),
     "m_pair_assembly" -> (pairAssembly _),
@@ -250,6 +292,27 @@ object Media {
         |       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
         |       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h
+        |ORDER BY media_id""".stripMargin,
+    // the decoded-payload stats rebuilt from the sample formula:
+    // interleaved sample i = ((id*7 + i*13) % 65536) - 32768, channel 0
+    // holds indices i % channels == 0
+    "m_wav_decode" ->
+      """WITH au AS (
+        |  SELECT doc_id, (doc_id % 50) + 20 AS frames,
+        |         1 + (doc_id % 2) AS ch, 8000 + (doc_id % 3) * 4000 AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (
+        |  SELECT doc_id, frames, ch, rate, i,
+        |         ((doc_id * 7 + i * 13) % 65536) - 32768 AS v
+        |  FROM au, LATERAL (SELECT unnest(generate_series(0,
+        |         CAST(frames * ch - 1 AS BIGINT))) AS i))
+        |SELECT doc_id AS media_id,
+        |       CAST(rate AS INT) AS sample_rate,
+        |       CAST(ch AS INT) AS n_channels,
+        |       CAST(frames AS BIGINT) AS n_frames,
+        |       CAST(SUM(CASE WHEN i % ch = 0 THEN v END) AS BIGINT) AS sum_ch0,
+        |       CAST(SUM(v) AS BIGINT) AS sum_all
+        |FROM sm GROUP BY doc_id, rate, ch, frames
         |ORDER BY media_id""".stripMargin,
     // text is ASCII (lowercase words + spaces): byte values == char codes.
     "m_media_features" ->
