@@ -220,6 +220,55 @@ object Streams {
       .orderBy("ws_us", "event_type", "rank")
   }
 
+  /** Streaming TRENDING TOP-K per (6 h window, type): the engine's second
+    * custom `TypedImperativeAggregate` ([[graft.functions.TopKPairs]])
+    * running INSIDE watermarked streaming aggregation state — k-capped
+    * heap buffers serialize through the state store via the aggregate's
+    * own serialize/merge, and the flushed windows are the exact windowed
+    * top-3, hash-checked against the window-function recompute. State is
+    * O(open windows × types × k); at any event volume a window's buffer
+    * never holds more than k pairs. */
+  def topkWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(expr("topk_pairs(value, event_id, 3)").as("tk"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("tk"))
+
+  /** `e_topk_stream` — [[topkWindowAgg]] replayed over the events table;
+    * the sentinel flushes every real window, then the rank arrays explode
+    * to (rank, event_id, value) rows for the driver's row compare. */
+  def topkStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch = graft.Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .collect()
+    val maxMs = batch.iterator.map(_._2.getTime).max
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val sink = "e_topk_stream_sink"
+    withReplayShuffle(s) {
+      val q = topkWindowAgg(in.toDF().toDF("event_type", "ts", "event_id", "value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(("sentinel",
+          new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), -1L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("window_start")).as("ws_us"), col("event_type"),
+        posexplode(col("tk")))
+      .select(col("ws_us"), col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), col("col.value").as("value"))
+      .orderBy("ws_us", "event_type", "rank")
+  }
+
   def windowAggStream(s: SparkSession, d: String): DataFrame =
     windowedReplay(s, d, "e_window_agg_stream_sink", windowAgg)
 
@@ -1005,6 +1054,7 @@ object Streams {
     "e_window_agg_stream" -> (windowAggStream _),
     "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_kmv_stream" -> (kmvStream _),
+    "e_topk_stream" -> (topkStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "e_stream_enrich_scd" -> (streamEnrichScdReplay _),
     "d_dedup_stream" -> (dedupStreamReplay _),
@@ -1033,6 +1083,19 @@ object Streams {
     // identical output contract to the batch funnel: once the sentinel
     // closes every session, streaming ≡ batch row-for-row
     "e_funnel_stream" -> graft.operators.Events.oracle("e_session_funnel"),
+    // the flushed streaming heaps must equal the windowed top-3 recompute
+    // (same (value DESC, id DESC) order the aggregate's buffer maintains)
+    "e_topk_stream" ->
+      """WITH r AS (
+        |  SELECT (epoch_ns(ts) // 1000 // 21600000000) * 21600000000 AS ws_us,
+        |         event_type, event_id, value,
+        |         row_number() OVER (
+        |           PARTITION BY (epoch_ns(ts) // 1000 // 21600000000), event_type
+        |           ORDER BY value DESC, event_id DESC) AS rnk
+        |  FROM events)
+        |SELECT ws_us, event_type, CAST(rnk AS INT) AS rank, event_id, value
+        |FROM r WHERE rnk <= 3
+        |ORDER BY ws_us, event_type, rank""".stripMargin,
     // the per-batch dim resolution spelled as a rank CASE: first-half
     // event ids (dense 0..n-1) saw dim v1, the rest v2
     "e_stream_enrich_scd" ->
