@@ -181,7 +181,51 @@ object Formats {
       .orderBy("doc_id")
   }
 
+  /** TIME TRAVEL via versioned MANIFESTS — the transaction-log discipline
+    * under every modern table format (Delta/Iceberg/Hudi), reduced to its
+    * load-bearing core: a table version is a MANIFEST (an immutable list
+    * of data-file paths), commits write new data files plus a new
+    * manifest, and readers resolve a version by reading ONLY its
+    * manifest's files — old versions stay readable forever (snapshot
+    * isolation), and no reader ever lists the directory (the listing
+    * consistency trap at 100 TB object-store scale).
+    *
+    * v1 = two files (orders slices A, B); v2 compacts away B and adds C
+    * (B's rows re-written with C's): the data files are IMMUTABLE — v2
+    * is a new file set, not an edit. The query reads BOTH versions
+    * through their manifests and reports per-version totals; the oracle
+    * recomputes them from the slice definitions, so a reader that leaks
+    * files across versions (or loses one) diverges. The manifest is a
+    * driver-written metadata text file — metadata plane, not data
+    * plane; the data files are cluster-written parquet. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "timetravel")
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 3 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 3 =!= 0)) // B's rows + the % 3 == 2 arrivals
+    def commit(version: Int, files: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/manifest-v$version.txt"),
+        files.mkString("\n").getBytes("UTF-8")): Unit
+    commit(1, Seq(fA, fB))
+    commit(2, Seq(fA, fC))
+    def readVersion(version: Int): DataFrame = {
+      val files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/manifest-v$version.txt")), "UTF-8").split("\n")
+      s.read.parquet(files.toIndexedSeq: _*).withColumn("version", lit(version))
+    }
+    readVersion(1).unionByName(readVersion(2))
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_timetravel" -> (timeTravel _),
     "k_format_roundtrip" -> (formatRoundtrip _),
     "k_schema_evolution" -> (schemaEvolution _),
     "k_snapshot_diff" -> (snapshotDiff _),
@@ -190,6 +234,17 @@ object Formats {
   )
 
   val oracle: Map[String, String] = Map(
+    // per-version totals rebuilt from the slice rules: v1 = keys % 3 in
+    // (0, 1); v2 = keys % 3 in (0, 2) ∪ (1, 2) rewritten = % 3 != ... v2
+    // reads files A (≡0) and C (≢0) = all keys
+    "k_timetravel" ->
+      s"""SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         |UNION ALL
+         |SELECT 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")}
+         |FROM orders
+         |ORDER BY version""".stripMargin,
     // computed straight from parquet: both format paths must agree with it
     "k_format_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_lines, COUNT(*) AS n_lines_json,

@@ -513,7 +513,27 @@ object Relational {
         col("col.id").as("event_id"), col("col.value").as("value"))
       .orderBy("user_id", "rank")
 
+  /** The pure-SQL-TEXT surface: the same engine driven entirely through
+    * `spark.sql(...)` over registered temp views — no DataFrame calls in
+    * the query path — proving a SQL-first user (BI tool, notebook `%%sql`
+    * cell) gets identical semantics and the identical Catalyst plan. The
+    * decimal-exact sum is spelled inline the way `QueryDsl.dsum` builds
+    * it, so the cross-engine determinism discipline survives the textual
+    * surface too. */
+  def sqlText(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c.c_mktsegment, o.o_orderstatus,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment, o.o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_sql_text"        -> (sqlText _),
     "r_topk_agg"        -> (topKAgg _),
     "r_histogram"       -> (histogram _),
     "r_stats_kernel"    -> (statsKernel _),
@@ -549,6 +569,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "r_sql_text" ->
+      s"""SELECT c.c_mktsegment, o.o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${sqlDsum("o.o_totalprice")} AS revenue
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment, o.o_orderstatus
+         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
     // the window formulation the heap aggregate must reproduce exactly —
     // same (value DESC, id DESC) rank order, same composed count
     "r_topk_agg" ->
