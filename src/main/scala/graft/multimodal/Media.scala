@@ -265,9 +265,44 @@ object Media {
       .orderBy("media_id")
   }
 
+  private val ThumbDim = 4
+
+  /** `m_ppm_resize` — decode → TRANSFORM on real parsed pixels: a 4×4
+    * nearest-neighbor thumbnail of each decoded PPM raster (fixed-tensor
+    * output whatever the input dimensions — the shape a training batch
+    * needs), reported as exact per-channel sums. Source pixel for thumb
+    * (x, y) is raster[(y·h div 4)·w + (x·w div 4)] — same integer
+    * arithmetic in the closed-form oracle, valid for images smaller or
+    * larger than the grid. */
+  def ppmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val img = PpmCodec.decode(bytes)
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < ThumbDim) {
+          var x = 0
+          while (x < ThumbDim) {
+            val src = ((y * img.height / ThumbDim) * img.width
+              + (x * img.width / ThumbDim)) * 3
+            r += img.raster(src) & 0xff
+            g += img.raster(src + 1) & 0xff
+            b += img.raster(src + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.width, img.height, r, g, b)
+      }))
+      .toDF("media_id", "width", "height", "thumb_r", "thumb_g", "thumb_b")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_ppm_decode" -> (ppmDecode _),
+    "m_ppm_resize" -> (ppmResize _),
     "m_wav_decode" -> (wavDecode _),
     "m_frame_sample" -> (frameSamples _),
     "m_resize_thumb" -> (resizeThumbs _),
@@ -291,6 +326,25 @@ object Media {
         |       CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
         |       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
         |       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY media_id""".stripMargin,
+    // nearest-neighbor source index rebuilt in integer arithmetic:
+    // src byte = ((y*h//4)*w + (x*w//4))*3 + channel, value from the
+    // same pixel formula the encoder used
+    "m_ppm_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, (doc_id % 13) + 2 AS w, (doc_id % 7) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |         (((y.y * h) // 4) * w + (x.x * w) // 4) * 3 AS src
+        |  FROM imgs,
+        |       (SELECT unnest(generate_series(0, 3)) AS x) x,
+        |       (SELECT unnest(generate_series(0, 3)) AS y) y)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(SUM((doc_id * 31 + src) % 256) AS BIGINT) AS thumb_r,
+        |       CAST(SUM((doc_id * 31 + src + 1) % 256) AS BIGINT) AS thumb_g,
+        |       CAST(SUM((doc_id * 31 + src + 2) % 256) AS BIGINT) AS thumb_b
         |FROM px GROUP BY doc_id, w, h
         |ORDER BY media_id""".stripMargin,
     // the decoded-payload stats rebuilt from the sample formula:

@@ -923,7 +923,23 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** CONFUSION MATRIX of the language/topic scorer against gold labels —
+    * the evaluation contingency table every classifier-gated pipeline
+    * publishes with its gate: per (gold, predicted) doc counts and
+    * row-normalized shares (one IEEE division of exact integers). One
+    * map-side-combined groupBy to O(labels × classes) rows; the share
+    * window runs over that bounded table. */
+  def langidConfusion(s: SparkSession, d: String): DataFrame = {
+    val counts = langId(s, d).groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_frac", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("lang"))).cast("double"))
+      .orderBy("lang", "predicted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_langid_confusion" -> (langidConfusion _),
     "t_curriculum" -> (curriculum _),
     "t_substring_search" -> (substringSearch _),
     "t_substring_multi" -> (substringSearchMulti _),
@@ -957,6 +973,24 @@ object TextAnalysis {
   )
 
   private val sqlWords = "string_split(text, ' ')"
+
+  /** the per-doc langid scorer SELECT, shared by the per-doc oracle and
+    * the confusion-matrix oracle (one formula, one mirror) */
+  private lazy val langidSql: String =
+    s"""SELECT doc_id, lang,
+       |       CAST(len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort'))) AS INT) AS score_analytics,
+       |       CAST(len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch'))) AS INT) AS score_storage,
+       |       CAST(len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge'))) AS INT) AS score_engine,
+       |       CASE WHEN len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort')))
+       |              >= len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch')))
+       |             AND len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort')))
+       |              >= len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge')))
+       |            THEN 'analytics'
+       |            WHEN len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge')))
+       |              >= len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch')))
+       |            THEN 'engine'
+       |            ELSE 'storage' END AS predicted
+       |FROM documents""".stripMargin
 
   private lazy val packChunksOracle: String =
     s"""WITH t AS (SELECT doc_id, md5(text) AS m,
@@ -1294,21 +1328,15 @@ object TextAnalysis {
          |       CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS DOUBLE)
          |         / CAST(len($sqlWords) AS DOUBLE) AS pieces_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "t_langid" ->
-      s"""SELECT doc_id, lang,
-         |       CAST(len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort'))) AS INT) AS score_analytics,
-         |       CAST(len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch'))) AS INT) AS score_storage,
-         |       CAST(len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge'))) AS INT) AS score_engine,
-         |       CASE WHEN len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort')))
-         |              >= len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch')))
-         |             AND len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort')))
-         |              >= len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge')))
-         |            THEN 'analytics'
-         |            WHEN len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge')))
-         |              >= len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch')))
-         |            THEN 'engine'
-         |            ELSE 'storage' END AS predicted
-         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_langid" -> (langidSql + "\nORDER BY doc_id"),
+    // gold-label × prediction contingency over the same scorer CTE
+    "t_langid_confusion" ->
+      s"""WITH p AS ($langidSql)
+         |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(COUNT(*) AS DOUBLE)
+         |         / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE) AS row_frac
+         |FROM p GROUP BY lang, predicted
+         |ORDER BY lang, predicted""".stripMargin,
     "t_quality" ->
       s"""SELECT doc_id,
          |       CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
