@@ -833,7 +833,42 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** LSH TUNING HARNESS — the evidence behind the (bands, rows) choice:
+    * for every split of the 16-perm signature (1×16 … 16×1), the
+    * MEASURED candidate-pair count on this corpus next to the EXACT
+    * collision probability at the J=0.5 gate. With r·b = 16 the curve
+    * `1 − (1 − J^r)^b` at J = 1/2 is the dyadic rational
+    * `1 − (2^r−1)^b / 2^16` — integer numerator, one division, one
+    * subtraction, bit-identical in both engines (no libm `pow`). The
+    * measured side re-bands the SAME signatures per config (5 configs ×
+    * b band rows per doc — bounded) and counts distinct colliding
+    * pairs; picking a config is then reading this table: more bands =
+    * more candidates = higher recall, more verify cost. */
+  def lshTuning(s: SparkSession, d: String): DataFrame = {
+    val sig = withSig(s, d).select(col("doc_id"), col("sig"))
+    val configs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    configs.map { case (b, r) =>
+      val bandCols = (0 until b).map(i =>
+        struct(lit(i).as("band"),
+          array_join(transform(slice(col("sig"), i * r + 1, r), _.cast("string")), "|")
+            .as("bkey")))
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val nCand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+      val pNum = BigInt(2).pow(r) - 1
+      nCand.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        col("n_candidate_pairs"),
+        (lit(1.0) - lit(pNum.pow(b).toDouble) / lit(65536.0)).as("p_collide_at_half"))
+    }.reduce(_ unionByName _)
+      .orderBy("bands")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_lsh_tuning" -> (lshTuning _),
     "d_jaccard_calibration" -> (jaccardCalibration _),
     "d_setsim_join" -> (setSimJoin _),
     "d_exact_dedup" -> (exactDedup _),
@@ -1057,6 +1092,26 @@ object Dedup {
           |       CAST(MAX(c) AS BIGINT) AS max_bucket,
           |       CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs
           |FROM bs GROUP BY band ORDER BY band""".stripMargin),
+    // re-band the sigCte signatures per (bands, rows) split; the curve
+    // value is the same dyadic rational 1 - (2^r-1)^b / 2^16
+    "d_lsh_tuning" ->
+      (sigCte + "," + Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+        s"""
+           |bands_$b AS (
+           |  SELECT s.doc_id, g.b AS band,
+           |         array_to_string(s.sig[g.b*$r+1 : g.b*$r+$r], '|') AS bkey
+           |  FROM sig s, generate_series(0, ${b - 1}) g(b)),
+           |cand_$b AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands_$b x JOIN bands_$b y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+      }.mkString(",") + "\n" +
+        Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+          val num = (BigInt(2).pow(r) - 1).pow(b)
+          s"""SELECT $b AS bands, $r AS rows_per_band,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$b) AS n_candidate_pairs,
+             |       1 - $num / 65536.0 AS p_collide_at_half""".stripMargin
+        }.mkString("\nUNION ALL\n") + "\nORDER BY bands"),
     // exact side from the `sh` CTE's shingle lists, restricted to the
     // estimated pairs — same est formula, list_intersect for the truth
     "d_jaccard_calibration" ->
