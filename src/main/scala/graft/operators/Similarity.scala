@@ -507,7 +507,31 @@ object Similarity {
       .orderBy("vec_id", "band")
   }
 
+  /** PER-DIMENSION EMBEDDING QUALITY STATS — the pre-index audit for an
+    * embedding table: a dead dimension (always zero), a clipped one
+    * (saturated min/max), or a mean far off center each degrade every
+    * ANN structure built downstream; this reports them in one pass.
+    * Cross-engine determinism: the mean is carried as an exact integer
+    * sum of `floor(v·1024)` quantized components (float→double is exact,
+    * ·1024 is exact in double, floor is deterministic — no
+    * accumulation-order dependence), min/max are order-free, and the
+    * zero count is integral. Shape: one narrow posexplode to O(n·dims)
+    * rows, one map-side-combined groupBy down to O(dims). */
+  def embedStats(s: SparkSession, d: String): DataFrame = {
+    emb(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1024).cast("long")).as("sum_q1024"),
+        min(col("v").cast("double")).as("min_v"),
+        max(col("v").cast("double")).as("max_v"),
+        sum((col("v") === 0.0f).cast("long")).as("n_zero"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_embed_stats" -> (embedStats _),
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
@@ -667,6 +691,19 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // positional unnest zip: generate_subscripts pairs with unnest in the
+    // same SELECT; the quantized sum mirrors floor(double(v)*1024)
+    "v_embed_stats" ->
+      """WITH x AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT CAST(i - 1 AS INT) AS dim,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS BIGINT) AS sum_q1024,
+        |       CAST(MIN(v) AS DOUBLE) AS min_v,
+        |       CAST(MAX(v) AS DOUBLE) AS max_v,
+        |       CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM x GROUP BY i ORDER BY dim""".stripMargin,
     "v_cosine_topk" -> cosineTopkOracle,
     "v_ann_ivf" -> annIvfOracle,
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
