@@ -352,29 +352,59 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
-  /** Rolling active users — DAU and trailing-7-day WAU per calendar day,
-    * WITHOUT a range join or a window over the corpus: each distinct
-    * (user, day) pair is EXPLODED into the 7 days it contributes to, and
-    * WAU is a plain count over the re-deduped contributions. Everything
-    * after the first distinct is equi-shuffles over bounded domains
-    * (days × users-per-week); the 7× fan-out is the fixed price of
-    * turning a sliding COUNT DISTINCT into hash aggregation — the shape
-    * that parallelizes at any corpus size. */
-  def activeUsers(s: SparkSession, d: String): DataFrame = {
+  /** The sliding COUNT DISTINCT engine behind [[activeUsers]] (7-day WAU)
+    * and [[stickiness]] (28-day MAU), WITHOUT row amplification: a user
+    * counts toward day `d` iff any of their active days falls in
+    * `[d-w+1, d]`, i.e. their coverage is the union of `[a, a+w-1]` over
+    * active days `a`. Per user, consecutive active days with gap < `w`
+    * merge into ISLANDS (lag + cumulative sum over the user's OWN days —
+    * each task sorts only one user's activity); an island `[first, last]`
+    * covers `[first, last+w-1]` and emits a +1/−1 delta pair. Islands of
+    * one user are coverage-disjoint (split exactly where the union
+    * breaks), so nobody double-counts. The deltas then collapse to a
+    * per-day net on the O(days) domain and one running sum over that
+    * bounded table (the [[concurrency]] phase-1 shape — single-partition
+    * is fine at O(days) ≪ O(rows)) yields the count for every observed
+    * day. No w× explode, no second corpus-sized distinct: the only
+    * corpus-sized shuffles are the (user, day) distinct and the per-user
+    * sort, both linear in the input. */
+  private def slidingActive(
+      s: SparkSession, d: String, windowDays: Int, cntName: String): DataFrame = {
     val ud = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    val wau = ud
-      .select(col("user_id"),
-        explode(sequence(lit(0), lit(6))).as("i"), col("day"))
-      .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
-      .distinct()
-      .groupBy("day").agg(count(lit(1)).as("wau"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = ud
+      .withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(wUser)))
+      .withColumn("head",
+        when(col("gap").isNull || col("gap") >= windowDays, 1L).otherwise(0L))
+      .withColumn("island", sum(col("head")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).as("start"),
+        date_add(max(col("day")), windowDays - 1).as("end"))
+    val deltas = islands.select(col("start").as("day"), lit(1L).as("net"))
+      .unionAll(islands.select(date_add(col("end"), 1).as("day"), lit(-1L).as("net")))
+      // observed days anchor the running sum so coverage is readable at
+      // every day the output reports, not just at island boundaries
+      .unionAll(dau.select(col("day"), lit(0L).as("net")))
+      .groupBy("day").agg(sum(col("net")).as("net"))
+    val covered = deltas
+      .withColumn(cntName, sum(col("net")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col(cntName))
     // joining on observed days drops the phantom tail past the last event
-    dau.join(wau, "day")
-      .select(col("day"), col("dau"), col("wau"))
+    dau.join(covered, "day")
+      .select(col("day"), col("dau"), col(cntName))
       .orderBy("day")
   }
+
+  /** Rolling active users — DAU and trailing-7-day WAU per calendar day
+    * via [[slidingActive]]'s island merge + ±1 deltas + bounded prefix
+    * sum: linear in the corpus, no 7× fan-out, no re-dedup shuffle. */
+  def activeUsers(s: SparkSession, d: String): DataFrame =
+    slidingActive(s, d, windowDays = 7, cntName = "wau")
 
   /** Weekly growth accounting — the new / retained / resurrected /
     * churned decomposition of every week's active-user count (the
@@ -454,29 +484,17 @@ object Events {
   }
 
   /** STICKINESS — DAU / trailing-28-day MAU per day, the engagement dial
-    * product teams actually watch. Same sliding-distinct-count strategy
-    * as [[activeUsers]]: each distinct (user, day) pair EXPLODES into the
-    * 28 days it contributes to, MAU is a re-deduped hash count — no range
-    * join, no corpus-wide window. The 28× fan-out of the already-distinct
-    * (user, day) table is the fixed, partition-parallel price of sliding
-    * COUNT DISTINCT at any scale; the ratio is one IEEE division of exact
-    * integers. Days with < 28 days of observed history still report (the
-    * standard dashboard convention); the join on observed days drops the
-    * phantom tail past the last event. */
-  def stickiness(s: SparkSession, d: String): DataFrame = {
-    val ud = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    val mau = ud
-      .select(col("user_id"), explode(sequence(lit(0), lit(27))).as("i"), col("day"))
-      .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
-      .distinct()
-      .groupBy("day").agg(count(lit(1)).as("mau"))
-    dau.join(mau, "day")
+    * product teams actually watch. [[slidingActive]]'s island merge +
+    * ±1 deltas + bounded prefix sum at the 28-day horizon — no 28×
+    * fan-out, no re-dedup shuffle; the ratio is one IEEE division of
+    * exact integers. Days with < 28 days of observed history still
+    * report (the standard dashboard convention); the join on observed
+    * days drops the phantom tail past the last event. */
+  def stickiness(s: SparkSession, d: String): DataFrame =
+    slidingActive(s, d, windowDays = 28, cntName = "mau")
       .select(col("day"), col("dau"), col("mau"),
         (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
       .orderBy("day")
-  }
 
   private val DebounceGapUs = 1800L * 1000000L // 30 min, in exact integer µs
 
