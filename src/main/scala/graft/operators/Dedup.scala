@@ -487,7 +487,12 @@ object Dedup {
 
   private val SpanN = 8
 
-  def spanDedup(s: SparkSession, d: String): DataFrame = {
+  /** The one-shot pipeline [[spanDedup]] stages: explode every gram once,
+    * count per (gram, doc), flag grams in ≥2 docs, aggregate per doc.
+    * Kept as the spec's reference implementation (DedupScaleSpec asserts
+    * staged ≡ inline bit-exactly); the public query path reads the
+    * staged postings instead of re-running this per call. */
+  private[operators] def spanDedupInline(s: SparkSession, d: String): DataFrame = {
     val gramsCol = transform(
       sequence(lit(0), size(words) - SpanN),
       i => array_join(slice(words, i + lit(1), lit(SpanN)), " "))
@@ -505,6 +510,73 @@ object Dedup {
         sum(coalesce(col("dup"), lit(0L))).as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         (col("n_dup_spans").cast("double") / col("n_spans").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Dup-gram postings staging: the exact-substring analog of the
+  // trigram substring index. The gram explode + gram-keyed shuffle is
+  // the whole cost of span-level dedup (every word-8-gram as a built
+  // string, shuffled by gram) and is a pure function of the corpus —
+  // build it ONCE per corpus fingerprint and stage only the POSTINGS OF
+  // DUPLICATED GRAMS, (doc_id, gram, n), bounded by cross-document dup
+  // volume (≪ total grams; unique grams never leave the build). Query
+  // time then needs no explode at all: per-doc span totals are
+  // closed-form (len(words) − n + 1), dup coverage is one bounded
+  // aggregate over the staged postings. ----
+
+  private[operators] val dupGramBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def dupGramStageDir(sfDir: String): String =
+    "/tmp/graft_stage/dupgrams_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  def ensureDupGramsStaged(s: SparkSession, d: String): String = {
+    val dir = dupGramStageDir(d)
+    val path = dir + "/postings"
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      dupGramBuildCount.incrementAndGet()
+      val gramsCol = transform(
+        sequence(lit(0), size(words) - SpanN),
+        i => array_join(slice(words, i + lit(1), lit(SpanN)), " "))
+      val g = docs(s, d)
+        .filter(size(words) >= SpanN)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(gramsCol).as("gram"))
+      // rows of perDocGram are distinct (gram, doc) pairs, so the dup
+      // test is a plain COUNT — no second countDistinct pass
+      val perDocGram = g.groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+      val nd = perDocGram.groupBy(col("gram"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gram"))
+      perDocGram.join(nd, Seq("gram"))
+        .select(col("doc_id"), col("gram"), col("n"))
+        .write.mode("overwrite").parquet(path)
+    }: Unit
+    path
+  }
+
+  /** Exact duplicated-SPAN detection over the staged dup-gram postings:
+    * per doc, how many of its word-8-gram spans also appear in some
+    * other document (the boilerplate-coverage signal a training-data
+    * filter thresholds on). `n_spans` is closed-form from the word count
+    * — no explode in the query plan; `n_dup_spans` is one sum over the
+    * staged postings, bounded by dup volume. Identical output to
+    * [[spanDedupInline]] (spec-asserted); the gram index builds once per
+    * corpus via [[ensureDupGramsStaged]]. */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val postings = s.read.parquet(ensureDupGramsStaged(s, d))
+    val dups = postings.groupBy(col("doc_id")).agg(sum(col("n")).as("dup_n"))
+    docs(s, d)
+      .filter(size(words) >= SpanN)
+      .select(col("doc_id"),
+        (size(words) - (SpanN - 1)).cast("long").as("n_spans"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_n"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("dup_n"), lit(0L)).cast("double")
+          / col("n_spans").cast("double")).as("dup_frac"))
       .orderBy("doc_id")
   }
 

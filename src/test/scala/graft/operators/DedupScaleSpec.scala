@@ -80,6 +80,25 @@ class DedupScaleSpec extends AnyFunSuite {
       "staged clusters diverge from the inline pipeline")
   }
 
+  test("dup-gram staging is build-once and span dedup ≡ the inline explode pipeline") {
+    Dedup.ensureDupGramsStaged(s, sf)
+    val builds = Dedup.dupGramBuildCount.get()
+    Dedup.ensureDupGramsStaged(s, sf)
+    Dedup.ensureDupGramsStaged(s, sf)
+    assert(Dedup.dupGramBuildCount.get() == builds,
+      "repeat ensureDupGramsStaged rebuilt the postings")
+    val staged = Dedup.spanDedup(s, sf)
+    val inline = Dedup.spanDedupInline(s, sf)
+    assert(staged.exceptAll(inline).unionAll(inline.exceptAll(staged)).count() == 0,
+      "staged span dedup diverges from the inline pipeline")
+    // the query-time plan reads the staged postings and never re-explodes
+    assert(staged.inputFiles.exists(_.contains(Dedup.dupGramStageDir(sf))),
+      s"span dedup does not read the staged postings: ${staged.inputFiles.mkString(", ")}")
+    val plan = staged.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("generate"),
+      s"span dedup still explodes grams at query time:\n$plan")
+  }
+
   test("cluster-canonical selection consumes the staged clusters, never re-runs LSH") {
     val df = Dedup.clusterCanonical(s, sf)
     assert(df.inputFiles.exists(_.contains(Dedup.clusterStageDir(sf))),
