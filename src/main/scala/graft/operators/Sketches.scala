@@ -9,16 +9,20 @@ import org.apache.spark.sql.functions._
   * need a full shuffle of every key; sketches are one pass, mergeable,
   * constant memory).
   *
-  * Sketch outputs are implementation-defined, so these queries carry NO
-  * DuckDB oracle (driver records the weaker rows>0 check); SketchesSpec
-  * asserts the approximation error against exact answers instead. The
-  * exact columns ride along in the output to make the comparison visible.
+  * Raw sketch outputs are implementation-defined, so the QUERY surface
+  * exposes what IS cross-engine checkable: exact companions (counts,
+  * group sizes) plus integer flags asserting each sketch's accuracy
+  * contract, verified in-engine with exact integer arithmetic. The
+  * DuckDB oracle reproduces the exact columns and literal-1 flags, so
+  * every query here is hash-checked; the specs additionally assert the
+  * raw approximation error on the `*Raw` views.
   */
 object Sketches {
 
   /** HyperLogLog++ distinct order keys per return flag, with the exact
-    * answer alongside. */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    * answer alongside — the spec's raw view (engine-specific sketch
+    * value, so not oracle-comparable itself). */
+  private[operators] def approxDistinctRaw(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -26,17 +30,34 @@ object Sketches {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
-  private val Pcts = Seq(0.5, 0.95, 0.99)
+  /** HLL++ distinct counts, ORACLE-CHECKED: the raw sketch value is
+    * engine-specific, but its accuracy CONTRACT is not — the output
+    * carries the exact count (DuckDB-reproducible) and an integer flag
+    * asserting |approx − exact| ≤ 10% of exact (5× the configured rsd —
+    * a deterministic pass at rsd 0.02 [p(>5σ) ≈ 0] while still failing
+    * loudly on a broken sketch). The oracle emits the same exact counts
+    * and a literal 1, so the driver hash-verifies both the exact side
+    * and the sketch's bound — no more rows-only entry. All-integer
+    * arithmetic; nothing FP crosses engines. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    approxDistinctRaw(s, d)
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) * 10
+          <= col("exact_orders")).cast("int").as("within_10pct"))
+      .orderBy("l_returnflag")
 
-  /** Approximate p50/p95/p99 of order totals per priority, one row per
-    * (priority, percentile) with scalar columns — the array form defeats
-    * the driver's row-sorting compare, scalars don't. */
-  def approxQuantiles(s: SparkSession, d: String): DataFrame =
+  private val Pcts = Seq(0.5, 0.95, 0.99)
+  private val PctsBp = Seq(5000, 9500, 9900) // basis points, integer-exact
+  private val PctAccuracy = 10000
+
+  /** Approximate p50/p95/p99 of order totals per priority with the exact
+    * interpolated percentile alongside — the spec's raw view. */
+  private[operators] def approxQuantilesRaw(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
         percentile_approx(col("o_totalprice"),
-          array(Pcts.map(lit): _*), lit(10000)).as("approx_pcts"),
+          array(Pcts.map(lit): _*), lit(PctAccuracy)).as("approx_pcts"),
         expr(s"percentile(o_totalprice, array(${Pcts.mkString(", ")}))").as("exact_pcts"))
       .select(col("o_orderpriority"),
         posexplode(arrays_zip(col("approx_pcts"), col("exact_pcts"))).as(Seq("i", "z")))
@@ -46,6 +67,42 @@ object Sketches {
         col("z.approx_pcts").as("approx"),
         col("z.exact_pcts").as("exact"))
       .orderBy("o_orderpriority", "pct")
+
+  /** Approximate percentiles, ORACLE-CHECKED via the sketch's own
+    * guarantee: `percentile_approx(acc)` promises a returned element
+    * whose RANK is within n/acc of the target p·n. The query verifies
+    * that promise in-engine — each approx value is joined back to its
+    * group (15 broadcast rows against the fact; the count is map-side
+    * combined) to get its true rank interval [cnt_lt+1, cnt_le], and an
+    * integer flag asserts the interval intersects
+    * [p·n − B, p·n + B] with B = 2n/acc + 2 (2× the theoretical bound).
+    * Everything is scaled to basis points so the comparison is exact
+    * 64-bit integer arithmetic; the oracle reproduces the group sizes
+    * and emits literal 1 flags. The engine-specific approx VALUE never
+    * crosses engines, its rank contract does. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
+    val per = base.groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"),
+          array(Pcts.map(lit): _*), lit(PctAccuracy)).as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("n"),
+        posexplode(col("ap")).as(Seq("i", "approx")))
+      .select(col("o_orderpriority"), col("n"),
+        element_at(array(PctsBp.map(lit): _*), col("i") + 1).as("pct_bp"),
+        col("approx"))
+    val slack = col("n") * 2 + lit(2L * PctAccuracy) // B · acc, integer
+    base.join(broadcast(per), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("pct_bp"), col("n"))
+      .agg(
+        sum(when(col("o_totalprice") <= col("approx"), 1L).otherwise(0L)).as("cnt_le"),
+        sum(when(col("o_totalprice") < col("approx"), 1L).otherwise(0L)).as("cnt_lt"))
+      .select(col("o_orderpriority"), col("pct_bp"), col("n"),
+        ((col("cnt_le") * PctAccuracy >= col("pct_bp") * col("n") - slack) &&
+          ((col("cnt_lt") + 1) * PctAccuracy <= col("pct_bp") * col("n") + slack))
+          .cast("int").as("within_rank_bound"))
+      .orderBy("o_orderpriority", "pct_bp")
+  }
 
   private val KmvK = 32
 
@@ -79,9 +136,18 @@ object Sketches {
     "k_kmv_distinct" -> (kmvDistinct _),
   )
 
-  /** HLL/percentile sketch outputs are engine-specific (rows-only); the
-    * KMV sketch is deterministic by construction and fully checked. */
   val oracle: Map[String, String] = Map(
+    "k_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       1 AS within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k_approx_quantiles" ->
+      """WITH n AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, p.pct_bp, n, 1 AS within_rank_bound
+        |FROM n, (SELECT unnest([5000, 9500, 9900]) AS pct_bp) p
+        |ORDER BY o_orderpriority, pct_bp""".stripMargin,
     "k_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
          |             ${graft.QueryDsl.sqlHex8("md5(CAST(user_id AS VARCHAR))", 1)} AS h

@@ -12,22 +12,28 @@ class SketchesAndBucketingSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("approx_count_distinct within 5% of exact") {
-    Sketches.approxDistinct(s, sf).collect().foreach { r =>
+  test("approx_count_distinct within 5% of exact; query flags all green") {
+    Sketches.approxDistinctRaw(s, sf).collect().foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))
       assert(math.abs(approx - exact).toDouble / exact < 0.05,
         s"flag=${r.getString(0)} approx=$approx exact=$exact")
     }
+    val flagged = Sketches.approxDistinct(s, sf).collect()
+    assert(flagged.nonEmpty && flagged.forall(_.getInt(2) == 1),
+      "HLL bound flag tripped")
   }
 
-  test("approx percentiles within 5% of exact") {
-    val rows = Sketches.approxQuantiles(s, sf).collect()
+  test("approx percentiles within 5% of exact; rank-bound flags all green") {
+    val rows = Sketches.approxQuantilesRaw(s, sf).collect()
     assert(rows.length % 3 == 0 && rows.nonEmpty) // one row per (priority, pct)
     rows.foreach { r =>
       val (a, e) = (r.getDouble(2), r.getDouble(3))
       assert(math.abs(a - e) / e < 0.05,
         s"prio=${r.getString(0)} pct=${r.getDouble(1)} approx=$a exact=$e")
     }
+    val flagged = Sketches.approxQuantiles(s, sf).collect()
+    assert(flagged.length == rows.length && flagged.forall(_.getInt(3) == 1),
+      "percentile rank-bound flag tripped")
   }
 
   test("bucketed join plans as SortMergeJoin with zero join-side shuffles") {
