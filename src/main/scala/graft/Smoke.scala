@@ -1,8 +1,7 @@
 package graft
 
 /** Entry smoke check — drives [[SparkEntry.entry]] exactly like the
-  * driver's t1 gate (rows > 0 on sf0.001) and prints ENTRY_ROWS for the
-  * verify skill (.claude/skills/verify §2). */
+  * driver's t1 gate (rows > 0 on sf0.001) and prints ENTRY_ROWS. */
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("4", "graft-smoke")

@@ -224,6 +224,52 @@ object Media {
       .orderBy("media_id")
   }
 
+  /** PNG table with real compressed payloads (doc_id%3==2 ids):
+    * w=(id%11)+2, h=(id%5)+2, raster byte i = (id*17+i)%256 — encoded by
+    * the from-scratch [[PngCodec.encode]] writer (deflate + CRC chunks),
+    * so the decode below exercises the JDK reader on independently
+    * produced bytes. */
+  def pngTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .map { id =>
+        val w = (id % 11).toInt + 2
+        val h = (id % 5).toInt + 2
+        val raster = Array.tabulate(3 * w * h)(i => ((id * 17 + i) % 256).toByte)
+        (id, PngCodec.encode(w, h, raster))
+      }
+  }
+
+  /** `m_png_decode` — REAL compressed-image decode per record: the JDK
+    * `javax.imageio` PNG reader (zlib inflate + scanline de-filtering,
+    * an implementation independent of our encoder) parses each payload;
+    * dims and per-channel sums come from the decoded raster. Lossless
+    * compression keeps the closed-form pixel oracle exact. */
+  def pngDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val img = PngCodec.decode(bytes)
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < img.raster.length) {
+          val v = img.raster(i) & 0xff
+          (i % 3: @annotation.switch) match {
+            case 0 => r += v
+            case 1 => g += v
+            case 2 => b += v
+          }
+          i += 1
+        }
+        (id, img.width, img.height, img.width.toLong * img.height, r, g, b)
+      }))
+      .toDF("media_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   /** Audio table with real WAV payloads (audio-typed ids, doc_id%3==1):
     * frames=(id%50)+20, channels=1+(id%2), rate=8000+(id%3)·4000,
     * interleaved sample i = ((id·7 + i·13) % 65536) − 32768. */
@@ -302,6 +348,7 @@ object Media {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_ppm_decode" -> (ppmDecode _),
+    "m_png_decode" -> (pngDecode _),
     "m_ppm_resize" -> (ppmResize _),
     "m_wav_decode" -> (wavDecode _),
     "m_frame_sample" -> (frameSamples _),
@@ -345,6 +392,24 @@ object Media {
         |       CAST(SUM((doc_id * 31 + src) % 256) AS BIGINT) AS thumb_r,
         |       CAST(SUM((doc_id * 31 + src + 1) % 256) AS BIGINT) AS thumb_g,
         |       CAST(SUM((doc_id * 31 + src + 2) % 256) AS BIGINT) AS thumb_b
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY media_id""".stripMargin,
+    // the DECOMPRESSED raster rebuilt from the pixel formula: PNG is
+    // lossless, so the JDK reader must recover byte i = (id*17+i)%256
+    // exactly through inflate + de-filter
+    "m_png_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, (doc_id % 11) + 2 AS w, (doc_id % 5) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |px AS (
+        |  SELECT doc_id, w, h, i, (doc_id * 17 + i) % 256 AS v, i % 3 AS ch
+        |  FROM imgs, LATERAL (SELECT unnest(generate_series(0, CAST(3*w*h - 1 AS BIGINT))) AS i))
+        |SELECT doc_id AS media_id,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h
         |ORDER BY media_id""".stripMargin,
     // the decoded-payload stats rebuilt from the sample formula:

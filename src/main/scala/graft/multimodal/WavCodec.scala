@@ -63,6 +63,7 @@ object WavCodec {
       if (len < 0 || len > bb.remaining()) fail(s"chunk $id overruns payload")
       id match {
         case "fmt " =>
+          if (rate >= 0) fail("duplicate fmt chunk")
           if (len < 16) fail("fmt chunk too short")
           val fmtEnd = bb.position() + len
           val audioFormat = bb.getShort
@@ -74,6 +75,7 @@ object WavCodec {
           if (bits != 16) fail(s"unsupported bit depth $bits, want 16")
           bb.position(fmtEnd)
         case "data" =>
+          if (samples != null) fail("duplicate data chunk")
           if (rate < 0) fail("data chunk before fmt")
           if (len % 2 != 0) fail("odd data length for int16 samples")
           samples = new Array[Short](len / 2)

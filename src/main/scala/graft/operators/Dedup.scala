@@ -895,10 +895,15 @@ object Dedup {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     pairs
       .join(inter, Seq("a", "b"), "left")
-      .join(sz.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
-      .join(sz.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      // left joins: a staged pair member with zero shingles (structurally
+      // impossible — LSH membership needs a signature — but unguarded
+      // otherwise) must not silently drop its pair from the calibration
+      .join(sz.select(col("doc_id").as("a"), col("n").as("n_a")), Seq("a"), "left")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("n_b")), Seq("b"), "left")
       .select(col("a"), col("b"), col("est_jaccard"),
-        col("n_a"), col("n_b"), coalesce(col("inter"), lit(0L)).as("inter"))
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
       .withColumn("exact_jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .withColumn("est_error", col("est_jaccard") - col("exact_jaccard"))

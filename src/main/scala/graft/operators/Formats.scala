@@ -198,8 +198,12 @@ object Formats {
     * files across versions (or loses one) diverges. The manifest is a
     * driver-written metadata text file — metadata plane, not data
     * plane; the data files are cluster-written parquet. */
+  private val timetravelRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def timeTravel(s: SparkSession, d: String): DataFrame = {
-    val base = graft.TempPaths.scratch(s, "timetravel")
+    // per-run suffix: a bench run overlapping sbt test must not
+    // interleave overwrite writes with another invocation's manifest reads
+    val base = graft.TempPaths.scratch(s, "timetravel") + "/run" + timetravelRuns.incrementAndGet()
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
     def writeFile(name: String, df: DataFrame): String = {
       df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
@@ -224,8 +228,114 @@ object Formats {
       .orderBy("version")
   }
 
+  // ---- OPTIMISTIC CONCURRENCY on the manifest log: the transaction
+  // protocol every modern table format (Delta/Iceberg/Hudi) layers on
+  // the manifest core [[timeTravel]] builds. A commit is an ATOMIC
+  // CREATE of `manifest-v{N+1}` (create-if-absent — the object-store
+  // putIfAbsent publish); losers of the race re-read the new latest,
+  // VALIDATE their read set (files they intend to remove must still be
+  // live — a compactor whose input another compactor already rewrote
+  // must abort, not clobber), rebase their file list, and retry.
+  // Readers keep snapshot isolation throughout: a version, once
+  // published, is immutable. ----
+
+  final case class CommitResult(version: Int, attempts: Int)
+
+  /** Manifest-log primitives. Metadata plane only — pure JVM file ops,
+    * safe to race from writer threads; the data files are cluster-written
+    * parquet as in [[timeTravel]]. */
+  object ManifestLog {
+    private def path(dir: String, v: Int) =
+      java.nio.file.Paths.get(s"$dir/manifest-v$v.txt")
+
+    def publish(dir: String, v: Int, files: Seq[String]): Boolean =
+      try {
+        java.nio.file.Files.write(path(dir, v), files.mkString("\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+    def latest(dir: String): (Int, Seq[String]) = {
+      var v = 1
+      while (java.nio.file.Files.exists(path(dir, v + 1))) v += 1
+      (v, read(dir, v))
+    }
+
+    def read(dir: String, v: Int): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(path(dir, v)), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty)
+
+    /** Optimistic commit: replace `remove` with `add` atop the current
+      * latest. Retries on a lost race after validating that every file
+      * in `remove` is still live (read-set validation — the conflict
+      * detection on overlapping file sets); throws
+      * ConcurrentModificationException if not. Blind appends
+      * (`remove` empty) always rebase cleanly. */
+    def commit(dir: String, remove: Set[String], add: Seq[String]): CommitResult = {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        if (attempts > 10) throw new IllegalStateException("commit retry budget exhausted")
+        val (v, files) = latest(dir)
+        if (!remove.subsetOf(files.toSet))
+          throw new java.util.ConcurrentModificationException(
+            s"read set invalidated: ${remove.diff(files.toSet).mkString(",")} no longer live in v$v")
+        val next = files.filterNot(remove) ++ add
+        if (publish(dir, v + 1, next)) return CommitResult(v + 1, attempts)
+      }
+      sys.error("unreachable")
+    }
+  }
+
+  private val occRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_timetravel_occ` — the concurrent-writer scenario, made
+    * deterministic without weakening the race: two appenders both
+    * snapshot v1, are held at a latch until BOTH are ready, then race
+    * the v2 publish. Exactly one create-if-absent wins; the loser
+    * validates, rebases onto v2, and lands v3 — so whatever the
+    * interleaving, the log ends at 3 versions with exactly 1 conflict
+    * retry, v1 stays readable unchanged (snapshot isolation), and the
+    * final version holds base ∪ X ∪ Y. Every output column is
+    * symmetric in WHICH writer won, so the query is hash-checkable. */
+  def timeTravelOcc(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "timetravel_occ") + "/run" + occRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    // data files cluster-written BEFORE the metadata race: a real writer
+    // stages its parquet first too — only the manifest publish races
+    val f0 = writeFile("base", o.filter(col("o_orderkey") % 3 === 0))
+    val fX = writeFile("X", o.filter(col("o_orderkey") % 3 === 1))
+    val fY = writeFile("Y", o.filter(col("o_orderkey") % 3 === 2))
+    require(ManifestLog.publish(base, 1, Seq(f0)), s"v1 already exists under $base")
+    val v1Before = ManifestLog.read(base, 1)
+
+    val ready = new java.util.concurrent.CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, CommitResult]()
+    def appender(name: String, file: String) = new Thread(() => {
+      ManifestLog.latest(base) // both snapshot v1 before either commits
+      ready.countDown(); ready.await()
+      results.put(name, ManifestLog.commit(base, Set.empty, Seq(file))): Unit
+    }, s"occ-$name")
+    val ts = Seq(appender("X", fX), appender("Y", fY))
+    ts.foreach(_.start()); ts.foreach(_.join())
+
+    val (lastV, finalFiles) = ManifestLog.latest(base)
+    require(ManifestLog.read(base, 1) == v1Before, "v1 mutated — snapshot isolation broken")
+    val conflicts = results.values().stream().mapToInt(_.attempts).sum() - results.size()
+    val fin = s.read.parquet(finalFiles: _*)
+    fin.agg(count(lit(1)).as("final_rows"), dsum(col("o_totalprice")).as("final_total"))
+      .crossJoin(s.read.parquet(ManifestLog.read(base, 1): _*)
+        .agg(count(lit(1)).as("v1_rows")))
+      .select(lit(lastV).as("n_versions"), lit(conflicts).as("n_conflicts"),
+        col("v1_rows"), col("final_rows"), col("final_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_timetravel" -> (timeTravel _),
+    "k_timetravel_occ" -> (timeTravelOcc _),
     "k_format_roundtrip" -> (formatRoundtrip _),
     "k_schema_evolution" -> (schemaEvolution _),
     "k_snapshot_diff" -> (snapshotDiff _),
@@ -237,6 +347,14 @@ object Formats {
     // per-version totals rebuilt from the slice rules: v1 = keys % 3 in
     // (0, 1); v2 = keys % 3 in (0, 2) ∪ (1, 2) rewritten = % 3 != ... v2
     // reads files A (≡0) and C (≢0) = all keys
+    // the race's invariants in closed form: 3 versions, exactly one
+    // conflict retry, v1 = the base slice untouched, final = all keys
+    "k_timetravel_occ" ->
+      s"""SELECT CAST(3 AS INT) AS n_versions, CAST(1 AS INT) AS n_conflicts,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 3 = 0) AS v1_rows,
+         |       CAST(COUNT(*) AS BIGINT) AS final_rows,
+         |       ${sqlDsum("o_totalprice")} AS final_total
+         |FROM orders""".stripMargin,
     "k_timetravel" ->
       s"""SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |       ${sqlDsum("o_totalprice")} AS total

@@ -45,6 +45,88 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
+  /** `k_aqe_skew_join` — the RUNTIME half of the skew story
+    * [[skewStats]] diagnoses and [[saltedJoin]] solves by hand: a
+    * skewed fact⋈dim shuffle join mitigated by AQE's
+    * `OptimizeSkewedJoin` splitting the oversized sort-merge partition
+    * at runtime instead of by salting the key. The fact key is
+    * deliberately heavy-tailed (`l_orderkey%10 < 8 → 0`, so one key
+    * carries ~80% of the rows — the relative skew the rule's
+    * `factor × median` test needs; [[saltedJoin]]'s 3 equal-weight
+    * flags have no relative skew for AQE to find, which is exactly the
+    * case where SALTING is the right tool — the two operators
+    * demonstrate the two regimes [[skewStats]] distinguishes). The
+    * fact is repartitioned before the join so its shuffle has many
+    * map-side blocks: AQE splits a reduce partition at mapper-block
+    * granularity, and a single-file local scan would hand it one
+    * unsplittable block (at 100 TB the fact always arrives from
+    * thousands of mappers). The dim is a plain TABLE scan (nation), not
+    * a derived aggregate: `OptimizeSkewedJoin` pattern-matches
+    * `SMJ(Sort(ShuffleStage), Sort(ShuffleStage))`, and an aggregate
+    * whose output partitioning already satisfies the join distribution
+    * sits between the Sort and the stage, structurally disabling the
+    * rule (found empirically — the kind of plan-shape constraint a
+    * production skew runbook has to know). Results are identical to
+    * the plain join (oracle = the unsplit formulation); the operator
+    * REQUIRES the split actually fired (`skew=true` on the executed
+    * sort-merge join), so a green row certifies the mitigation ran,
+    * not just that a join returned rows.
+    *
+    * Conf scoping: the skew thresholds are lowered only around THIS
+    * query's execution (test data is MBs, the 256 MB default would never
+    * trigger) and restored after — the join runs to completion inside
+    * the operator (a 3-row collect, same index-action class as the DPP
+    * totals), so the scoped confs are live exactly when the adaptive
+    * plan re-optimizes. The split target is DERIVED from the input size
+    * (≈ fact-shuffle-bytes / 24, i.e. ~8 splits per key partition at
+    * any scale factor) — a fixed byte threshold either never fires at
+    * small SF or shatters a large SF into thousands of tasks; at
+    * production scale the 256 MB default plays this role and no
+    * override is needed. `forceOptimizeSkewedJoin` because the
+    * downstream aggregate could reuse the join's partitioning — at
+    * 100 TB the extra shuffle of 6 partial rows is free next to an
+    * unsplit straggler. */
+  def aqeSkewJoin(s: SparkSession, d: String): DataFrame = {
+    // ~32 shuffle bytes/row for the (flag, rev) projection; one
+    // metadata-count action, same class as the DPP totals head()
+    val factBytes = Tables.lineitem(s, d).count() * 32L
+    val advisory = math.max(4096L, factBytes / 24)
+    val scoped = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> s"${advisory}b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> s"${advisory}b")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val skewKey = when(col("l_orderkey") % 10 < 8, lit(0L))
+        .otherwise(col("l_orderkey") % 10).as("skew_key")
+      val fact = Tables.lineitem(s, d)
+        // many map-side blocks for the join shuffle: splits happen at
+        // mapper granularity, a one-file scan would be unsplittable
+        .repartition(8, col("l_orderkey"))
+        .select(skewKey,
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("dkey"), col("n_name"))
+      val joined = fact.hint("merge")
+        .join(dim, fact("skew_key") === dim("dkey"))
+        .groupBy(col("skew_key"), col("n_name"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("rev")).as("revenue"))
+      val rows = joined.collect() // executes under the scoped confs
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire; executed plan:\n$plan")
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), joined.schema)
+        .orderBy("skew_key")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   private val SkewTopK = 10
 
   /** JOIN-KEY SKEW DIAGNOSTIC — the measurement that decides between a
@@ -75,6 +157,7 @@ object Skew {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_salted_join" -> (saltedJoin _),
+    "k_aqe_skew_join" -> (aqeSkewJoin _),
     "k_skew_stats" -> (skewStats _),
   )
 
@@ -89,6 +172,19 @@ object Skew {
          |FROM lineitem JOIN dim ON l_returnflag = flag
          |GROUP BY l_returnflag, flag_rows
          |ORDER BY l_returnflag""".stripMargin,
+    // the UNSPLIT join: AQE's split, like salting, is a physical-plan
+    // change only — the answer must be the plain formulation's
+    "k_aqe_skew_join" ->
+      s"""WITH f AS (
+         |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN CAST(0 AS BIGINT)
+         |              ELSE l_orderkey % 10 END AS skew_key,
+         |         l_extendedprice * (1.0 - l_discount) AS rev
+         |  FROM lineitem)
+         |SELECT skew_key, n_name, COUNT(*) AS n_lines,
+         |       ${sqlDsum("rev")} AS revenue
+         |FROM f JOIN nation ON skew_key = CAST(n_nationkey AS BIGINT)
+         |GROUP BY skew_key, n_name
+         |ORDER BY skew_key""".stripMargin,
     "k_skew_stats" ->
       s"""WITH pk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
          |            FROM events GROUP BY user_id),

@@ -942,6 +942,12 @@ object Streams {
     val rows = graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"))
       .as[(Long, Long)].collect().sortBy(_._1)
+    // the oracle's rank CASE (`event_id < n // 2`) is only ≡ to the
+    // splitAt below when ids are dense 0..n-1 — fail loudly on a fixture
+    // regeneration with sparse ids instead of silently diverging
+    require(rows.nonEmpty && rows.head._1 == 0L && rows.last._1 == rows.length - 1L,
+      s"e_stream_enrich_scd oracle assumes dense event_ids 0..n-1; " +
+        s"got [${rows.head._1}, ${rows.last._1}] over ${rows.length} rows")
     val in = MemoryStream[(Long, Long)]
     withReplayShuffle(s) {
       val q = in.toDS().toDF("event_id", "user_id")

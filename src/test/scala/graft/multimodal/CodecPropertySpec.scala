@@ -37,6 +37,41 @@ object CodecPropertySpec extends Properties("CodecProperty") {
         java.util.Arrays.equals(a.samples, samples)
   }
 
+  private val pngGen: Gen[(Int, Int, Array[Byte])] = for {
+    w <- Gen.chooseNum(1, 40)
+    h <- Gen.chooseNum(1, 30)
+    raster <- Gen.listOfN(3 * w * h, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+  } yield (w, h, raster.toArray)
+
+  // cross-IMPLEMENTATION, not a round trip through one codebase: our
+  // from-scratch deflate+CRC writer vs the JDK's independent PNG reader
+  property("PNG: javax.imageio decode ∘ PngCodec encode = identity") =
+    Prop.forAll(pngGen) { case (w, h, raster) =>
+      val img = PngCodec.decode(PngCodec.encode(w, h, raster))
+      img.width == w && img.height == h &&
+        java.util.Arrays.equals(img.raster, raster)
+    }
+
+  property("PNG rejects a corrupted signature") = Prop.forAll(pngGen) {
+    case (w, h, raster) =>
+      val full = PngCodec.encode(w, h, raster)
+      full(0) = 'X'.toByte
+      Prop.throws(classOf[IllegalArgumentException]) {
+        PngCodec.decode(full): Unit
+      }
+  }
+
+  // the JDK reader is deliberately lenient about a missing IEND/CRC
+  // tail, so the truncation check cuts into the IHDR itself — no
+  // conformant reader can produce an image from a partial header
+  property("PNG rejects truncation inside the IHDR") = Prop.forAll(pngGen) {
+    case (w, h, raster) =>
+      val full = PngCodec.encode(w, h, raster)
+      Prop.throws(classOf[IllegalArgumentException]) {
+        PngCodec.decode(full.take(20)): Unit
+      }
+  }
+
   property("PPM rejects any truncation of a valid payload") =
     Prop.forAll(ppmGen, Gen.chooseNum(1, 5)) { case ((w, h, maxval, raster), cut) =>
       val full = PpmCodec.encode(w, h, maxval, raster)

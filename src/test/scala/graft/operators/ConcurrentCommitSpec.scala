@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.operators.Formats.ManifestLog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Optimistic-concurrency contract on the manifest log: atomic
+  * create-if-absent publish (one winner per version), read-set
+  * validation (a writer whose inputs were rewritten must ABORT, not
+  * clobber), clean rebase-retry for blind appends, and snapshot
+  * isolation for readers throughout. The protocol is metadata-plane
+  * pure-JVM, so most cases run without Spark; the end-to-end race over
+  * cluster-written parquet goes through the `k_timetravel_occ` query. */
+class ConcurrentCommitSpec extends AnyFunSuite {
+
+  private def freshLog(files: String*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("occ_spec").toString
+    assert(ManifestLog.publish(dir, 1, files))
+    dir
+  }
+
+  test("publish is create-if-absent: second writer of the same version loses") {
+    val dir = freshLog("base")
+    assert(ManifestLog.publish(dir, 2, Seq("base", "x")))
+    assert(!ManifestLog.publish(dir, 2, Seq("base", "y")), "duplicate version must not publish")
+    assert(ManifestLog.read(dir, 2) == Seq("base", "x"), "loser must not clobber the winner")
+  }
+
+  test("latched append race: one winner, one clean rebase retry, no lost update") {
+    val dir = freshLog("base")
+    val ready = new java.util.concurrent.CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Formats.CommitResult]()
+    def appender(name: String) = new Thread(() => {
+      ManifestLog.latest(dir)
+      ready.countDown(); ready.await()
+      results.put(name, ManifestLog.commit(dir, Set.empty, Seq(name))): Unit
+    })
+    val ts = Seq(appender("x"), appender("y"))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val (v, files) = ManifestLog.latest(dir)
+    assert(v == 3, "two commits atop v1 must land v2 and v3")
+    assert(files.toSet == Set("base", "x", "y"), "no append may be lost")
+    val attempts = results.values().stream().mapToInt(_.attempts).sum()
+    assert(attempts == 3, s"exactly one conflict retry expected, got attempts=$attempts")
+  }
+
+  test("read-set validation: a compactor whose input was already rewritten aborts") {
+    val dir = freshLog("base", "x")
+    // compactor 1 rewrites base+x into c1 and wins
+    assert(ManifestLog.commit(dir, Set("base", "x"), Seq("c1")).version == 2)
+    // compactor 2 staged the same rewrite off v1; its read set is gone
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestLog.commit(dir, Set("base", "x"), Seq("c2"))
+    }
+    assert(e.getMessage.contains("no longer live"))
+    assert(ManifestLog.latest(dir)._2 == Seq("c1"), "failed commit must leave the log untouched")
+  }
+
+  test("append rebases over a concurrent compaction (disjoint read sets compose)") {
+    val dir = freshLog("base")
+    assert(ManifestLog.commit(dir, Set("base"), Seq("compacted")).version == 2)
+    val r = ManifestLog.commit(dir, Set.empty, Seq("y"))
+    assert(r.version == 3 && ManifestLog.read(dir, 3).toSet == Set("compacted", "y"))
+  }
+
+  test("snapshot isolation: every published version is immutable through later commits") {
+    val dir = freshLog("base")
+    val v1 = ManifestLog.read(dir, 1)
+    ManifestLog.commit(dir, Set.empty, Seq("x"))
+    val v2 = ManifestLog.read(dir, 2)
+    ManifestLog.commit(dir, Set("base"), Seq("c"))
+    assert(ManifestLog.read(dir, 1) == v1 && ManifestLog.read(dir, 2) == v2)
+  }
+
+  test("end-to-end race over parquet: k_timetravel_occ invariants hold") {
+    val df = Formats.timeTravelOcc(TestSpark.spark, TestSpark.sf)
+    val r = df.collect().head
+    assert(r.getAs[Int]("n_versions") == 3)
+    assert(r.getAs[Int]("n_conflicts") == 1)
+    assert(r.getAs[Long]("final_rows") > r.getAs[Long]("v1_rows"))
+  }
+}
