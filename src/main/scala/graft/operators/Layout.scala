@@ -217,14 +217,163 @@ object Layout {
       .orderBy("event_date")
   }
 
+  /** `k_bloom_join` — RUNTIME BLOOM-FILTER join pruning, the third
+    * runtime-pruning mechanism next to [[dppPrune]] (partition-level,
+    * needs a partitioned layout) and Z-order (row-group-level, needs a
+    * clustered layout): the optimizer builds a bloom filter over the
+    * SELECTIVE side's join keys (urgent orders) and injects a
+    * `might_contain` filter on the fact side BELOW its shuffle, so
+    * non-matching fact rows die before the exchange — no special layout
+    * required, which is what makes it the default fact⋈filtered-dim
+    * weapon at 100 TB (DPP needs partition dirs; this needs nothing).
+    *
+    * Conf scoping as in Skew.aqeSkewJoin: the application-side scan
+    * threshold defaults to 10 GB (test data would never qualify) and is
+    * lowered only around this query's execution; the merge hint keeps
+    * the join a shuffle join (a broadcast join doesn't shuffle the fact
+    * side, so there would be nothing for the bloom filter to save — and
+    * at 100 TB neither side of a fact⋈large-dim broadcasts). The
+    * operator REQUIRES the injected filter in the executed plan;
+    * BloomJoinSpec additionally asserts it REDUCED the rows entering
+    * the fact-side exchange. Results equal the plain join (oracle). */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // a broadcastABLE creation side makes the optimizer assume a
+      // broadcast join (no fact shuffle to save) and decline injection;
+      // at 100 TB the filtered dim genuinely can't broadcast — model that
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val joined = li.hint("merge")
+        .join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("rev")).as("revenue"))
+      val rows = joined.collect() // executes under the scoped confs
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain"),
+        s"runtime bloom filter was not injected; executed plan:\n$plan")
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), joined.schema)
+        .orderBy("l_returnflag")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  // ---- FILE-LEVEL MIN/MAX STATS PRUNING — the fourth scan-efficiency
+  // mechanism, and the one that needs NO directory layout: Iceberg/Delta
+  // keep per-file column stats in table metadata and resolve a predicate
+  // against the MANIFEST before opening any data file. [[layoutPrune]]
+  // prunes partition DIRS (needs the partitioned layout), Z-order prunes
+  // row groups INSIDE files (needs clustering), DPP prunes partitions at
+  // runtime; stats skipping works on any file set whose writes happen to
+  // cluster the column — here a range-repartition by date, the natural
+  // outcome of ingesting by arrival time. ----
+
+  private val StatsFiles = 8
+
+  def statsIndexDir(sfDir: String): String =
+    "/tmp/graft_stage/statsidx_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private[operators] val statsBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stage orders range-partitioned by date into [[StatsFiles]] files and
+    * record each file's (min, max) `o_orderdate` in a manifest — ONE
+    * stats-collection scan at write time (real writers fold this into
+    * the write itself), metadata-plane text after that. */
+  def ensureStatsIndex(s: SparkSession, d: String): String = {
+    val dir = statsIndexDir(d)
+    val built = graft.Staging.ensure(dir, Seq(s"$d/orders.parquet")) {
+      Tables.orders(s, d)
+        .repartitionByRange(StatsFiles, col("o_orderdate"), col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$dir/data")
+      // o_orderdate is TIMESTAMP_NTZ; the NTZ→instant cast is exact
+      // under the session's pinned UTC zone (the Tables.normalizeTs rule)
+      val stats = s.read.parquet(s"$dir/data")
+        .groupBy(input_file_name().as("path"))
+        .agg(unix_micros(min(col("o_orderdate")).cast("timestamp")).as("min_us"),
+          unix_micros(max(col("o_orderdate")).cast("timestamp")).as("max_us"))
+        .collect() // O(files) rows — the manifest is metadata, not data
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/stats_manifest.txt"),
+        stats.map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+          .mkString("\n").getBytes("UTF-8")): Unit
+    }
+    if (built) statsBuildCount.incrementAndGet()
+    dir
+  }
+
+  /** `k_stats_prune` — a one-year revenue-by-month rollup resolved
+    * against the stats manifest FIRST: files whose [min, max] date range
+    * misses the predicate are never opened (REQUIREd in-operator — a
+    * green row certifies files were skipped, not just that the filter
+    * ran); survivors still apply the residual filter, since file stats
+    * are a may-contain gate, not an exact one. At 100 TB this is the
+    * planner move that turns "scan 7 years" into "open the ~2 files
+    * whose ranges straddle 1997". */
+  def statsPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStatsIndex(s, d)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/stats_manifest.txt")), "UTF-8")
+      .split("\n").toIndexedSeq.filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, lo, hi) = line.split("\t")
+        (p, lo.toLong, hi.toLong)
+      }
+    // [1997-01-01, 1998-01-01) in epoch micros, UTC (session zone pinned)
+    val loUs = 852076800000000L
+    val hiUs = 883612800000000L
+    val live = manifest.collect { case (p, mn, mx) if mx >= loUs && mn < hiUs => p }
+    require(live.nonEmpty && live.size < manifest.size,
+      s"stats pruning skipped nothing: ${live.size}/${manifest.size} files live")
+    s.read.parquet(live: _*)
+      .filter(unix_micros(col("o_orderdate").cast("timestamp")) >= loUs
+        && unix_micros(col("o_orderdate").cast("timestamp")) < hiUs)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_layout_prune" -> (layoutPrune _),
     "k_zorder_prune" -> (zorderPrune _),
     "k_compaction" -> (compactionQuery _),
     "k_dpp_prune" -> (dppPrune _),
+    "k_bloom_join" -> (bloomJoin _),
+    "k_stats_prune" -> (statsPrune _),
   )
 
   val oracle: Map[String, String] = Map(
+    // plain one-year rollup over the original parquet: manifest-level
+    // file skipping must change scan cost, never the answer
+    "k_stats_prune" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${sqlDsum("o_totalprice")} AS revenue
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1
+         |ORDER BY month""".stripMargin,
+    // the plain join: the injected bloom filter is conservative
+    // (might_contain has no false negatives), so the answer is exactly
+    // the unfiltered formulation's
+    "k_bloom_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     // same data-dependent day selection over the original parquet: the
     // runtime-pruned fact join must change scan cost, never the answer
     "k_dpp_prune" ->

@@ -530,8 +530,92 @@ object Similarity {
       .orderBy("dim")
   }
 
+  // ---- PRODUCT QUANTIZATION ANN — the COMPRESSION class next to IVF
+  // (partitioning), SRP-LSH (hashing), and int8 (uniform scalar
+  // quantization): the 64-dim float vector splits into PqSub subspaces,
+  // each encoded as the id of its nearest per-subspace codeword, so a
+  // corpus vector becomes PqSub small codes (here 8 codes ≈ 8 bytes vs
+  // 256 — the reason a 100 TB embedding store can keep its index in
+  // RAM). Queries never decode: asymmetric distance computation (ADC)
+  // precomputes a query→codeword lookup table per subspace (M×|codebook|
+  // floats, broadcast-tiny) and approximates any corpus distance as the
+  // sum of PqSub table lookups on the codes alone — the corpus floats
+  // are never touched at probe time.
+  //
+  // The codebook is the existing per-label centroid table restricted to
+  // each subspace — deterministic (exact-integer centroid construction,
+  // ties on label order) and already oracle-replicated, which keeps the
+  // whole PQ pipeline hash-checkable where a sampled k-means could not
+  // be. Scale shape: encode = one corpus × broadcast-codebook pass
+  // (build-time, amortized); probe = codes ⋈ broadcast LUT + one
+  // map-side-combined sum per (query, vector); nothing all-pairs, no
+  // corpus floats in the probe plan. Per-term distances fold in fixed
+  // left-to-right order and the ADC sum is decimal-exact (dsum), so
+  // ranks are bit-identical cross-engine. ----
+
+  private val PqSub = 8
+  private val PqSubDim = Dim / PqSub
+
+  /** Σ over subspace `m` of (a_i − b_i)², fixed left-to-right fold. */
+  private def subL2(m: Int, a: Column, b: Column): Column =
+    (0 until PqSubDim).map { i =>
+      val j = m * PqSubDim + i
+      val dv = a.getItem(j).cast("double") - b.getItem(j)
+      dv * dv
+    }.reduce(_ + _)
+
+  private def subDists(v: Column): Column = explode(array((0 until PqSub).map(m =>
+    struct(lit(m).as("m"), subL2(m, v, col("centroid")).as("dist"))): _*))
+
+  /** ENCODE: nearest codeword per (vector, subspace); ties on label asc.
+    * One corpus × broadcast-codebook pass — the build-time cost the
+    * staged table amortizes across probes. */
+  private[operators] def pqCodesInline(s: SparkSession, d: String): DataFrame = {
+    val codeW = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("c_label").asc)
+    emb(s, d).filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(stagedCentroids(s, d)))
+      .select(col("vec_id"), col("c_label"), subDists(col("embedding")).as("sd"))
+      .select(col("vec_id"), col("c_label"), col("sd.m").as("m"), col("sd.dist").as("dist"))
+      .withColumn("rn", row_number().over(codeW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("c_label").as("code"))
+  }
+
+  def pqStageDir(sfDir: String): String =
+    "/tmp/graft_stage/pqcodes_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private[operators] val pqBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The staged code table IS the compressed index: PqSub codes per
+    * vector, no floats — built once per sf dir (Staging marker). */
+  private[operators] def stagedPqCodes(s: SparkSession, d: String): DataFrame = {
+    val dir = pqStageDir(d)
+    val built = graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      pqCodesInline(s, d).write.mode("overwrite").parquet(dir + "/codes")
+    }
+    if (built) pqBuildCount.incrementAndGet()
+    s.read.parquet(dir + "/codes")
+  }
+
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    // ADC LUT: query → codeword distance per subspace (8q × labels × 8m)
+    val lut = queriesDf(s, d).crossJoin(broadcast(stagedCentroids(s, d)))
+      .select(col("q_id"), col("c_label").as("code"), subDists(col("q_emb")).as("sd"))
+      .select(col("q_id"), col("code"), col("sd.m").as("m"), col("sd.dist").as("lut_d"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d").asc, col("vec_id").asc)
+    stagedPqCodes(s, d).join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(graft.QueryDsl.dsum(col("lut_d")).as("approx_d"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("approx_d"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_embed_stats" -> (embedStats _),
+    "v_ann_pq" -> (annPq _),
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
@@ -609,6 +693,61 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB fragment: Σ over subspace `m` (a column in scope) of
+    * (v_i − c_i)² with the same left fold as [[subL2]]. */
+  private def sqlSubL2(v: String, c: String): String =
+    s"""list_reduce(list_transform(range(0, $PqSubDim),
+       |  i -> (CAST($v[m*$PqSubDim+i+1] AS DOUBLE) - $c[m*$PqSubDim+i+1])
+       |     * (CAST($v[m*$PqSubDim+i+1] AS DOUBLE) - $c[m*$PqSubDim+i+1])), (x,y) -> x+y)""".stripMargin
+
+  // rebuilds the full PQ pipeline: per-label centroids (the codebook,
+  // identical integer-exact construction to the IVF oracle), per-subspace
+  // nearest-codeword encode with (dist, label) tie order, the query ADC
+  // lookup table, and the decimal-exact ADC sum — every stage
+  // bit-identical cross-engine by the same arguments as IVF + dsum
+  private lazy val annPqOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+       |expl AS (
+       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+       |         unnest(embedding) AS v
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, pos,
+       |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+       |           / (COUNT(*) * 1000000.0) AS c
+       |  FROM expl GROUP BY label, pos),
+       |carr AS (
+       |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+       |  FROM cent GROUP BY label),
+       |ms AS (SELECT unnest(range(0, $PqSub)) AS m),
+       |cd AS (
+       |  SELECT e.vec_id, c.c_label, ms.m,
+       |         ${sqlSubL2("e.embedding", "c.centroid")} AS dist
+       |  FROM embeddings e, carr c, ms WHERE e.embedding IS NOT NULL),
+       |codes AS (
+       |  SELECT vec_id, m, c_label AS code FROM (
+       |    SELECT vec_id, m, c_label,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |             ORDER BY dist ASC, c_label ASC) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.q_id, c.c_label AS code, ms.m,
+       |         ${sqlSubL2("q.q_emb", "c.centroid")} AS lut_d
+       |  FROM q, carr c, ms),
+       |adc AS (
+       |  SELECT l.q_id, k.vec_id,
+       |         CAST(SUM(CAST(l.lut_d AS DECIMAL(28,4))) AS DOUBLE) AS approx_d
+       |  FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY l.q_id, k.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, approx_d,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                ORDER BY approx_d ASC, vec_id ASC) AS INT) AS rank
+       |  FROM adc)
+       |SELECT q_id, rank, vec_id, approx_d FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
 
   private lazy val annIvfOracle: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
@@ -706,6 +845,7 @@ object Similarity {
         |FROM x GROUP BY i ORDER BY dim""".stripMargin,
     "v_cosine_topk" -> cosineTopkOracle,
     "v_ann_ivf" -> annIvfOracle,
+    "v_ann_pq" -> annPqOracle,
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
     // floor to 127 levels): quantized components are exact integers, so
     // the quantized cosines — and hence candidate pool and final ranks —

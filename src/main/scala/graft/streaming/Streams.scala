@@ -452,6 +452,59 @@ object Streams {
     s.table(sink).orderBy("dedup_key")
   }
 
+  /** `d_dedup_stream_rocksdb` — the SAME exact-dedup state machine on
+    * the RocksDB state-store provider: the knob that makes streaming
+    * state survive past executor heap. The default HDFS-backed provider
+    * holds every key's state IN MEMORY per partition — a corpus-scale
+    * dedup (billions of keys at 100 TB) blows the heap; RocksDB spills
+    * state to local SSD with bounded memtables, which is why every
+    * production-scale streaming dedup runs on it. Same transform, same
+    * oracle — the provider swap must be answer-invariant (this query
+    * proves it); only the state-capacity envelope changes. The provider
+    * conf is captured at stream START, so scoping it around the replay
+    * is race-free; asserted in-operator so a green row certifies
+    * RocksDB actually held the state. */
+  def dedupStreamRocksdbReplay(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val keyed = graft.Tables.events(s, d)
+        .select((col("event_id") % 997).as("k"))
+        .select(col("k"), md5(col("k").cast("string").cast("binary")).as("payload"))
+        .as[(Long, String)]
+        .collect()
+      val in = MemoryStream[(Long, String)]
+      val sink = "d_dedup_stream_rocksdb_sink"
+      withReplayShuffle(s) {
+        val q = dedupStream(in.toDS(),
+            timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+          .toDF("dedup_key", "payload")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append).start()
+        try {
+          val (b1, b2) = keyed.splitAt(keyed.length / 2)
+          in.addData(b1.toIndexedSeq)
+          q.processAllAvailable()
+          in.addData(b2.toIndexedSeq)
+          q.processAllAvailable()
+          val providers = q.lastProgress.stateOperators
+          require(providers.nonEmpty && providers.forall(
+              _.customMetrics.containsKey("rocksdbGetCount")),
+            "state did not run on the RocksDB provider")
+        } finally q.stop()
+      }
+      s.table(sink).orderBy("dedup_key")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    out
+  }
+
   /** `d_dedup_stream_wm` — the ENGINE-NATIVE streaming dedup next to the
     * custom-state [[dedupStream]] (built-ins before custom state, when
     * they fit): `dropDuplicatesWithinWatermark` bounds state by an
@@ -1085,6 +1138,7 @@ object Streams {
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "e_stream_enrich_scd" -> (streamEnrichScdReplay _),
     "d_dedup_stream" -> (dedupStreamReplay _),
+    "d_dedup_stream_rocksdb" -> (dedupStreamRocksdbReplay _),
     "d_dedup_stream_wm" -> (dedupStreamWmReplay _),
     "d_lsh_dedup_stream" -> (lshDedupStreamReplay _),
     "e_stream_join" -> (streamJoinReplay _),
@@ -1236,6 +1290,13 @@ object Streams {
           |FROM documents d
           |ORDER BY doc_id""".stripMargin),
     "d_dedup_stream" ->
+      """SELECT DISTINCT CAST(event_id % 997 AS BIGINT) AS dedup_key,
+        |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload
+        |FROM events
+        |ORDER BY dedup_key""".stripMargin,
+    // identical oracle: the state-store provider swap (heap → RocksDB)
+    // must be answer-invariant
+    "d_dedup_stream_rocksdb" ->
       """SELECT DISTINCT CAST(event_id % 997 AS BIGINT) AS dedup_key,
         |       md5(CAST(CAST(event_id % 997 AS BIGINT) AS VARCHAR)) AS payload
         |FROM events
