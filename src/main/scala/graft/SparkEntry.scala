@@ -47,6 +47,7 @@ object SparkEntry {
       (operators.Skew.queries, operators.Skew.oracle),
       (operators.Formats.queries, operators.Formats.oracle),
       (operators.Layout.queries, operators.Layout.oracle),
+      (operators.Cbo.queries, operators.Cbo.oracle),
       (streaming.Streams.queries, streaming.Streams.oracle),
     )
 

@@ -333,9 +333,56 @@ object Formats {
         col("v1_rows"), col("final_rows"), col("final_total"))
   }
 
+  private val cdfRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_manifest_cdf` — CHANGE DATA FEED between two manifest versions,
+    * computed from the MANIFEST DIFF alone: the files shared by v1 and
+    * v2 cannot contribute changes (data files are immutable), so the
+    * row-level feed full-outer-joins ONLY the removed files (v1∖v2)
+    * against the added files (v2∖v1) — at 100 TB that is "read the
+    * delta, not the table", the property every incremental consumer
+    * (downstream sync, index maintenance, audit) depends on. Rows in
+    * added∖removed are net INSERTS, removed∖added net DELETES, and
+    * key-equal rows on both sides are REWRITES (physical movement, no
+    * logical change — compaction traffic that a naive file-level diff
+    * would misreport as churn). Here v2 compacts B into C (B's rows +
+    * the ≡2 arrivals), so the feed is: rewrites = B's rows, inserts =
+    * the ≡2 keys, deletes = none. ManifestCdfSpec asserts the shared
+    * file A is never opened. */
+  def manifestCdf(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "manifest_cdf") + "/run" + cdfRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 3 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 3 =!= 0))
+    require(ManifestLog.publish(base, 1, Seq(fA, fB)), s"v1 exists under $base")
+    require(ManifestLog.publish(base, 2, Seq(fA, fC)), s"v2 exists under $base")
+    val v1 = ManifestLog.read(base, 1).toSet
+    val v2 = ManifestLog.read(base, 2).toSet
+    val removedFiles = (v1 -- v2).toSeq.sorted
+    val addedFiles = (v2 -- v1).toSeq.sorted
+    // the delta read: shared files never enter the plan
+    val removed = s.read.parquet(removedFiles: _*)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("old_price"))
+    val added = s.read.parquet(addedFiles: _*)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("new_price"))
+    removed.join(added, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("old_price").isNull, lit("insert"))
+          .when(col("new_price").isNull, lit("delete"))
+          .otherwise(lit("rewrite")).as("op"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
+      .orderBy("op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_timetravel" -> (timeTravel _),
     "k_timetravel_occ" -> (timeTravelOcc _),
+    "k_manifest_cdf" -> (manifestCdf _),
     "k_format_roundtrip" -> (formatRoundtrip _),
     "k_schema_evolution" -> (schemaEvolution _),
     "k_snapshot_diff" -> (snapshotDiff _),
@@ -347,6 +394,18 @@ object Formats {
     // per-version totals rebuilt from the slice rules: v1 = keys % 3 in
     // (0, 1); v2 = keys % 3 in (0, 2) ∪ (1, 2) rewritten = % 3 != ... v2
     // reads files A (≡0) and C (≢0) = all keys
+    // the feed rebuilt from the slice rules: removed = keys ≡ 1 (file
+    // B), added = keys ≢ 0 (file C); B∩C = ≡1 rewrites, C∖B = ≡2
+    // inserts, B∖C = ∅ deletes (no row vanishes in the compaction)
+    "k_manifest_cdf" ->
+      """SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 3 = 2 THEN 'insert' ELSE 'rewrite' END AS op
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |GROUP BY op
+        |ORDER BY op""".stripMargin,
     // the race's invariants in closed form: 3 versions, exactly one
     // conflict retry, v1 = the base slice untouched, final = all keys
     "k_timetravel_occ" ->

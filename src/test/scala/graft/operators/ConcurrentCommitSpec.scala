@@ -80,3 +80,22 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(r.getAs[Long]("final_rows") > r.getAs[Long]("v1_rows"))
   }
 }
+
+/** Change-feed contract: the row-level CDF between two manifest versions
+  * must be computed from the delta files ALONE — the file shared by both
+  * versions is never opened. */
+class ManifestCdfSpec extends AnyFunSuite {
+  test("the shared file never enters the CDF plan") {
+    val s = graft.TestSpark.spark
+    val df = Formats.manifestCdf(s, graft.TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val opened = df.inputFiles
+    assert(opened.nonEmpty)
+    assert(!opened.exists(_.contains("/data/A/")),
+      s"CDF read the unchanged file A: ${opened.mkString(", ")}")
+    val byOp = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byOp.contains("delete"), "compaction must not report deletes")
+    assert(byOp.contains("insert") && byOp.contains("rewrite"))
+  }
+}
