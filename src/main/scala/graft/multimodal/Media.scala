@@ -270,6 +270,94 @@ object Media {
       .orderBy("media_id")
   }
 
+  /** JPEG table: the SAME pixel formula as [[pngTable]] (doc_id%3==2
+    * ids), compressed through the JDK's bundled JPEG writer at quality
+    * 0.9. Lossy on purpose — the decode contract below is a bounds
+    * verdict, not bit equality. */
+  def jpegTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .map { id =>
+        val w = (id % 11).toInt + 2
+        val h = (id % 5).toInt + 2
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < w * h) {
+          val base = 3L * i
+          val r = ((id * 17 + base) % 256).toInt
+          val g = ((id * 17 + base + 1) % 256).toInt
+          val b = ((id * 17 + base + 2) % 256).toInt
+          img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(0.9f)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+        writer.dispose(); ios.close()
+        (id, out.toByteArray)
+      }
+  }
+
+  /** Per-pixel JPEG error budget at quality 0.9 on this raster family:
+    * generous but finite — a decoder that returns garbage (or metadata
+    * instead of pixels) blows it immediately. */
+  private val JpegPerPixelBound = 48L
+
+  /** `m_jpeg_decode` — REAL lossy-codec decode (the JDK's bundled JPEG
+    * reader: real Huffman + IDCT, pure-JDK, headless-safe): dimensions
+    * are exact, and because JPEG is lossy the pixel contract is a
+    * BOUNDS VERDICT in the sketch-oracle style — the absolute error of
+    * each decoded channel sum against the closed-form original must sit
+    * inside a per-pixel budget, emitted as an integer flag the oracle
+    * checks exactly. This closes the "JPEG remains behind a stub" gap:
+    * the bytes on the wire are a real interchange JPEG. */
+  def jpegDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    jpegTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"JPEG $id: no reader accepted the stream")
+        val w = img.getWidth
+        val h = img.getHeight
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < argb.length) {
+          r += (argb(i) >> 16) & 0xff
+          g += (argb(i) >> 8) & 0xff
+          b += argb(i) & 0xff
+          i += 1
+        }
+        // closed-form sums of the ORIGINAL raster (same formula the
+        // encoder painted); the verdict compares decoded vs original
+        var er = 0L; var eg = 0L; var eb = 0L
+        var j = 0L
+        while (j < 3L * w * h) {
+          val v = (id * 17 + j) % 256
+          (j % 3).toInt match {
+            case 0 => er += v
+            case 1 => eg += v
+            case _ => eb += v
+          }
+          j += 1
+        }
+        val budget = JpegPerPixelBound * w * h
+        val ok = math.abs(r - er) <= budget &&
+          math.abs(g - eg) <= budget && math.abs(b - eb) <= budget
+        (id, w, h, if (ok) 1 else 0)
+      }))
+      .toDF("media_id", "width", "height", "within_bound")
+      .orderBy("media_id")
+  }
+
   /** Audio table with real WAV payloads (audio-typed ids, doc_id%3==1):
     * frames=(id%50)+20, channels=1+(id%2), rate=8000+(id%3)·4000,
     * interleaved sample i = ((id·7 + i·13) % 65536) − 32768. */
@@ -349,6 +437,7 @@ object Media {
     "m_media_features" -> (mediaFeatures _),
     "m_ppm_decode" -> (ppmDecode _),
     "m_png_decode" -> (pngDecode _),
+    "m_jpeg_decode" -> (jpegDecode _),
     "m_ppm_resize" -> (ppmResize _),
     "m_wav_decode" -> (wavDecode _),
     "m_frame_sample" -> (frameSamples _),
@@ -411,6 +500,16 @@ object Media {
         |       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
         |       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h
+        |ORDER BY media_id""".stripMargin,
+    // lossy codec → bounds VERDICT (the sketch-oracle style): dims are
+    // exact, and the within-budget flag must be 1 for every image — a
+    // decoder returning garbage or metadata blows the per-pixel budget
+    "m_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST((doc_id % 11) + 2 AS INT) AS width,
+        |       CAST((doc_id % 5) + 2 AS INT) AS height,
+        |       1 AS within_bound
+        |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY media_id""".stripMargin,
     // the decoded-payload stats rebuilt from the sample formula:
     // interleaved sample i = ((id*7 + i*13) % 65536) - 32768, channel 0

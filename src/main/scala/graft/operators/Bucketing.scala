@@ -69,8 +69,54 @@ object Bucketing {
       .orderBy("o_orderstatus")
   }
 
+  /** `k_join_strategy` — the BROADCAST-THRESHOLD decision made visible:
+    * the same supplier⋈nation join executed twice under scoped
+    * thresholds, once with broadcast allowed (must plan
+    * BroadcastHashJoin — zero shuffle of the big side) and once with it
+    * disabled (must plan a shuffle join), both REQUIREd from the
+    * executed plans and both answers identical. At 100 TB this
+    * threshold is the single most-consulted knob in the planner — which
+    * side fits executor memory decides whether a join moves gigabytes
+    * or nothing — and the demo pins that the knob changes PLANS, never
+    * ANSWERS. One output row per strategy so the equality is itself
+    * hash-checked. */
+  def joinStrategy(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.get(key)
+    def runWith(threshold: String, expect: String, forbid: String): Array[org.apache.spark.sql.Row] = {
+      s.conf.set(key, threshold)
+      try {
+        val j = Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            graft.QueryDsl.dsum(col("s_acctbal")).as("total_bal"))
+        val rows = j.collect()
+        val plan = j.queryExecution.executedPlan.toString
+        require(plan.contains(expect) && !plan.contains(forbid),
+          s"threshold $threshold expected $expect (not $forbid); plan:\n$plan")
+        rows
+      } finally s.conf.set(key, prev)
+    }
+    val bhj = runWith("64MB", "BroadcastHashJoin", "SortMergeJoin")
+    val smj = runWith("-1", "SortMergeJoin", "BroadcastHashJoin")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_suppliers",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_bal",
+        org.apache.spark.sql.types.DoubleType)))
+    def tag(rows: Array[org.apache.spark.sql.Row], m: String) =
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        .select(lit(m).as("strategy"), col("n_name"), col("n_suppliers"), col("total_bal"))
+    tag(bhj, "broadcast").unionByName(tag(smj, "shuffle"))
+      .orderBy("strategy", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_bucketed_join" -> (bucketedJoin _),
+    "k_join_strategy" -> (joinStrategy _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,5 +127,16 @@ object Bucketing {
          |       ${graft.QueryDsl.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // one plain join, emitted once per strategy label: both physical
+    // strategies must land on the identical rows
+    "k_join_strategy" ->
+      s"""WITH j AS (
+         |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         |         ${graft.QueryDsl.sqlDsum("s_acctbal")} AS total_bal
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY n_name)
+         |SELECT s.strategy, j.n_name, j.n_suppliers, j.total_bal
+         |FROM j CROSS JOIN (SELECT unnest(['broadcast', 'shuffle']) AS strategy) s
+         |ORDER BY s.strategy, j.n_name""".stripMargin,
   )
 }

@@ -360,6 +360,7 @@ object Similarity {
     }
     recallOf(annIvf(s, d), "ivf")
       .unionByName(recallOf(annLsh(s, d), "lsh"))
+      .unionByName(recallOf(annPq(s, d), "pq"))
       .unionByName(recallOf(annQuantized(s, d), "quant"))
       .orderBy("method", "q_id")
   }
@@ -868,10 +869,13 @@ object Similarity {
          |qs AS (SELECT DISTINCT q_id FROM exr),
          |ivfr AS (SELECT q_id, vec_id FROM ($annIvfOracle) t),
          |lshr AS (SELECT q_id, vec_id FROM ($annLshOracle) t),
+         |pqr AS (SELECT q_id, vec_id FROM ($annPqOracle) t),
          |qur AS (SELECT q_id, vec_id FROM ($annQuantizedOracle) t),
          |ih AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN ivfr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |lh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN lshr USING (q_id, vec_id)
+         |       GROUP BY q_id),
+         |ph AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN pqr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |qh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN qur USING (q_id, vec_id)
          |       GROUP BY q_id)
@@ -881,6 +885,9 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'lsh' AS method, qs.q_id, CAST(COALESCE(lh.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN lh USING (q_id)
+         |  UNION ALL
+         |  SELECT 'pq' AS method, qs.q_id, CAST(COALESCE(ph.n, 0) AS BIGINT) AS n_hit
+         |  FROM qs LEFT JOIN ph USING (q_id)
          |  UNION ALL
          |  SELECT 'quant' AS method, qs.q_id, CAST(COALESCE(qh.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN qh USING (q_id)) u

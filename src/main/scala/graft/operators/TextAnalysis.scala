@@ -64,12 +64,25 @@ object TextAnalysis {
     * chosen for the synthetic corpus vocabulary (the driver's documents
     * are word-soup over an engine-themed lexicon); with real text these
     * would be per-language stopword lists, the mechanism is unchanged. */
+  private val MarkersAnalytics = Seq("agg", "group", "window", "sort")
+  private val MarkersStorage = Seq("row", "column", "scan", "batch")
+  private val MarkersEngine = Seq("spark", "stream", "hash", "merge")
+
+  private def langScore(markers: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(markers)))
+
+  /** The argmax-with-fixed-tie-break over the three marker scores —
+    * shared by [[langId]] and [[datasetCard]] (one formula, one mirror). */
+  private def predictedLang: Column = {
+    val (sa, ss, se) =
+      (langScore(MarkersAnalytics), langScore(MarkersStorage), langScore(MarkersEngine))
+    when(sa >= ss && sa >= se, "analytics").when(se >= ss, "engine").otherwise("storage")
+  }
+
   def langId(s: SparkSession, d: String): DataFrame = {
-    def score(markers: Seq[String]): Column =
-      size(filter(words, w => w.isInCollection(markers)))
-    val sa = score(Seq("agg", "group", "window", "sort"))
-    val ss = score(Seq("row", "column", "scan", "batch"))
-    val se = score(Seq("spark", "stream", "hash", "merge"))
+    val sa = langScore(MarkersAnalytics)
+    val ss = langScore(MarkersStorage)
+    val se = langScore(MarkersEngine)
     docs(s, d)
       .select(
         col("doc_id"), col("lang"),
@@ -94,6 +107,37 @@ object TextAnalysis {
   private def qScore: Column =
     lit(0.5) * qLenScore + lit(0.3) * (lit(1.0) - qStopRatio) +
       lit(0.2) * least(qAvgLen / lit(6.0), lit(1.0))
+
+  /** `t_dataset_card` — the CORPUS DATASHEET a training-data pipeline
+    * publishes with every snapshot: one row per source with the facts a
+    * consumer needs before trusting the data — volume (docs, tokens),
+    * exact-duplicate load (docs sharing a full-text md5 WITHIN the
+    * source — the dedup debt), mean quality (the same fixed-order
+    * [[qScore]] formula, decimal-exact average), and language-ID
+    * agreement (how often [[predictedLang]] matches the labeled lang —
+    * the classifier-health signal at a glance). Every column reuses the
+    * exact per-doc formulas of the underlying operators — the card can
+    * never drift from the signals it summarizes. Scale shape: two
+    * map-side-combined aggregates over one corpus scan each (stats, dup
+    * histogram), joined on the O(sources) domain. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val dups = docs(s, d)
+      .groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy(col("source")).agg(sum(col("c")).as("n_dup_docs"))
+    docs(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words).cast("long")).as("total_tokens"),
+        graft.QueryDsl.davg(qScore).as("avg_quality"),
+        sum((predictedLang === col("lang")).cast("long")).as("n_lang_match"))
+      .join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        col("avg_quality"), col("n_lang_match"))
+      .orderBy("source")
+  }
 
   /** Quality scoring: length score, stopword ratio, mean token length —
     * combined with fixed-order arithmetic mirrored 1:1 in the oracle. */
@@ -967,6 +1011,7 @@ object TextAnalysis {
     "t_bpe_tokens" -> (bpeTokens _),
     "t_langid" -> (langId _),
     "t_quality" -> (quality _),
+    "t_dataset_card" -> (datasetCard _),
     "t_fingerprint" -> (fingerprint _),
     "t_winnow" -> (winnow _),
     "t_tfidf" -> (tfIdf _),
@@ -1337,6 +1382,41 @@ object TextAnalysis {
          |         / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE) AS row_frac
          |FROM p GROUP BY lang, predicted
          |ORDER BY lang, predicted""".stripMargin,
+    // every card column rebuilt from the same per-doc formulas the
+    // underlying operators' oracles use: the datasheet cannot drift
+    // from the signals it summarizes
+    "t_dataset_card" ->
+      s"""WITH pd AS (
+         |  SELECT source, lang, md5(text) AS h,
+         |         CAST(len($sqlWords) AS BIGINT) AS ntok,
+         |         CAST(len(list_filter($sqlWords, w -> w IN ('agg','group','window','sort'))) AS INT) AS sa,
+         |         CAST(len(list_filter($sqlWords, w -> w IN ('row','column','scan','batch'))) AS INT) AS ss,
+         |         CAST(len(list_filter($sqlWords, w -> w IN ('spark','stream','hash','merge'))) AS INT) AS se,
+         |         0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+         |           + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+         |                          / CAST(len($sqlWords) AS DOUBLE))
+         |           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                          / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) AS q
+         |  FROM documents),
+         |p2 AS (
+         |  SELECT source, lang, h, ntok, q,
+         |         CASE WHEN sa >= ss AND sa >= se THEN 'analytics'
+         |              WHEN se >= ss THEN 'engine' ELSE 'storage' END AS predicted
+         |  FROM pd),
+         |dups AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_dup FROM (
+         |    SELECT source, h, COUNT(*) AS c FROM p2 GROUP BY source, h) t
+         |  WHERE c > 1 GROUP BY source),
+         |agg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |         ${graft.QueryDsl.sqlDavg("q")} AS avg_quality,
+         |         CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_match
+         |  FROM p2 GROUP BY source)
+         |SELECT a.source, a.n_docs, a.total_tokens,
+         |       COALESCE(d.n_dup, 0) AS n_dup_docs, a.avg_quality, a.n_lang_match
+         |FROM agg a LEFT JOIN dups d USING (source)
+         |ORDER BY a.source""".stripMargin,
     "t_quality" ->
       s"""SELECT doc_id,
          |       CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)

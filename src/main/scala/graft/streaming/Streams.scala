@@ -955,6 +955,67 @@ object Streams {
     * robust sink discipline for out-of-order upserts. State lives in the
     * STORE (one row per key), not in executors: streaming state here is
     * zero. */
+  private val idemRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `e_idempotent_sink` — EXACTLY-ONCE output from an at-least-once
+    * sink contract: `foreachBatch` re-runs a batch WITH THE SAME
+    * batchId after a crashed commit, so exactly-once output is the
+    * writer's job — the discipline is an idempotent per-batchId commit
+    * (stage to a tmp dir, ATOMIC_MOVE into `batch=<id>`, no-op if the
+    * commit dir already exists — the sink-side twin of the manifest
+    * log's create-if-absent publish). The replay runs the stream in two
+    * batches, then RETRIES batch 0's commit with the same id and the
+    * same rows: the commit must refuse (REQUIREd — a green row
+    * certifies the retry was a no-op), and the read-back equals the
+    * input exactly once. A crashed PARTIAL commit (tmp written, rename
+    * never happened) is also staged and must stay invisible — readers
+    * see only committed dirs. */
+  def idempotentSinkReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = graft.TempPaths.scratch(s, "idem_sink") + "/run" + idemRuns.incrementAndGet()
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def commitBatch(df: org.apache.spark.sql.DataFrame, id: Long): Boolean = {
+      val dest = java.nio.file.Paths.get(s"$base/out/batch=$id")
+      if (java.nio.file.Files.exists(dest)) false // retry: already committed
+      else {
+        val tmp = s"$base/tmp/batch$id"
+        df.write.mode("overwrite").parquet(tmp)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        committed.add(dest.toString)
+        true
+      }
+    }
+    val rows = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, Long)]
+    withReplayShuffle(s) {
+      val q = in.toDS().toDF("user_id", "event_id")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) => commitBatch(batch, id): Unit }
+        .start()
+      try {
+        in.addData(b1.toIndexedSeq); q.processAllAvailable()
+        in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // the retry: same batchId, same rows — must be a no-op
+    val replayB1 = b1.toIndexedSeq.toDF("user_id", "event_id")
+    require(!commitBatch(replayB1, 0L), "retried batch 0 committed twice")
+    // a crashed partial commit: staged but never renamed — stays invisible
+    replayB1.write.mode("overwrite").parquet(s"$base/tmp/crashed")
+    require(committed.size() == 2, s"expected 2 committed batches, got ${committed.size()}")
+    import scala.jdk.CollectionConverters._
+    s.read.parquet(committed.asScala.toSeq.sorted: _*)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+      .orderBy("user_id")
+  }
+
   def streamUpsertReplay(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -1182,6 +1243,7 @@ object Streams {
     "e_sessionize_stream" -> (sessionizeStream _),
     "e_funnel_stream" -> (funnelStreamReplay _),
     "e_stream_upsert" -> (streamUpsertReplay _),
+    "e_idempotent_sink" -> (idempotentSinkReplay _),
     "e_rate_limit_stream" -> (rateLimitStreamReplay _),
     "e_rate_limit_ttl" -> (rateLimitTtlStreamReplay _),
     "e_window_agg_stream" -> (windowAggStream _),
@@ -1270,6 +1332,15 @@ object Streams {
          |      FROM h)
          |SELECT user_id, event_id, us, CAST(rn <= $RlLimit AS INT) AS admitted
          |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // exactly-once = every input row lands in the sink precisely once,
+    // whatever retries happened: the read-back is the plain per-user
+    // aggregate over the whole table
+    "e_idempotent_sink" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // LWW merge is batch-split-independent: the final generation is the
     // plain per-key argmax over the whole table
     "e_stream_upsert" ->

@@ -10,6 +10,20 @@ class MediaSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("JPEG decode: real interchange bytes, exact dims, error inside the budget") {
+    val rows = Media.jpegDecode(s, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) == 1), "a decoded channel sum left the error budget")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 11).toInt + 2 && r.getInt(2) == (id % 5).toInt + 2,
+        s"JPEG $id decoded to wrong dimensions")
+    }
+    // the payload really is an interchange JPEG (SOI marker), not a stub
+    val bytes = Media.jpegTable(s, sf).head()._2
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "missing JPEG SOI marker")
+  }
+
   test("media table carries binary payload + typed metadata") {
     val t = Media.mediaTable(s, sf)
     val sch = t.schema
