@@ -246,6 +246,52 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** `e_interpolate` — LINEAR INTERPOLATION over the gapped daily grid:
+    * the numeric twin of [[gapfill]]'s categorical forward-fill (a
+    * dashboard forward-fills labels but interpolates measures). Each
+    * (user, day) takes its LWW value (last by (ts, event_id) — a single
+    * row's value, so no order-dependent float accumulation); missing
+    * interior days get `v0 + (v1 − v0) · (d − d0)/(d1 − d0)` between
+    * the surrounding observations (integer day arithmetic, one
+    * division and one multiply in a fixed order — bit-identical
+    * cross-engine); days outside the observed range are `edge` rows
+    * with no value (interpolation never extrapolates). Scale shape:
+    * same as gapfill — generated grid, one (user, day) shuffle, two
+    * bounded per-user windows. */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d).filter(col("user_id") < 20)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val grid = obs.select("user_id").distinct()
+      .select(col("user_id"), explode(sequence(
+        lit(GridFrom).cast("date"), lit(GridTo).cast("date"),
+        expr("interval 1 day"))).as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("obs_day", when(col("value").isNotNull, col("day")))
+      .withColumn("d0", last(col("obs_day"), ignoreNulls = true).over(wPrev))
+      .withColumn("v0", last(col("value"), ignoreNulls = true).over(wPrev))
+      .withColumn("d1", first(col("obs_day"), ignoreNulls = true).over(wNext))
+      .withColumn("v1", first(col("value"), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        when(col("value").isNotNull, lit("obs"))
+          .when(col("d0").isNotNull && col("d1").isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("kind"),
+        when(col("value").isNotNull, col("value"))
+          .when(col("d0").isNotNull && col("d1").isNotNull,
+            col("v0") + (col("v1") - col("v0")) *
+              (datediff(col("day"), col("d0")).cast("double")
+                / datediff(col("d1"), col("d0")).cast("double")))
+          .as("ival"))
+      .orderBy("user_id", "day")
+  }
+
   /** Day-over-day volume anomaly gate — the ingest-monitoring query a
     * pipeline runs before trusting a day's data (did clicks triple
     * overnight?): per (day, type) counts against a trailing CALENDAR
@@ -648,6 +694,7 @@ object Events {
     "e_rate_anomaly" -> (rateAnomaly _),
     "e_mad_anomaly" -> (madAnomaly _),
     "e_gapfill" -> (gapfill _),
+    "e_interpolate" -> (interpolate _),
     "e_sessionize" -> (sessionize _),
     "e_session_funnel" -> (sessionFunnel _),
     "e_asof_join" -> (asofJoin _),
@@ -829,6 +876,40 @@ object Events {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_type
          |FROM grid g LEFT JOIN daily d USING (user_id, day)
          |ORDER BY user_id, day""".stripMargin,
+    // identical LWW pick, identical fixed-order interpolation formula —
+    // the division-then-multiply order is part of the contract
+    "e_interpolate" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+         |              row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+         |                ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+         |            FROM events WHERE user_id < 20),
+         |obs AS (SELECT user_id, day, value FROM ev WHERE rn = 1),
+         |days AS (SELECT CAST(unnest(generate_series(DATE '$GridFrom', DATE '$GridTo',
+         |                 INTERVAL 1 DAY)) AS DATE) AS day),
+         |grid AS (SELECT u.user_id, days.day
+         |         FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN days),
+         |g AS (SELECT grid.user_id, grid.day, o.value,
+         |             CASE WHEN o.value IS NOT NULL THEN grid.day END AS obs_day
+         |      FROM grid LEFT JOIN obs o USING (user_id, day)),
+         |w AS (SELECT user_id, day, value,
+         |        last_value(obs_day IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d0,
+         |        last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+         |        first_value(obs_day IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d1,
+         |        first_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+         |      FROM g)
+         |SELECT user_id, day,
+         |       CASE WHEN value IS NOT NULL THEN 'obs'
+         |            WHEN d0 IS NOT NULL AND d1 IS NOT NULL THEN 'interp'
+         |            ELSE 'edge' END AS kind,
+         |       CASE WHEN value IS NOT NULL THEN value
+         |            WHEN d0 IS NOT NULL AND d1 IS NOT NULL THEN
+         |              v0 + (v1 - v0) * (CAST(day - d0 AS DOUBLE) / CAST(d1 - d0 AS DOUBLE))
+         |       END AS ival
+         |FROM w ORDER BY user_id, day""".stripMargin,
     "e_sessionize" ->
       (sessionedCte +
         s"""

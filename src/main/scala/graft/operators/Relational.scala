@@ -491,6 +491,37 @@ object Relational {
       .orderBy("bucket")
   }
 
+  private val DepthBuckets = 8L
+
+  /** `r_histogram_equidepth` — the EQUI-DEPTH companion to
+    * [[histogram]]'s equi-width: boundaries placed so buckets hold
+    * (approximately) equal row counts — the shape planner statistics
+    * (ANALYZE) actually store, because equal-width buckets are useless
+    * on skewed columns. VALUE-ALIGNED on purpose: the naive `ntile`
+    * formulation is a global per-row sort (the single-partition
+    * bottleneck at 100 TB) and splits ties across buckets; real stats
+    * collectors put boundaries on distinct values. Shape: one map-side
+    * combined per-value count to the O(distinct values) domain, a
+    * prefix sum over that bounded table (the [[graft.operators.Events]]
+    * concurrency phase-1 argument: single-partition is fine at
+    * O(distinct) ≪ O(rows)), bucket = ⌊rows_before · B / n⌋ — all
+    * integer arithmetic. */
+  def histogramEquidepth(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+    val wBefore = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = vals.agg(sum(col("c")).as("n"))
+    vals
+      .withColumn("before", coalesce(sum(col("c")).over(wBefore), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("v"), col("c"),
+        expr(s"(before * $DepthBuckets) div n").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Per-key top-k via the native BOUNDED-HEAP AGGREGATE
     * ([[graft.functions.TopKPairs]], SQL name `topk_pairs`) — the THIRD
     * top-k form next to the window idiom (`r_topk_perkey`'s oracle) and
@@ -536,6 +567,7 @@ object Relational {
     "r_sql_text"        -> (sqlText _),
     "r_topk_agg"        -> (topKAgg _),
     "r_histogram"       -> (histogram _),
+    "r_histogram_equidepth" -> (histogramEquidepth _),
     "r_stats_kernel"    -> (statsKernel _),
     "r_fuzzy_join"      -> (fuzzyJoin _),
     "r_join_full_outer" -> (joinFullOuter _),
@@ -589,6 +621,21 @@ object Relational {
         |FROM r WHERE rnk <= 3
         |ORDER BY user_id, rank""".stripMargin,
     // same integer bucket arithmetic: (v-lo)*B // span, ceil bounds
+    // same value-aligned prefix-sum construction: per-value counts,
+    // rows-before, bucket = rows_before * B // n — all integers
+    "r_histogram_equidepth" ->
+      s"""WITH vals AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+         |              FROM documents GROUP BY n_chars),
+         |cum AS (SELECT v, c,
+         |               COALESCE(SUM(c) OVER (ORDER BY v
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         |               SUM(c) OVER () AS n
+         |        FROM vals)
+         |SELECT (before * $DepthBuckets) // n AS bucket,
+         |       CAST(SUM(c) AS BIGINT) AS n_rows,
+         |       MIN(v) AS lo, MAX(v) AS hi
+         |FROM cum GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
     "r_histogram" ->
       s"""WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi,
          |                  max(n_chars) - min(n_chars) + 1 AS span FROM documents),
