@@ -246,6 +246,44 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** `e_funnel_attribution` — FIRST-TOUCH vs LAST-TOUCH revenue
+    * attribution, the marketing-analytics ledger built on the as-of
+    * machinery: each purchase credits its value to the user's first
+    * click ever-before it (first touch) and to the latest click
+    * at-or-before it (last touch — exactly the as-of join's carry), per
+    * channel (`props.k % 5`). One union stream sorted per user with
+    * clicks ordered before purchases at equal time (at-or-before
+    * includes ties; among tied clicks the greatest event_id carries,
+    * matching [[asofJoin]]'s contract), two IGNORE-NULLS running
+    * windows (first = earliest click so far, last = carry-forward), one
+    * O(channels × models) aggregate. Purchases with no prior click land
+    * in channel −1 — unattributed revenue is a number every attribution
+    * report must show, not drop. */
+  def funnelAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"),
+        (get_json_object(col("props"), "$.k").cast("long") % 5).as("k5"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("side", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("click_channel", when(col("side") === 0, col("k5")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = ev
+      .withColumn("first_ch", first(col("click_channel"), ignoreNulls = true).over(w))
+      .withColumn("last_ch", last(col("click_channel"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+    def perModel(chCol: org.apache.spark.sql.Column, model: String): DataFrame =
+      attributed.groupBy(coalesce(chCol, lit(-1L)).as("channel"))
+        .agg(count(lit(1)).as("n_conversions"), dsum(col("value")).as("attributed_value"))
+        .select(lit(model).as("model"), col("channel"),
+          col("n_conversions"), col("attributed_value"))
+    perModel(col("first_ch"), "first_touch")
+      .unionByName(perModel(col("last_ch"), "last_touch"))
+      .orderBy("model", "channel")
+  }
+
   /** `e_interpolate` — LINEAR INTERPOLATION over the gapped daily grid:
     * the numeric twin of [[gapfill]]'s categorical forward-fill (a
     * dashboard forward-fills labels but interpolates measures). Each
@@ -695,6 +733,7 @@ object Events {
     "e_mad_anomaly" -> (madAnomaly _),
     "e_gapfill" -> (gapfill _),
     "e_interpolate" -> (interpolate _),
+    "e_funnel_attribution" -> (funnelAttribution _),
     "e_sessionize" -> (sessionize _),
     "e_session_funnel" -> (sessionFunnel _),
     "e_asof_join" -> (asofJoin _),
@@ -876,6 +915,34 @@ object Events {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_type
          |FROM grid g LEFT JOIN daily d USING (user_id, day)
          |ORDER BY user_id, day""".stripMargin,
+    // same (us, side, event_id) order, same IGNORE-NULLS running
+    // windows — clicks sort before purchases at equal time so
+    // at-or-before includes ties, as in the as-of oracle
+    "e_funnel_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type, value,
+         |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         |         CASE WHEN event_type = 'click'
+         |              THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) % 5 END AS click_channel
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |w AS (
+         |  SELECT *,
+         |         first_value(click_channel IGNORE NULLS) OVER (PARTITION BY user_id
+         |           ORDER BY us, side, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ch,
+         |         last_value(click_channel IGNORE NULLS) OVER (PARTITION BY user_id
+         |           ORDER BY us, side, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ch
+         |  FROM ev),
+         |p AS (SELECT * FROM w WHERE side = 1)
+         |SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         |       ${sqlDsum("value")} AS attributed_value
+         |FROM (
+         |  SELECT 'first_touch' AS model, COALESCE(first_ch, -1) AS channel, value FROM p
+         |  UNION ALL
+         |  SELECT 'last_touch', COALESCE(last_ch, -1), value FROM p) u
+         |GROUP BY model, channel
+         |ORDER BY model, channel""".stripMargin,
     // identical LWW pick, identical fixed-order interpolation formula —
     // the division-then-multiply order is part of the contract
     "e_interpolate" ->

@@ -333,6 +333,92 @@ object Formats {
         col("v1_rows"), col("final_rows"), col("final_total"))
   }
 
+  private val pevRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_partition_evolution` — PARTITION-SPEC EVOLUTION on the manifest
+    * core: the table starts life UNPARTITIONED (v1 — one file, the
+    * "just land the data" phase) and a later commit rewrites it
+    * day-partitioned (v2) WITHOUT rewriting history — each manifest
+    * records its own partition spec, so a reader resolves pruning
+    * per-version: a day-filtered read of v2 opens only that day's
+    * files (REQUIREd in-operator via the executed file list), while the
+    * same filter against v1 must scan its one file (no spec, no
+    * pruning — the honest cost of the early layout). This is the
+    * Iceberg property that partitioning is METADATA, not a table
+    * rewrite contract: old snapshots stay readable under their own
+    * spec forever. Output = the same filtered aggregate computed
+    * through BOTH versions — layout changes plans, never answers. */
+  def partitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "part_evolution") + "/run" + pevRuns.incrementAndGet()
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), to_date(col("ts")).as("day"))
+    // v1: one unpartitioned file set
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$base/data/v1flat")
+    require(ManifestLog.publish(base, 1, Seq(s"$base/data/v1flat|spec=none")), "v1 exists")
+    // v2: the same rows re-written day-partitioned; new files, old intact
+    ev.repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$base/data/v2bydays")
+    require(ManifestLog.publish(base, 2, Seq(s"$base/data/v2bydays|spec=day")), "v2 exists")
+    def readVersion(v: Int): (DataFrame, String) = {
+      val Array(path, spec) = ManifestLog.read(base, v).head.split("\\|")
+      (s.read.parquet(path), spec)
+    }
+    val targetDay = ev.agg(min(col("day"))).head().getDate(0).toString
+    def filtered(v: Int): DataFrame = {
+      val (df, spec) = readVersion(v)
+      val agg = df.filter(col("day") === lit(targetDay))
+        .groupBy().agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(lit(v).as("version"), col("n"), col("total"))
+      val rows = agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      if (spec == "spec=day")
+        // the day predicate must reach the scan as a PARTITION filter —
+        // only the v2 spec makes that possible
+        require(plan.contains("PartitionFilters: [isnotnull(day"),
+          s"v$v day-spec read did not prune by partition; plan:\n$plan")
+      else
+        require(plan.contains("PartitionFilters: []"),
+          s"v$v unpartitioned read claims partition pruning; plan:\n$plan")
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
+    }
+    filtered(1).unionByName(filtered(2)).orderBy("version")
+  }
+
+  private val fwRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_fixedwidth_roundtrip` — FIXED-WIDTH text, the mainframe/COBOL
+    * interchange format still feeding enterprise lakes (no delimiters,
+    * no schema line — positions ARE the schema): an orders slice is
+    * rendered to padded 48-byte records (`%016.2f` for the price — the
+    * corpus is 2-decimal, so print→parse is double-exact by
+    * shortest-round-trip), read back as raw text, and re-parsed with
+    * substring/trim/cast arithmetic. The aggregate must match the
+    * original parquet — any column-boundary error garbles a field and
+    * diverges. Parsing is pure column arithmetic (codegen'd, no UDF),
+    * the pattern that makes a 100 TB fixed-width backfill an ordinary
+    * scan. */
+  def fixedwidthRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "fixedwidth") + "/run" + fwRuns.incrementAndGet()
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(concat(
+        rpad(col("o_orderkey").cast("string"), 12, " "),
+        rpad(col("o_orderstatus"), 4, " "),
+        format_string("%016.2f", col("o_totalprice")),
+        rpad(col("o_orderpriority"), 16, " ")).as("value"))
+      .write.mode("overwrite").text(s"$base/fw")
+    s.read.text(s"$base/fw")
+      .select(
+        trim(substring(col("value"), 1, 12)).cast("bigint").as("o_orderkey"),
+        trim(substring(col("value"), 13, 4)).as("o_orderstatus"),
+        substring(col("value"), 17, 16).cast("double").as("o_totalprice"),
+        trim(substring(col("value"), 33, 16)).as("o_orderpriority"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   private val cdfRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_manifest_cdf` — CHANGE DATA FEED between two manifest versions,
@@ -383,6 +469,8 @@ object Formats {
     "k_timetravel" -> (timeTravel _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_manifest_cdf" -> (manifestCdf _),
+    "k_fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
+    "k_partition_evolution" -> (partitionEvolution _),
     "k_format_roundtrip" -> (formatRoundtrip _),
     "k_schema_evolution" -> (schemaEvolution _),
     "k_snapshot_diff" -> (snapshotDiff _),
@@ -394,6 +482,26 @@ object Formats {
     // per-version totals rebuilt from the slice rules: v1 = keys % 3 in
     // (0, 1); v2 = keys % 3 in (0, 2) ∪ (1, 2) rewritten = % 3 != ... v2
     // reads files A (≡0) and C (≢0) = all keys
+    // both versions hold the same rows: the min-day aggregate is
+    // layout-independent, once per version
+    "k_partition_evolution" ->
+      s"""WITH t AS (SELECT value, CAST(ts AS DATE) AS day FROM events),
+         |f AS (SELECT * FROM t WHERE day = (SELECT MIN(day) FROM t))
+         |SELECT v.version, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${sqlDsum("value")} AS total
+         |FROM f CROSS JOIN (SELECT unnest([1, 2]) AS version) v
+         |GROUP BY v.version
+         |ORDER BY v.version""".stripMargin,
+    // computed straight from parquet: the fixed-width print→parse round
+    // trip must be field-exact
+    "k_fixedwidth_roundtrip" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${sqlDsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders WHERE o_orderkey % 50 = 0
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     // the feed rebuilt from the slice rules: removed = keys ≡ 1 (file
     // B), added = keys ≢ 0 (file C); B∩C = ≡1 rewrites, C∖B = ≡2
     // inserts, B∖C = ∅ deletes (no row vanishes in the compaction)
