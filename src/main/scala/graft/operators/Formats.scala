@@ -248,12 +248,28 @@ object Formats {
     private def path(dir: String, v: Int) =
       java.nio.file.Paths.get(s"$dir/manifest-v$v.txt")
 
-    def publish(dir: String, v: Int, files: Seq[String]): Boolean =
+    /** Atomic create-if-absent publish with FULL-CONTENT visibility: the
+      * manifest is written to a writer-private temp file first and made
+      * visible via `createLink` — link creation is atomic and exclusive
+      * on POSIX, so a concurrent reader either sees no manifest or the
+      * complete one, never a half-written file list (a `CREATE_NEW` +
+      * write sequence has exactly that window, and a loser rebasing off
+      * a truncated winner manifest would silently lose files). On an
+      * object store the same role is played by a conditional PUT. */
+    def publish(dir: String, v: Int, files: Seq[String]): Boolean = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tmp = java.nio.file.Paths.get(
+        s"$dir/.tmp-v$v-${Thread.currentThread().getId}-${System.identityHashCode(files)}")
+      java.nio.file.Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
       try {
-        java.nio.file.Files.write(path(dir, v), files.mkString("\n").getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        java.nio.file.Files.createLink(path(dir, v), tmp)
         true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+    }
 
     def latest(dir: String): (Int, Seq[String]) = {
       var v = 1

@@ -940,6 +940,34 @@ object TextAnalysis {
       .orderBy("needle", "doc_id")
   }
 
+  /** `t_substring_ac` — the SAME query batch through an AHO–CORASICK
+    * single-pass scan ([[AhoCorasick]]): no index, no shuffle — the
+    * automaton (built driver-side from the bounded needle set) is
+    * broadcast and every document is scanned ONCE for all needles
+    * simultaneously, O(text + matches) whatever the needle count. The
+    * third multi-pattern strategy next to the staged postings probe
+    * (index amortized across probes) and the naive N-way LIKE (the
+    * oracle): right when needle sets change per run or the corpus is
+    * read-once. Same output contract as [[substringSearchMulti]], same
+    * oracle — the strategies must agree row-for-row. */
+  def substringSearchAC(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(new AhoCorasick(
+      SearchNeedles.filter(_.nonEmpty).toArray))
+    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.flatMap { case (id, text) =>
+          val first = ac.firstOccurrences(text)
+          first.indices.iterator
+            .filter(first(_) > 0)
+            .map(i => (ac.needles(i), id, first(i)))
+        }
+      }
+      .toDF("needle", "doc_id", "first_pos")
+      .orderBy("needle", "doc_id")
+  }
+
   /** CURRICULUM ORDERING — a GLOBAL ordinal over the corpus (sort by
     * difficulty, here length-ascending, ties by doc_id) WITHOUT the
     * global-sort bottleneck: `row_number() OVER (ORDER BY …)` funnels
@@ -987,6 +1015,7 @@ object TextAnalysis {
     "t_curriculum" -> (curriculum _),
     "t_substring_search" -> (substringSearch _),
     "t_substring_multi" -> (substringSearchMulti _),
+    "t_substring_ac" -> (substringSearchAC _),
     "t_length_outliers" -> (lengthOutliers _),
     "t_bigram_novelty" -> (bigramNovelty _),
     "t_source_filter" -> (sourceFilter _),
@@ -1079,6 +1108,13 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin,
     // the N-way LIKE cross-scan the one-probe index path must reproduce
     "t_substring_multi" ->
+      s"""WITH needles(needle) AS (VALUES ${SearchNeedles.map(n => s"('$n')").mkString(", ")})
+         |SELECT n.needle, d.doc_id, CAST(strpos(d.text, n.needle) AS INT) AS first_pos
+         |FROM documents d CROSS JOIN needles n
+         |WHERE strpos(d.text, n.needle) > 0
+         |ORDER BY needle, doc_id""".stripMargin,
+    // identical oracle: automaton and index are strategies, not answers
+    "t_substring_ac" ->
       s"""WITH needles(needle) AS (VALUES ${SearchNeedles.map(n => s"('$n')").mkString(", ")})
          |SELECT n.needle, d.doc_id, CAST(strpos(d.text, n.needle) AS INT) AS first_pos
          |FROM documents d CROSS JOIN needles n
