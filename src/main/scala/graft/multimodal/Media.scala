@@ -399,6 +399,43 @@ object Media {
       .orderBy("media_id")
   }
 
+  private val ResampleRate = 4000
+
+  /** `m_wav_resample` — decode → TRANSFORM on real parsed audio: linear
+    * resampling of channel 0 to a fixed [[ResampleRate]] Hz (the
+    * audio twin of [[ppmResize]]'s fixed-grid raster — whatever rate a
+    * clip arrives at, the model input shape is fixed). The interpolated
+    * value at output frame j sits at exact source position
+    * `j·rate/4000`; everything is computed in INTEGER arithmetic — the
+    * reported quantity is Σ_j (s0·(4000−r) + s1·r) with
+    * `r = (j·rate) mod 4000`, i.e. the interpolated sum scaled by 4000
+    * — so the closed-form oracle matches bit-for-bit with no float in
+    * sight. Output count `((frames−1)·4000) div rate + 1` keeps every
+    * position inside the clip (resampling never extrapolates). */
+  def wavResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val a = WavCodec.decode(bytes)
+        val frames = a.nFrames
+        val nOut = ((frames - 1).toLong * ResampleRate) / a.sampleRate + 1
+        var acc = 0L
+        var j = 0L
+        while (j < nOut) {
+          val num = j * a.sampleRate
+          val i0 = (num / ResampleRate).toInt
+          val r = num % ResampleRate
+          val s0 = a.samples(i0 * a.channels).toLong
+          val s1 = if (i0 + 1 < frames) a.samples((i0 + 1) * a.channels).toLong else 0L
+          acc += s0 * (ResampleRate - r) + s1 * r
+          j += 1
+        }
+        (id, a.sampleRate, frames.toLong, nOut, acc)
+      }))
+      .toDF("media_id", "in_rate", "n_in_frames", "n_out_frames", "scaled_sum")
+      .orderBy("media_id")
+  }
+
   private val ThumbDim = 4
 
   /** `m_ppm_resize` — decode → TRANSFORM on real parsed pixels: a 4×4
@@ -440,6 +477,7 @@ object Media {
     "m_jpeg_decode" -> (jpegDecode _),
     "m_ppm_resize" -> (ppmResize _),
     "m_wav_decode" -> (wavDecode _),
+    "m_wav_resample" -> (wavResample _),
     "m_frame_sample" -> (frameSamples _),
     "m_resize_thumb" -> (resizeThumbs _),
     "m_pair_assembly" -> (pairAssembly _),
@@ -514,6 +552,33 @@ object Media {
     // the decoded-payload stats rebuilt from the sample formula:
     // interleaved sample i = ((id*7 + i*13) % 65536) - 32768, channel 0
     // holds indices i % channels == 0
+    // the scaled interpolated sum rebuilt in the same integer
+    // arithmetic: i0 = (j·rate) div 4000, r = (j·rate) mod 4000,
+    // channel-0 sample at frame k = formula value at index k·ch
+    "m_wav_resample" ->
+      """WITH au AS (
+        |  SELECT doc_id, (doc_id % 50) + 20 AS frames,
+        |         1 + (doc_id % 2) AS ch, 8000 + (doc_id % 3) * 4000 AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |o AS (SELECT *, ((frames - 1) * 4000) // rate + 1 AS n_out FROM au),
+        |j AS (SELECT doc_id, frames, ch, rate, n_out, jj.j
+        |      FROM o, LATERAL (SELECT unnest(generate_series(0,
+        |             CAST(n_out - 1 AS BIGINT))) AS j) jj),
+        |t AS (SELECT doc_id, frames, ch, rate, n_out,
+        |             (j * rate) // 4000 AS i0, (j * rate) % 4000 AS r
+        |      FROM j),
+        |v AS (SELECT doc_id, rate, frames, n_out, r,
+        |             ((doc_id * 7 + (i0 * ch) * 13) % 65536) - 32768 AS s0,
+        |             CASE WHEN i0 + 1 < frames
+        |                  THEN ((doc_id * 7 + ((i0 + 1) * ch) * 13) % 65536) - 32768
+        |                  ELSE 0 END AS s1
+        |      FROM t)
+        |SELECT doc_id AS media_id, CAST(rate AS INT) AS in_rate,
+        |       CAST(frames AS BIGINT) AS n_in_frames,
+        |       CAST(n_out AS BIGINT) AS n_out_frames,
+        |       CAST(SUM(s0 * (4000 - r) + s1 * r) AS BIGINT) AS scaled_sum
+        |FROM v GROUP BY doc_id, rate, frames, n_out
+        |ORDER BY media_id""".stripMargin,
     "m_wav_decode" ->
       """WITH au AS (
         |  SELECT doc_id, (doc_id % 50) + 20 AS frames,

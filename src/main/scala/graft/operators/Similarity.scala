@@ -598,7 +598,9 @@ object Similarity {
     s.read.parquet(dir + "/codes")
   }
 
-  def annPq(s: SparkSession, d: String): DataFrame = {
+  /** The ADC ranking shared by [[annPq]] (top-K directly) and
+    * [[annPqRefine]] (a wider candidate pool for exact re-rank). */
+  private def pqAdcRanked(s: SparkSession, d: String): DataFrame = {
     // ADC LUT: query → codeword distance per subspace (8q × labels × 8m)
     val lut = queriesDf(s, d).crossJoin(broadcast(stagedCentroids(s, d)))
       .select(col("q_id"), col("c_label").as("code"), subDists(col("q_emb")).as("sd"))
@@ -609,14 +611,44 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(graft.QueryDsl.dsum(col("lut_d")).as("approx_d"))
-      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .withColumn("rank", row_number().over(rankW))
+  }
+
+  def annPq(s: SparkSession, d: String): DataFrame =
+    pqAdcRanked(s, d).filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("approx_d"))
+      .orderBy("q_id", "rank")
+
+  private val PqRefineCand = 25
+
+  /** `v_ann_pq_refine` — the PRODUCTION two-stage retrieval shape PQ
+    * exists for: the compressed codes rank the WHOLE corpus cheaply
+    * (ADC — no floats touched), the top-[[PqRefineCand]] survivors are
+    * re-ranked with EXACT cosine against the raw embeddings, and only
+    * that bounded candidate set ever loads vectors. Coarse-quantizer
+    * recall at k is poor by construction ([[annPq]] measures it
+    * honestly); the refine stage is what turns the compression into a
+    * usable index — recall asserted against the exact path in
+    * PqSpec. */
+  def annPqRefine(s: SparkSession, d: String): DataFrame = {
+    val cand = pqAdcRanked(s, d).filter(col("rank") <= PqRefineCand)
+      .select(col("q_id"), col("vec_id"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .join(emb(s, d), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_embed_stats" -> (embedStats _),
     "v_ann_pq" -> (annPq _),
+    "v_ann_pq_refine" -> (annPqRefine _),
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
@@ -706,8 +738,10 @@ object Similarity {
   // identical integer-exact construction to the IVF oracle), per-subspace
   // nearest-codeword encode with (dist, label) tie order, the query ADC
   // lookup table, and the decimal-exact ADC sum — every stage
-  // bit-identical cross-engine by the same arguments as IVF + dsum
-  private lazy val annPqOracle: String =
+  // bit-identical cross-engine by the same arguments as IVF + dsum.
+  // The CTE chain ends at `adc` so the plain top-k and the
+  // refine-rerank oracles share one construction.
+  private lazy val pqAdcCte: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
        |expl AS (
        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -741,14 +775,42 @@ object Similarity {
        |         CAST(SUM(CAST(l.lut_d AS DECIMAL(28,4))) AS DOUBLE) AS approx_d
        |  FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
        |  WHERE k.vec_id <> l.q_id
-       |  GROUP BY l.q_id, k.vec_id),
-       |ranked AS (
-       |  SELECT q_id, vec_id, approx_d,
-       |         CAST(row_number() OVER (PARTITION BY q_id
-       |                ORDER BY approx_d ASC, vec_id ASC) AS INT) AS rank
-       |  FROM adc)
-       |SELECT q_id, rank, vec_id, approx_d FROM ranked WHERE rank <= $K
-       |ORDER BY q_id, rank""".stripMargin
+       |  GROUP BY l.q_id, k.vec_id)""".stripMargin
+
+  private lazy val annPqOracle: String =
+    pqAdcCte +
+      s""",
+         |ranked AS (
+         |  SELECT q_id, vec_id, approx_d,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY approx_d ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc)
+         |SELECT q_id, rank, vec_id, approx_d FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+
+  // stage 1 = the same ADC chain widened to the candidate pool, stage 2
+  // = exact cosine over the bounded survivors — identical formulas to
+  // the PQ and exact oracles respectively
+  private lazy val annPqRefineOracle: String =
+    pqAdcCte +
+      s""",
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY approx_d ASC, vec_id ASC) AS rank
+         |    FROM adc) t WHERE rank <= $PqRefineCand),
+         |scored AS (
+         |  SELECT c.q_id, e.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |              JOIN q ON q.q_id = c.q_id),
+         |ranked2 AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cosine FROM ranked2 WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
 
   private lazy val annIvfOracle: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
@@ -847,6 +909,7 @@ object Similarity {
     "v_cosine_topk" -> cosineTopkOracle,
     "v_ann_ivf" -> annIvfOracle,
     "v_ann_pq" -> annPqOracle,
+    "v_ann_pq_refine" -> annPqRefineOracle,
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
     // floor to 127 levels): quantized components are exact integers, so
     // the quantized cosines — and hence candidate pool and final ranks —

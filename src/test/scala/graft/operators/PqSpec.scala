@@ -50,6 +50,20 @@ class PqSpec extends AnyFunSuite {
     assert(scans.exists(_.toString.contains("pqcodes_")), "probe did not read the staged codes")
   }
 
+  test("exact re-rank over the PQ candidate pool never loses recall vs raw ADC top-k") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = sets(Similarity.cosineTopK(s, sf))
+    val raw = sets(Similarity.annPq(s, sf))
+    val refined = sets(Similarity.annPqRefine(s, sf))
+    def meanRecall(m: Map[Long, Set[Long]]) =
+      exact.keys.map(q => (exact(q) & m.getOrElse(q, Set.empty)).size.toDouble / 5.0)
+        .sum / exact.size
+    assert(meanRecall(refined) >= meanRecall(raw),
+      s"refine lowered recall: ${meanRecall(refined)} < ${meanRecall(raw)}")
+  }
+
   test("ADC ranking equals a brute-force recompute of the same quantized model") {
     val got = Similarity.annPq(s, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
