@@ -580,7 +580,7 @@ object Events {
         (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
       .orderBy("day")
 
-  private val DebounceGapUs = 1800L * 1000000L // 30 min, in exact integer µs
+  private[graft] val DebounceGapUs = 1800L * 1000000L // 30 min, in exact integer µs
 
   /** DEBOUNCE — telemetry burst collapse: chains of same-(user, type)
     * events with inter-arrival ≤ the gap collapse to their FIRST event,

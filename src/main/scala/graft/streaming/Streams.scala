@@ -887,6 +887,127 @@ object Streams {
     }
   }
 
+  // ---- STREAMING DEBOUNCE with EVENT-TIME TIMERS — the third leg of
+  // the transformWithState API after value-state (rate limiter) and
+  // state TTL: a burst is OPEN until either a later event closes it
+  // (arrival path) or the WATERMARK passes its close time and the
+  // registered event-time timer fires (end-of-traffic path — the case
+  // no arrival can ever detect). One ValueState row + one timer per
+  // open (user, type) burst: state is O(open bursts), and the timer is
+  // what lets an unbounded stream emit a chain whose sender simply
+  // stopped. Correctness does not DEPEND on timer timing: a timer that
+  // has not fired yet is superseded by the arrival path when the next
+  // event shows up, so emission is exactly-once per burst under any
+  // watermark schedule; the replay's far-future sentinel fires every
+  // remaining timer so the output closes over the whole table. ----
+
+  final case class DbEv(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp)
+  final case class DbState(head_id: Long, head_us: Long, last_us: Long, n: Long)
+  final case class DbOut(user_id: Long, event_type: String, event_id: Long,
+      us: Long, n_collapsed: Long)
+
+  class DebounceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), DbEv, DbOut] {
+    @transient private var burst: org.apache.spark.sql.streaming.ValueState[DbState] = _
+
+    private def usOf(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+    private def emit(key: (Long, String), b: DbState): DbOut =
+      DbOut(key._1, key._2, b.head_id, b.head_us, b.n)
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      burst = getHandle.getValueState[DbState]("burst",
+        org.apache.spark.sql.Encoders.product[DbState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[DbEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[DbOut] = {
+      val sorted = rows.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[DbOut]
+      var cur = if (burst.exists()) burst.get() else null
+      sorted.foreach { e =>
+        val us = usOf(e.ts)
+        if (cur == null) cur = DbState(e.event_id, us, us, 1L)
+        else if (us - cur.last_us > graft.operators.Events.DebounceGapUs) {
+          out += emit(key, cur)
+          cur = DbState(e.event_id, us, us, 1L)
+        } else cur = cur.copy(last_us = us, n = cur.n + 1)
+      }
+      burst.update(cur)
+      // one live timer per key: the open burst's close time (ceil to ms
+      // + 1 so a timer never fires before the µs-exact close)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        (cur.last_us + graft.operators.Events.DebounceGapUs) / 1000L + 2L)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Long, String),
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[DbOut] =
+      if (burst.exists()) {
+        val b = burst.get()
+        burst.clear()
+        Iterator(emit(key, b))
+      } else Iterator.empty
+  }
+
+  /** `e_debounce_stream` — [[DebounceProcessor]] replayed over the
+    * events table in two event-time-ordered batches: bursts spanning
+    * the batch boundary stay open in state (no double emission), and
+    * the sentinel batch drives the watermark past every close time so
+    * the timers flush the tail. Oracle = the batch debounce verbatim —
+    * arrival-closed and timer-closed bursts must reproduce it
+    * row-for-row. */
+  def debounceStreamReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .collect()
+      .sortBy(r => (r._4.getTime, r._3))
+    val maxMs = rows.iterator.map(_._4.getTime).max
+    val in = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val sink = "e_debounce_stream_sink"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withReplayShuffle(s) {
+        val q = in.toDF().toDF("user_id", "event_type", "event_id", "ts")
+          .withWatermark("ts", "0 seconds")
+          .as[DbEv]
+          .groupByKey(e => (e.user_id, e.event_type))
+          .transformWithState(new DebounceProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append).start()
+        try {
+          val (b1, b2) = rows.splitAt(rows.length / 2)
+          in.addData(b1.toIndexedSeq)
+          q.processAllAvailable()
+          in.addData(b2.toIndexedSeq)
+          q.processAllAvailable()
+          in.addData((-1L, "sentinel", -1L,
+            new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000)))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+    s.table(sink)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "event_type", "us", "event_id")
+  }
+
   private def rateLimitReplayWith(
       s: SparkSession, d: String, sink: String,
       processor: RateLimitProcessor,
@@ -1245,6 +1366,7 @@ object Streams {
     "e_stream_upsert" -> (streamUpsertReplay _),
     "e_idempotent_sink" -> (idempotentSinkReplay _),
     "e_rate_limit_stream" -> (rateLimitStreamReplay _),
+    "e_debounce_stream" -> (debounceStreamReplay _),
     "e_rate_limit_ttl" -> (rateLimitTtlStreamReplay _),
     "e_window_agg_stream" -> (windowAggStream _),
     "e_late_data_audit" -> (lateDataAuditReplay _),
@@ -1280,6 +1402,8 @@ object Streams {
     // identical output contract to the batch funnel: once the sentinel
     // closes every session, streaming ≡ batch row-for-row
     "e_funnel_stream" -> graft.operators.Events.oracle("e_session_funnel"),
+    // arrival-closed + timer-closed bursts ≡ the batch debounce verbatim
+    "e_debounce_stream" -> graft.operators.Events.oracle("e_debounce"),
     // the flushed streaming heaps must equal the windowed top-3 recompute
     // (same (value DESC, id DESC) order the aggregate's buffer maintains)
     "e_topk_stream" ->
