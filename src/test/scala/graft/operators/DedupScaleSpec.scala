@@ -80,6 +80,17 @@ class DedupScaleSpec extends AnyFunSuite {
       "staged clusters diverge from the inline pipeline")
   }
 
+  test("LSH tuning sweep is build-once and the staged table ≡ the inline sweep") {
+    Dedup.lshTuning(s, sf).collect()
+    val builds = Dedup.lshTuningBuildCount.get()
+    val staged = Dedup.lshTuning(s, sf)
+    assert(Dedup.lshTuningBuildCount.get() == builds, "warm tuning query rebuilt the sweep")
+    val inline = Dedup.lshTuningInline(s, sf)
+    assert(staged.collect().map(_.toSeq).toSeq == inline.orderBy("bands").collect().map(_.toSeq).toSeq,
+      "staged tuning sweep diverges from the inline computation")
+    assert(staged.inputFiles.exists(_.contains(Dedup.lshTuningStageDir(sf))))
+  }
+
   test("dup-gram staging is build-once and span dedup ≡ the inline explode pipeline") {
     Dedup.ensureDupGramsStaged(s, sf)
     val builds = Dedup.dupGramBuildCount.get()
