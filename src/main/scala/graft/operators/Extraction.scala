@@ -160,6 +160,8 @@ object Extraction {
     "x_doc_source_compacted" -> (docSourceCompactedHoldings _),
     "x_filing_index" -> (filingIndex _),
     "x_filing_index_v2" -> (filingIndexV2 _),
+    "x_filing_index_v2_agg" ->
+      ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Agg(s, d)),
     "x_csv_roundtrip" -> (csvRoundtrip _),
   )
 
@@ -176,6 +178,14 @@ object Extraction {
         |ORDER BY doc_id""".stripMargin,
     "x_filing_index" -> filingIndexOracle,
     "x_filing_index_v2" -> filingIndexOracle,
+    // the per-form counts from the same orders derivation the staged
+    // JSON encodes: the in-source tally must reproduce them exactly
+    "x_filing_index_v2_agg" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
+        |       CAST(COUNT(*) AS BIGINT) AS count
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY form_type""".stripMargin,
   )
 
   private lazy val filingIndexOracle: String =

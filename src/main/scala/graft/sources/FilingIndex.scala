@@ -118,4 +118,25 @@ object FilingIndex {
       .filter(col("form_type") === "NPORT-P")
       .withColumn("doc_url", docUrl)
   }
+
+  /** `x_filing_index_v2_agg` — COUNT pushed INTO the connector
+    * (`SupportsPushDownAggregates`): the per-form filing counts are
+    * tallied during the source's own line scan — no filing row is ever
+    * materialized, and each input partition ships only its handful of
+    * partial counts to the final merge. At 100 TB of wire-format JSON
+    * this is the difference between moving the corpus and moving a few
+    * numbers. The operator REQUIRES the executed scan to carry the
+    * pushed-aggregate marker, so a green row certifies the pushdown
+    * fired, not that Spark quietly fell back to a row scan. */
+  def filingIndexV2Agg(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    val agg = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+      .groupBy(col("form_type")).count()
+    val rows = agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    require(plan.contains("agg_pushed=count_by_form"),
+      s"COUNT was not pushed into the source; executed plan:\n$plan")
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
+      .orderBy("form_type")
+  }
 }

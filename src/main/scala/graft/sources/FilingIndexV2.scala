@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,16 +63,49 @@ object FilingIndexV2 {
   }
 
   private[sources] class IndexScanBuilder(path: String)
-      extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+      with SupportsPushDownAggregates {
     private var required: StructType = Schema
     private var pushed: Array[Filter] = Array.empty
+    private var aggGrouped: Option[Boolean] = None
 
     override def pruneColumns(requiredSchema: StructType): Unit =
-      required = requiredSchema
+      // in aggregate mode the read schema is the agg output, fixed below
+      if (aggGrouped.isEmpty) required = requiredSchema
+
+    /** COUNT pushed into the source: the connector tallies during its
+      * line scan and never builds a row — the aggregate-pushdown
+      * contract (`SupportsPushDownAggregates`) that turns
+      * `SELECT form_type, count(*)` into per-partition partial counts
+      * computed at the wire format. PARTIAL pushdown (complete = false):
+      * each input partition returns its own counts and Spark's final
+      * aggregate merges them — the only correct answer with > 1
+      * partition. Supported shapes: a single COUNT(*), grouped by
+      * nothing or by form_type; anything else falls back to row scan. */
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+      val countOnly = agg.aggregateExpressions.length == 1 &&
+        agg.aggregateExpressions()(0)
+          .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      val gb = agg.groupByExpressions
+      val groupOk = gb.isEmpty || (gb.length == 1 && (gb(0) match {
+        case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+          n.fieldNames.sameElements(Array("form_type"))
+        case _ => false
+      }))
+      if (countOnly && groupOk) { aggGrouped = Some(gb.nonEmpty); true } else false
+    }
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       val (accepted, rest) = filters.partition {
         case EqualTo("form_type", _: String) => true
+        // the null guard the optimizer pairs with the equality: accept
+        // it too, or the residual Filter node sits between Aggregate
+        // and scan and structurally blocks aggregate pushdown
+        case IsNotNull("form_type") => true
         case _ => false
       }
       pushed = accepted
@@ -81,19 +114,29 @@ object FilingIndexV2 {
 
     override def pushedFilters(): Array[Filter] = pushed
 
-    override def build(): Scan = IndexScan(path, required, pushed.collect {
-      case EqualTo(_, v: String) => v
-    })
+    override def build(): Scan = {
+      val schema = aggGrouped match {
+        case Some(true) => StructType(Seq(
+          StructField("form_type", StringType), StructField("count", LongType)))
+        case Some(false) => StructType(Seq(StructField("count", LongType)))
+        case None => required
+      }
+      IndexScan(path, schema, pushed.collect { case EqualTo(_, v: String) => v },
+        pushed.exists(_.isInstanceOf[IsNotNull]), aggGrouped)
+    }
   }
 
-  /** `formEq`: the pushed form_type equality literals (all must match). */
+  /** `formEq`: the pushed form_type equality literals (all must match);
+    * `aggGrouped`: Some(grouped?) when a COUNT was pushed down. */
   private[sources] case class IndexScan(
-      path: String, required: StructType, formEq: Array[String])
+      path: String, required: StructType, formEq: Array[String],
+      formNotNull: Boolean = false, aggGrouped: Option[Boolean] = None)
       extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft_filing_index pushed=[${formEq.mkString(",")}] cols=[${required.fieldNames.mkString(",")}]"
+      s"graft_filing_index pushed=[${formEq.mkString(",")}] cols=[${required.fieldNames.mkString(",")}]" +
+        s" agg_pushed=${aggGrouped.map(g => if (g) "count_by_form" else "count").getOrElse("none")}"
 
     override def planInputPartitions(): Array[InputPartition] = {
       val p = new Path(path)
@@ -109,7 +152,7 @@ object FilingIndexV2 {
       // with the factory: the reader must see the same filesystem settings
       // (S3A credentials, defaultFS, …) that planInputPartitions listed
       // with, or the connector only works against the local FS.
-      IndexReaderFactory(required.fieldNames, formEq,
+      IndexReaderFactory(required.fieldNames, formEq, formNotNull, aggGrouped,
         new org.apache.spark.util.SerializableConfiguration(
           org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
   }
@@ -117,12 +160,79 @@ object FilingIndexV2 {
   private[sources] case class IndexPartition(file: String) extends InputPartition
 
   private[sources] case class IndexReaderFactory(
-      cols: Array[String], formEq: Array[String],
+      cols: Array[String], formEq: Array[String], formNotNull: Boolean,
+      aggGrouped: Option[Boolean],
       conf: org.apache.spark.util.SerializableConfiguration)
       extends PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-      new IndexReader(partition.asInstanceOf[IndexPartition].file, cols, formEq, conf.value)
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val file = partition.asInstanceOf[IndexPartition].file
+      aggGrouped match {
+        case Some(grouped) => new IndexAggReader(file, formEq, formNotNull, grouped, conf.value)
+        case None => new IndexReader(file, cols, formEq, formNotNull, conf.value)
+      }
+    }
   }
+
+  /** COUNT-pushdown reader: tallies filings per form (or in total)
+    * straight off the parsed arrays — no InternalRow per filing is ever
+    * constructed; the partition's whole answer is its handful of
+    * partial-count rows. */
+  private[sources] class IndexAggReader(
+      file: String, formEq: Array[String], formNotNull: Boolean, grouped: Boolean,
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      extends PartitionReader[InternalRow] {
+    private val mapper = new ObjectMapper
+    private var rows: Iterator[InternalRow] = _
+    private var current: InternalRow = _
+
+    private def tally(): Iterator[InternalRow] = {
+      val p = new Path(file)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getFileSystem(hadoopConf).open(p), "UTF-8"))
+      try {
+        val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            val recent = mapper.readTree(line).at("/filings/recent")
+            val arrays = Seq("accessionNumber", "filingDate", "form", "primaryDocument")
+              .map(recent.get)
+            val form = arrays(2)
+            val n = arrays.map(a => if (a == null) 0 else a.size()).max
+            var i = 0
+            while (i < n) {
+              val f = if (form == null || i >= form.size() || form.get(i).isNull) null
+                else form.get(i).asText()
+              if ((!formNotNull || f != null) &&
+                  (formEq.isEmpty || formEq.forall(v => f != null && f == v))) {
+                val key = if (f == null) NullKey else f
+                counts.update(key, counts.getOrElse(key, 0L) + 1L)
+              }
+              i += 1
+            }
+          }
+          line = in.readLine()
+        }
+        if (grouped)
+          counts.iterator.map { case (f, c) =>
+            InternalRow(if (f eq NullKey) null else UTF8String.fromString(f), c)
+          }.toIndexedSeq.iterator
+        else Iterator(InternalRow(counts.valuesIterator.sum))
+      } finally in.close()
+    }
+
+    override def next(): Boolean = {
+      if (rows == null) rows = tally()
+      if (!rows.hasNext) return false
+      current = rows.next()
+      true
+    }
+    override def get(): InternalRow = current
+    override def close(): Unit = ()
+  }
+
+  /** Sentinel for the null form group (reference equality checked). */
+  private val NullKey = new String("__graft_null_form__")
 
   /** Streams one staged file line-by-line; each fund document expands to
     * its zipped filing rows (max array length, null-fill — the arrays_zip
@@ -131,7 +241,7 @@ object FilingIndexV2 {
     * on the first `next()` call — task construction stays cheap and a
     * partition that is planned but never read opens no file handle. */
   private[sources] class IndexReader(
-      file: String, cols: Array[String], formEq: Array[String],
+      file: String, cols: Array[String], formEq: Array[String], formNotNull: Boolean,
       hadoopConf: org.apache.hadoop.conf.Configuration)
       extends PartitionReader[InternalRow] {
     private val mapper = new ObjectMapper
@@ -164,7 +274,8 @@ object FilingIndexV2 {
       val n = Seq(acc, fd, form, pdoc).map(a => if (a == null) 0 else a.size()).max
       (0 until n).iterator.flatMap { i =>
         val f = str(form, i)
-        if (formEq.nonEmpty && !formEq.forall(v => f != null && f.toString == v)) None
+        if ((formNotNull && f == null) ||
+            (formEq.nonEmpty && !formEq.forall(v => f != null && f.toString == v))) None
         else Some(InternalRow.fromSeq(cols.toSeq.map {
           case "cik" => cik
           case "accession_number" => str(acc, i)

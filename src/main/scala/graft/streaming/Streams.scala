@@ -1195,6 +1195,63 @@ object Streams {
     * nothing across micro-batches. Sink+checkpoint dirs are fresh per
     * invocation — a reused checkpoint would resume the PREVIOUS replay's
     * offsets (bench runs every query twice). */
+  /** `e_stream_pipeline` — MULTIPLE STATEFUL OPERATORS chained in ONE
+    * streaming query (supported since the multi-stateful-operator work
+    * in Spark 3.4; before that this pipeline needed two queries and an
+    * intermediate sink): watermarked DEDUP (state #1, the retry killer)
+    * → stream-static broadcast ENRICH (stateless) → event-time WINDOW
+    * aggregate per tier (state #2). The feed sends EVERY row twice in
+    * its batch (retry traffic): the dedup stage must drop the
+    * duplicates BEFORE they reach the aggregate, so a double-counted
+    * window — the bug this composition exists to prevent — hash-fails
+    * against the oracle (the windowed aggregate over DISTINCT events).
+    * StreamingSpec asserts both state stores really are in the one
+    * executed plan. This is the e2e shape of a production ingest:
+    * exactly-once-ish dedup, dimension join, rollup — one query, one
+    * checkpoint, one watermark. */
+  def streamPipelineReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dim = graft.Tables.events(s, d).select(col("user_id")).distinct()
+      .select(col("user_id"), (col("user_id") % 5).as("tier"))
+    val rows = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .collect()
+      .sortBy(r => (r._3.getTime, r._1))
+    val maxMs = rows.iterator.map(_._3.getTime).max
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val sink = "e_stream_pipeline_sink"
+    withReplayShuffle(s) {
+      val q = in.toDF().toDF("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .join(broadcast(dim), "user_id")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("tier"))
+        .agg(count(lit(1)).as("n_events"), graft.QueryDsl.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("tier"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        // every row sent twice in its batch — the dedup stage's job
+        in.addData(b1.toIndexedSeq ++ b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq ++ b2.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData((-1L, -1L,
+          new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(sink)
+      .filter(col("tier") =!= -1L)
+      .select(unix_micros(col("window_start")).as("ws_us"), col("tier"),
+        col("n_events"), col("sum_value"))
+      .orderBy("ws_us", "tier")
+  }
+
   def streamStaticEnrichReplay(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1367,6 +1424,7 @@ object Streams {
     "e_idempotent_sink" -> (idempotentSinkReplay _),
     "e_rate_limit_stream" -> (rateLimitStreamReplay _),
     "e_debounce_stream" -> (debounceStreamReplay _),
+    "e_stream_pipeline" -> (streamPipelineReplay _),
     "e_rate_limit_ttl" -> (rateLimitTtlStreamReplay _),
     "e_window_agg_stream" -> (windowAggStream _),
     "e_late_data_audit" -> (lateDataAuditReplay _),
@@ -1404,6 +1462,16 @@ object Streams {
     "e_funnel_stream" -> graft.operators.Events.oracle("e_session_funnel"),
     // arrival-closed + timer-closed bursts ≡ the batch debounce verbatim
     "e_debounce_stream" -> graft.operators.Events.oracle("e_debounce"),
+    // the retry-doubled feed must aggregate as if each event arrived
+    // once: the windowed rollup over the DISTINCT event table — a
+    // double-counted window hash-fails immediately
+    "e_stream_pipeline" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events)
+         |SELECT us - us % 21600000000 AS ws_us,
+         |       user_id % 5 AS tier,
+         |       COUNT(*) AS n_events, ${graft.QueryDsl.sqlDsum("value")} AS sum_value
+         |FROM e GROUP BY 1, 2
+         |ORDER BY ws_us, tier""".stripMargin,
     // the flushed streaming heaps must equal the windowed top-3 recompute
     // (same (value DESC, id DESC) order the aggregate's buffer maintains)
     "e_topk_stream" ->

@@ -52,6 +52,23 @@ class FilingIndexV2Spec extends AnyFunSuite {
     assert(df.count() == v2().collect().count(_.getString(3) == "NPORT-P"))
   }
 
+  test("COUNT pushes into the source, composes with the pushed filter, and matches row scan") {
+    // grouped count: the query path REQUIREs the pushdown marker itself
+    val grouped = FilingIndex.filingIndexV2Agg(s, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = v2().groupBy("form_type")
+      .agg(count(lit(1)).as("n")) // same data through the row-scan path
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == expected, s"pushed counts $grouped != row-scan counts $expected")
+    // filter + global count: both pushdowns in one scan
+    val filteredCount = v2().filter(col("form_type") === "NPORT-P").agg(count(lit(1)))
+    val n = filteredCount.collect().head.getLong(0)
+    val plan = filteredCount.queryExecution.executedPlan.toString
+    assert(plan.contains("agg_pushed=count") && plan.contains("NPORT-P"),
+      s"filter+count did not both push; plan:\n$plan")
+    assert(n == grouped("NPORT-P"))
+  }
+
   test("reads parallelize: one input partition per staged file") {
     val dir = FilingIndex.ensureStaged(s, sf)
     val files = new java.io.File(dir).listFiles()

@@ -14,6 +14,41 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
 
+  test("dedup→enrich→window pipeline runs TWO state stores in one query and dedups before counting") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = s.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val dim = Seq((1L, 10L), (2L, 20L)).toDF("user_id", "tier")
+    val q = in.toDF().toDF("event_id", "user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("tier"), col("n"))
+      .writeStream.format("memory").queryName("pipeline_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // each event sent twice: the dedup stage must halve the counts.
+      // Times sit off epoch zero — the initial watermark IS epoch 0 and
+      // a row exactly at it reads as late.
+      in.addData((1L, 1L, ts(60), 1.0), (1L, 1L, ts(60), 1.0),
+        (2L, 2L, ts(65), 2.0), (2L, 2L, ts(65), 2.0))
+      q.processAllAvailable()
+      in.addData((99L, 1L, ts(60 * 48), 0.0)) // watermark push
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 2,
+        s"expected dedup + window-agg state operators in ONE query, got ${ops.length}")
+      val rows = s.table("pipeline_out").collect()
+      val out = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(out == Map(10L -> 1L, 20L -> 1L),
+        s"duplicates reached the aggregate: $out; raw=${rows.mkString("; ")}; " +
+          s"stateOps=${q.lastProgress.stateOperators.map(o => o.operatorName + ":" + o.numRowsTotal).mkString(",")}")
+    } finally q.stop()
+  }
+
   test("session_window closes sessions past the watermark") {
     import s.implicits._
     implicit val sql = s.sqlContext
