@@ -399,6 +399,44 @@ object Media {
       .orderBy("media_id")
   }
 
+  /** Mean-abs-error budget for the ADPCM round trip on the ramp fixture:
+    * generous but finite — slope-overload garbage or a broken state
+    * machine blows it immediately (observed mean error is far lower;
+    * MediaSpec pins a tighter empirical value). */
+  private val AdpcmMeanErrBudget = 200L
+
+  /** `m_adpcm_decode` — REAL compressed-audio round trip
+    * ([[AdpcmCodec]], IMA 4-bit): a smooth ramp signal (gentle slope
+    * with periodic wraps — the adaptive step tracks the slope and
+    * recovers from the wraps) is compressed 4:1 and decoded; sample
+    * count and compressed size are EXACT (`⌈n/2⌉` bytes — the
+    * compression ratio is closed-form), fidelity is the JPEG-style
+    * bounds verdict on mean absolute error, all integer arithmetic. */
+  def adpcmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+        val n = (id % 50).toInt + 200
+        val slope = (id % 13) + 5
+        // starts near zero (the codec's initial predictor), so the
+        // error budget covers slope tracking + wrap recovery, not an
+        // artificial cold-start transient
+        val samples = Array.tabulate(n)(i =>
+          ((2000 + (id % 97) + 1 + i * slope) % 4000 - 2000).toShort)
+        val packed = AdpcmCodec.encode(samples)
+        val decoded = AdpcmCodec.decode(packed, n)
+        var absErr = 0L
+        var i = 0
+        while (i < n) { absErr += math.abs(decoded(i) - samples(i)); i += 1 }
+        (id, n.toLong, packed.length.toLong,
+          if (absErr <= AdpcmMeanErrBudget * n) 1 else 0)
+      }))
+      .toDF("media_id", "n_samples", "n_bytes", "within_bound")
+      .orderBy("media_id")
+  }
+
   private val ResampleRate = 4000
 
   /** `m_wav_resample` — decode → TRANSFORM on real parsed audio: linear
@@ -478,6 +516,7 @@ object Media {
     "m_ppm_resize" -> (ppmResize _),
     "m_wav_decode" -> (wavDecode _),
     "m_wav_resample" -> (wavResample _),
+    "m_adpcm_decode" -> (adpcmDecode _),
     "m_frame_sample" -> (frameSamples _),
     "m_resize_thumb" -> (resizeThumbs _),
     "m_pair_assembly" -> (pairAssembly _),
@@ -552,6 +591,15 @@ object Media {
     // the decoded-payload stats rebuilt from the sample formula:
     // interleaved sample i = ((id*7 + i*13) % 65536) - 32768, channel 0
     // holds indices i % channels == 0
+    // sample count and ⌈n/2⌉ compressed size are exact; fidelity is the
+    // bounds-verdict flag (lossy codec, same discipline as JPEG)
+    "m_adpcm_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST((doc_id % 50) + 200 AS BIGINT) AS n_samples,
+        |       CAST(((doc_id % 50) + 200 + 1) // 2 AS BIGINT) AS n_bytes,
+        |       1 AS within_bound
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin,
     // the scaled interpolated sum rebuilt in the same integer
     // arithmetic: i0 = (j·rate) div 4000, r = (j·rate) mod 4000,
     // channel-0 sample at frame k = formula value at index k·ch

@@ -72,6 +72,40 @@ object CodecPropertySpec extends Properties("CodecProperty") {
       }
   }
 
+  // IMA ADPCM golden vector, hand-walked from the published tables:
+  // state (pred=0, idx=0, step=7). Input 100: diff=100 ≥ 7·15/8 → code
+  // 7, delta 7+3+1+0=11... verified transitions below pin the exact
+  // state machine (any table or shift error diverges immediately).
+  property("ADPCM decoder matches the hand-computed golden transitions") = {
+    val enc = AdpcmCodec.encode(Array[Short](100, 100, 0))
+    val dec = AdpcmCodec.decode(enc, 3)
+    // step0=7: code=7 → delta=7+3+1+(7>>3=0)=...: delta = (7>>3)+(7)+(7>>1)+(7>>2)=0+7+3+1=11, pred=11, idx=0+8=8
+    // step8=16: diff=89 ≥ → code 7 → delta=(16>>3)+16+8+4=30, pred=41, idx=16
+    // step16=34: target 0, diff=-41 → sign, mag: 41≥34→4, rem 7; 7<17→0; 7≥8? no... 41-34=7, 7 >= 17? no; 7 >= 8? no → code=12, delta=(34>>3)+34=4+34=38, pred=3, idx=16+2=18
+    Prop(dec.sameElements(Array[Short](11, 41, 3)))
+  }
+
+  // ramps START NEAR ZERO (the codec's initial predictor): the budget
+  // then measures slope tracking + wrap recovery, not a cold-start
+  // transient the fixture can simply avoid
+  private val adpcmGen: Gen[Array[Short]] = for {
+    n <- Gen.chooseNum(0, 400)
+    slope <- Gen.chooseNum(1, 40)
+    phase <- Gen.chooseNum(0, 97)
+  } yield Array.tabulate(n)(i => ((2000 + phase + i * slope) % 4000 - 2000).toShort)
+
+  property("ADPCM round trip tracks a smooth signal within a bounded mean error") =
+    Prop.forAll(adpcmGen) { samples =>
+      val dec = AdpcmCodec.decode(AdpcmCodec.encode(samples), samples.length)
+      val err = samples.indices.map(i => math.abs(dec(i) - samples(i)).toLong).sum
+      samples.isEmpty || err <= 256L * samples.length
+    }
+
+  property("ADPCM compresses exactly 4:1 (two 4-bit codes per byte)") =
+    Prop.forAll(adpcmGen) { samples =>
+      AdpcmCodec.encode(samples).length == (samples.length + 1) / 2
+    }
+
   property("PPM rejects any truncation of a valid payload") =
     Prop.forAll(ppmGen, Gen.chooseNum(1, 5)) { case ((w, h, maxval, raster), cut) =>
       val full = PpmCodec.encode(w, h, maxval, raster)
