@@ -193,6 +193,59 @@ object Streams {
       .orderBy("ws_us", "event_type")
   }
 
+  /** `e_dead_letter` — the streaming QUARANTINE split (dead-letter
+    * queue): a wire-format stream (JSON lines, every 13th payload
+    * corrupted — truncated mid-object, the classic producer-crash
+    * shape) is parsed with `from_json` in PERMISSIVE mode and split in
+    * ONE pass: rows that parse flow to the aggregate, rows that don't
+    * are counted into the dead-letter side with their raw payload
+    * preserved (at scale the DLQ is a sink partition the producer team
+    * replays; dropping them silently is the pipeline sin this operator
+    * exists to prevent). Both sides are graded: per-type counts over
+    * the PARSED rows plus one dead-letter tally row — the corruption
+    * rule is deterministic, so the whole split is hash-checked. */
+  def deadLetterReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val payloads = graft.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+      .map { case (id, tpe, v) =>
+        val json = s"""{"event_id":$id,"event_type":"$tpe","value":$v}"""
+        // every 13th payload truncated mid-object — unparseable
+        if (id % 13 == 0) json.substring(0, json.length / 2) else json
+      }
+    val in = MemoryStream[String]
+    val sink = "e_dead_letter_sink"
+    withReplayShuffle(s) {
+      val parsed = in.toDF().toDF("raw")
+        .select(col("raw"), from_json(col("raw"),
+          "event_id BIGINT, event_type STRING, value DOUBLE",
+          Map.empty[String, String]).as("p"))
+      // one pass, two fates: parsed rows aggregate, failures tally.
+      // from_json PERMISSIVE yields a null/null-field struct on failure
+      // — event_id null is the discriminator (never null in valid rows)
+      val split = parsed.select(
+        when(col("p.event_id").isNotNull, col("p.event_type"))
+          .otherwise(lit("__dead_letter__")).as("k"),
+        col("p.value"))
+      val q = split
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          graft.QueryDsl.dsum(coalesce(col("value"), lit(0.0))).as("sum_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete).start()
+      try {
+        val (b1, b2) = payloads.splitAt(payloads.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(sink).orderBy("k")
+  }
+
   /** `e_late_data_audit` — WATERMARK LATE-DATA OBSERVABILITY as a
     * hash-checked query: every production watermarked pipeline must
     * publish how many rows it DROPPED as late (silent late-drop is the
@@ -1425,6 +1478,7 @@ object Streams {
     "e_rate_limit_stream" -> (rateLimitStreamReplay _),
     "e_debounce_stream" -> (debounceStreamReplay _),
     "e_stream_pipeline" -> (streamPipelineReplay _),
+    "e_dead_letter" -> (deadLetterReplay _),
     "e_rate_limit_ttl" -> (rateLimitTtlStreamReplay _),
     "e_window_agg_stream" -> (windowAggStream _),
     "e_late_data_audit" -> (lateDataAuditReplay _),
@@ -1462,6 +1516,19 @@ object Streams {
     "e_funnel_stream" -> graft.operators.Events.oracle("e_session_funnel"),
     // arrival-closed + timer-closed bursts ≡ the batch debounce verbatim
     "e_debounce_stream" -> graft.operators.Events.oracle("e_debounce"),
+    // the deterministic corruption rule in closed form: every 13th
+    // event's payload is unparseable → dead letter; the rest aggregate
+    // with their exact values (double → shortest-string → parse is
+    // identity)
+    "e_dead_letter" ->
+      s"""SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${graft.QueryDsl.sqlDsum("value")} AS sum_value
+         |FROM events WHERE event_id % 13 <> 0
+         |GROUP BY event_type
+         |UNION ALL
+         |SELECT '__dead_letter__', CAST(COUNT(*) AS BIGINT), CAST(0.0 AS DOUBLE)
+         |FROM events WHERE event_id % 13 = 0
+         |ORDER BY k""".stripMargin,
     // the retry-doubled feed must aggregate as if each event arrived
     // once: the windowed rollup over the DISTINCT event table — a
     // double-counted window hash-fails immediately
