@@ -400,6 +400,50 @@ object Formats {
     filtered(1).unionByName(filtered(2)).orderBy("version")
   }
 
+  private val driftRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_schema_drift` — the INGEST CONTRACT GUARD that runs before
+    * anyone trusts `mergeSchema` (`k_schema_evolution` proves the merge
+    * mechanics; this is the gate that decides whether merging is even
+    * safe): two snapshot schemas read from REAL written files are
+    * diffed per column into added / removed / widened / unchanged /
+    * incompatible. Widening (int→long here) is safe to merge;
+    * incompatible (string→double here) silently corrupts or fails a
+    * union at read time, which is exactly why the verdict must exist as
+    * data a pipeline can alert on, not a stack trace at 3am. The diff
+    * logic reads only footers — metadata plane, O(columns). */
+  def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "schema_drift") + "/run" + driftRuns.incrementAndGet()
+    val o = Tables.orders(s, d).filter(col("o_orderkey") % 200 === 0)
+    o.select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/v1")
+    o.select(col("o_orderkey"), col("o_custkey"), // int → long: widened
+        col("o_orderstatus").cast("string"),
+        col("o_totalprice").cast("string"), // double → string: incompatible
+        col("o_orderpriority")) // added
+      .write.mode("overwrite").parquet(s"$base/v2")
+    val v1 = s.read.parquet(s"$base/v1").schema.map(f => f.name -> f.dataType).toMap
+    val v2 = s.read.parquet(s"$base/v2").schema.map(f => f.name -> f.dataType).toMap
+    import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType}
+    def widened(a: DataType, b: DataType): Boolean =
+      (a == IntegerType && b == LongType) || (a == FloatType && b == DoubleType)
+    val verdicts = (v1.keySet ++ v2.keySet).toSeq.sorted.map { c =>
+      val verdict = (v1.get(c), v2.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case (Some(a), Some(b)) if widened(a, b) => "widened"
+        case _ => "incompatible"
+      }
+      (c, v1.get(c).map(_.simpleString).orNull,
+        v2.get(c).map(_.simpleString).orNull, verdict)
+    }
+    import s.implicits._
+    verdicts.toDF("col_name", "v1_type", "v2_type", "verdict")
+      .orderBy("col_name")
+  }
+
   private val fwRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_fixedwidth_roundtrip` — FIXED-WIDTH text, the mainframe/COBOL
@@ -487,6 +531,7 @@ object Formats {
     "k_manifest_cdf" -> (manifestCdf _),
     "k_fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
     "k_partition_evolution" -> (partitionEvolution _),
+    "k_schema_drift" -> (schemaDrift _),
     "k_format_roundtrip" -> (formatRoundtrip _),
     "k_schema_evolution" -> (schemaEvolution _),
     "k_snapshot_diff" -> (snapshotDiff _),
@@ -508,6 +553,18 @@ object Formats {
          |FROM f CROSS JOIN (SELECT unnest([1, 2]) AS version) v
          |GROUP BY v.version
          |ORDER BY v.version""".stripMargin,
+    // the drift verdicts in closed form: the writes fix the two schemas
+    // by construction, but the QUERY derives them from the actual
+    // parquet footers — a diff bug or a writer type surprise diverges
+    "k_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('o_custkey',      'int',    'bigint', 'widened'),
+        |  ('o_orderkey',     'bigint', 'bigint', 'unchanged'),
+        |  ('o_orderpriority', NULL,    'string', 'added'),
+        |  ('o_orderstatus',  'string', 'string', 'unchanged'),
+        |  ('o_totalprice',   'double', 'string', 'incompatible'))
+        |  AS t(col_name, v1_type, v2_type, verdict)
+        |ORDER BY col_name""".stripMargin,
     // computed straight from parquet: the fixed-width print→parse round
     // trip must be field-exact
     "k_fixedwidth_roundtrip" ->

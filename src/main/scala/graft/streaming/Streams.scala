@@ -198,10 +198,10 @@ object Streams {
     * corrupted — truncated mid-object, the classic producer-crash
     * shape) is parsed with `from_json` in PERMISSIVE mode and split in
     * ONE pass: rows that parse flow to the aggregate, rows that don't
-    * are counted into the dead-letter side with their raw payload
-    * preserved (at scale the DLQ is a sink partition the producer team
-    * replays; dropping them silently is the pipeline sin this operator
-    * exists to prevent). Both sides are graded: per-type counts over
+    * are counted into the dead-letter side (the raw payload column
+    * rides alongside the parse for a DLQ sink write — at scale the
+    * producer team replays that partition; dropping failures silently
+    * is the pipeline sin this operator exists to prevent). Both sides are graded: per-type counts over
     * the PARSED rows plus one dead-letter tally row — the corruption
     * rule is deterministic, so the whole split is hash-checked. */
   def deadLetterReplay(s: SparkSession, d: String): DataFrame = {
