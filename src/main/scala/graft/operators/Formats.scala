@@ -286,13 +286,24 @@ object Formats {
       * in `remove` is still live (read-set validation — the conflict
       * detection on overlapping file sets); throws
       * ConcurrentModificationException if not. Blind appends
-      * (`remove` empty) always rebase cleanly. */
-    def commit(dir: String, remove: Set[String], add: Seq[String]): CommitResult = {
+      * (`remove` empty) always rebase cleanly.
+      *
+      * `snapshot` pins the FIRST attempt to a version the caller read
+      * earlier (a real writer plans its commit against the snapshot it
+      * scanned, not a fresh read at publish time); retries rebase onto
+      * the live latest. Without it, two latch-synchronized racers are
+      * only *probably* in conflict — the loser's internal latest() can
+      * run after the winner's publish and land cleanly, making the
+      * observed conflict count scheduling-dependent. */
+    def commit(dir: String, remove: Set[String], add: Seq[String],
+               snapshot: Option[(Int, Seq[String])] = None): CommitResult = {
       var attempts = 0
+      var pinned = snapshot
       while (true) {
         attempts += 1
         if (attempts > 10) throw new IllegalStateException("commit retry budget exhausted")
-        val (v, files) = latest(dir)
+        val (v, files) = pinned.getOrElse(latest(dir))
+        pinned = None
         if (!remove.subsetOf(files.toSet))
           throw new java.util.ConcurrentModificationException(
             s"read set invalidated: ${remove.diff(files.toSet).mkString(",")} no longer live in v$v")
@@ -331,9 +342,12 @@ object Formats {
     val ready = new java.util.concurrent.CountDownLatch(2)
     val results = new java.util.concurrent.ConcurrentHashMap[String, CommitResult]()
     def appender(name: String, file: String) = new Thread(() => {
-      ManifestLog.latest(base) // both snapshot v1 before either commits
+      // both writers PIN their commit to the v1 snapshot read here — the
+      // latch alone doesn't force a conflict (the loser's fresh read
+      // inside commit() could already see v2 and land cleanly)
+      val snap = ManifestLog.latest(base)
       ready.countDown(); ready.await()
-      results.put(name, ManifestLog.commit(base, Set.empty, Seq(file))): Unit
+      results.put(name, ManifestLog.commit(base, Set.empty, Seq(file), Some(snap))): Unit
     }, s"occ-$name")
     val ts = Seq(appender("X", fX), appender("Y", fY))
     ts.foreach(_.start()); ts.foreach(_.join())

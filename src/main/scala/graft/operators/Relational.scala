@@ -631,7 +631,7 @@ object Relational {
          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
          |               SUM(c) OVER () AS n
          |        FROM vals)
-         |SELECT (before * $DepthBuckets) // n AS bucket,
+         |SELECT CAST((before * $DepthBuckets) // n AS BIGINT) AS bucket,
          |       CAST(SUM(c) AS BIGINT) AS n_rows,
          |       MIN(v) AS lo, MAX(v) AS hi
          |FROM cum GROUP BY 1

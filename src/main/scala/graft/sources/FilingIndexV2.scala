@@ -190,7 +190,10 @@ object FilingIndexV2 {
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getFileSystem(hadoopConf).open(p), "UTF-8"))
       try {
-        val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        // keyed by Option — a sentinel String would be compared by VALUE
+        // here but by REFERENCE on output, silently merging a real form
+        // that happens to equal the sentinel into the null group
+        val counts = scala.collection.mutable.LinkedHashMap.empty[Option[String], Long]
         var line = in.readLine()
         while (line != null) {
           if (line.nonEmpty) {
@@ -205,7 +208,7 @@ object FilingIndexV2 {
                 else form.get(i).asText()
               if ((!formNotNull || f != null) &&
                   (formEq.isEmpty || formEq.forall(v => f != null && f == v))) {
-                val key = if (f == null) NullKey else f
+                val key = Option(f)
                 counts.update(key, counts.getOrElse(key, 0L) + 1L)
               }
               i += 1
@@ -215,7 +218,7 @@ object FilingIndexV2 {
         }
         if (grouped)
           counts.iterator.map { case (f, c) =>
-            InternalRow(if (f eq NullKey) null else UTF8String.fromString(f), c)
+            InternalRow(f.map(UTF8String.fromString).orNull, c)
           }.toIndexedSeq.iterator
         else Iterator(InternalRow(counts.valuesIterator.sum))
       } finally in.close()
@@ -230,9 +233,6 @@ object FilingIndexV2 {
     override def get(): InternalRow = current
     override def close(): Unit = ()
   }
-
-  /** Sentinel for the null form group (reference equality checked). */
-  private val NullKey = new String("__graft_null_form__")
 
   /** Streams one staged file line-by-line; each fund document expands to
     * its zipped filing rows (max array length, null-fill — the arrays_zip

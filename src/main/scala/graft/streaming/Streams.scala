@@ -266,7 +266,11 @@ object Streams {
       .select(col("event_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
       .collect()
-      .sortBy(r => (r._2.getTime, r._1))
+      // sort at MICROSECOND precision (tsMicros), not Timestamp.getTime
+      // (ms): the fixture keeps µs, and two events sharing a ms at the
+      // n/2 boundary would otherwise split differently than the oracle's
+      // epoch-µs rank — changing the watermark and the late-drop count
+      .sortBy(r => (tsMicros(r._2), r._1))
     val b1 = batch.take(batch.length / 2)
     val in = MemoryStream[(Long, java.sql.Timestamp)]
     val sink = "e_late_data_audit_sink"
@@ -1626,20 +1630,22 @@ object Streams {
          |ORDER BY ws_us, event_type""".stripMargin,
     // the engine's own late-drop counter rebuilt in closed form: batch 1
     // = the first ⌊n/2⌋ rows in (event-time, event_id) order (the
-    // rate-limit-TTL half-split rule), watermark after it = max(b1.ts)
-    // − 1 h; a re-sent b1 row is dropped iff its RAW event time is
-    // strictly before the watermark (dedup's late filter keeps
-    // ts ≥ wm); newer re-sends are suppressed by the dedup check, a
-    // different counter
+    // rate-limit-TTL half-split rule). Watermark semantics mirror the
+    // engine EXACTLY (verified against WatermarkSupport bytecode):
+    // EventTimeWatermarkExec tracks max event time FLOORED TO
+    // MILLISECONDS (us // 1000), the 1 h delay is subtracted in ms, and
+    // the late filter is LessThanOrEqual — a re-sent row is dropped iff
+    // us <= ((max_us // 1000) − 3600000) * 1000. Newer re-sends are
+    // suppressed by the dedup check, a different counter.
     "e_late_data_audit" ->
       """WITH o AS (SELECT epoch_ns(ts) // 1000 AS us, event_id,
         |                  row_number() OVER (ORDER BY epoch_ns(ts) // 1000, event_id) AS g,
         |                  count(*) OVER () AS n
         |           FROM events),
         |b1 AS (SELECT us FROM o WHERE g <= n // 2),
-        |wm AS (SELECT max(us) - 3600000000 AS w FROM b1)
+        |wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS w FROM b1)
         |SELECT CAST(2 * (SELECT COUNT(*) FROM b1) AS BIGINT) AS n_input_rows,
-        |       CAST((SELECT COUNT(*) FROM b1, wm WHERE us < w) AS BIGINT) AS n_late_dropped""".stripMargin,
+        |       CAST((SELECT COUNT(*) FROM b1, wm WHERE us <= w) AS BIGINT) AS n_late_dropped""".stripMargin,
     // the KMV sketch is a deterministic function of each window's value
     // set (k smallest md5-derived hashes), so the flushed streaming
     // windows hash-match this windowed recompute, rank for rank

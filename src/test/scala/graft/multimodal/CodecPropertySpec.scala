@@ -94,11 +94,21 @@ object CodecPropertySpec extends Properties("CodecProperty") {
     phase <- Gen.chooseNum(0, 97)
   } yield Array.tabulate(n)(i => ((2000 + phase + i * slope) % 4000 - 2000).toShort)
 
+  // The budget must be wrap-aware: the sawtooth's +2000 → −2000 cliff is a
+  // 4000-amplitude step the 4-bit coder cannot follow in one sample — the
+  // step table needs ~8 max-code samples to grow from step 7 to cover the
+  // deficit, then a few more to damp the oversized quantizer back down.
+  // R = 16 samples bounds that transient (deltas 12,28,60,128,275,590,
+  // 1267,2716 cumulate past 4000 by sample 8; the post-catch-up ringing is
+  // step-sized and decays as the index steps back). A flat 256·n budget is
+  // unsound when a wrap lands near the end of a short array (the transient
+  // has no tail to amortize over), which made this property seed-flaky.
   property("ADPCM round trip tracks a smooth signal within a bounded mean error") =
     Prop.forAll(adpcmGen) { samples =>
       val dec = AdpcmCodec.decode(AdpcmCodec.encode(samples), samples.length)
       val err = samples.indices.map(i => math.abs(dec(i) - samples(i)).toLong).sum
-      samples.isEmpty || err <= 256L * samples.length
+      val wraps = (1 until samples.length).count(i => samples(i) < samples(i - 1))
+      samples.isEmpty || err <= 256L * samples.length + 4000L * 16 * wraps
     }
 
   property("ADPCM compresses exactly 4:1 (two 4-bit codes per byte)") =

@@ -31,9 +31,12 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     val ready = new java.util.concurrent.CountDownLatch(2)
     val results = new java.util.concurrent.ConcurrentHashMap[String, Formats.CommitResult]()
     def appender(name: String) = new Thread(() => {
-      ManifestLog.latest(dir)
+      // pin both commits to the v1 snapshot: without it the loser's fresh
+      // read inside commit() can observe v2 and land cleanly (attempts=2),
+      // making the assertion below scheduling-dependent
+      val snap = ManifestLog.latest(dir)
       ready.countDown(); ready.await()
-      results.put(name, ManifestLog.commit(dir, Set.empty, Seq(name))): Unit
+      results.put(name, ManifestLog.commit(dir, Set.empty, Seq(name), Some(snap))): Unit
     })
     val ts = Seq(appender("x"), appender("y"))
     ts.foreach(_.start()); ts.foreach(_.join())

@@ -49,6 +49,22 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_class(dt) -> str:
+    """Coarse dtype class mirroring the driver's typed hash: an int column
+    and a float column must NOT compare equal even when values match
+    (0 vs 0.0), which is exactly how oracle-typing bugs ship."""
+    k = dt.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "other"
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
     s, o = norm(spark_df), norm(oracle_df)
     if list(s.columns) != list(o.columns):
@@ -57,6 +73,15 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
     if len(s) != len(o):
         print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
         return False
+    for col in s.columns:
+        sc, oc = dtype_class(s[col].dtype), dtype_class(o[col].dtype)
+        # a float column that is all-NaN-free integers is still float — strict.
+        # Exception: an all-null oracle column materializes as object/float;
+        # only enforce when both sides carry at least one non-null value.
+        if sc != oc and s[col].notna().any() and o[col].notna().any():
+            print(f"FAIL {name}: col={col} dtype spark={s[col].dtype}({sc}) "
+                  f"oracle={o[col].dtype}({oc})")
+            return False
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
