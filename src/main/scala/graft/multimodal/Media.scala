@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * metadata, decoded executor-side in batches (the Scala analog of a
   * Pandas-UDF/`mapInPandas` stage).
   *
-  * TWO modalities decode REAL bytes: [[PpmCodec]] parses binary P6
-  * images (`m_ppm_decode`) and [[WavCodec]] parses RIFF/WAVE PCM16 audio
-  * (`m_wav_decode`) — both formats need no native library. Only
-  * genuinely codec-bound formats (JPEG, MP3, video) remain behind
-  * [[MediaStub.decode]], a DETERMINISTIC STUB computing features from
-  * raw bytes (size, unsigned-byte sum/mean, md5, frame count).
+  * ALL THREE modalities decode REAL bytes: images via [[PpmCodec]] /
+  * [[PngCodec]] / the JDK JPEG reader (`m_ppm_decode`, `m_png_decode`,
+  * `m_jpeg_decode`), audio via [[WavCodec]] / [[AdpcmCodec]]
+  * (`m_wav_decode`, `m_adpcm_decode`, `m_wav_resample`), and multi-frame
+  * video containers via [[GifCodec]] (`m_gif_frames`) — none needs a
+  * native library. [[MediaStub.decode]] remains ONLY as the fallback
+  * SHAPE for codec-bound formats absent from the JDK (MP3, H.264): a
+  * DETERMINISTIC STUB computing features from raw bytes (size,
+  * unsigned-byte sum/mean, md5, frame count) behind the same batched
+  * mapPartitions plumbing a JNI decoder would slot into.
   * Everything around it is the real 100 TB pattern: a typed
   * `Dataset[MediaRecord]`, `mapPartitions` with explicit batching (batch
   * size bounds peak memory per task exactly like a Pandas-UDF batch), and
@@ -117,11 +121,13 @@ object Media {
 
   private val FrameStride = 3
 
-  /** `m_frame_sample` — the 1-record→N-frames generator, the multimodal
-    * analog of the holdings extraction's 1-doc→N-rows flatMap: each media
-    * payload expands to its sampled frame chunks (every 3rd 16-byte chunk
-    * via the stub sampler), hashed so the oracle can verify each frame's
-    * exact bytes without shipping them. */
+  /** `m_frame_sample` — the 1-record→N-frames generator over the STUB
+    * byte-chunk sampler: the FALLBACK shape for codec-bound formats with
+    * no JDK decoder (the real container walk is [[gifFrames]], which
+    * decodes genuine multi-frame GIF payloads). Each media payload
+    * expands to its sampled frame chunks (every 3rd 16-byte chunk),
+    * hashed so the oracle can verify each frame's exact bytes without
+    * shipping them. */
   def frameSamples(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
@@ -508,8 +514,55 @@ object Media {
       .orderBy("media_id")
   }
 
+  /** GIF table with real multi-frame container payloads (video-typed
+    * ids, doc_id%3==2): nf=(id%5)+2 frames of w=(id%9)+2 × h=(id%6)+2,
+    * frame f pixel i = palette index (id·13 + f·7 + i) % 256 — encoded by
+    * the from-scratch [[GifCodec.encode]] writer (real variable-width
+    * LZW + GIF89a container), so the walk below exercises the JDK reader
+    * on independently produced bytes. */
+  def gifTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .map { id =>
+        val nf = (id % 5).toInt + 2
+        val w = (id % 9).toInt + 2
+        val h = (id % 6).toInt + 2
+        val frames = (0 until nf).map(f =>
+          Array.tabulate(w * h)(i => ((id * 13 + f * 7 + i) % 256).toByte))
+        (id, GifCodec.encode(w, h, frames))
+      }
+  }
+
+  /** `m_gif_frames` — REAL container walk, the modality that retired the
+    * last synthetic media path: each payload is a genuine animated
+    * GIF89a (our writer, the JDK's independent decoder), expanded
+    * 1 record → N frame rows with per-frame index sums computed from the
+    * DECODED rasters. The grayscale palette makes the decoded red
+    * channel the index raster, so the closed-form pixel oracle is exact
+    * — the container structure (frame count, per-frame dimensions) and
+    * the LZW payload are both verified by data. [[frameSamples]] remains
+    * as the byte-chunk FALLBACK shape for formats with no JDK decoder. */
+  def gifFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gifTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val frames = GifCodec.decode(bytes)
+        frames.zipWithIndex.map { case (f, idx) =>
+          var sum = 0L
+          var i = 0
+          while (i < f.indices.length) { sum += f.indices(i) & 0xff; i += 1 }
+          (id, idx, f.width, f.height, frames.length, sum)
+        }
+      }))
+      .toDF("media_id", "frame_idx", "width", "height", "n_frames", "sum_px")
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
+    "m_gif_frames" -> (gifFrames _),
     "m_ppm_decode" -> (ppmDecode _),
     "m_png_decode" -> (pngDecode _),
     "m_jpeg_decode" -> (jpegDecode _),
@@ -523,6 +576,27 @@ object Media {
   )
 
   val oracle: Map[String, String] = Map(
+    // the container walk rebuilt from the frame/pixel formulas: frame f
+    // pixel i = (id*13 + f*7 + i) % 256 — frame count, dimensions, and
+    // per-frame sums must match what the JDK reader DECODED out of the
+    // GIF bytes (LZW payload + container structure both data-verified)
+    "m_gif_frames" ->
+      """WITH vids AS (
+        |  SELECT doc_id, (doc_id % 9) + 2 AS w, (doc_id % 6) + 2 AS h,
+        |         (doc_id % 5) + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, w, h, nf, f
+        |  FROM vids, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f)),
+        |px AS (
+        |  SELECT doc_id, w, h, nf, f, (doc_id * 13 + f * 7 + i) % 256 AS v
+        |  FROM fr, LATERAL (SELECT unnest(generate_series(0, CAST(w*h - 1 AS BIGINT))) AS i))
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(nf AS INT) AS n_frames,
+        |       CAST(SUM(v) AS BIGINT) AS sum_px
+        |FROM px GROUP BY doc_id, f, w, h, nf
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // the decoded-payload stats rebuilt from the pixel formula: raster
     // byte i = (id*31+i)%256, channel = i%3 — dimensions and sums must
     // match what the Spark side PARSED out of the PPM bytes
