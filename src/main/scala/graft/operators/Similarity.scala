@@ -359,6 +359,7 @@ object Similarity {
         .withColumn("recall", col("n_hit").cast("double") / lit(K.toDouble))
     }
     recallOf(annIvf(s, d), "ivf")
+      .unionByName(recallOf(annIvfTrained(s, d), "ivf_kmeans"))
       .unionByName(recallOf(annLsh(s, d), "lsh"))
       .unionByName(recallOf(annPq(s, d), "pq"))
       .unionByName(recallOf(annQuantized(s, d), "quant"))
@@ -645,8 +646,179 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- TRAINED coarse quantizer: sampled iterative Lloyd's k-means in
+  // EXACT integer arithmetic, the asterisk-remover on the IVF/PQ story —
+  // a real 100 TB index trains its codebook rather than borrowing a
+  // label column. Determinism without weakening the algorithm:
+  //   - vectors enter fixed-point space as floor(double(v)·1e6) (the
+  //     proven centroidArrays mapping — bit-identical cross-engine);
+  //   - training runs on a deterministic 1-in-4 sample (vec_id % 4 = 0:
+  //     at scale the quantizer trains on a sample, never the corpus);
+  //   - init = the k smallest sample vec_ids' vectors (order-free);
+  //   - assignment = argmin of the EXACT integer squared L2, ties to the
+  //     smallest cluster id; update = truncating integer mean (matches
+  //     DuckDB's `//` on signed values); empty clusters keep their
+  //     previous centroid;
+  //   - a FIXED iteration count, so the oracle is the unrolled CTE chain
+  //     (the d_pagerank pattern) — every iteration reproduced exactly.
+  // Scale shape: per iteration one sample scan + a k×dim driver sync
+  // (Lloyd's on a cluster always syncs the codebook); the corpus is
+  // touched ONCE, by the staged assignment pass; probes read only the
+  // staged index. ----
+
+  private val KmClusters = 8
+  private val KmIterations = 3
+  private val KmSampleMod = 4L
+
+  private[operators] def scaledVec(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = math.floor(v(i).toDouble * CentroidScale).toLong; i += 1 }
+    out
+  }
+
+  /** Exact integer squared-L2 argmin; strict `<` keeps the smallest
+    * cluster id on ties — the same (dist, id) order the oracle ranks. */
+  private[operators] def assignCluster(cents: Array[Array[Long]], e: Array[Long]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var d2 = 0L
+      var i = 0
+      while (i < e.length) { val df = e(i) - c(i); d2 += df * df; i += 1 }
+      if (d2 < bestD) { bestD = d2; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** The `pr` nearest trained centroids, ranked by (exact d2, id). */
+  private def topClusters(cents: Array[Array[Long]], e: Array[Long], pr: Int): Seq[Int] =
+    cents.indices.map { j =>
+      val c = cents(j)
+      var d2 = 0L
+      var i = 0
+      while (i < e.length) { val df = e(i) - c(i); d2 += df * df; i += 1 }
+      (d2, j)
+    }.sorted.take(pr).map(_._2)
+
+  /** Lloyd's over the scaled sample: KmIterations fixed rounds of
+    * assign (distributed map) + update (k-bounded reduceGroups with
+    * map-side partial combine; the collect is k rows, never data). */
+  private def trainKmeans(s: SparkSession, d: String): (Array[Array[Long]], Array[Long]) = {
+    import s.implicits._
+    val sample = emb(s, d).filter(col("vec_id") % KmSampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, scaledVec(v)) }
+      .persist()
+    try {
+      var centroids: Array[Array[Long]] =
+        sample.orderBy(col("_1")).limit(KmClusters).collect().map(_._2)
+      var counts = Array.fill(KmClusters)(0L)
+      var t = 0
+      while (t < KmIterations) {
+        val cents = centroids
+        val agg = sample
+          .map { case (_, e) => (assignCluster(cents, e), (1L, e)) }
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .reduceGroups { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+            val sums = new Array[Long](a._2.length)
+            var i = 0
+            while (i < sums.length) { sums(i) = a._2(i) + b._2(i); i += 1 }
+            (a._1 + b._1, sums)
+          }
+          .collect() // ≤ k rows — the codebook sync, not a data collect
+        val next = centroids.map(_.clone()) // empty clusters keep previous
+        val cnt = Array.fill(KmClusters)(0L)
+        agg.foreach { case (c, (n, sums)) =>
+          cnt(c) = n
+          next(c) = sums.map(_ / n) // truncating division — DuckDB `//`
+        }
+        centroids = next
+        counts = cnt
+        t += 1
+      }
+      (centroids, counts)
+    } finally { sample.unpersist(); () }
+  }
+
+  private[operators] val kmeansBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def kmeansStageDir(sfDir: String): String =
+    "/tmp/graft_stage/kmeans_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Stages the trained index: the k×dim codebook (with member counts)
+    * and the one-pass corpus assignment table. Build-once per sf dir
+    * across queries and JVMs (graft.Staging marker + lock). */
+  def ensureKmeansStaged(s: SparkSession, d: String): (String, String) = {
+    val dir = kmeansStageDir(d)
+    val centroidsPath = dir + "/centroids"
+    val assignPath = dir + "/assign"
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      kmeansBuildCount.incrementAndGet()
+      val (cents, counts) = trainKmeans(s, d)
+      import s.implicits._
+      val codebook = for { c <- 0 until KmClusters; i <- 0 until Dim }
+        yield (c, i, cents(c)(i), counts(c))
+      codebook.toDF("cluster_id", "dim", "c_val", "n_members")
+        .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
+      emb(s, d).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, assignCluster(cents, scaledVec(v))) }
+        .toDF("vec_id", "cluster_id")
+        .write.mode("overwrite").parquet(assignPath)
+    }: Unit
+    (centroidsPath, assignPath)
+  }
+
+  /** `v_kmeans_train` — the trained codebook itself, hash-checked against
+    * the fully unrolled k-means oracle: init, three exact-integer Lloyd's
+    * rounds, final member counts. One row per (cluster, dimension). */
+  def kmeansTrain(s: SparkSession, d: String): DataFrame = {
+    val (cPath, _) = ensureKmeansStaged(s, d)
+    s.read.parquet(cPath)
+      .select(col("cluster_id"), col("dim"), col("c_val"), col("n_members"))
+      .orderBy("cluster_id", "dim")
+  }
+
+  /** `v_ann_ivf_trained` — IVF over the TRAINED quantizer: queries probe
+    * their 2 nearest trained centroids (exact integer L2), candidates
+    * come from the staged assignment table (never a corpus re-cluster),
+    * exact float-cosine re-rank within the probed cells. */
+  def annIvfTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cPath, aPath) = ensureKmeansStaged(s, d)
+    val rows = s.read.parquet(cPath)
+      .select(col("cluster_id"), col("dim"), col("c_val")).collect() // k×dim, bounded
+    val cents = Array.ofDim[Long](KmClusters, Dim)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val probes = emb(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (q, v) => topClusters(cents, scaledVec(v), NProbe).map(c => (q, c)) }
+      .toDF("q_id", "cluster_id")
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    s.read.parquet(aPath)
+      .join(broadcast(probes), "cluster_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(emb(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_embed_stats" -> (embedStats _),
+    "v_kmeans_train" -> (kmeansTrain _),
+    "v_ann_ivf_trained" -> (annIvfTrained _),
     "v_ann_pq" -> (annPq _),
     "v_ann_pq_refine" -> (annPqRefine _),
     "v_cosine_topk" -> (cosineTopK _),
@@ -812,6 +984,96 @@ object Similarity {
          |SELECT q_id, rank, vec_id, cosine FROM ranked2 WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
 
+  // The unrolled Lloyd's chain (the d_pagerank pattern): scaled sample,
+  // deterministic init, KmIterations × (exact-integer argmin assignment,
+  // truncating-integer-mean update with empty-cluster carry-forward).
+  // Every value is integer-exact cross-engine: FLOOR(double·1e6) is the
+  // proven centroidArrays mapping, DuckDB's `//` truncates toward zero
+  // exactly like Scala Long division, and HUGEINT intermediates carry
+  // the same values as the engine's Longs.
+  private lazy val kmeansCte: String = {
+    def assignCte(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT se.vec_id, i.c,
+         |           row_number() OVER (PARTITION BY se.vec_id
+         |             ORDER BY SUM((se.e - i.cv)*(se.e - i.cv)) ASC, i.c ASC) AS rn
+         |    FROM se JOIN $cent i ON se.dim = i.dim
+         |    GROUP BY se.vec_id, i.c) t WHERE rn = 1)""".stripMargin
+    def updateCte(name: String, assign: String, prev: String): String =
+      s"""$name AS (
+         |  SELECT i.c, i.dim, COALESCE(u.cv, i.cv) AS cv
+         |  FROM $prev i LEFT JOIN (
+         |    SELECT a.c, se.dim, SUM(se.e) // COUNT(*) AS cv
+         |    FROM $assign a JOIN se USING (vec_id) GROUP BY a.c, se.dim) u
+         |  ON u.c = i.c AND u.dim = i.dim)""".stripMargin
+    s"""WITH se AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM embeddings WHERE vec_id % $KmSampleMod = 0),
+       |init AS (
+       |  SELECT CAST(r.j AS INT) AS c, se.dim, se.e AS cv
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+       |        FROM (SELECT DISTINCT vec_id FROM se) dv) r
+       |  JOIN se USING (vec_id) WHERE r.j < $KmClusters),
+       |${assignCte("a1", "init")},
+       |${updateCte("c1", "a1", "init")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2", "c1")},
+       |${assignCte("a3", "c2")},
+       |${updateCte("c3", "a3", "c2")},
+       |kcnt AS (SELECT c, COUNT(*) AS n FROM a3 GROUP BY c)""".stripMargin
+  }
+
+  private lazy val kmeansTrainOracle: String =
+    kmeansCte +
+      """
+        |SELECT c3.c AS cluster_id, CAST(c3.dim AS INT) AS dim,
+        |       CAST(c3.cv AS BIGINT) AS c_val,
+        |       CAST(COALESCE(kcnt.n, 0) AS BIGINT) AS n_members
+        |FROM c3 LEFT JOIN kcnt ON kcnt.c = c3.c
+        |ORDER BY cluster_id, dim""".stripMargin
+
+  // trained-quantizer IVF: the chain continues with the full-corpus
+  // assignment (the staged table's definition), the query-side top-2
+  // probe under the same exact integer L2, and the float-cosine re-rank
+  private lazy val annIvfTrainedOracle: String =
+    kmeansCte +
+      s""",
+         |corp AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e
+         |  FROM embeddings),
+         |kassign AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT corp.vec_id, i.c,
+         |           row_number() OVER (PARTITION BY corp.vec_id
+         |             ORDER BY SUM((corp.e - i.cv)*(corp.e - i.cv)) ASC, i.c ASC) AS rn
+         |    FROM corp JOIN c3 i ON corp.dim = i.dim
+         |    GROUP BY corp.vec_id, i.c) t WHERE rn = 1),
+         |kprobed AS (
+         |  SELECT q_id, c FROM (
+         |    SELECT corp.vec_id AS q_id, i.c,
+         |           row_number() OVER (PARTITION BY corp.vec_id
+         |             ORDER BY SUM((corp.e - i.cv)*(corp.e - i.cv)) ASC, i.c ASC) AS rn
+         |    FROM corp JOIN c3 i ON corp.dim = i.dim
+         |    WHERE corp.vec_id < 8
+         |    GROUP BY corp.vec_id, i.c) t WHERE rn <= $NProbe),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+         |  FROM kprobed p JOIN kassign a ON a.c = p.c
+         |       JOIN embeddings e ON e.vec_id = a.vec_id
+         |       JOIN q ON q.q_id = p.q_id
+         |  WHERE a.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+
   private lazy val annIvfOracle: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
          |expl AS (
@@ -908,6 +1170,8 @@ object Similarity {
         |FROM x GROUP BY i ORDER BY dim""".stripMargin,
     "v_cosine_topk" -> cosineTopkOracle,
     "v_ann_ivf" -> annIvfOracle,
+    "v_kmeans_train" -> kmeansTrainOracle,
+    "v_ann_ivf_trained" -> annIvfTrainedOracle,
     "v_ann_pq" -> annPqOracle,
     "v_ann_pq_refine" -> annPqRefineOracle,
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
@@ -931,10 +1195,13 @@ object Similarity {
       s"""WITH exr AS (SELECT q_id, vec_id FROM ($cosineTopkOracle) t),
          |qs AS (SELECT DISTINCT q_id FROM exr),
          |ivfr AS (SELECT q_id, vec_id FROM ($annIvfOracle) t),
+         |tkr AS (SELECT q_id, vec_id FROM ($annIvfTrainedOracle) t),
          |lshr AS (SELECT q_id, vec_id FROM ($annLshOracle) t),
          |pqr AS (SELECT q_id, vec_id FROM ($annPqOracle) t),
          |qur AS (SELECT q_id, vec_id FROM ($annQuantizedOracle) t),
          |ih AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN ivfr USING (q_id, vec_id)
+         |       GROUP BY q_id),
+         |th AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN tkr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |lh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN lshr USING (q_id, vec_id)
          |       GROUP BY q_id),
@@ -945,6 +1212,9 @@ object Similarity {
          |SELECT method, q_id, n_hit, CAST(n_hit AS DOUBLE) / $K.0 AS recall FROM (
          |  SELECT 'ivf' AS method, qs.q_id, CAST(COALESCE(ih.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN ih USING (q_id)
+         |  UNION ALL
+         |  SELECT 'ivf_kmeans' AS method, qs.q_id, CAST(COALESCE(th.n, 0) AS BIGINT) AS n_hit
+         |  FROM qs LEFT JOIN th USING (q_id)
          |  UNION ALL
          |  SELECT 'lsh' AS method, qs.q_id, CAST(COALESCE(lh.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN lh USING (q_id)
