@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, ExtractHoldingsGen, Int8Quantize, KmvHashes, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys, TopKPairs}
+import graft.functions.{BottomKCounts, CosineSimilarity, ExtractHoldingsGen, Int8Quantize, KmvHashes, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys, TopKPairs}
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
@@ -119,6 +119,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"topk_pairs: k must be an integer literal, got $other")
         }
         TopKPairs(children.head, children(1), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bottomk_counts"),
+      new ExpressionInfo(classOf[BottomKCounts].getName, "bottomk_counts"),
+      (children: Seq[Expression]) => {
+        // bottomk_counts(value_long, k): the k smallest-hashed distinct
+        // values with exact occurrence counts, in (hash, value) order
+        require(children.length == 2, "bottomk_counts takes (value, k)")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"bottomk_counts: k must be an integer literal, got $other")
+        }
+        BottomKCounts(children.head, k)
       }))
   }
 }

@@ -130,10 +130,47 @@ object Sketches {
       .select(col("event_type"), col("rank"), col("h"), col("est_distinct"))
       .orderBy("event_type", "rank")
 
+  private val BkK = 64
+
+  /** Weighted bottom-k QUANTILE sketch per order priority — the engine's
+    * second fully ORACLE-CHECKED sketch ([[graft.functions.BottomKCounts]],
+    * the quantile sibling of [[kmvDistinct]]): the k smallest-hashed
+    * distinct price points (cents — floor(double·100), identical IEEE in
+    * both engines) with exact occurrence counts. The median estimate is
+    * a pure integer function of the sketch contents — the smallest
+    * sampled value whose value-ordered running count reaches half the
+    * sampled mass — so contents, ranks, AND estimate all hash-match a
+    * windowed-SQL recompute. Groups with ≤ k distinct values degrade to
+    * an exact weighted median, as the sketch should.
+    *
+    * Scale shape: O(k) mergeable buffers, map-side combined; the
+    * estimate is an O(groups × k) overlay, never a corpus pass. */
+  def bottomkQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice").cast("double") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(s"bottomk_counts(cents, $BkK)").as("sk"))
+    val wTot = Window.partitionBy("o_orderpriority")
+    val wVal = Window.partitionBy("o_orderpriority").orderBy(col("v_cents"))
+    sk.select(col("o_orderpriority"), posexplode(col("sk")).as(Seq("rank", "e")))
+      .select(col("o_orderpriority"), col("rank"),
+        col("e.h").as("h"), col("e.v").as("v_cents"), col("e.cnt").as("cnt"))
+      .withColumn("tot", sum("cnt").over(wTot))
+      .withColumn("run", sum("cnt").over(wVal))
+      .withColumn("est_p50_cents",
+        min(when(col("run") * 2 >= col("tot"), col("v_cents"))).over(wTot))
+      .select(col("o_orderpriority"), col("rank"), col("h"), col("v_cents"),
+        col("cnt"), col("est_p50_cents"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_approx_distinct" -> (approxDistinct _),
     "k_approx_quantiles" -> (approxQuantiles _),
     "k_kmv_distinct" -> (kmvDistinct _),
+    "k_bottomk_quantiles" -> (bottomkQuantiles _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,5 +201,30 @@ object Sketches {
          |       END AS est_distinct
          |FROM f
          |ORDER BY event_type, rank""".stripMargin,
+    // the sketch contents rebuilt value-for-value: distinct cents with
+    // exact counts, ranked by (portable hash, value), k kept; the median
+    // estimate is the same integer prefix-sum over the kept sample
+    "k_bottomk_quantiles" ->
+      s"""WITH vals AS (
+         |  SELECT o_orderpriority, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM orders GROUP BY 1, 2),
+         |h AS (SELECT *, ${graft.QueryDsl.sqlHex8("md5(CAST(v AS VARCHAR))", 1)} AS h
+         |      FROM vals),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+         |                  ORDER BY h, v) AS rn
+         |      FROM h),
+         |f AS (SELECT * FROM r WHERE rn <= $BkK),
+         |agg AS (SELECT *,
+         |          SUM(cnt) OVER (PARTITION BY o_orderpriority) AS tot,
+         |          SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v) AS run
+         |        FROM f),
+         |est AS (SELECT o_orderpriority,
+         |          MIN(CASE WHEN run * 2 >= tot THEN v END) AS est_p50
+         |        FROM agg GROUP BY 1)
+         |SELECT f.o_orderpriority, CAST(f.rn - 1 AS INT) AS rank, f.h,
+         |       f.v AS v_cents, f.cnt, est.est_p50 AS est_p50_cents
+         |FROM f JOIN est USING (o_orderpriority)
+         |ORDER BY o_orderpriority, rank""".stripMargin,
   )
 }

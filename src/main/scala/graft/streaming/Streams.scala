@@ -351,6 +351,66 @@ object Streams {
       .orderBy("ws_us", "event_type", "rank")
   }
 
+  /** Streaming weighted bottom-k QUANTILE sketch per (6 h window, type):
+    * [[graft.functions.BottomKCounts]] running inside watermarked
+    * streaming aggregation state — the k smallest-hashed distinct cent
+    * values with exact counts serialize through the state store via the
+    * aggregate's own serialize/merge; state is O(open windows × types
+    * × k) whatever the event volume. The median estimate is derived from
+    * the flushed contents batch-side (an O(windows × k) overlay). */
+  def bottomkWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(expr("bottomk_counts(cents, 16)").as("sk"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("sk"))
+
+  /** `e_bottomk_stream` — [[bottomkWindowAgg]] replayed over the events
+    * table (sentinel-flush shape of [[kmvStream]]); sketch contents AND
+    * the per-window median estimate are hash-checked against the
+    * windowed recompute. */
+  def bottomkStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch = graft.Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .collect()
+    val maxMs = batch.iterator.map(_._2.getTime).max
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val sink = "e_bottomk_stream_sink"
+    withReplayShuffle(s) {
+      val src = in.toDF().toDF("event_type", "ts", "value")
+        .withColumn("cents", floor(col("value").cast("double") * 100).cast("long"))
+      val q = bottomkWindowAgg(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(("sentinel",
+          new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    import org.apache.spark.sql.expressions.Window
+    val wTot = Window.partitionBy("ws_us", "event_type")
+    val wVal = Window.partitionBy("ws_us", "event_type").orderBy(col("v_cents"))
+    s.table(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("window_start")).as("ws_us"), col("event_type"),
+        posexplode(col("sk")).as(Seq("rank", "e")))
+      .select(col("ws_us"), col("event_type"), col("rank"),
+        col("e.h").as("h"), col("e.v").as("v_cents"), col("e.cnt").as("cnt"))
+      .withColumn("tot", sum("cnt").over(wTot))
+      .withColumn("run", sum("cnt").over(wVal))
+      .withColumn("est_p50_cents",
+        min(when(col("run") * 2 >= col("tot"), col("v_cents"))).over(wTot))
+      .select(col("ws_us"), col("event_type"), col("rank"), col("h"),
+        col("v_cents"), col("cnt"), col("est_p50_cents"))
+      .orderBy("ws_us", "event_type", "rank")
+  }
+
   /** Streaming TRENDING TOP-K per (6 h window, type): the engine's second
     * custom `TypedImperativeAggregate` ([[graft.functions.TopKPairs]])
     * running INSIDE watermarked streaming aggregation state — k-capped
@@ -1488,6 +1548,7 @@ object Streams {
     "e_late_data_audit" -> (lateDataAuditReplay _),
     "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_kmv_stream" -> (kmvStream _),
+    "e_bottomk_stream" -> (bottomkStream _),
     "e_topk_stream" -> (topkStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "e_stream_enrich_scd" -> (streamEnrichScdReplay _),
@@ -1659,6 +1720,34 @@ object Streams {
          |      FROM h)
          |SELECT ws_us, event_type, CAST(rn - 1 AS INT) AS rank, h
          |FROM r WHERE rn <= 16
+         |ORDER BY ws_us, event_type, rank""".stripMargin,
+    // the bottom-k quantile sketch is likewise a pure function of each
+    // window's value multiset (k smallest-hashed distinct cents + exact
+    // counts), so contents AND the derived median estimate hash-match
+    // this windowed recompute
+    "e_bottomk_stream" ->
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us,
+         |                  CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+         |           FROM events),
+         |vals AS (SELECT us - us % 21600000000 AS ws_us, event_type, v,
+         |                CAST(COUNT(*) AS BIGINT) AS cnt
+         |         FROM e GROUP BY 1, 2, 3),
+         |h AS (SELECT *, ${graft.QueryDsl.sqlHex8("md5(CAST(v AS VARCHAR))", 1)} AS h
+         |      FROM vals),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY ws_us, event_type
+         |                  ORDER BY h, v) AS rn
+         |      FROM h),
+         |f AS (SELECT * FROM r WHERE rn <= 16),
+         |agg AS (SELECT *,
+         |          SUM(cnt) OVER (PARTITION BY ws_us, event_type) AS tot,
+         |          SUM(cnt) OVER (PARTITION BY ws_us, event_type ORDER BY v) AS run
+         |        FROM f),
+         |est AS (SELECT ws_us, event_type,
+         |          MIN(CASE WHEN run * 2 >= tot THEN v END) AS est_p50
+         |        FROM agg GROUP BY 1, 2)
+         |SELECT f.ws_us, f.event_type, CAST(f.rn - 1 AS INT) AS rank, f.h,
+         |       f.v AS v_cents, f.cnt, est.est_p50 AS est_p50_cents
+         |FROM f JOIN est USING (ws_us, event_type)
          |ORDER BY ws_us, event_type, rank""".stripMargin,
     "e_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus,
