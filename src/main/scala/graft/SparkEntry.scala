@@ -37,6 +37,7 @@ object SparkEntry {
       (operators.Extraction.queries, operators.Extraction.oracle),
       (operators.Events.queries, operators.Events.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+      (operators.BpeTrain.queries, operators.BpeTrain.oracle),
       (operators.CorpusClean.queries, operators.CorpusClean.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE MERGE TRAINING — the tokenizer-side training step a corpus
+  * pipeline runs before any token budget means anything (reference
+  * behavior: the extractor consumes text fields verbatim; a training
+  * pipeline must first LEARN the subword vocabulary from them).
+  *
+  * The real BPE loop, determinized the k-means way (fixed-point + fixed
+  * iterations + unrolled-CTE oracle):
+  *   1. one corpus pass builds the word-frequency table (lowercase-ASCII
+  *      words ≤ 12 chars — the standard pre-tokenized BPE input);
+  *   2. each word becomes a space-delimited symbol string (" h e l l o ");
+  *   3. per merge step: count ADJACENT SYMBOL PAIRS weighted by word
+  *      frequency (explode over the O(vocab) table, map-side combined),
+  *      pick the argmax pair with (count DESC, left ASC, right ASC)
+  *      tie-break, then rewrite every word by merging that pair.
+  *
+  * Merge REWRITE semantics are pinned to something both engines share
+  * bit-for-bit: two successive non-overlapping left-to-right literal
+  * replaces of " l r " with " lr ". One pass misses every second
+  * occurrence of a self-chaining pair (the shared middle delimiter is
+  * consumed), two passes merge the alternating leftovers — equal to
+  * greedy BPE on every real word, and DETERMINISTIC by construction
+  * either way, which is what the oracle contract needs.
+  *
+  * Scale shape: the corpus is touched ONCE (the word count); each of the
+  * [[BpeMerges]] iterations runs over the O(distinct-words) table with
+  * one bounded argmax collect (the codebook-sync pattern shared with the
+  * trained IVF quantizer). This is exactly how production BPE trainers
+  * structure the work — iterate over word counts, never over raw text. */
+object BpeTrain {
+
+  private val BpeMerges = 4
+  private val MaxWordLen = 12
+
+  /** The word-frequency table: one corpus pass, cached for the loop. */
+  private def wordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** `t_bpe_train` — the learned merge table: (step, merge_left,
+    * merge_right, pair count), hash-checked against the fully unrolled
+    * pair-count/argmax/rewrite chain in DuckDB. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = wordCounts(s, d)
+      // " h e l l o " — every symbol has a delimiter on BOTH sides, so a
+      // literal " l r " match is an exact adjacent-pair test
+      .select(col("cnt"),
+        concat(regexp_replace(col("w"), "(.)", " $1"), lit(" ")).as("s"))
+      .persist()
+    try {
+      var words = base
+      val merges = Vector.newBuilder[(Int, String, String, Long)]
+      var step = 1
+      while (step <= BpeMerges) {
+        val parts = split(trim(col("s")), " ")
+        val top = words
+          .filter(size(parts) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(split(trim(s), ' ')) - 2)," +
+              " i -> struct(split(trim(s), ' ')[i] AS l, split(trim(s), ' ')[i+1] AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("l").asc, col("r").asc)
+          .limit(1)
+          .collect() // exactly one row — the argmax sync, never data
+        val row = top.head
+        val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((step, l, r, n))
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" $l$r ")
+        // literal (not regex) two-pass replace — StringReplace is the
+        // same non-overlapping left-to-right scan DuckDB's replace() does
+        words = words.withColumn("s",
+          call_function("replace", call_function("replace", col("s"), pat, rep), pat, rep))
+        step += 1
+      }
+      merges.result()
+        .toDF("step", "merge_left", "merge_right", "n")
+        .orderBy("step")
+    } finally { base.unpersist(); () }
+  }
+
+  private def sqlEsc(s: String): String = s.replace("'", "''")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_train" -> (bpeTrain _),
+  )
+
+  private def mergeStep(t: Int, prev: String): String = {
+    val pairs =
+      s"""p$t AS (
+         |  SELECT parts[i] AS l, parts[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, string_split(trim(s), ' ') AS parts FROM $prev) t,
+         |       LATERAL (SELECT unnest(generate_series(1, len(parts) - 1)) AS i)
+         |  GROUP BY 1, 2),
+         |m$t AS (SELECT l, r, n FROM p$t ORDER BY n DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+    val rewrite =
+      s"""s$t AS (
+         |  SELECT cnt,
+         |         replace(replace(s, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
+         |                 ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS s
+         |  FROM $prev, m$t)""".stripMargin
+    if (t < BpeMerges) pairs + ",\n" + rewrite else pairs
+  }
+
+  val oracle: Map[String, String] = Map(
+    // the same loop unrolled: word counts -> symbol strings -> per step
+    // (adjacent-pair count, argmax with the same tie order, two-pass
+    // literal rewrite) -- the d_pagerank / v_kmeans_train pattern
+    "t_bpe_train" -> {
+      val steps = (1 to BpeMerges).map(t => mergeStep(t, if (t == 1) "s0" else s"s${t - 1}"))
+        .mkString(",\n")
+      val out = (1 to BpeMerges)
+        .map(t => s"SELECT $t AS step, l AS merge_left, r AS merge_right, n FROM m$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH w AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= $MaxWordLen
+         |  GROUP BY w),
+         |s0 AS (SELECT cnt, regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS s FROM w),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
+    },
+  )
+}
