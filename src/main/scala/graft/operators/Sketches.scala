@@ -166,11 +166,62 @@ object Sketches {
       .orderBy("o_orderpriority", "rank")
   }
 
+  private val JcK = 128
+  private val Two32 = 4294967296L
+
+  /** `k_join_cardinality` — JOIN-SIZE ESTIMATION FROM SKETCHES, the
+    * planner-statistics consumer of [[graft.functions.BottomKCounts]]:
+    * |A ⋈ B| = Σ_key cntA·cntB estimated WITHOUT running the join, from
+    * one bottom-k sketch per side (theta-sketch style). θ = the smaller
+    * side's k-th hash (2³² when a sketch holds its whole key set — the
+    * estimate then degrades to EXACT, as it should); matched sampled keys
+    * below θ contribute their exact count products, scaled by the sampled
+    * hash-space fraction in pure integer arithmetic
+    * (`sum·2³² div θ` — headroom to Σproducts ≈ 2³¹, plenty for any
+    * per-key-count sum a sane key column produces). The exact join count
+    * rides along as the honest comparison baseline and feeds an integer
+    * within-2× verdict; every column is an exact integer, so the whole
+    * row — estimate, baseline, verdict — hash-checks.
+    *
+    * Scale shape: each sketch is one map-side-combined pass over its own
+    * table (O(k) state); the estimate is an O(k) overlay — the join
+    * itself never runs for the estimate, which is the point. */
+  def joinCardinality(s: SparkSession, d: String): DataFrame = {
+    def sketch(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).cast("long").as("v"))
+        .agg(expr(s"bottomk_counts(v, $JcK)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.h").as("h"), col("e.v").as("v"), col("e.cnt").as("cnt"))
+    def theta(sk: DataFrame, name: String): DataFrame =
+      sk.agg(count(lit(1)).as("n"), max(col("h")).as("mh"))
+        .select(when(col("n") < JcK, lit(Two32)).otherwise(col("mh")).as(name))
+    val a = sketch(Tables.orders(s, d), "o_custkey")
+    val b = sketch(Tables.customer(s, d), "c_custkey").withColumnRenamed("cnt", "cnt_b")
+    val th = theta(a, "th_a").crossJoin(theta(b, "th_b"))
+      .select(least(col("th_a"), col("th_b")).as("theta"))
+    val agg = a.join(b, Seq("h", "v"))
+      .crossJoin(th)
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common_sampled"),
+        coalesce(sum(col("cnt") * col("cnt_b")), lit(0L)).as("sum_products"))
+    val exact = Tables.orders(s, d).select(col("o_custkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    agg.crossJoin(th).crossJoin(exact)
+      .select(col("n_common_sampled"), col("sum_products"), col("theta"),
+        expr(s"sum_products * ${Two32}L div theta").as("est_rows"), col("exact_rows"))
+      .withColumn("within_2x",
+        (col("est_rows") * 2 >= col("exact_rows") &&
+          col("est_rows") <= col("exact_rows") * 2).cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_approx_distinct" -> (approxDistinct _),
     "k_approx_quantiles" -> (approxQuantiles _),
     "k_kmv_distinct" -> (kmvDistinct _),
     "k_bottomk_quantiles" -> (bottomkQuantiles _),
+    "k_join_cardinality" -> (joinCardinality _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,5 +277,37 @@ object Sketches {
          |       f.v AS v_cents, f.cnt, est.est_p50 AS est_p50_cents
          |FROM f JOIN est USING (o_orderpriority)
          |ORDER BY o_orderpriority, rank""".stripMargin,
+    // both side sketches, theta, the matched-sample product sum, the
+    // integer scale-up, and the exact baseline rebuilt verbatim
+    "k_join_cardinality" -> {
+      def side(name: String, table: String, key: String): String =
+        s"""${name}v AS (SELECT $key AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+           |       FROM $table GROUP BY 1),
+           |${name}h AS (SELECT *, ${graft.QueryDsl.sqlHex8("md5(CAST(v AS VARCHAR))", 1)} AS h
+           |       FROM ${name}v),
+           |${name}f AS (SELECT * FROM (
+           |         SELECT *, row_number() OVER (ORDER BY h, v) AS rn FROM ${name}h)
+           |       WHERE rn <= $JcK),
+           |${name}th AS (SELECT CASE WHEN (SELECT COUNT(*) FROM ${name}v) < $JcK
+           |                     THEN $Two32 ELSE (SELECT MAX(h) FROM ${name}f) END AS th)""".stripMargin
+      s"""WITH ${side("a", "orders", "o_custkey")},
+         |${side("b", "customer", "c_custkey")},
+         |th AS (SELECT LEAST(ath.th, bth.th) AS theta FROM ath, bth),
+         |m AS (SELECT af.h, af.cnt AS ca, bf.cnt AS cb
+         |      FROM af JOIN bf ON af.h = bf.h AND af.v = bf.v),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common_sampled,
+         |               CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS sum_products
+         |        FROM m, th WHERE m.h < th.theta),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+         |       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+         |SELECT agg.n_common_sampled, agg.sum_products,
+         |       CAST(th.theta AS BIGINT) AS theta,
+         |       CAST(agg.sum_products * $Two32 // th.theta AS BIGINT) AS est_rows,
+         |       ex.exact_rows,
+         |       CAST(CASE WHEN agg.sum_products * $Two32 // th.theta * 2 >= ex.exact_rows
+         |                  AND agg.sum_products * $Two32 // th.theta <= ex.exact_rows * 2
+         |                 THEN 1 ELSE 0 END AS INT) AS within_2x
+         |FROM agg, th, ex""".stripMargin
+    },
   )
 }
