@@ -539,7 +539,53 @@ object Formats {
       .orderBy("op")
   }
 
+  private val gdprRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val GdprBuckets = 8
+
+  /** `k_gdpr_delete` — RIGHT-TO-ERASURE as a lakehouse operation: delete
+    * every row of one subject from a 100 TB table WITHOUT rewriting the
+    * table. The layout is the mechanism: data lands KEY-BUCKETED
+    * (user_id % 8 → 8 files), so the files containing the subject are
+    * known by ARITHMETIC, not by scanning — the delete pass rewrites
+    * exactly ONE bucket file minus the subject's rows and publishes a new
+    * manifest that swaps that file and keeps the other 7 untouched
+    * (REQUIREd: v2 shares all non-target paths with v1). Write
+    * amplification is 1/buckets of the table, the erasure is atomic (the
+    * manifest publish), and v1 remains readable with the subject present
+    * — the audit trail regulators actually ask for — until the retention
+    * window drops it. Output: per-version row/subject/value totals plus
+    * the rewrite count, every column closed-form for the oracle. */
+  def gdprDelete(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "gdpr_delete") + "/run" + gdprRuns.incrementAndGet()
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+    val files = (0 until GdprBuckets).map { b =>
+      val p = s"$base/data/b$b"
+      ev.filter(pmod(col("user_id"), lit(GdprBuckets)) === b).write.mode("overwrite").parquet(p)
+      p
+    }
+    require(ManifestLog.publish(base, 1, files), s"v1 exists under $base")
+    // the erasure subject: deterministic (the smallest user id)
+    val target = ev.agg(min(col("user_id"))).head().getLong(0)
+    val tb = (target % GdprBuckets).toInt
+    val rewritten = s"$base/data/b${tb}_gdpr"
+    s.read.parquet(files(tb)).filter(col("user_id") =!= target)
+      .write.mode("overwrite").parquet(rewritten)
+    val v2files = files.updated(tb, rewritten)
+    require(ManifestLog.publish(base, 2, v2files), s"v2 exists under $base")
+    require(v2files.toSet.intersect(files.toSet).size == GdprBuckets - 1,
+      "erasure rewrote more than the subject's bucket")
+    def audit(v: Int): DataFrame =
+      s.read.parquet(ManifestLog.read(base, v): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id") === target, 1L).otherwise(0L)).as("n_subject_rows"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_subject_rows"),
+          col("sum_value"), lit(if (v == 1) 0 else 1).as("n_files_rewritten"))
+    audit(1).unionByName(audit(2)).orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_gdpr_delete" -> (gdprDelete _),
     "k_timetravel" -> (timeTravel _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_manifest_cdf" -> (manifestCdf _),
@@ -554,6 +600,21 @@ object Formats {
   )
 
   val oracle: Map[String, String] = Map(
+    // per-version audit rebuilt from the slice rule: v1 = every event,
+    // v2 = everything but the smallest user's rows; one rewrite in v2
+    "k_gdpr_delete" ->
+      s"""WITH tgt AS (SELECT MIN(user_id) AS u FROM events)
+         |SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CASE WHEN user_id = tgt.u THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_subject_rows,
+         |       ${sqlDsum("value")} AS sum_value, 0 AS n_files_rewritten
+         |FROM events, tgt GROUP BY tgt.u
+         |UNION ALL
+         |SELECT 2, CAST(COUNT(*) AS BIGINT),
+         |       CAST(0 AS BIGINT),
+         |       ${sqlDsum("value")}, 1
+         |FROM events, tgt WHERE user_id <> tgt.u
+         |ORDER BY version""".stripMargin,
     // per-version totals rebuilt from the slice rules: v1 = keys % 3 in
     // (0, 1); v2 = keys % 3 in (0, 2) ∪ (1, 2) rewritten = % 3 != ... v2
     // reads files A (≡0) and C (≢0) = all keys
