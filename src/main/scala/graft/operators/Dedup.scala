@@ -872,6 +872,64 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  private val ContT = (9, 10) // directional containment threshold, exact ratio
+
+  /** `d_containment_join` — directional near-SUPERSET detection
+    * (containment(src→dst) = |S_src ∩ S_dst| / |S_src|), the dedup class
+    * symmetric Jaccard structurally misses: a short document quoted
+    * whole inside a long one has Jaccard ≈ |short|/|long| (arbitrarily
+    * small) but containment ≈ 1 — exactly the quote/inclusion/rewrite-
+    * with-additions relationship a training-data pipeline must catch
+    * (the long doc re-teaches the short one verbatim).
+    *
+    * COMPLETE candidate generation by the directional prefix filter: if
+    * cont(src→dst) ≥ t, then fewer than |src| − ⌈t·|src|⌉ + 1 of src's
+    * tokens can fall outside S_dst, so src's first
+    * |src| − ⌈t·|src|⌉ + 1 tokens in the fixed global (df, token) order
+    * must intersect dst's FULL token stream — prefix(src) ⋈ postings is
+    * provably a superset of the answer (ContainmentSpec checks ≡ brute
+    * force). One side stays O(corpus·prefix-fraction), the other is the
+    * token postings; survivors verify with one exact intersection, and
+    * the threshold is an integer cross-multiplication — no float gate.
+    * At scale the postings side would carry (doc size, df) so the
+    * |dst| ≥ ⌈t·|src|⌉ size filter prunes inside the join; the fixture's
+    * verify absorbs it. */
+  def containmentJoin(s: SparkSession, d: String): DataFrame =
+    containmentJoinOver(docs(s, d))
+
+  /** The containment pipeline over an arbitrary (doc_id, text) frame —
+    * lets the spec drive the short-doc-inside-long-doc case the fixture's
+    * similar-length near-dups don't contain. */
+  private[operators] def containmentJoinOver(docFrame: DataFrame): DataFrame = {
+    val (tn, td) = ContT
+    val tok = docFrame.select(col("doc_id"), explode(shingles5).as("sh"))
+    val dfreq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), t => t.getField("sh")).as("toks"),
+        size(col("ts")).cast("long").as("n"))
+    val prefLen = (col("n") - expr(s"(($tn * n + ${td - 1}) div $td)") + 1).cast("int")
+    val pref = ranked.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("p"))
+    val cand = pref.as("x").join(tok.as("y"),
+        col("x.p") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+      .distinct()
+    val arrs = ranked.select(col("doc_id"), col("toks"), col("n"))
+    cand
+      .join(arrs.select(col("doc_id").as("src"), col("toks").as("tsrc"),
+        col("n").as("n_src")), "src")
+      .join(arrs.select(col("doc_id").as("dst"), col("toks").as("tdst"),
+        col("n").as("n_dst")), "dst")
+      .withColumn("inter", size(array_intersect(col("tsrc"), col("tdst"))).cast("long"))
+      // cont(src→dst) ≥ tn/td ⟺ td·inter ≥ tn·|src| — exact integers
+      .filter(col("inter") * td >= col("n_src") * tn)
+      .select(col("src"), col("dst"), col("n_src"), col("n_dst"), col("inter"))
+      .orderBy("src", "dst")
+  }
+
   /** CALIBRATION of the MinHash estimate against EXACT Jaccard — the
     * measurement that justifies (or retunes) the est ≥ 0.5 gate every
     * LSH consumer trusts: for each STAGED near-dup pair (8th consumer,
@@ -968,6 +1026,7 @@ object Dedup {
     "d_lsh_tuning" -> (lshTuning _),
     "d_jaccard_calibration" -> (jaccardCalibration _),
     "d_setsim_join" -> (setSimJoin _),
+    "d_containment_join" -> (containmentJoin _),
     "d_exact_dedup" -> (exactDedup _),
     "d_minhash_sig" -> (minhashSignatures _),
     "d_band_stats" -> (bandStats _),
@@ -1095,6 +1154,27 @@ object Dedup {
          |JOIN sz sb ON p.b = sb.doc_id
          |WHERE p.inter * ${SetSimT._1 + SetSimT._2} >= (sa.n + sb.n) * ${SetSimT._1}
          |ORDER BY a, b""".stripMargin,
+    // directional pairs: every ordered pair sharing a shingle, kept iff
+    // td·inter ≥ tn·|src| — the prefix filter is complete, so the
+    // engine's candidate set reduces to exactly this
+    "d_containment_join" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${SetSimN - 1}], ' ') AS sh
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${SetSimN - 1})) AS i
+         |        FROM ws WHERE len(w) >= $SetSimN) t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS src, y.doc_id AS dst, COUNT(*) AS inter
+         |  FROM tok x JOIN tok y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.src, p.dst, CAST(ss.n AS BIGINT) AS n_src,
+         |       CAST(sd.n AS BIGINT) AS n_dst, CAST(p.inter AS BIGINT) AS inter
+         |FROM pairs p
+         |JOIN sz ss ON p.src = ss.doc_id
+         |JOIN sz sd ON p.dst = sd.doc_id
+         |WHERE p.inter * ${ContT._2} >= ss.n * ${ContT._1}
+         |ORDER BY src, dst""".stripMargin,
     "d_span_dedup" ->
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (
