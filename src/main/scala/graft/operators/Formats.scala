@@ -584,8 +584,59 @@ object Formats {
     audit(1).unionByName(audit(2)).orderBy("version")
   }
 
+  private val dsv2Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_dsv2_write` — a distributed write through the engine's
+    * DataSource V2 SINK ([[graft.sources.FixedWidthV2]], the write half
+    * of the connector story): 4 writer tasks stream fixed-width records
+    * to attempt-private temp files, the driver commit renames them into
+    * place and publishes `_MANIFEST` last (atomic visibility). The query
+    * REQUIREs the committed manifest's file count and row/byte totals,
+    * then reads the records BACK through a plain substring/cast parse and
+    * aggregates — the oracle computes the same aggregate from the
+    * original table, so the connector's render → commit → read-back loop
+    * is verified by data end to end. */
+  def dsv2Write(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "dsv2_write") + "/run" + dsv2Runs.incrementAndGet()
+    val target = s"$base/fw"
+    val slice = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    slice.repartition(4, col("o_orderkey"))
+      .write.format("graft.sources.FixedWidthV2")
+      .option("path", target).mode("append").save()
+    // read with Hadoop FS directly: Spark's file readers skip "_"-prefixed
+    // paths (the metadata-file convention this manifest follows on purpose)
+    val manifest = {
+      val p = new org.apache.hadoop.fs.Path(s"$target/_MANIFEST")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    }
+    val parts = manifest.filter(_.startsWith("part-"))
+    val total = manifest.find(_.startsWith("TOTAL ")).map(_.split(" ")(1).toLong)
+    require(parts.length == 4, s"expected 4 committed part files, got:\n${manifest.mkString("\n")}")
+    require(total.contains(slice.count()),
+      s"manifest row total ${total.orNull} != input count")
+    require(parts.map(_.split(" ")(1).toLong).sum == total.get,
+      "per-file counts do not sum to the manifest total")
+    s.read.text(s"$target/part-*.fw")
+      .select(
+        trim(substring(col("value"), 1, 12)).cast("bigint").as("o_orderkey"),
+        trim(substring(col("value"), 13, 4)).as("o_orderstatus"),
+        substring(col("value"), 17, 16).cast("double").as("o_totalprice"),
+        trim(substring(col("value"), 33, 16)).as("o_orderpriority"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_gdpr_delete" -> (gdprDelete _),
+    "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_manifest_cdf" -> (manifestCdf _),
@@ -648,6 +699,16 @@ object Formats {
          |       ${sqlDsum("o_totalprice")} AS total,
          |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          |FROM orders WHERE o_orderkey % 50 = 0
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // the V2 sink's render/commit/read-back loop must reproduce the
+    // original slice exactly (%016.2f is double-exact on 2-decimal data)
+    "k_dsv2_write" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${sqlDsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders WHERE o_orderkey % 20 = 0
          |GROUP BY o_orderstatus, o_orderpriority
          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     // the feed rebuilt from the slice rules: removed = keys ≡ 1 (file
