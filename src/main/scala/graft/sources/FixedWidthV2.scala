@@ -67,7 +67,8 @@ object FixedWidthV2 {
     override def name(): String = s"graft_fixedwidth($path)"
     override def schema(): StructType = Schema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new FwWriteBuilder(path, info)
   }
@@ -83,6 +84,8 @@ object FixedWidthV2 {
       val doTruncate = truncateFirst
       new Write {
         override def toBatch: BatchWrite = new FwBatchWrite(path, doTruncate)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new FwStreamingWrite(path)
       }
     }
   }
@@ -134,6 +137,67 @@ object FixedWidthV2 {
     }
   }
 
+  /** The STREAMING half of the sink: the same task-temp → driver-rename
+    * protocol, but per EPOCH, and the epoch commit is IDEMPOTENT — a
+    * replayed micro-batch (the crash-between-commit-and-checkpoint case
+    * every streaming sink must survive) finds its epoch manifest already
+    * published and reduces to temp cleanup, never duplicating data. This
+    * is the exactly-once discipline `e_idempotent_sink` demonstrates via
+    * foreachBatch, implemented at the connector layer where Spark invokes
+    * it with the epoch id. */
+  private[sources] class FwStreamingWrite(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+      new FwStreamingWriterFactory(path,
+        new org.apache.spark.util.SerializableConfiguration(
+          SparkSession.active.sessionState.newHadoopConf()))
+
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(path).getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      val dir = new Path(path)
+      fs.mkdirs(dir)
+      val manifestPath = new Path(dir, f"_MANIFEST-$epochId%06d")
+      val msgs = messages.map(_.asInstanceOf[FwCommitMessage]).sortBy(_.partitionId)
+      if (fs.exists(manifestPath)) {
+        // epoch replay after a crash between commit and checkpoint:
+        // already published — drop the duplicate attempt's files
+        msgs.foreach(m => fs.delete(new Path(m.tmpPath), false): Unit)
+        return
+      }
+      msgs.foreach { m =>
+        val dest = new Path(dir, f"part-$epochId%06d-${m.partitionId}%05d.fw")
+        require(fs.rename(new Path(m.tmpPath), dest),
+          s"epoch $epochId commit failed renaming ${m.tmpPath} -> $dest")
+      }
+      val tmpManifest = new Path(dir, f"_MANIFEST-$epochId%06d.inprogress")
+      val out = fs.create(tmpManifest, true)
+      try {
+        msgs.foreach(m => out.write(
+          f"part-$epochId%06d-${m.partitionId}%05d.fw ${m.rows} ${m.bytes}\n".getBytes("UTF-8")))
+        out.write(s"TOTAL ${msgs.map(_.rows).sum} ${msgs.map(_.bytes).sum}\n".getBytes("UTF-8"))
+      } finally out.close()
+      require(fs.rename(tmpManifest, manifestPath), s"epoch $epochId manifest publish failed")
+    }
+
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(path).getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      messages.collect { case m: FwCommitMessage =>
+        fs.delete(new Path(m.tmpPath), false)
+      }: Unit
+    }
+  }
+
+  private[sources] class FwStreamingWriterFactory(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(
+        partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+      new FwWriter(path, partitionId, taskId, conf.value, epochTag = f"$epochId%06d-")
+  }
+
   private[sources] class FwWriterFactory(
       path: String, conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
@@ -143,9 +207,10 @@ object FixedWidthV2 {
 
   private[sources] class FwWriter(
       dir: String, partitionId: Int, taskId: Long,
-      hadoopConf: org.apache.hadoop.conf.Configuration)
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      epochTag: String = "")
     extends DataWriter[InternalRow] {
-    private val tmp = new Path(s"$dir/_temporary/part-$partitionId-$taskId.fw")
+    private val tmp = new Path(s"$dir/_temporary/part-$epochTag$partitionId-$taskId.fw")
     private var opened = false
     private lazy val out = {
       val fs = tmp.getFileSystem(hadoopConf)

@@ -351,6 +351,64 @@ object Streams {
       .orderBy("ws_us", "event_type", "rank")
   }
 
+  private val dsv2StreamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `e_dsv2_stream_sink` — the CONNECTOR-LAYER exactly-once sink: the
+    * events-shaped order slice replayed through the engine's DataSource
+    * V2 streaming write ([[graft.sources.FixedWidthV2]] with
+    * STREAMING_WRITE), two micro-batches → two epoch commits, each
+    * publishing its files + epoch manifest atomically (idempotent on
+    * epoch replay — FixedWidthV2Spec drives the replay case directly).
+    * The union of committed epoch files must reproduce the slice exactly;
+    * the read-back aggregate shares `k_dsv2_write`'s oracle shape. */
+  def dsv2StreamSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch = graft.Tables.orders(s, d)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .as[(Long, String, Double, String)]
+      .collect()
+      .sortBy(_._1)
+    val target = graft.TempPaths.scratch(s, "dsv2_stream") +
+      "/run" + dsv2StreamRuns.incrementAndGet()
+    val in = MemoryStream[(Long, String, Double, String)]
+    withReplayShuffle(s) {
+      val q = in.toDF()
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .writeStream.format("graft.sources.FixedWidthV2")
+        .option("path", target)
+        .outputMode(OutputMode.Append).start()
+      try {
+        val (b1, b2) = batch.splitAt(batch.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // every epoch that carried data published a manifest
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val manifests = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(target, "_MANIFEST-*")))
+      .getOrElse(Array.empty).map(_.getPath.getName).sorted
+    require(manifests.length >= 2,
+      s"expected one epoch manifest per micro-batch, got: ${manifests.mkString(", ")}")
+    s.read.text(s"$target/part-*.fw")
+      .select(
+        trim(substring(col("value"), 1, 12)).cast("bigint").as("o_orderkey"),
+        trim(substring(col("value"), 13, 4)).as("o_orderstatus"),
+        substring(col("value"), 17, 16).cast("double").as("o_totalprice"),
+        trim(substring(col("value"), 33, 16)).as("o_orderpriority"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.QueryDsl.dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** Streaming weighted bottom-k QUANTILE sketch per (6 h window, type):
     * [[graft.functions.BottomKCounts]] running inside watermarked
     * streaming aggregation state — the k smallest-hashed distinct cent
@@ -1549,6 +1607,7 @@ object Streams {
     "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_kmv_stream" -> (kmvStream _),
     "e_bottomk_stream" -> (bottomkStream _),
+    "e_dsv2_stream_sink" -> (dsv2StreamSink _),
     "e_topk_stream" -> (topkStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "e_stream_enrich_scd" -> (streamEnrichScdReplay _),
@@ -1707,6 +1766,16 @@ object Streams {
         |wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS w FROM b1)
         |SELECT CAST(2 * (SELECT COUNT(*) FROM b1) AS BIGINT) AS n_input_rows,
         |       CAST((SELECT COUNT(*) FROM b1, wm WHERE us <= w) AS BIGINT) AS n_late_dropped""".stripMargin,
+    // the union of committed epoch files must reproduce the order slice
+    // exactly, whatever the batch split — same aggregate as k_dsv2_write
+    "e_dsv2_stream_sink" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${graft.QueryDsl.sqlDsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders WHERE o_orderkey % 20 = 0
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     // the KMV sketch is a deterministic function of each window's value
     // set (k smallest md5-derived hashes), so the flushed streaming
     // windows hash-match this windowed recompute, rank for rank

@@ -91,6 +91,31 @@ class FixedWidthV2Spec extends AnyFunSuite {
     assert(back == orig)
   }
 
+  test("streaming epoch commit is idempotent: a replayed epoch publishes nothing new") {
+    val t = freshDir()
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(t).getFileSystem(conf)
+    def stageTask(pid: Int, task: Long): FixedWidthV2.FwCommitMessage = {
+      val w = new FixedWidthV2.FwWriter(t, pid, task, conf, epochTag = "000007-")
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        pid.toLong, org.apache.spark.unsafe.types.UTF8String.fromString("O"),
+        12.34, org.apache.spark.unsafe.types.UTF8String.fromString("1-URGENT")))
+      w.commit().asInstanceOf[FixedWidthV2.FwCommitMessage]
+    }
+    val sw = new FixedWidthV2.FwStreamingWrite(t)
+    sw.commit(7L, Array(stageTask(0, 100L), stageTask(1, 101L)))
+    val after1 = new java.io.File(t).listFiles().map(_.getName).filter(_.endsWith(".fw")).sorted
+    assert(after1.length == 2)
+    // the crash-replay: same epoch re-runs its tasks (new attempt ids)
+    // and re-commits — the published state must not change
+    sw.commit(7L, Array(stageTask(0, 200L), stageTask(1, 201L)))
+    val after2 = new java.io.File(t).listFiles().map(_.getName).filter(_.endsWith(".fw")).sorted
+    assert(after2.sameElements(after1), s"epoch replay duplicated data: ${after2.mkString(", ")}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(t, "_temporary/part-000007-0-200.fw")),
+      "replayed attempt's temp file not cleaned up")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t, "_MANIFEST-000007")))
+  }
+
   test("oversized field fails the task, aborts the job, and leaves no committed data") {
     val t = freshDir()
     import s.implicits._
