@@ -648,6 +648,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private val CalBins = 8
+
+  /** `t_calibration` — RELIABILITY DIAGRAM for the hashed-feature quality
+    * classifier: logits bucketed into equi-width integer bins (the
+    * r_histogram arithmetic — all integer), each bin reporting how often
+    * the heuristic quality gate (qScore ≥ 0.5) actually fires. The
+    * accept/retune measurement any learned filter needs before its
+    * threshold is trusted at corpus scale: a well-ordered classifier
+    * shows pos_rate rising with the bin. One classifier aggregation + one
+    * narrow gate scan joined on doc_id; the diagram itself is O(bins). */
+  def calibration(s: SparkSession, d: String): DataFrame = {
+    val cls = qualityClassifier(s, d).select(col("doc_id"), col("logit"))
+    val gate = docs(s, d)
+      .select(col("doc_id"), (qScore >= 0.5).cast("long").as("pos"))
+    val joined = cls.join(gate, "doc_id")
+    val bounds = joined
+      .agg(min(col("logit")).as("lo"), max(col("logit")).as("hi"))
+      .select(col("lo"), (col("hi") - col("lo") + 1).as("span"))
+    joined.crossJoin(broadcast(bounds))
+      .select(expr(s"((logit - lo) * $CalBins) div span").as("bucket"), col("pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+      .orderBy("bucket")
+  }
+
   /** Frequency-vocabulary induction with a coverage cut — the tokenizer-
     * prep step (which words does a 90%-coverage vocab need?). Global word
     * counts, ordered by (count desc, word asc), cumulative coverage, keep
@@ -1020,6 +1047,7 @@ object TextAnalysis {
     "t_bigram_novelty" -> (bigramNovelty _),
     "t_source_filter" -> (sourceFilter _),
     "t_quality_classifier" -> (qualityClassifier _),
+    "t_calibration" -> (calibration _),
     "t_vocab_coverage" -> (vocabCoverage _),
     "t_ks_drift" -> (ksDrift _),
     "t_rep_signals" -> (repetitionSignals _),
@@ -1190,6 +1218,28 @@ object TextAnalysis {
          |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS logit, COUNT(*) AS n_tokens,
          |       CAST(CAST(SUM(w) AS BIGINT) >= 0 AS INT) AS keep
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same logits, same qScore formula, same integer bin arithmetic —
+    // the bin rate is one double division of exact integers
+    "t_calibration" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlWords) AS word FROM documents),
+         |w AS (SELECT doc_id,
+         |             ${graft.QueryDsl.sqlHex8("md5('w_' || word)", 1)} - 2147483648 AS w
+         |      FROM tok),
+         |cls AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS logit FROM w GROUP BY doc_id),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN 0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+         |               + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+         |                              / CAST(len($sqlWords) AS DOUBLE))
+         |               + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                              / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) >= 0.5
+         |             THEN 1 ELSE 0 END AS pos
+         |      FROM documents),
+         |j AS (SELECT cls.logit, g.pos FROM cls JOIN g USING (doc_id)),
+         |b AS (SELECT MIN(logit) AS lo, MAX(logit) - MIN(logit) + 1 AS span FROM j)
+         |SELECT CAST((j.logit - b.lo) * $CalBins // b.span AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(j.pos) AS BIGINT) AS n_pos,
+         |       CAST(SUM(j.pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+         |FROM j, b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "t_vocab_coverage" ->
       s"""WITH tok AS (SELECT unnest($sqlWords) AS word FROM documents),
          |c AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
