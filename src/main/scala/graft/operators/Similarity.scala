@@ -362,6 +362,7 @@ object Similarity {
       .unionByName(recallOf(annIvfTrained(s, d), "ivf_kmeans"))
       .unionByName(recallOf(annLsh(s, d), "lsh"))
       .unionByName(recallOf(annPq(s, d), "pq"))
+      .unionByName(recallOf(annPqTrained(s, d), "pq_kmeans"))
       .unionByName(recallOf(annQuantized(s, d), "quant"))
       .orderBy("method", "q_id")
   }
@@ -815,10 +816,157 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- TRAINED PQ codebooks: the same sampled integer Lloyd's, run PER
+  // SUBSPACE — all PqSub codebooks train in one loop (assignment per
+  // (vector, subspace), one k×PqSub-bounded reduceGroups sync per
+  // iteration). With scaled-integer codewords the whole ADC path turns
+  // INTEGER: LUT distances, code assignment, and the ADC sum are exact
+  // longs end to end — no decimal accumulation needed — and the oracle
+  // is the per-subspace unrolled CTE chain. This retires the "PQ borrows
+  // the label centroids" note the same way v_kmeans_train retired IVF's. ----
+
+  private val PqCw = 16 // codewords per subspace (finer than the 10-label codebook)
+
+  private def subSlice(e: Array[Long], m: Int): Array[Long] = {
+    val out = new Array[Long](PqSubDim)
+    System.arraycopy(e, m * PqSubDim, out, 0, PqSubDim)
+    out
+  }
+
+  private def trainPqKmeans(s: SparkSession, d: String)
+    : (Array[Array[Array[Long]]], Array[Array[Long]]) = {
+    import s.implicits._
+    val sample = emb(s, d).filter(col("vec_id") % KmSampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, scaledVec(v)) }
+      .persist()
+    try {
+      val initVecs = sample.orderBy(col("_1")).limit(PqCw).collect().map(_._2)
+      var cents: Array[Array[Array[Long]]] =
+        Array.tabulate(PqSub)(m => initVecs.map(subSlice(_, m)))
+      var counts: Array[Array[Long]] = Array.fill(PqSub, PqCw)(0L)
+      var t = 0
+      while (t < KmIterations) {
+        val cs = cents
+        val agg = sample
+          .flatMap { case (_, e) =>
+            (0 until PqSub).iterator.map { m =>
+              val sub = subSlice(e, m)
+              ((m, assignCluster(cs(m), sub)), (1L, sub))
+            }
+          }
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .reduceGroups { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+            val sums = new Array[Long](a._2.length)
+            var i = 0
+            while (i < sums.length) { sums(i) = a._2(i) + b._2(i); i += 1 }
+            (a._1 + b._1, sums)
+          }
+          .collect() // ≤ PqSub × PqCw rows — the codebook sync
+        val next = cents.map(_.map(_.clone()))
+        val cnt = Array.fill(PqSub, PqCw)(0L)
+        agg.foreach { case ((m, j), (n, sums)) =>
+          cnt(m)(j) = n
+          next(m)(j) = sums.map(_ / n)
+        }
+        cents = next
+        counts = cnt
+        t += 1
+      }
+      (cents, counts)
+    } finally { sample.unpersist(); () }
+  }
+
+  private[operators] val pqKmeansBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // the codeword count is baked into the dir: the Staging marker
+  // fingerprints SOURCES, so a config change must change the path or a
+  // stale codebook would satisfy the marker
+  def pqKmeansStageDir(sfDir: String): String =
+    s"/tmp/graft_stage/pq_kmeans_cw${PqCw}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Stages the trained PQ index: the PqSub×PqCw×PqSubDim codebook (with
+    * member counts) and the one-pass integer code table. */
+  def ensurePqKmeansStaged(s: SparkSession, d: String): (String, String) = {
+    val dir = pqKmeansStageDir(d)
+    val codebookPath = dir + "/codebook"
+    val codesPath = dir + "/codes"
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      pqKmeansBuildCount.incrementAndGet()
+      val (cents, counts) = trainPqKmeans(s, d)
+      import s.implicits._
+      val rows = for { m <- 0 until PqSub; j <- 0 until PqCw; i <- 0 until PqSubDim }
+        yield (m, j, i, cents(m)(j)(i), counts(m)(j))
+      rows.toDF("m", "codeword", "dim", "c_val", "n_members")
+        .coalesce(1).write.mode("overwrite").parquet(codebookPath)
+      emb(s, d).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          val e = scaledVec(v)
+          (0 until PqSub).iterator.map(m => (id, m, assignCluster(cents(m), subSlice(e, m))))
+        }
+        .toDF("vec_id", "m", "code")
+        .write.mode("overwrite").parquet(codesPath)
+    }: Unit
+    (codebookPath, codesPath)
+  }
+
+  /** `v_pq_train` — the trained per-subspace codebook itself (512
+    * hash-checked rows), oracle = the per-subspace unrolled Lloyd's. */
+  def pqKmeansTrain(s: SparkSession, d: String): DataFrame = {
+    val (cbPath, _) = ensurePqKmeansStaged(s, d)
+    s.read.parquet(cbPath)
+      .select(col("m"), col("codeword"), col("dim"), col("c_val"), col("n_members"))
+      .orderBy("m", "codeword", "dim")
+  }
+
+  /** `v_ann_pq_trained` — ADC retrieval over the TRAINED integer
+    * codebooks: the broadcast LUT holds exact integer squared-L2 per
+    * (query, subspace, codeword), the probe joins the 8-codes-per-vector
+    * staged table, and the ADC sum is a plain long — floats never enter
+    * the probe plan at all. */
+  def annPqTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cbPath, codesPath) = ensurePqKmeansStaged(s, d)
+    val cbRows = s.read.parquet(cbPath)
+      .select(col("m"), col("codeword"), col("dim"), col("c_val")).collect() // bounded
+    val cents = Array.fill(PqSub, PqCw)(new Array[Long](PqSubDim))
+    cbRows.foreach(r => cents(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+    val lut = emb(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (q, v) =>
+        val e = scaledVec(v)
+        for { m <- 0 until PqSub; j <- 0 until PqCw } yield {
+          val sub = subSlice(e, m)
+          val c = cents(m)(j)
+          var d2 = 0L
+          var i = 0
+          while (i < PqSubDim) { val df = sub(i) - c(i); d2 += df * df; i += 1 }
+          (q, m, j, d2)
+        }
+      }
+      .toDF("q_id", "m", "code", "lut_d")
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d").asc, col("vec_id").asc)
+    s.read.parquet(codesPath)
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lut_d")).as("approx_d"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("approx_d"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_embed_stats" -> (embedStats _),
     "v_kmeans_train" -> (kmeansTrain _),
     "v_ann_ivf_trained" -> (annIvfTrained _),
+    "v_pq_train" -> (pqKmeansTrain _),
+    "v_ann_pq_trained" -> (annPqTrained _),
     "v_ann_pq" -> (annPq _),
     "v_ann_pq_refine" -> (annPqRefine _),
     "v_cosine_topk" -> (cosineTopK _),
@@ -1074,6 +1222,94 @@ object Similarity {
          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
 
+  // the per-subspace Lloyd's chain: identical determinization to
+  // kmeansCte, with (m = subspace, dim = position within it) as extra
+  // grouping columns — all PqSub codebooks unroll in one CTE chain
+  private lazy val pqKmeansCte: String = {
+    def assignCte(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT se2.vec_id, se2.m, i.c,
+         |           row_number() OVER (PARTITION BY se2.vec_id, se2.m
+         |             ORDER BY SUM((se2.e - i.cv)*(se2.e - i.cv)) ASC, i.c ASC) AS rn
+         |    FROM se2 JOIN $cent i ON se2.m = i.m AND se2.dim = i.dim
+         |    GROUP BY se2.vec_id, se2.m, i.c) t WHERE rn = 1)""".stripMargin
+    def updateCte(name: String, assign: String, prev: String): String =
+      s"""$name AS (
+         |  SELECT i.c, i.m, i.dim, COALESCE(u.cv, i.cv) AS cv
+         |  FROM $prev i LEFT JOIN (
+         |    SELECT a.c, a.m, se2.dim, SUM(se2.e) // COUNT(*) AS cv
+         |    FROM $assign a JOIN se2 ON se2.vec_id = a.vec_id AND se2.m = a.m
+         |    GROUP BY a.c, a.m, se2.dim) u
+         |  ON u.c = i.c AND u.m = i.m AND u.dim = i.dim)""".stripMargin
+    s"""WITH se2 AS (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS m,
+       |         CAST((i - 1) % $PqSubDim AS INT) AS dim,
+       |         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |               unnest(embedding) AS v
+       |        FROM embeddings WHERE vec_id % $KmSampleMod = 0) t),
+       |init2 AS (
+       |  SELECT CAST(r.j AS INT) AS c, se2.m, se2.dim, se2.e AS cv
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+       |        FROM (SELECT DISTINCT vec_id FROM se2) dv) r
+       |  JOIN se2 USING (vec_id) WHERE r.j < $PqCw),
+       |${assignCte("qa1", "init2")},
+       |${updateCte("qc1", "qa1", "init2")},
+       |${assignCte("qa2", "qc1")},
+       |${updateCte("qc2", "qa2", "qc1")},
+       |${assignCte("qa3", "qc2")},
+       |${updateCte("qc3", "qa3", "qc2")},
+       |qcnt AS (SELECT m, c, COUNT(*) AS n FROM qa3 GROUP BY m, c)""".stripMargin
+  }
+
+  private lazy val pqKmeansTrainOracle: String =
+    pqKmeansCte +
+      """
+        |SELECT qc3.m AS m, qc3.c AS codeword, qc3.dim AS dim,
+        |       CAST(qc3.cv AS BIGINT) AS c_val,
+        |       CAST(COALESCE(qcnt.n, 0) AS BIGINT) AS n_members
+        |FROM qc3 LEFT JOIN qcnt ON qcnt.m = qc3.m AND qcnt.c = qc3.c
+        |ORDER BY 1, 2, 3""".stripMargin
+
+  // trained-codebook ADC: full-corpus integer codes, the query LUT, and
+  // the long ADC sum — every stage exact integers
+  private lazy val annPqTrainedOracle: String =
+    pqKmeansCte +
+      s""",
+         |corp2 AS (
+         |  SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS m,
+         |         CAST((i - 1) % $PqSubDim AS INT) AS dim,
+         |         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |               unnest(embedding) AS v
+         |        FROM embeddings) t),
+         |codes2 AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT corp2.vec_id, corp2.m, i.c,
+         |           row_number() OVER (PARTITION BY corp2.vec_id, corp2.m
+         |             ORDER BY SUM((corp2.e - i.cv)*(corp2.e - i.cv)) ASC, i.c ASC) AS rn
+         |    FROM corp2 JOIN qc3 i ON corp2.m = i.m AND corp2.dim = i.dim
+         |    GROUP BY corp2.vec_id, corp2.m, i.c) t WHERE rn = 1),
+         |lut AS (
+         |  SELECT corp2.vec_id AS q_id, i.m, i.c AS code,
+         |         SUM((corp2.e - i.cv)*(corp2.e - i.cv)) AS lut_d
+         |  FROM corp2 JOIN qc3 i ON corp2.m = i.m AND corp2.dim = i.dim
+         |  WHERE corp2.vec_id < 8
+         |  GROUP BY corp2.vec_id, i.m, i.c),
+         |adc AS (
+         |  SELECT l.q_id, k.vec_id, CAST(SUM(l.lut_d) AS BIGINT) AS approx_d
+         |  FROM codes2 k JOIN lut l ON l.m = k.m AND l.code = k.code
+         |  WHERE k.vec_id <> l.q_id
+         |  GROUP BY l.q_id, k.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, approx_d,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY approx_d ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc)
+         |SELECT q_id, rank, vec_id, approx_d FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+
   private lazy val annIvfOracle: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
          |expl AS (
@@ -1172,6 +1408,8 @@ object Similarity {
     "v_ann_ivf" -> annIvfOracle,
     "v_kmeans_train" -> kmeansTrainOracle,
     "v_ann_ivf_trained" -> annIvfTrainedOracle,
+    "v_pq_train" -> pqKmeansTrainOracle,
+    "v_ann_pq_trained" -> annPqTrainedOracle,
     "v_ann_pq" -> annPqOracle,
     "v_ann_pq_refine" -> annPqRefineOracle,
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
@@ -1198,6 +1436,7 @@ object Similarity {
          |tkr AS (SELECT q_id, vec_id FROM ($annIvfTrainedOracle) t),
          |lshr AS (SELECT q_id, vec_id FROM ($annLshOracle) t),
          |pqr AS (SELECT q_id, vec_id FROM ($annPqOracle) t),
+         |pqt AS (SELECT q_id, vec_id FROM ($annPqTrainedOracle) t),
          |qur AS (SELECT q_id, vec_id FROM ($annQuantizedOracle) t),
          |ih AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN ivfr USING (q_id, vec_id)
          |       GROUP BY q_id),
@@ -1206,6 +1445,8 @@ object Similarity {
          |lh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN lshr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |ph AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN pqr USING (q_id, vec_id)
+         |       GROUP BY q_id),
+         |pth AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN pqt USING (q_id, vec_id)
          |       GROUP BY q_id),
          |qh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN qur USING (q_id, vec_id)
          |       GROUP BY q_id)
@@ -1221,6 +1462,9 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'pq' AS method, qs.q_id, CAST(COALESCE(ph.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN ph USING (q_id)
+         |  UNION ALL
+         |  SELECT 'pq_kmeans' AS method, qs.q_id, CAST(COALESCE(pth.n, 0) AS BIGINT) AS n_hit
+         |  FROM qs LEFT JOIN pth USING (q_id)
          |  UNION ALL
          |  SELECT 'quant' AS method, qs.q_id, CAST(COALESCE(qh.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN qh USING (q_id)) u
