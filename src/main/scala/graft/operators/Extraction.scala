@@ -162,6 +162,8 @@ object Extraction {
     "x_filing_index_v2" -> (filingIndexV2 _),
     "x_filing_index_v2_agg" ->
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Agg(s, d)),
+    "x_filing_index_v2_prune" ->
+      ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Prune(s, d)),
     "x_csv_roundtrip" -> (csvRoundtrip _),
   )
 
@@ -186,6 +188,26 @@ object Extraction {
         |FROM orders
         |GROUP BY 1
         |ORDER BY form_type""".stripMargin,
+    // the same filing derivation bounded to the bottom quarter of the
+    // cik domain — results must be layout- and pruning-independent
+    "x_filing_index_v2_prune" ->
+      """WITH hi AS (SELECT MAX(o_custkey) // 4 AS hi FROM orders),
+        |idx AS (
+        |  SELECT o_custkey AS cik,
+        |         printf('%010d-%02d-%06d', o_custkey, o_orderkey % 100, o_orderkey) AS accession_number,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS filing_date,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
+        |         'doc' || CAST(o_orderkey AS VARCHAR) || '.html' AS primary_document,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT cik, accession_number, filing_date, form_type,
+        |       CASE WHEN rn = 1 THEN NULL ELSE primary_document END AS primary_document,
+        |       CASE WHEN rn = 1 THEN NULL
+        |            ELSE 'Archives/edgar/data/' || CAST(cik AS VARCHAR) || '/'
+        |                 || replace(accession_number, '-', '') || '/' || primary_document
+        |       END AS doc_url
+        |FROM idx, hi WHERE form_type = 'NPORT-P' AND cik <= hi.hi
+        |ORDER BY cik, accession_number""".stripMargin,
   )
 
   private lazy val filingIndexOracle: String =

@@ -52,16 +52,46 @@ object FilingIndex {
             .as("primaryDocument")).as("recent")).as("filings"))).as("value"))
   }
 
+  // "index3": the v3 layout (cik-RANGE-partitioned files + stats
+  // sidecar). The bumped prefix makes a stale hash-partitioned staging
+  // invisible — its files span the whole cik range, so the sidecar would
+  // never prune anything.
   def stageDir(sfDir: String): String =
-    "/tmp/graft_stage/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/index3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Stage the fixture once per sf dir (Spark text writer, JSON Lines).
-    * Fingerprinted marker + atomic publish + cross-process lock
-    * (graft.Staging): regenerating orders.parquet restages the index. */
+  private val StageFiles = 8
+
+  /** Stage the fixture once per sf dir (Spark text writer, JSON Lines),
+    * CIK-RANGE-PARTITIONED — the layout a real submissions mirror keeps
+    * (files keyed by CIK range) and the one that makes per-file min/max
+    * statistics selective. A `_CIKSTATS` sidecar (file → min/max cik,
+    * computed with one pass at stage time, the way real formats collect
+    * footer stats at write time) lets the V2 connector prune whole files
+    * against pushed cik predicates. Fingerprinted marker + atomic
+    * publish + cross-process lock (graft.Staging). */
   def ensureStaged(s: SparkSession, sfDir: String): String = {
     val dir = stageDir(sfDir)
     graft.Staging.ensure(dir, Seq(s"$sfDir/orders.parquet")) {
-      indexJson(s, sfDir).write.mode("overwrite").text(dir)
+      indexJson(s, sfDir)
+        .withColumn("cik_key",
+          get_json_object(col("value"), "$.cik").cast("long"))
+        .repartitionByRange(StageFiles, col("cik_key"))
+        .sortWithinPartitions("cik_key")
+        .select(col("value"))
+        .write.mode("overwrite").text(dir)
+      // one stats pass over what was just written: per-file cik range
+      val stats = s.read.textFile(dir)
+        .select(
+          element_at(split(input_file_name(), "/"), -1).as("file"),
+          regexp_extract(col("value"), "\"cik\":(\\d+)", 1).cast("long").as("cik"))
+        .groupBy("file")
+        .agg(min(col("cik")).as("lo"), max(col("cik")).as("hi"))
+        .collect() // O(files)
+        .sortBy(_.getString(0))
+        .map(r => s"${r.getString(0)} ${r.getLong(1)} ${r.getLong(2)}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_CIKSTATS"),
+        (stats.mkString("\n") + "\n").getBytes("UTF-8")): Unit
     }: Unit
     dir
   }
@@ -117,6 +147,39 @@ object FilingIndex {
     s.read.format(classOf[FilingIndexV2].getName).load(dir)
       .filter(col("form_type") === "NPORT-P")
       .withColumn("doc_url", docUrl)
+  }
+
+  /** `x_filing_index_v2_prune` — FILE-LEVEL STATS PRUNING inside the
+    * connector: a cik-range probe against the cik-range-partitioned
+    * stage. The pushed predicate prunes whole files via the `_CIKSTATS`
+    * sidecar BEFORE any is opened (the footer-stats discipline of real
+    * formats, here at the wire-format layer) and is re-checked exactly
+    * per document during the line scan. The operator REQUIRES the
+    * executed V2 scan to have planned FEWER input partitions than the
+    * stage has files — a green row certifies pruning fired, not that the
+    * connector quietly scanned everything. */
+  def filingIndexV2Prune(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    // the bottom quarter of the cik domain: with 8 range-partitioned
+    // files this keeps ~2 and prunes ~6
+    val hi = Tables.orders(s, d).agg(max(col("o_custkey"))).head().getLong(0) / 4
+    // partition count read off an exchange-free probe plan (the ordered
+    // result plan below wraps in AQE, which hides the scan until run)
+    val probe = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+      .filter(col("cik") <= hi && col("form_type") === "NPORT-P")
+    val planned = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
+    }.sum
+    val df = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+      .filter(col("cik") <= hi && col("form_type") === "NPORT-P")
+      .withColumn("doc_url", docUrl)
+      .orderBy("cik", "accession_number")
+    val onDisk = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    require(planned > 0 && planned < onDisk,
+      s"cik stats pruned nothing: planned $planned of $onDisk files")
+    df
   }
 
   /** `x_filing_index_v2_agg` — COUNT pushed INTO the connector

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -106,6 +106,16 @@ object FilingIndexV2 {
         // it too, or the residual Filter node sits between Aggregate
         // and scan and structurally blocks aggregate pushdown
         case IsNotNull("form_type") => true
+        // cik predicates prune whole FILES against the stage's _CIKSTATS
+        // sidecar (the stage is cik-range-partitioned) and are re-checked
+        // per document during the line scan — stats are ranges, not rows
+        case EqualTo("cik", _: Long) => true
+        case GreaterThan("cik", _: Long) => true
+        case GreaterThanOrEqual("cik", _: Long) => true
+        case LessThan("cik", _: Long) => true
+        case LessThanOrEqual("cik", _: Long) => true
+        case In("cik", vs) => vs.forall(_.isInstanceOf[Long])
+        case IsNotNull("cik") => true // cik is never null in the format
         case _ => false
       }
       pushed = accepted
@@ -121,29 +131,78 @@ object FilingIndexV2 {
         case Some(false) => StructType(Seq(StructField("count", LongType)))
         case None => required
       }
-      IndexScan(path, schema, pushed.collect { case EqualTo(_, v: String) => v },
-        pushed.exists(_.isInstanceOf[IsNotNull]), aggGrouped)
+      var lo = Long.MinValue
+      var hi = Long.MaxValue
+      var inSet: Option[Set[Long]] = None
+      pushed.foreach {
+        case EqualTo("cik", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
+        case GreaterThan("cik", v: Long) => lo = math.max(lo, v + 1)
+        case GreaterThanOrEqual("cik", v: Long) => lo = math.max(lo, v)
+        case LessThan("cik", v: Long) => hi = math.min(hi, v - 1)
+        case LessThanOrEqual("cik", v: Long) => hi = math.min(hi, v)
+        case In("cik", vs) =>
+          val s = vs.collect { case l: Long => l }.toSet
+          inSet = Some(inSet.map(_.intersect(s)).getOrElse(s))
+        case _ =>
+      }
+      IndexScan(path, schema, pushed.collect { case EqualTo("form_type", v: String) => v },
+        pushed.exists { case IsNotNull("form_type") => true; case _ => false },
+        aggGrouped, lo, hi, inSet)
     }
   }
 
   /** `formEq`: the pushed form_type equality literals (all must match);
-    * `aggGrouped`: Some(grouped?) when a COUNT was pushed down. */
+    * `aggGrouped`: Some(grouped?) when a COUNT was pushed down;
+    * `cikLo`/`cikHi`/`cikIn`: the conjunction of pushed cik predicates —
+    * used twice, as a FILE pruner against the stage's `_CIKSTATS`
+    * sidecar and as the exact per-document re-check in the readers. */
   private[sources] case class IndexScan(
       path: String, required: StructType, formEq: Array[String],
-      formNotNull: Boolean = false, aggGrouped: Option[Boolean] = None)
+      formNotNull: Boolean = false, aggGrouped: Option[Boolean] = None,
+      cikLo: Long = Long.MinValue, cikHi: Long = Long.MaxValue,
+      cikIn: Option[Set[Long]] = None)
       extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    private def cikPushed: Boolean =
+      cikLo != Long.MinValue || cikHi != Long.MaxValue || cikIn.isDefined
     override def description(): String =
       s"graft_filing_index pushed=[${formEq.mkString(",")}] cols=[${required.fieldNames.mkString(",")}]" +
-        s" agg_pushed=${aggGrouped.map(g => if (g) "count_by_form" else "count").getOrElse("none")}"
+        s" agg_pushed=${aggGrouped.map(g => if (g) "count_by_form" else "count").getOrElse("none")}" +
+        (if (cikPushed) s" cik_pushed=[$cikLo..$cikHi${cikIn.map(s => s" in:${s.size}").getOrElse("")}]"
+         else "")
 
     override def planInputPartitions(): Array[InputPartition] = {
       val p = new Path(path)
       val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
         .sparkContext.hadoopConfiguration)
-      fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      val files = fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
         .sortBy(_.getPath.getName)
+      // stats-sidecar file pruning: a file whose [min,max] cik range
+      // cannot intersect the pushed predicate never opens. Files missing
+      // from the sidecar (or no sidecar at all) are kept — pruning is an
+      // optimization, never a correctness dependency.
+      val stats: Map[String, (Long, Long)] = {
+        val sp = new Path(p, "_CIKSTATS")
+        if (cikPushed && fs.exists(sp)) {
+          val in = fs.open(sp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .flatMap { line =>
+              line.split(" ") match {
+                case Array(f, lo, hi) => Some(f -> (lo.toLong, hi.toLong))
+                case _ => None
+              }
+            }.toMap
+          finally in.close()
+        } else Map.empty
+      }
+      def mayMatch(name: String): Boolean = stats.get(name) match {
+        case Some((lo, hi)) =>
+          lo <= cikHi && hi >= cikLo &&
+            cikIn.forall(_.exists(v => v >= lo && v <= hi))
+        case None => true
+      }
+      files.filter(s => mayMatch(s.getPath.getName))
         .map(s => IndexPartition(s.getPath.toString): InputPartition)
     }
 
@@ -153,22 +212,35 @@ object FilingIndexV2 {
       // (S3A credentials, defaultFS, …) that planInputPartitions listed
       // with, or the connector only works against the local FS.
       IndexReaderFactory(required.fieldNames, formEq, formNotNull, aggGrouped,
+        cikLo, cikHi, cikIn,
         new org.apache.spark.util.SerializableConfiguration(
           org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
   }
 
   private[sources] case class IndexPartition(file: String) extends InputPartition
 
+  /** Exact per-document check of the pushed cik conjunction — the
+    * row-level half of the pushed predicate (stats pruning is the
+    * file-level half). */
+  private[sources] case class CikPredicate(
+      lo: Long, hi: Long, in: Option[Set[Long]]) {
+    def ok(cik: Long): Boolean =
+      cik >= lo && cik <= hi && in.forall(_.contains(cik))
+  }
+
   private[sources] case class IndexReaderFactory(
       cols: Array[String], formEq: Array[String], formNotNull: Boolean,
       aggGrouped: Option[Boolean],
+      cikLo: Long, cikHi: Long, cikIn: Option[Set[Long]],
       conf: org.apache.spark.util.SerializableConfiguration)
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val file = partition.asInstanceOf[IndexPartition].file
+      val cik = CikPredicate(cikLo, cikHi, cikIn)
       aggGrouped match {
-        case Some(grouped) => new IndexAggReader(file, formEq, formNotNull, grouped, conf.value)
-        case None => new IndexReader(file, cols, formEq, formNotNull, conf.value)
+        case Some(grouped) =>
+          new IndexAggReader(file, formEq, formNotNull, grouped, cik, conf.value)
+        case None => new IndexReader(file, cols, formEq, formNotNull, cik, conf.value)
       }
     }
   }
@@ -179,6 +251,7 @@ object FilingIndexV2 {
     * partial-count rows. */
   private[sources] class IndexAggReader(
       file: String, formEq: Array[String], formNotNull: Boolean, grouped: Boolean,
+      cik: CikPredicate,
       hadoopConf: org.apache.hadoop.conf.Configuration)
       extends PartitionReader[InternalRow] {
     private val mapper = new ObjectMapper
@@ -196,8 +269,9 @@ object FilingIndexV2 {
         val counts = scala.collection.mutable.LinkedHashMap.empty[Option[String], Long]
         var line = in.readLine()
         while (line != null) {
-          if (line.nonEmpty) {
-            val recent = mapper.readTree(line).at("/filings/recent")
+          val root = if (line.nonEmpty) mapper.readTree(line) else null
+          if (root != null && cik.ok(root.get("cik").asLong())) {
+            val recent = root.at("/filings/recent")
             val arrays = Seq("accessionNumber", "filingDate", "form", "primaryDocument")
               .map(recent.get)
             val form = arrays(2)
@@ -242,6 +316,7 @@ object FilingIndexV2 {
     * partition that is planned but never read opens no file handle. */
   private[sources] class IndexReader(
       file: String, cols: Array[String], formEq: Array[String], formNotNull: Boolean,
+      cikPred: CikPredicate,
       hadoopConf: org.apache.hadoop.conf.Configuration)
       extends PartitionReader[InternalRow] {
     private val mapper = new ObjectMapper
@@ -266,6 +341,7 @@ object FilingIndexV2 {
     private def expand(line: String): Iterator[InternalRow] = {
       val root = mapper.readTree(line)
       val cik = root.get("cik").asLong()
+      if (!cikPred.ok(cik)) return Iterator.empty
       val recent = root.at("/filings/recent")
       val acc = recent.get("accessionNumber")
       val fd = recent.get("filingDate")

@@ -76,4 +76,22 @@ class FilingIndexV2Spec extends AnyFunSuite {
     val parts = scanOf(v2()).planInputPartitions().length
     assert(parts == files, s"$parts partitions for $files staged files")
   }
+
+  test("pushed cik predicates prune files via the stats sidecar, results unchanged") {
+    val dir = FilingIndex.ensureStaged(s, sf)
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    val all = v2().orderBy("cik", "accession_number").collect().toSeq
+    val ciks = all.map(_.getLong(0)).distinct.sorted
+    val cut = ciks(ciks.length / 4)
+    val pruned = v2().filter(col("cik") <= cut)
+    val parts = scanOf(pruned).planInputPartitions().length
+    assert(parts < files, s"cik <= $cut pruned nothing: $parts of $files files planned")
+    // pruning is stats-level; the per-document re-check keeps it exact
+    val got = pruned.orderBy("cik", "accession_number").collect().toSeq
+    assert(got == all.filter(_.getLong(0) <= cut), "pruned scan changed the answer")
+    // a point lookup prunes at least as hard as the range
+    val point = v2().filter(col("cik") === ciks.head)
+    assert(scanOf(point).planInputPartitions().length <= parts)
+  }
 }
