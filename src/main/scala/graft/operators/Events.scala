@@ -352,6 +352,56 @@ object Events {
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n")))
 
+  /** `e_ewma` — EXPONENTIAL SMOOTHING over the dense per-type daily
+    * series, the adaptive-baseline sibling of [[rateAnomaly]]'s trailing
+    * window: level s_t = (3·s_{t−1} + 1000·n_t) div 4 (α = 1/4 in ×1000
+    * fixed point, truncating division — bit-identical cross-engine),
+    * s_0 = 1000·n_0; a day spikes when its raw count exceeds TWICE the
+    * prior smoothed level. Missing days enter the grid as ZEROS, so a
+    * silent feed outage decays the level instead of freezing it (the
+    * failure mode a sparse-join formulation hides). The recursion is
+    * inherently sequential per type — the oracle steps the same update
+    * through a RECURSIVE CTE — and per-type work is O(calendar days):
+    * bounded by time, not corpus, so the sorted in-memory scan per group
+    * is safe at any event volume. */
+  def ewma(s: SparkSession, d: String): DataFrame =
+    ewmaOf(s, Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The smoothing over an already-aggregated (day, event_type, n) frame
+    * — split out so EwmaSpec can feed a synthetic outage (the sf
+    * fixtures are gap-free, and only a gapped series discriminates the
+    * zeros-decay-the-level semantics from a sparse join). */
+  private[operators] def ewmaOf(s: SparkSession, daily: DataFrame): DataFrame = {
+    import s.implicits._
+    val b = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1")).head()
+    val d0 = b.getDate(0)
+    val nDays = (b.getDate(1).toLocalDate.toEpochDay - d0.toLocalDate.toEpochDay).toInt + 1
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(s.range(nDays).toDF("idx"))
+      .select(col("event_type"), col("idx").cast("int").as("idx"),
+        date_add(lit(d0), col("idx").cast("int")).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("idx"), coalesce(col("n"), lit(0L)).as("n"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tp: String, it: Iterator[(String, Int, Long)]) =>
+        val rows = it.toArray.sortBy(_._2) // O(calendar days) per type
+        var sPrev = 0L
+        rows.iterator.zipWithIndex.map { case ((_, idx, n), i) =>
+          val spike = if (i > 0 && n * 1000L > 2L * sPrev) 1 else 0
+          val sCur = if (i == 0) n * 1000L else (3L * sPrev + n * 1000L) / 4L
+          sPrev = sCur
+          (tp, idx, n, sCur, spike)
+        }
+      }
+      .toDF("event_type", "idx", "n", "ewma_s", "spike")
+      .withColumn("day", date_add(lit(d0), col("idx")))
+      .select(col("event_type"), col("day"), col("n"), col("ewma_s"), col("spike"))
+      .orderBy("event_type", "day")
+  }
+
   /** The anomaly gate over an already-aggregated (day, event_type, n)
     * frame — split out so RateAnomalySpec can feed a synthetic calendar
     * WITH a quiet gap: the sf fixtures are gap-free (every calendar day
@@ -730,6 +780,7 @@ object Events {
     "e_active_users" -> (activeUsers _),
     "e_growth_accounting" -> (growthAccounting _),
     "e_rate_anomaly" -> (rateAnomaly _),
+    "e_ewma" -> (ewma _),
     "e_mad_anomaly" -> (madAnomaly _),
     "e_gapfill" -> (gapfill _),
     "e_interpolate" -> (interpolate _),
@@ -885,6 +936,34 @@ object Events {
         |       CAST(n * d_trail > n_trail * 2 AS INT) AS is_spike
         |FROM t WHERE d_trail >= 3
         |ORDER BY day, event_type""".stripMargin,
+    // the same truncating-integer update stepped through a RECURSIVE CTE
+    // over the dense grid (missing days = 0); spike compares each raw day
+    // against the PRIOR smoothed level via LAG
+    "e_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) - MIN(day) AS nd FROM daily),
+        |grid AS (
+        |  SELECT t.event_type, CAST(i AS INT) AS idx, b.d0 + CAST(i AS INT) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) t, b,
+        |       LATERAL (SELECT unnest(generate_series(0, CAST(b.nd AS BIGINT))) AS i)),
+        |serie AS (
+        |  SELECT g.event_type, g.idx, g.day, COALESCE(d.n, 0) AS n
+        |  FROM grid g LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day),
+        |ew AS (
+        |  SELECT event_type, idx, day, n, n * 1000 AS s
+        |  FROM serie WHERE idx = 0
+        |  UNION ALL
+        |  SELECT s2.event_type, s2.idx, s2.day, s2.n, (3 * e.s + s2.n * 1000) // 4
+        |  FROM ew e JOIN serie s2
+        |    ON s2.event_type = e.event_type AND s2.idx = e.idx + 1)
+        |SELECT event_type, day, n, CAST(s AS BIGINT) AS ewma_s,
+        |       CAST(CASE WHEN idx > 0 AND n * 1000 >
+        |                    2 * LAG(s) OVER (PARTITION BY event_type ORDER BY idx)
+        |                 THEN 1 ELSE 0 END AS INT) AS spike
+        |FROM ew
+        |ORDER BY event_type, day""".stripMargin,
     "e_mad_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
