@@ -271,9 +271,20 @@ object Formats {
       }
     }
 
+    /** Resolves the newest version by listing the MANIFEST directory —
+      * metadata-plane and O(versions), the same move Delta's log replay
+      * makes (the no-listing discipline is about DATA files). A walk
+      * from v1 would break after [[Formats.vacuum]] drops the oldest
+      * manifests and the chain no longer starts at 1. */
     def latest(dir: String): (Int, Seq[String]) = {
-      var v = 1
-      while (java.nio.file.Files.exists(path(dir, v + 1))) v += 1
+      val names = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+      val vs = names.collect {
+        case n if n.startsWith("manifest-v") && n.endsWith(".txt") =>
+          n.stripPrefix("manifest-v").stripSuffix(".txt").toInt
+      }
+      require(vs.nonEmpty, s"no manifest published under $dir")
+      val v = vs.max
       (v, read(dir, v))
     }
 
@@ -539,6 +550,62 @@ object Formats {
       .orderBy("op")
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private val vacuumRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_vacuum` — SNAPSHOT RETENTION / GC, the op that makes time travel
+    * affordable: old versions are only free until their files are — a
+    * 100 TB table that never vacuums keeps every compacted-away file
+    * forever. Four versions build up the classic history (append,
+    * compact, append); vacuum with retention 2 keeps the last two
+    * manifests, unions their file lists, and deletes every data file and
+    * manifest outside that set — the shared file A survives (still
+    * referenced), the compacted-away B and C go, and both retained
+    * versions must still read EXACTLY (REQUIREd by the hash-checked
+    * per-version aggregates). Deletion is manifest-driven, never
+    * directory-listing-driven: the same walk works when the directory
+    * listing is eventually consistent. */
+  def vacuum(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "vacuum") + "/run" + vacuumRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 3 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 3 === 2))
+    val fD = writeFile("D", o.filter(col("o_orderkey") % 3 =!= 0)) // compaction of B∪C
+    val fE = writeFile("E", o.filter(col("o_orderkey") % 5 === 0)) // later arrivals
+    require(ManifestLog.publish(base, 1, Seq(fA, fB)), "v1 exists")
+    require(ManifestLog.publish(base, 2, Seq(fA, fB, fC)), "v2 exists")
+    require(ManifestLog.publish(base, 3, Seq(fA, fD)), "v3 exists")
+    require(ManifestLog.publish(base, 4, Seq(fA, fD, fE)), "v4 exists")
+    // vacuum: retain the last 2 versions, delete everything they don't reference
+    val (latest, _) = ManifestLog.latest(base)
+    val retained = Seq(latest - 1, latest)
+    val live = retained.flatMap(v => ManifestLog.read(base, v)).toSet
+    val dropped = (1 until latest - 1)
+    val deadFiles = dropped.flatMap(v => ManifestLog.read(base, v)).distinct
+      .filterNot(live)
+    deadFiles.foreach(f => deleteRecursively(new java.io.File(f)))
+    dropped.foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/manifest-v$v.txt")))
+    require(new java.io.File(fA).exists(), "vacuum deleted a still-referenced file")
+    require(!new java.io.File(fB).exists() && !new java.io.File(fC).exists(),
+      "vacuum left unreferenced files behind")
+    def audit(v: Int): DataFrame =
+      s.read.parquet(ManifestLog.read(base, v): _*)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .select(lit(v).as("version"), col("n_rows"), col("total"),
+          lit(deadFiles.length).as("n_files_deleted"),
+          lit(dropped.length).as("n_manifests_deleted"))
+    audit(latest - 1).unionByName(audit(latest)).orderBy("version")
+  }
+
   private val gdprRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val GdprBuckets = 8
 
@@ -636,6 +703,7 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_gdpr_delete" -> (gdprDelete _),
+    "k_vacuum" -> (vacuum _),
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
     "k_timetravel_occ" -> (timeTravelOcc _),
@@ -665,6 +733,20 @@ object Formats {
          |       CAST(0 AS BIGINT),
          |       ${sqlDsum("value")}, 1
          |FROM events, tgt WHERE user_id <> tgt.u
+         |ORDER BY version""".stripMargin,
+    // the retained versions' contents from the slice rules: v3 = A∪D =
+    // every key, v4 = v3 plus the ≡0-mod-5 re-arrivals; vacuum dropped
+    // exactly B and C plus the two pre-compaction manifests
+    "k_vacuum" ->
+      s"""SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       ${sqlDsum("o_totalprice")} AS total,
+         |       2 AS n_files_deleted, 2 AS n_manifests_deleted
+         |FROM orders
+         |UNION ALL
+         |SELECT 4, CAST(COUNT(*) + SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         |       ${sqlDsum("o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice ELSE 0 END")},
+         |       2, 2
+         |FROM orders
          |ORDER BY version""".stripMargin,
     // per-version totals rebuilt from the slice rules: v1 = keys % 3 in
     // (0, 1); v2 = keys % 3 in (0, 2) ∪ (1, 2) rewritten = % 3 != ... v2
