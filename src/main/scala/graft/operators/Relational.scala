@@ -417,6 +417,78 @@ object Relational {
       .orderBy("key1", "key2")
   }
 
+  /** `r_record_linkage` — FELLEGI–SUNTER entity resolution, the scoring
+    * layer above [[fuzzyJoin]]'s blocking: two registries (A = customers
+    * as-is; B = a deterministic noisy re-registration — every 7th key
+    * gets one name digit substituted, every 5th a nation off by one,
+    * every 11th a segment reset) are candidate-paired by the complete
+    * FastSS deletion-variant block on the name, then scored with integer
+    * agreement weights per field and classified match / possible at
+    * fixed thresholds (non-matches — the implicit majority — are
+    * dropped, as a linkage pipeline does). The weights encode the FS
+    * u-probability insight on THIS name distribution: sequential numeric
+    * names make edit-distance-1 agreement cheap by chance (every
+    * neighboring key qualifies), so ed-1 earns only +4 while an exact
+    * name earns +24; nation ±6, segment +3/−5. A digit substitution can
+    * COLLIDE two customers' names exactly, and the non-name fields are
+    * what votes those impostors down to 'possible' — precisely the
+    * ambiguity class FS weighting exists for; conversely a true noisy
+    * pair and a neighbor agreeing on nation AND segment by chance are
+    * genuinely indistinguishable on these fields and BOTH land in
+    * 'possible', which is the honest answer. `is_true` rides along so
+    * the decision matrix is auditable. All integers + levenshtein —
+    * hash-exact cross-engine.
+    *
+    * Scale shape: variants are O(records × name length) rows, the block
+    * join is an equi-join on the variant, survivors verify with one
+    * levenshtein — never a cross join (the fuzzyJoin argument). */
+  def recordLinkage(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).select(col("c_custkey").as("key"),
+      col("c_name").as("name"), col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"))
+    // the noisy re-registration, all arithmetic deterministic
+    val b = a.select(col("key"),
+      when(col("key") % 7 === 0,
+        expr("concat(substr(name, 1, (key % 9) + 9), " +
+          "cast((cast(substr(name, (key % 9) + 10, 1) as int) + 1) % 10 as string), " +
+          "substr(name, (key % 9) + 11))"))
+        .otherwise(col("name")).as("name"),
+      when(col("key") % 5 === 0, (col("nation") + 1) % 25)
+        .otherwise(col("nation")).as("nation"),
+      when(col("key") % 11 === 0, lit("AUTOMOBILE"))
+        .otherwise(col("segment")).as("segment"))
+    def variants(df: DataFrame): DataFrame = df
+      .select(col("key"), col("name"),
+        explode(sequence(lit(0), length(col("name")))).as("i"))
+      .select(col("key"),
+        expr("concat(substr(name, 1, i), substr(name, i + 2))").as("variant"))
+      .distinct()
+    val cand = variants(a).as("x")
+      .join(variants(b).as("y"), col("x.variant") === col("y.variant"))
+      .select(col("x.key").as("a_key"), col("y.key").as("b_key"))
+      .distinct()
+    val sName = when(col("a_name") === col("b_name"), 24)
+      .when(levenshtein(col("a_name"), col("b_name")) <= 1, 4)
+      .otherwise(-8)
+    val sNation = when(col("a_nation") === col("b_nation"), 6).otherwise(-6)
+    val sSegment = when(col("a_segment") === col("b_segment"), 3).otherwise(-5)
+    cand
+      .join(a.select(col("key").as("a_key"), col("name").as("a_name"),
+        col("nation").as("a_nation"), col("segment").as("a_segment")), "a_key")
+      .join(b.select(col("key").as("b_key"), col("name").as("b_name"),
+        col("nation").as("b_nation"), col("segment").as("b_segment")), "b_key")
+      .select(col("a_key"), col("b_key"),
+        sName.as("s_name"), sNation.as("s_nation"), sSegment.as("s_segment"))
+      .withColumn("score", col("s_name") + col("s_nation") + col("s_segment"))
+      .withColumn("decision",
+        when(col("score") >= 20, "match")
+          .when(col("score") >= 10, "possible")
+          .otherwise("non_match"))
+      .filter(col("decision") =!= "non_match")
+      .withColumn("is_true", (col("a_key") === col("b_key")).cast("int"))
+      .orderBy("a_key", "b_key")
+  }
+
   /** Descriptive-statistics kernel — per-group mean / sample variance /
     * stddev / Pearson correlation, computed the CROSS-ENGINE-EXACT way:
     * the aggregate collects only exact integer POWER SUMS (n, Σx, Σx²,
@@ -570,6 +642,7 @@ object Relational {
     "r_histogram_equidepth" -> (histogramEquidepth _),
     "r_stats_kernel"    -> (statsKernel _),
     "r_fuzzy_join"      -> (fuzzyJoin _),
+    "r_record_linkage"  -> (recordLinkage _),
     "r_join_full_outer" -> (joinFullOuter _),
     "r_window_dist"     -> (windowDist _),
     "r_pivot"           -> (pivotStatus _),
@@ -684,6 +757,46 @@ object Relational {
         |FROM cand
         |WHERE levenshtein(name1, name2) <= 1
         |ORDER BY key1, key2""".stripMargin,
+    // the noisy registry, the deletion-variant block, and the integer
+    // agreement weights rebuilt verbatim
+    "r_record_linkage" ->
+      """WITH a AS (SELECT c_custkey AS key, c_name AS name,
+        |                  c_nationkey AS nation, c_mktsegment AS segment
+        |           FROM customer),
+        |b AS (SELECT key,
+        |             CASE WHEN key % 7 = 0
+        |                  THEN substr(name, 1, CAST((key % 9) + 9 AS INT))
+        |                       || CAST((CAST(substr(name, CAST((key % 9) + 10 AS INT), 1) AS INT) + 1) % 10 AS VARCHAR)
+        |                       || substr(name, CAST((key % 9) + 11 AS INT))
+        |                  ELSE name END AS name,
+        |             CASE WHEN key % 5 = 0 THEN (nation + 1) % 25 ELSE nation END AS nation,
+        |             CASE WHEN key % 11 = 0 THEN 'AUTOMOBILE' ELSE segment END AS segment
+        |      FROM a),
+        |va AS (SELECT DISTINCT key,
+        |              substr(name, 1, CAST(i AS INT)) || substr(name, CAST(i AS INT) + 2) AS variant
+        |       FROM (SELECT key, name, unnest(range(0, CAST(len(name) AS BIGINT) + 1)) AS i FROM a) t),
+        |vb AS (SELECT DISTINCT key,
+        |              substr(name, 1, CAST(i AS INT)) || substr(name, CAST(i AS INT) + 2) AS variant
+        |       FROM (SELECT key, name, unnest(range(0, CAST(len(name) AS BIGINT) + 1)) AS i FROM b) t),
+        |cand AS (SELECT DISTINCT x.key AS a_key, y.key AS b_key
+        |         FROM va x JOIN vb y ON x.variant = y.variant),
+        |scored AS (
+        |  SELECT c.a_key, c.b_key,
+        |         CASE WHEN a.name = b.name THEN 24
+        |              WHEN levenshtein(a.name, b.name) <= 1 THEN 4
+        |              ELSE -8 END AS s_name,
+        |         CASE WHEN a.nation = b.nation THEN 6 ELSE -6 END AS s_nation,
+        |         CASE WHEN a.segment = b.segment THEN 3 ELSE -5 END AS s_segment,
+        |         CAST(a.key = b.key AS INT) AS is_true
+        |  FROM cand c JOIN a ON a.key = c.a_key JOIN b ON b.key = c.b_key)
+        |SELECT a_key, b_key, s_name, s_nation, s_segment,
+        |       s_name + s_nation + s_segment AS score,
+        |       CASE WHEN s_name + s_nation + s_segment >= 20 THEN 'match'
+        |            ELSE 'possible' END AS decision,
+        |       is_true
+        |FROM scored
+        |WHERE s_name + s_nation + s_segment >= 10
+        |ORDER BY a_key, b_key""".stripMargin,
     "r_join_full_outer" ->
       s"""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000),
          |o AS (SELECT o_custkey, COUNT(*) AS n_orders,

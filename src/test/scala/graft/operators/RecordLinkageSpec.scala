@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Linkage contract on the deterministic noise model: the match class is
+  * dominated by true pairs (high precision), nearly every true pair
+  * survives the block + thresholds (the misses are the documented
+  * triple-noise keys), and every emitted pair carries a consistent
+  * score/decision. */
+class RecordLinkageSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("match precision is high and true-pair recall near-complete") {
+    val rows = Relational.recordLinkage(s, TestSpark.sf).collect()
+    val matches = rows.filter(_.getAs[String]("decision") == "match")
+    val trueMatches = matches.count(_.getAs[Int]("is_true") == 1)
+    assert(matches.nonEmpty)
+    val precision = trueMatches.toDouble / matches.length
+    info(f"match precision $precision%.3f (${matches.length} matches)")
+    assert(precision >= 0.9, f"match class polluted: $precision%.3f")
+    val caught = rows.filter(_.getAs[Int]("is_true") == 1).map(_.getLong(0)).toSet
+    val total = graft.Tables.customer(s, TestSpark.sf).count()
+    val recall = caught.size.toDouble / total
+    info(f"true-pair recall $recall%.3f of $total")
+    assert(recall >= 0.9, f"linkage lost too many true pairs: $recall%.3f")
+    // the documented misses: a noisy NAME (weak +4 evidence) plus noise
+    // in at least one corroborating field scores below the review
+    // threshold (4−6+3=1 or 4+6−5=5) — the honest false-negative class
+    val missed = (0L until total).toSet -- caught
+    missed.foreach(k => assert(k % 7 == 0 && (k % 5 == 0 || k % 11 == 0),
+      s"key $k missed without the multi-field-noise excuse"))
+  }
+
+  test("scores decompose and decisions respect the thresholds") {
+    val rows = Relational.recordLinkage(s, TestSpark.sf).collect()
+    rows.foreach { r =>
+      val score = r.getAs[Int]("s_name") + r.getAs[Int]("s_nation") + r.getAs[Int]("s_segment")
+      assert(score == r.getAs[Int]("score"))
+      assert(score >= 10, "a non-match leaked into the output")
+      val expected = if (score >= 20) "match" else "possible"
+      assert(r.getAs[String]("decision") == expected)
+    }
+  }
+
+  test("exact-name impostors (digit-collision) are demoted below match") {
+    val rows = Relational.recordLinkage(s, TestSpark.sf).collect()
+    val impostors = rows.filter(r =>
+      r.getAs[Int]("is_true") == 0 && r.getAs[Int]("s_name") == 24)
+    // colliding names exist in the fixture, and those lacking BOTH
+    // corroborating fields must not reach 'match'
+    impostors.foreach { r =>
+      if (r.getAs[Int]("s_nation") < 0 && r.getAs[Int]("s_segment") < 0)
+        assert(r.getAs[String]("decision") == "possible",
+          s"uncorroborated impostor classified match: $r")
+    }
+  }
+}
