@@ -164,6 +164,8 @@ object Extraction {
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Agg(s, d)),
     "x_filing_index_v2_prune" ->
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Prune(s, d)),
+    "x_filing_index_v2_dpp" ->
+      ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Dpp(s, d)),
     "x_csv_roundtrip" -> (csvRoundtrip _),
   )
 
@@ -208,6 +210,21 @@ object Extraction {
         |       END AS doc_url
         |FROM idx, hi WHERE form_type = 'NPORT-P' AND cik <= hi.hi
         |ORDER BY cik, accession_number""".stripMargin,
+    // the dim-joined filing counts: the runtime filter changes which
+    // files open, never the answer
+    "x_filing_index_v2_dpp" ->
+      """WITH dim AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND c_custkey >= (SELECT MAX(c_custkey) FROM customer) * 3 // 4),
+        |idx AS (
+        |  SELECT o_custkey AS cik,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type
+        |  FROM orders)
+        |SELECT form_type, CAST(COUNT(*) AS BIGINT) AS n_filings,
+        |       CAST(COUNT(DISTINCT cik) AS BIGINT) AS n_funds
+        |FROM idx JOIN dim ON idx.cik = dim.c_custkey
+        |GROUP BY 1 ORDER BY form_type""".stripMargin,
   )
 
   private lazy val filingIndexOracle: String =

@@ -182,6 +182,41 @@ object FilingIndex {
     df
   }
 
+  /** `x_filing_index_v2_dpp` — RUNTIME (DPP-style) file pruning into the
+    * connector: no static cik predicate exists anywhere in this query —
+    * the prunable key set arrives AT EXECUTION TIME from the selective
+    * dim join (the latest-registered BUILDING-segment funds), Spark hands
+    * it to the scan through `SupportsRuntimeV2Filtering`, and the scan
+    * re-plans against the stats sidecar, opening only the files whose
+    * cik range intersects the runtime set. The operator REQUIREs both
+    * halves: a runtime filter actually reached the scan, and the
+    * re-planned partition count is below the stage's file count.
+    * Pruning is an optimization only — rows from kept files that miss
+    * the set still fail the join — so the hash-checked aggregate is
+    * layout- and pruning-independent. */
+  def filingIndexV2Dpp(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    val maxCk = Tables.customer(s, d).agg(max(col("c_custkey"))).head().getLong(0)
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") >= maxCk * 3 / 4)
+      .select(col("c_custkey"))
+    val hits0 = FilingIndexV2.runtimeFilterHits.get()
+    val agg = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+      .join(dim, col("cik") === col("c_custkey"))
+      .groupBy(col("form_type"))
+      .agg(count(lit(1)).as("n_filings"), countDistinct(col("cik")).as("n_funds"))
+    val rows = agg.collect()
+    val onDisk = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    require(FilingIndexV2.runtimeFilterHits.get() > hits0,
+      s"no runtime filter reached the scan; plan:\n${agg.queryExecution.executedPlan}")
+    val planned = FilingIndexV2.lastPlannedPartitions.get()
+    require(planned > 0 && planned < onDisk,
+      s"runtime filter pruned nothing: planned $planned of $onDisk files")
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
+      .orderBy("form_type")
+  }
+
   /** `x_filing_index_v2_agg` — COUNT pushed INTO the connector
     * (`SupportsPushDownAggregates`): the per-form filing counts are
     * tallied during the source's own line scan — no filing row is ever

@@ -45,6 +45,11 @@ class FilingIndexV2 extends TableProvider {
 
 object FilingIndexV2 {
 
+  /** Test/REQUIRE hooks: how often a runtime (DPP) filter reached the
+    * scan, and the partition count of the most recent plan. */
+  val runtimeFilterHits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val lastPlannedPartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   val Schema: StructType = StructType(Seq(
     StructField("cik", LongType),
     StructField("accession_number", StringType),
@@ -161,11 +166,55 @@ object FilingIndexV2 {
       formNotNull: Boolean = false, aggGrouped: Option[Boolean] = None,
       cikLo: Long = Long.MinValue, cikHi: Long = Long.MaxValue,
       cikIn: Option[Set[Long]] = None)
-      extends Scan with Batch {
+      extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+
+    // RUNTIME (DPP-style) filtering: a selective dim join hands the scan
+    // its join-key value set AT EXECUTION TIME, and the scan re-plans
+    // against the stats sidecar — file pruning driven by data no static
+    // predicate could know. Purely an optimization: rows from kept files
+    // that miss the set still fail the join itself, so readers need no
+    // re-check. The var is plan-instance-local (case-class equality
+    // ignores it); the companion hooks exist for REQUIRE/spec assertions.
+    @volatile private var runtimeIn: Option[Set[Long]] = None
+
+    override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("cik"))
+
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      val sets = predicates.flatMap { p =>
+        if (p.name() == "IN") {
+          val ch = p.children()
+          val onCik = ch.headOption.exists {
+            case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+              n.fieldNames.sameElements(Array("cik"))
+            case _ => false
+          }
+          if (onCik) {
+            val vals = ch.drop(1).collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                l.value() match {
+                  case x: java.lang.Long => x.longValue()
+                  case x: java.lang.Integer => x.longValue().toLong
+                }
+            }.toSet
+            Some(vals)
+          } else None
+        } else None
+      }
+      if (sets.nonEmpty) {
+        runtimeIn = Some(sets.reduce(_ intersect _))
+        FilingIndexV2.runtimeFilterHits.incrementAndGet(): Unit
+      }
+    }
+
     private def cikPushed: Boolean =
-      cikLo != Long.MinValue || cikHi != Long.MaxValue || cikIn.isDefined
+      cikLo != Long.MinValue || cikHi != Long.MaxValue ||
+        cikIn.isDefined || runtimeIn.isDefined
     override def description(): String =
       s"graft_filing_index pushed=[${formEq.mkString(",")}] cols=[${required.fieldNames.mkString(",")}]" +
         s" agg_pushed=${aggGrouped.map(g => if (g) "count_by_form" else "count").getOrElse("none")}" +
@@ -199,11 +248,14 @@ object FilingIndexV2 {
       def mayMatch(name: String): Boolean = stats.get(name) match {
         case Some((lo, hi)) =>
           lo <= cikHi && hi >= cikLo &&
-            cikIn.forall(_.exists(v => v >= lo && v <= hi))
+            cikIn.forall(_.exists(v => v >= lo && v <= hi)) &&
+            runtimeIn.forall(_.exists(v => v >= lo && v <= hi))
         case None => true
       }
-      files.filter(s => mayMatch(s.getPath.getName))
+      val planned = files.filter(s => mayMatch(s.getPath.getName))
         .map(s => IndexPartition(s.getPath.toString): InputPartition)
+      FilingIndexV2.lastPlannedPartitions.set(planned.length)
+      planned
     }
 
     override def createReaderFactory(): PartitionReaderFactory =

@@ -94,4 +94,28 @@ class FilingIndexV2Spec extends AnyFunSuite {
     val point = v2().filter(col("cik") === ciks.head)
     assert(scanOf(point).planInputPartitions().length <= parts)
   }
+
+  test("runtime (DPP) filtering: answers equal the DPP-disabled run") {
+    val withDpp = FilingIndex.filingIndexV2Dpp(s, sf).collect().toSeq
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try {
+      // without DPP the REQUIREs inside the operator would rightly fail —
+      // recompute the same aggregate through the plain join instead
+      import org.apache.spark.sql.functions._
+      val dir = FilingIndex.ensureStaged(s, sf)
+      val maxCk = graft.Tables.customer(s, sf)
+        .agg(max(col("c_custkey"))).head().getLong(0)
+      val dim = graft.Tables.customer(s, sf)
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") >= maxCk * 3 / 4)
+        .select(col("c_custkey"))
+      val plain = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+        .join(dim, col("cik") === col("c_custkey"))
+        .groupBy(col("form_type"))
+        .agg(count(lit(1)).as("n_filings"), countDistinct(col("cik")).as("n_funds"))
+        .orderBy("form_type").collect().toSeq
+      assert(withDpp == plain, "runtime pruning changed the answer")
+    } finally s.conf.set(key, prev)
+  }
 }
