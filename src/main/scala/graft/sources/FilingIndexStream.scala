@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The STREAMING READ leg of the connector family — with this, every
+  * DataSource V2 surface the engine uses is custom-implemented: batch
+  * read ([[FilingIndexV2]]), batch + streaming write ([[FixedWidthV2]]),
+  * and now a [[MicroBatchStream]] source over an APPEND-ONLY directory of
+  * staged filing-index files (the offline shape of "new submissions keep
+  * arriving"; the reference polls the same feed over HTTP).
+  *
+  * Offsets are the ingested-file COUNT over the lexicographic file
+  * order: the directory contract is append-only with names that sort
+  * after everything already present (what log-structured feeds provide),
+  * so an offset range [a, b) denotes files a until b of the sorted
+  * listing — deterministic, replayable, and cheap to compare. Each
+  * micro-batch plans one partition per newly-arrived file and reuses the
+  * batch connector's line reader, so a record is ingested EXACTLY ONCE
+  * per offset range; the checkpointed offset makes that exactly-once
+  * across restarts (FilingIndexStreamSpec stops mid-feed and resumes
+  * from the checkpoint). `commit` is a no-op — files are retained, the
+  * offset alone is the cursor. */
+class FilingIndexStream extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FilingIndexV2.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
+    new FilingIndexStream.StreamTable(properties.get("path"))
+}
+
+object FilingIndexStream {
+
+  private[sources] case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  private[sources] class StreamTable(path: String) extends Table with SupportsRead {
+    require(path != null, "graft filing-index stream requires a path")
+    override def name(): String = s"graft_filing_index_stream($path)"
+    override def schema(): StructType = FilingIndexV2.Schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new StreamScan(path)
+  }
+
+  private[sources] class StreamScan(path: String) extends Scan {
+    override def readSchema(): StructType = FilingIndexV2.Schema
+    override def description(): String = s"graft_filing_index_stream($path)"
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new IndexMicroBatchStream(path)
+  }
+
+  private[sources] class IndexMicroBatchStream(path: String) extends MicroBatchStream {
+    private def listSorted(): Array[String] = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
+        .sorted
+    }
+
+    override def initialOffset(): Offset = FileCountOffset(0)
+
+    override def latestOffset(): Offset = FileCountOffset(listSorted().length)
+
+    override def deserializeOffset(json: String): Offset = FileCountOffset(json.toInt)
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val a = start.asInstanceOf[FileCountOffset].n
+      val b = end.asInstanceOf[FileCountOffset].n
+      val files = listSorted()
+      require(files.length >= b,
+        s"offset $b beyond the directory's ${files.length} files — append-only contract broken")
+      files.slice(a, b).map(f => FilingIndexV2.IndexPartition(f): InputPartition)
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      FilingIndexV2.IndexReaderFactory(
+        FilingIndexV2.Schema.fieldNames, Array.empty, formNotNull = false, None,
+        Long.MinValue, Long.MaxValue, None,
+        new org.apache.spark.util.SerializableConfiguration(
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+
+    override def commit(end: Offset): Unit = () // files retained; the offset is the cursor
+    override def stop(): Unit = ()
+  }
+}

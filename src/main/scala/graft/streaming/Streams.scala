@@ -351,6 +351,52 @@ object Streams {
       .orderBy("ws_us", "event_type", "rank")
   }
 
+  private val filingStreamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `e_filing_stream` — the engine's CUSTOM V2 STREAMING SOURCE
+    * ([[graft.sources.FilingIndexStream]], file-count offsets over an
+    * append-only arrivals directory) replayed end to end: the staged
+    * index files "arrive" in two waves, each wave becomes a micro-batch
+    * planned as one partition per new file through the batch connector's
+    * line reader, and the union of batches must contain every filing
+    * EXACTLY ONCE — the aggregate shares the static derivation's oracle.
+    * Checkpointed-offset restart is driven separately in
+    * FilingIndexStreamSpec. */
+  def filingStreamReplay(s: SparkSession, d: String): DataFrame = {
+    val staged = graft.sources.FilingIndex.ensureStaged(s, d)
+    val arrivals = graft.TempPaths.scratch(s, "filing_stream") +
+      "/run" + filingStreamRuns.incrementAndGet()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+    val files = new java.io.File(staged).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    // wave prefixes keep arrivals lexicographically AFTER everything
+    // already present — the source's append-only contract
+    def arrive(fs: Seq[java.io.File], wave: Int): Unit = fs.zipWithIndex.foreach {
+      case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(arrivals, f"wave$wave%02d-$i%03d.jsonl")): Unit
+    }
+    val sink = "e_filing_stream_sink"
+    withReplayShuffle(s) {
+      val q = s.readStream
+        .format(classOf[graft.sources.FilingIndexStream].getName)
+        .load(arrivals)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        arrive(files.take(files.length / 2).toSeq, 1)
+        q.processAllAvailable()
+        arrive(files.drop(files.length / 2).toSeq, 2)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(sink)
+      .groupBy(col("form_type"))
+      .agg(count(lit(1)).as("n_filings"), countDistinct(col("cik")).as("n_funds"))
+      .orderBy("form_type")
+  }
+
   private val dsv2StreamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `e_dsv2_stream_sink` — the CONNECTOR-LAYER exactly-once sink: the
@@ -1608,6 +1654,7 @@ object Streams {
     "e_kmv_stream" -> (kmvStream _),
     "e_bottomk_stream" -> (bottomkStream _),
     "e_dsv2_stream_sink" -> (dsv2StreamSink _),
+    "e_filing_stream" -> (filingStreamReplay _),
     "e_topk_stream" -> (topkStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "e_stream_enrich_scd" -> (streamEnrichScdReplay _),
@@ -1766,6 +1813,14 @@ object Streams {
         |wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS w FROM b1)
         |SELECT CAST(2 * (SELECT COUNT(*) FROM b1) AS BIGINT) AS n_input_rows,
         |       CAST((SELECT COUNT(*) FROM b1, wm WHERE us <= w) AS BIGINT) AS n_late_dropped""".stripMargin,
+    // every filing exactly once across the micro-batches, whatever the
+    // wave split — per-form counts from the same orders derivation the
+    // staged JSON encodes
+    "e_filing_stream" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_filings,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_funds
+        |FROM orders GROUP BY 1 ORDER BY form_type""".stripMargin,
     // the union of committed epoch files must reproduce the order slice
     // exactly, whatever the batch split — same aggregate as k_dsv2_write
     "e_dsv2_stream_sink" ->
