@@ -376,6 +376,7 @@ object Events {
   private[operators] def ewmaOf(s: SparkSession, daily: DataFrame): DataFrame = {
     import s.implicits._
     val b = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1")).head()
+    require(!b.isNullAt(0), "empty daily series — EWMA needs at least one day")
     val d0 = b.getDate(0)
     val nDays = (b.getDate(1).toLocalDate.toEpochDay - d0.toLocalDate.toEpochDay).toInt + 1
     val grid = daily.select(col("event_type")).distinct()

@@ -633,7 +633,9 @@ object Formats {
     require(ManifestLog.publish(base, 1, files), s"v1 exists under $base")
     // the erasure subject: deterministic (the smallest user id)
     val target = ev.agg(min(col("user_id"))).head().getLong(0)
-    val tb = (target % GdprBuckets).toInt
+    // floorMod mirrors pmod's always-nonnegative result — a negative
+    // min user_id must not index files(-k)
+    val tb = Math.floorMod(target, GdprBuckets.toLong).toInt
     val rewritten = s"$base/data/b${tb}_gdpr"
     s.read.parquet(files(tb)).filter(col("user_id") =!= target)
       .write.mode("overwrite").parquet(rewritten)

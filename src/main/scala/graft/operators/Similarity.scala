@@ -749,8 +749,12 @@ object Similarity {
 
   private[operators] val kmeansBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // every training constant is baked into the stage-dir name, so changing
+  // k / iterations / sample mod can never silently reuse a stale codebook
+  // (the Staging marker only fingerprints the input parquet)
   def kmeansStageDir(sfDir: String): String =
-    "/tmp/graft_stage/kmeans_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft_stage/kmeans_k${KmClusters}_it${KmIterations}_m${KmSampleMod}_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Stages the trained index: the k×dim codebook (with member counts)
     * and the one-pass corpus assignment table. Build-once per sf dir
@@ -885,7 +889,8 @@ object Similarity {
   // fingerprints SOURCES, so a config change must change the path or a
   // stale codebook would satisfy the marker
   def pqKmeansStageDir(sfDir: String): String =
-    s"/tmp/graft_stage/pq_kmeans_cw${PqCw}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft_stage/pq_kmeans_cw${PqCw}_it${KmIterations}_m${KmSampleMod}_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Stages the trained PQ index: the PqSub×PqCw×PqSubDim codebook (with
     * member counts) and the one-pass integer code table. */
@@ -913,8 +918,9 @@ object Similarity {
     (codebookPath, codesPath)
   }
 
-  /** `v_pq_train` — the trained per-subspace codebook itself (512
-    * hash-checked rows), oracle = the per-subspace unrolled Lloyd's. */
+  /** `v_pq_train` — the trained per-subspace codebook itself
+    * (PqSub × PqCw × PqSubDim = 1024 hash-checked rows), oracle = the
+    * per-subspace unrolled Lloyd's. */
   def pqKmeansTrain(s: SparkSession, d: String): DataFrame = {
     val (cbPath, _) = ensurePqKmeansStaged(s, d)
     s.read.parquet(cbPath)
