@@ -44,16 +44,27 @@ object BpeTrain {
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
-  /** `t_bpe_train` — the learned merge table: (step, merge_left,
-    * merge_right, pair count), hash-checked against the fully unrolled
-    * pair-count/argmax/rewrite chain in DuckDB. */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** " h e l l o " — every symbol has a delimiter on BOTH sides, so a
+    * literal " l r " match is an exact adjacent-pair test. */
+  private def symbolize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(regexp_replace(c, "(.)", " $1"), lit(" "))
+
+  /** The literal (not regex) two-pass replace — StringReplace is the same
+    * non-overlapping left-to-right scan DuckDB's replace() does. Shared by
+    * the train loop and the apply tokenizer so both use bit-identical
+    * merge semantics. */
+  private def mergePass(s: org.apache.spark.sql.Column, l: String, r: String) = {
+    val pat = lit(s" $l $r ")
+    val rep = lit(s" $l$r ")
+    call_function("replace", call_function("replace", s, pat, rep), pat, rep)
+  }
+
+  /** The training loop itself: BpeMerges rounds of (adjacent-pair count
+    * over the O(vocab) word table, bounded argmax collect, two-pass
+    * rewrite). Returns the learned merge table. */
+  private def trainedMerges(s: SparkSession, d: String): Vector[(Int, String, String, Long)] = {
     val base = wordCounts(s, d)
-      // " h e l l o " — every symbol has a delimiter on BOTH sides, so a
-      // literal " l r " match is an exact adjacent-pair test
-      .select(col("cnt"),
-        concat(regexp_replace(col("w"), "(.)", " $1"), lit(" ")).as("s"))
+      .select(col("cnt"), symbolize(col("w")).as("s"))
       .persist()
     try {
       var words = base
@@ -72,30 +83,76 @@ object BpeTrain {
           .orderBy(col("n").desc, col("l").asc, col("r").asc)
           .limit(1)
           .collect() // exactly one row — the argmax sync, never data
+        require(top.nonEmpty,
+          s"no adjacent symbol pairs to merge at step $step — degenerate corpus")
         val row = top.head
         val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += ((step, l, r, n))
-        val pat = lit(s" $l $r ")
-        val rep = lit(s" $l$r ")
-        // literal (not regex) two-pass replace — StringReplace is the
-        // same non-overlapping left-to-right scan DuckDB's replace() does
-        words = words.withColumn("s",
-          call_function("replace", call_function("replace", col("s"), pat, rep), pat, rep))
+        words = words.withColumn("s", mergePass(col("s"), l, r))
         step += 1
       }
       merges.result()
-        .toDF("step", "merge_left", "merge_right", "n")
-        .orderBy("step")
     } finally { base.unpersist(); () }
+  }
+
+  /** `t_bpe_train` — the learned merge table: (step, merge_left,
+    * merge_right, pair count), hash-checked against the fully unrolled
+    * pair-count/argmax/rewrite chain in DuckDB. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainedMerges(s, d)
+      .toDF("step", "merge_left", "merge_right", "n")
+      .orderBy("step")
+  }
+
+  /** `t_bpe_apply` — CLOSES THE TRAIN→APPLY LOOP: tokenize the corpus
+    * with the vocabulary the engine itself just learned. The merge table
+    * from [[trainedMerges]] is applied to the O(vocab) DISTINCT-word
+    * table (never raw text) with the exact [[mergePass]] semantics the
+    * trainer used, giving each word its trained token count; per-document
+    * totals then come from an equi-join of the per-doc word counts
+    * against that tokenized vocabulary. Output per doc: eligible word
+    * count, character count, and the trained-token bill — the number
+    * every budget query should bill on once a tokenizer is trained.
+    *
+    * Scale shape: merges rewrite O(distinct words), the doc⋈vocab join
+    * shuffles on the word key (vocabulary-sized build side — AQE may
+    * broadcast it when small), and the final aggregate is per-doc. The
+    * corpus is touched once, exactly like training. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val merges = trainedMerges(s, d)
+    val tokenized = merges.foldLeft(
+      wordCounts(s, d).select(col("w"), symbolize(col("w")).as("s"))) {
+      case (df, (_, l, r, _)) => df.withColumn("s", mergePass(col("s"), l, r))
+    }
+    val vocab = tokenized.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("tok_len"))
+    val docWords = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxWordLen)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    docWords.join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        sum(col("c") * length(col("w"))).as("n_chars"),
+        sum(col("c") * col("tok_len")).as("n_trained_tokens"))
+      .orderBy("doc_id")
   }
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> (bpeTrain _),
+    "t_bpe_apply" -> (bpeApply _),
   )
 
-  private def mergeStep(t: Int, prev: String): String = {
+  /** One unrolled merge step: pair counts + argmax over `prev`, then the
+    * two-pass rewrite. `carry` is the pass-through column list (the train
+    * chain carries cnt; the apply chain also carries w); the final train
+    * step skips the rewrite nothing reads. */
+  private def mergeStep(t: Int, prev: String, carry: String = "cnt",
+      withRewrite: Boolean = true): String = {
     val pairs =
       s"""p$t AS (
          |  SELECT parts[i] AS l, parts[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
@@ -105,11 +162,11 @@ object BpeTrain {
          |m$t AS (SELECT l, r, n FROM p$t ORDER BY n DESC, l ASC, r ASC LIMIT 1)""".stripMargin
     val rewrite =
       s"""s$t AS (
-         |  SELECT cnt,
+         |  SELECT $carry,
          |         replace(replace(s, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
          |                 ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS s
          |  FROM $prev, m$t)""".stripMargin
-    if (t < BpeMerges) pairs + ",\n" + rewrite else pairs
+    if (withRewrite) pairs + ",\n" + rewrite else pairs
   }
 
   val oracle: Map[String, String] = Map(
@@ -117,7 +174,8 @@ object BpeTrain {
     // (adjacent-pair count, argmax with the same tie order, two-pass
     // literal rewrite) -- the d_pagerank / v_kmeans_train pattern
     "t_bpe_train" -> {
-      val steps = (1 to BpeMerges).map(t => mergeStep(t, if (t == 1) "s0" else s"s${t - 1}"))
+      val steps = (1 to BpeMerges).map(t => mergeStep(t, if (t == 1) "s0" else s"s${t - 1}",
+          withRewrite = t < BpeMerges))
         .mkString(",\n")
       val out = (1 to BpeMerges)
         .map(t => s"SELECT $t AS step, l AS merge_left, r AS merge_right, n FROM m$t")
@@ -131,6 +189,35 @@ object BpeTrain {
          |$steps
          |$out
          |ORDER BY step""".stripMargin
+    },
+    // the same unrolled train chain, carrying each word through the four
+    // rewrites, then billing every document against the tokenized vocab
+    "t_bpe_apply" -> {
+      val steps = (1 to BpeMerges).map(t => mergeStep(t, if (t == 1) "s0" else s"s${t - 1}",
+          carry = "w, cnt"))
+        .mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= $MaxWordLen
+         |  GROUP BY w),
+         |s0 AS (SELECT w, cnt, regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS s FROM w),
+         |$steps,
+         |vocab AS (
+         |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS tok_len
+         |  FROM s$BpeMerges),
+         |dw AS (
+         |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= $MaxWordLen
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(SUM(c) AS BIGINT) AS n_words,
+         |       CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(c * tok_len) AS BIGINT) AS n_trained_tokens
+         |FROM dw JOIN vocab USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     },
   )
 }

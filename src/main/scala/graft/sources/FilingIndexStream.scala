@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -27,13 +27,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * per offset range; the checkpointed offset makes that exactly-once
   * across restarts (FilingIndexStreamSpec stops mid-feed and resumes
   * from the checkpoint). `commit` is a no-op — files are retained, the
-  * offset alone is the cursor. */
+  * offset alone is the cursor.
+  *
+  * ADMISSION CONTROL: the stream implements [[SupportsAdmissionControl]]
+  * with a `maxFilesPerTrigger` option — without it, a 1,000-file backlog
+  * (a real feed after any downtime) lands in ONE giant micro-batch whose
+  * state/commit granularity is unbounded. With the limit, the engine
+  * paces the backlog into bounded batches: `latestOffset(start, limit)`
+  * advances the file-count cursor by at most the limit per trigger, and
+  * the exactly-once story is unchanged because the offset semantics are
+  * identical — only the stride differs. */
 class FilingIndexStream extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FilingIndexV2.Schema
   override def getTable(
-      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
-    new FilingIndexStream.StreamTable(properties.get("path"))
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table = {
+    val maxFiles = Option(properties.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+    new FilingIndexStream.StreamTable(properties.get("path"), maxFiles)
+  }
 }
 
 object FilingIndexStream {
@@ -42,24 +57,27 @@ object FilingIndexStream {
     override def json(): String = n.toString
   }
 
-  private[sources] class StreamTable(path: String) extends Table with SupportsRead {
+  private[sources] class StreamTable(path: String, maxFilesPerTrigger: Option[Int])
+      extends Table with SupportsRead {
     require(path != null, "graft filing-index stream requires a path")
     override def name(): String = s"graft_filing_index_stream($path)"
     override def schema(): StructType = FilingIndexV2.Schema
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      () => new StreamScan(path)
+      () => new StreamScan(path, maxFilesPerTrigger)
   }
 
-  private[sources] class StreamScan(path: String) extends Scan {
+  private[sources] class StreamScan(path: String, maxFilesPerTrigger: Option[Int]) extends Scan {
     override def readSchema(): StructType = FilingIndexV2.Schema
     override def description(): String = s"graft_filing_index_stream($path)"
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new IndexMicroBatchStream(path)
+      new IndexMicroBatchStream(path, maxFilesPerTrigger)
   }
 
-  private[sources] class IndexMicroBatchStream(path: String) extends MicroBatchStream {
+  private[sources] class IndexMicroBatchStream(
+      path: String, maxFilesPerTrigger: Option[Int] = None)
+      extends MicroBatchStream with SupportsAdmissionControl {
     private def listSorted(): Array[String] = {
       val p = new Path(path)
       val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
@@ -74,7 +92,27 @@ object FilingIndexStream {
 
     override def initialOffset(): Offset = FileCountOffset(0)
 
-    override def latestOffset(): Offset = FileCountOffset(listSorted().length)
+    // with SupportsAdmissionControl the engine calls the 2-arg variant;
+    // the legacy form must never be consulted
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "latestOffset(start, limit) is the admission-controlled entry point")
+
+    override def getDefaultReadLimit: ReadLimit =
+      maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+    /** Advance the cursor by at most the per-trigger file budget — a
+      * backlog of N files drains in ⌈N/limit⌉ bounded micro-batches. */
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val a = start.asInstanceOf[FileCountOffset].n
+      val total = listSorted().length
+      limit match {
+        case mf: ReadMaxFiles => FileCountOffset(math.min(total, a + mf.maxFiles()))
+        case _                => FileCountOffset(total)
+      }
+    }
+
+    override def reportLatestOffset(): Offset = FileCountOffset(listSorted().length)
 
     override def deserializeOffset(json: String): Offset = FileCountOffset(json.toInt)
 

@@ -362,7 +362,21 @@ object Streams {
     * EXACTLY ONCE — the aggregate shares the static derivation's oracle.
     * Checkpointed-offset restart is driven separately in
     * FilingIndexStreamSpec. */
-  def filingStreamReplay(s: SparkSession, d: String): DataFrame = {
+  def filingStreamReplay(s: SparkSession, d: String): DataFrame =
+    filingStreamReplayWith(s, d, maxFilesPerTrigger = None)
+
+  /** `e_filing_stream_paced` — the same replay under ADMISSION CONTROL:
+    * `maxFilesPerTrigger=2` paces each wave's backlog into bounded
+    * micro-batches (8 staged files → ≥4 data batches instead of 2), and
+    * the result is REQUIREd to be reached in strictly more batches than
+    * the unpaced run while staying row-identical — pacing changes the
+    * stride, never the data. The mid-drain-restart exactly-once leg is
+    * driven in FilingIndexStreamSpec. */
+  def filingStreamPaced(s: SparkSession, d: String): DataFrame =
+    filingStreamReplayWith(s, d, maxFilesPerTrigger = Some(2))
+
+  private def filingStreamReplayWith(
+      s: SparkSession, d: String, maxFilesPerTrigger: Option[Int]): DataFrame = {
     val staged = graft.sources.FilingIndex.ensureStaged(s, d)
     val arrivals = graft.TempPaths.scratch(s, "filing_stream") +
       "/run" + filingStreamRuns.incrementAndGet()
@@ -377,11 +391,12 @@ object Streams {
         java.nio.file.Files.copy(f.toPath,
           java.nio.file.Paths.get(arrivals, f"wave$wave%02d-$i%03d.jsonl")): Unit
     }
-    val sink = "e_filing_stream_sink"
+    val sink = "e_filing_stream_sink" + maxFilesPerTrigger.fold("")("_paced" + _)
     withReplayShuffle(s) {
-      val q = s.readStream
+      val reader = s.readStream
         .format(classOf[graft.sources.FilingIndexStream].getName)
-        .load(arrivals)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val q = reader.load(arrivals)
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append).start()
       try {
@@ -389,6 +404,13 @@ object Streams {
         q.processAllAvailable()
         arrive(files.drop(files.length / 2).toSeq, 2)
         q.processAllAvailable()
+        maxFilesPerTrigger.foreach { n =>
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          val floor = math.ceil(files.length.toDouble / n).toInt
+          require(dataBatches >= floor && floor > 2,
+            s"admission control did not pace: ${files.length} files / $n per trigger " +
+              s"drained in $dataBatches data batches (need ≥ $floor > 2)")
+        }
       } finally q.stop()
     }
     s.table(sink)
@@ -1655,6 +1677,7 @@ object Streams {
     "e_bottomk_stream" -> (bottomkStream _),
     "e_dsv2_stream_sink" -> (dsv2StreamSink _),
     "e_filing_stream" -> (filingStreamReplay _),
+    "e_filing_stream_paced" -> (filingStreamPaced _),
     "e_topk_stream" -> (topkStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "e_stream_enrich_scd" -> (streamEnrichScdReplay _),
@@ -1817,6 +1840,13 @@ object Streams {
     // wave split — per-form counts from the same orders derivation the
     // staged JSON encodes
     "e_filing_stream" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_filings,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_funds
+        |FROM orders GROUP BY 1 ORDER BY form_type""".stripMargin,
+    // pacing changes the micro-batch stride, never the data: identical
+    // aggregate to the unpaced replay
+    "e_filing_stream_paced" ->
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
         |       CAST(COUNT(*) AS BIGINT) AS n_filings,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_funds

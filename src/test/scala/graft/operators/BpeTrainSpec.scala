@@ -52,6 +52,40 @@ class BpeTrainSpec extends AnyFunSuite {
       s"a later merge outweighed an earlier one: $ns — the argmax is broken")
   }
 
+  test("t_bpe_apply equals an independent in-memory tokenizer over the same merges") {
+    import org.apache.spark.sql.functions._
+    // word → (count per doc) and the corpus-level counts the trainer sees
+    val docWords = graft.Tables.documents(s, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 12)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = docWords.groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+    // replay the reference loop, tracking each word's symbol string
+    var syms = corpus.keys.map(w => w -> (" " + w.mkString(" ") + " ")).toMap
+    val merges = referenceMerges(corpus, 4)
+    merges.foreach { case (l, r, _) =>
+      val pat = s" $l $r "
+      val rep = s" $l$r "
+      syms = syms.map { case (w, s0) => (w, s0.replace(pat, rep).replace(pat, rep)) }
+    }
+    val tokLen = syms.map { case (w, s0) => w -> s0.trim.split(" ").length.toLong }
+    val expected = docWords.groupBy(_._1).map { case (doc, ws) =>
+      (doc,
+        ws.length.toLong,
+        ws.iterator.map(_._2.length.toLong).sum,
+        ws.iterator.map(w => tokLen(w._2)).sum)
+    }.toSeq.sorted
+    val got = BpeTrain.bpeApply(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"apply diverged: got ${got.take(3)}… exp ${expected.take(3)}…")
+    // trained tokens genuinely compress: fewer tokens than characters,
+    // at least as many as words
+    got.foreach { case (doc, nw, nc, nt) =>
+      assert(nt <= nc && nt >= nw, s"doc $doc: words=$nw chars=$nc tokens=$nt")
+    }
+    assert(got.map(_._4).sum < got.map(_._3).sum)
+  }
+
   test("later merges may consume earlier merged symbols (the composition property)") {
     val rows = BpeTrain.bpeTrain(s, sf).collect()
     // every merged symbol is nonempty lowercase and the step ids are 1..4
