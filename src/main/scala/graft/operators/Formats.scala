@@ -653,6 +653,108 @@ object Formats {
     audit(1).unionByName(audit(2)).orderBy("version")
   }
 
+  private val dvRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A manifest entry is `dataPath` or `dataPath|dv=bitmapPath`; every
+    * path the entry references (for GC liveness walks). */
+  private[operators] def entryPaths(entry: String): Seq[String] =
+    entry.split("\\|dv=", 2).toIndexedSeq
+
+  /** Read one manifest entry, applying its deletion vector if present:
+    * rows whose (file, position) appear in the bitmap are filtered out at
+    * read time. The bitmap is keyed by the PHYSICAL position
+    * (`_metadata.file_name`, `_metadata.row_index`) — the Delta/Iceberg
+    * DV model — so it survives any split planning, and the anti-join
+    * build side is the bitmap (bounded by deletes, broadcast), never the
+    * data. */
+  private[operators] def readEntry(s: SparkSession, entry: String): DataFrame =
+    entryPaths(entry) match {
+      case Seq(p) => s.read.parquet(p)
+      case Seq(p, dv) =>
+        s.read.parquet(p)
+          .withColumn("__dv_file", col("_metadata.file_name"))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(broadcast(s.read.parquet(dv)),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+          .drop("__dv_file", "__dv_pos")
+    }
+
+  private[operators] def readWithDv(s: SparkSession, base: String, v: Int): DataFrame =
+    ManifestLog.read(base, v).map(readEntry(s, _)).reduce(_.unionByName(_))
+
+  /** Manifest-driven, DV-AWARE GC: keep the newest `retain` versions,
+    * delete every data file AND deletion-vector bitmap referenced only by
+    * the dropped versions, then drop their manifests. A bitmap superseded
+    * by compaction dies here exactly like a compacted-away data file.
+    * Returns (deleted paths, dropped versions). */
+  private[operators] def gcVersions(base: String, retain: Int): (Seq[String], Seq[Int]) = {
+    val (latest, _) = ManifestLog.latest(base)
+    val all = (1 to latest).filter(v =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/manifest-v$v.txt")))
+    val (drop, keep) = all.splitAt(math.max(0, all.length - retain))
+    val live = keep.flatMap(v => ManifestLog.read(base, v)).flatMap(entryPaths).toSet
+    val dead = drop.flatMap(v => ManifestLog.read(base, v)).flatMap(entryPaths)
+      .distinct.filterNot(live)
+    dead.foreach(f => deleteRecursively(new java.io.File(f)))
+    drop.foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/manifest-v$v.txt")))
+    (dead, drop)
+  }
+
+  /** `k_delete_vectors` — RIGHT-TO-ERASURE, MERGE-ON-READ: the erasure
+    * path used when even [[gdprDelete]]'s one-bucket rewrite is
+    * unaffordable (a petabyte table with erasure requests arriving
+    * daily). Instead of rewriting anything, v2 publishes a DELETION
+    * VECTOR next to the target bucket: a tiny parquet bitmap of the
+    * subject's (file, row-position) pairs, applied at read time by an
+    * anti-join whose build side is the bitmap. Write amplification is
+    * O(subject rows), ZERO data files change (REQUIREd by byte-identical
+    * file listings before/after the publish), and the swap is atomic in
+    * the manifest. The read back of both versions proves v1 still shows
+    * the subject (the audit trail) and v2 hides every subject row.
+    * Compaction later folds the bitmap into a clean rewrite and vacuum
+    * GCs the superseded bitmap — DeleteVectorsSpec drives that leg. */
+  def deleteVectors(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "delete_vectors") + "/run" + dvRuns.incrementAndGet()
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+    val files = (0 until GdprBuckets).map { b =>
+      val p = s"$base/data/b$b"
+      ev.filter(pmod(col("user_id"), lit(GdprBuckets)) === b).write.mode("overwrite").parquet(p)
+      p
+    }
+    require(ManifestLog.publish(base, 1, files), s"v1 exists under $base")
+    val target = ev.agg(min(col("user_id"))).head().getLong(0)
+    val tb = Math.floorMod(target, GdprBuckets.toLong).toInt
+    // byte-level fingerprint of every data file: merge-on-read must not
+    // touch ANY of them
+    def fingerprint(): Seq[(String, Long, Long)] = files.flatMap { p =>
+      new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => (f.getPath, f.length(), f.lastModified()))
+    }
+    val before = fingerprint()
+    val dvPath = s"$base/dv/b${tb}_v2"
+    s.read.parquet(files(tb))
+      .select(col("_metadata.file_name").as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"), col("user_id"))
+      .filter(col("user_id") === target)
+      .drop("user_id")
+      .write.mode("overwrite").parquet(dvPath)
+    require(ManifestLog.publish(base, 2, files.updated(tb, s"${files(tb)}|dv=$dvPath")),
+      s"v2 exists under $base")
+    require(fingerprint() == before,
+      "merge-on-read erasure modified a data file — the whole point is zero rewrites")
+    def audit(v: Int): DataFrame =
+      readWithDv(s, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id") === target, 1L).otherwise(0L)).as("n_subject_rows"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_subject_rows"),
+          col("sum_value"), lit(0).as("n_files_rewritten"),
+          lit(v - 1).as("n_dv_files"))
+    audit(1).unionByName(audit(2)).orderBy("version")
+  }
+
   private val dsv2Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_dsv2_write` — a distributed write through the engine's
@@ -705,6 +807,7 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_gdpr_delete" -> (gdprDelete _),
+    "k_delete_vectors" -> (deleteVectors _),
     "k_vacuum" -> (vacuum _),
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
@@ -734,6 +837,22 @@ object Formats {
          |SELECT 2, CAST(COUNT(*) AS BIGINT),
          |       CAST(0 AS BIGINT),
          |       ${sqlDsum("value")}, 1
+         |FROM events, tgt WHERE user_id <> tgt.u
+         |ORDER BY version""".stripMargin,
+    // merge-on-read erasure: same per-version totals as the rewrite leg,
+    // but zero files rewritten and one published bitmap in v2
+    "k_delete_vectors" ->
+      s"""WITH tgt AS (SELECT MIN(user_id) AS u FROM events)
+         |SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CASE WHEN user_id = tgt.u THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_subject_rows,
+         |       ${sqlDsum("value")} AS sum_value, 0 AS n_files_rewritten,
+         |       0 AS n_dv_files
+         |FROM events, tgt GROUP BY tgt.u
+         |UNION ALL
+         |SELECT 2, CAST(COUNT(*) AS BIGINT),
+         |       CAST(0 AS BIGINT),
+         |       ${sqlDsum("value")}, 0, 1
          |FROM events, tgt WHERE user_id <> tgt.u
          |ORDER BY version""".stripMargin,
     // the retained versions' contents from the slice rules: v3 = A∪D =
