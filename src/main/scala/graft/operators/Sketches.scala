@@ -216,12 +216,84 @@ object Sketches {
           col("est_rows") <= col("exact_rows") * 2).cast("int"))
   }
 
+  /** `k_sketch_planned_join` — THE ENGINE'S OWN SKETCH DRIVES A PLAN
+    * DECISION, closing the estimate→plan loop [[joinCardinality]] left
+    * open: ANALYZE row counts cannot see POST-FILTER cardinality (the
+    * single most common CBO blind spot — `WHERE` selectivity), but a
+    * staged bottom-k sketch of the filter column can estimate ANY
+    * predicate's surviving row count in O(k): apply the predicate to the
+    * sampled values, sum their exact counts, scale by the sampled
+    * hash-space fraction. Two regimes run the same orders⋈customer join
+    * under a scoped `autoBroadcastJoinThreshold=-1` (so the DEFAULT plan
+    * is always a shuffle join and only the sketch can add broadcast): a
+    * ~1% filter whose estimate falls under the 10%-of-dimension rule →
+    * the engine broadcasts (REQUIREd: BroadcastHashJoin, no
+    * SortMergeJoin), and a ~99% filter whose estimate exceeds it → the
+    * engine shuffles (REQUIREd: the reverse). The sketch estimate, the
+    * decision, and the join answers are all integer/exact and the oracle
+    * recomputes ALL of them — estimate included, via the portable
+    * md5-derived hash order — so a mis-estimating sketch or a flipped
+    * decision hash-fails, not just a wrong join result.
+    *
+    * Scale shape: the sketch is one map-side-combined profile pass (in a
+    * real deployment staged with the table, like ANALYZE); each planning
+    * decision is an O(k) driver computation — the k-row collect is
+    * planner statistics, never data. */
+  def sketchPlannedJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val sk = cust.select(col("c_custkey").cast("long").as("v"))
+      .agg(expr(s"bottomk_counts(v, $JcK)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.h"), col("e.v"), col("e.cnt"))
+      .collect() // ≤ k rows — planner statistics, never data
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val theta = if (sk.length < JcK) Two32 else sk.map(_._1).max
+    val total = cust.count()
+    def estimate(p: Long => Boolean): Long = {
+      val sampled = sk.iterator
+        .filter { case (h, v, _) => h < theta && p(v) }.map(_._3).sum
+      sampled * Two32 / theta
+    }
+    val orders = Tables.orders(s, d)
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.get(bKey)
+    def regime(label: String, pred: org.apache.spark.sql.Column,
+        predFn: Long => Boolean): (String, String, Long, Long, Long, Double) = {
+      val est = estimate(predFn)
+      // the decision rule: broadcast a side estimated ≤ 10% of the dim
+      val useBroadcast = est * 10L <= total
+      val filtered = cust.filter(pred).select(col("c_custkey"))
+      s.conf.set(bKey, "-1") // default = shuffle; ONLY the sketch adds broadcast
+      val (row, plan) = try {
+        val side = if (useBroadcast) broadcast(filtered) else filtered
+        val j = orders.join(side, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.QueryDsl.dsum(col("o_totalprice")).as("total_price"))
+        (j.collect().head, j.queryExecution.executedPlan.toString)
+      } finally s.conf.set(bKey, prev)
+      val (expect, forbid) = if (useBroadcast) ("BroadcastHashJoin", "SortMergeJoin")
+        else ("SortMergeJoin", "BroadcastHashJoin")
+      require(plan.contains(expect) && !plan.contains(forbid),
+        s"regime $label: sketch est $est of $total chose ${if (useBroadcast) "broadcast"
+          else "shuffle"} but the executed plan disagrees:\n$plan")
+      (label, if (useBroadcast) "broadcast" else "shuffle", est,
+        filtered.count(), row.getLong(0), row.getDouble(1))
+    }
+    val narrow = regime("narrow_filter", col("c_custkey") % 97 === 0, _ % 97 == 0)
+    val wide = regime("wide_filter", col("c_custkey") % 97 =!= 0, _ % 97 != 0)
+    import s.implicits._
+    Seq(narrow, wide)
+      .toDF("regime", "strategy", "est_rows", "exact_rows", "n_orders", "total_price")
+      .orderBy("regime")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_approx_distinct" -> (approxDistinct _),
     "k_approx_quantiles" -> (approxQuantiles _),
     "k_kmv_distinct" -> (kmvDistinct _),
     "k_bottomk_quantiles" -> (bottomkQuantiles _),
     "k_join_cardinality" -> (joinCardinality _),
+    "k_sketch_planned_join" -> (sketchPlannedJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -309,5 +381,45 @@ object Sketches {
          |                 THEN 1 ELSE 0 END AS INT) AS within_2x
          |FROM agg, th, ex""".stripMargin
     },
+    // the sketch, the per-predicate estimate, the 10%-of-dimension
+    // decision rule, and the join answers all rebuilt verbatim — a
+    // flipped plan decision hash-fails here
+    "k_sketch_planned_join" ->
+      s"""WITH cv AS (SELECT c_custkey AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |            FROM customer GROUP BY 1),
+         |ch AS (SELECT *, ${graft.QueryDsl.sqlHex8("md5(CAST(v AS VARCHAR))", 1)} AS h
+         |       FROM cv),
+         |cf AS (SELECT * FROM (
+         |         SELECT *, row_number() OVER (ORDER BY h, v) AS rn FROM ch)
+         |       WHERE rn <= $JcK),
+         |th AS (SELECT CASE WHEN (SELECT COUNT(*) FROM cv) < $JcK
+         |              THEN $Two32 ELSE (SELECT MAX(h) FROM cf) END AS theta),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM customer),
+         |regimes AS (SELECT * FROM (VALUES ('narrow_filter', 0), ('wide_filter', 1))
+         |            AS t(regime, wide)),
+         |est AS (SELECT r.regime, r.wide,
+         |          CAST(COALESCE((SELECT SUM(cf.cnt) FROM cf, th
+         |                         WHERE cf.h < th.theta
+         |                           AND (CASE WHEN r.wide = 0 THEN cf.v % 97 = 0
+         |                                     ELSE cf.v % 97 <> 0 END)), 0)
+         |            * $Two32 // (SELECT theta FROM th) AS BIGINT) AS est_rows
+         |        FROM regimes r)
+         |SELECT e.regime,
+         |       CASE WHEN e.est_rows * 10 <= t.total
+         |            THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+         |       e.est_rows,
+         |       CAST((SELECT COUNT(*) FROM customer
+         |             WHERE CASE WHEN e.wide = 0 THEN c_custkey % 97 = 0
+         |                        ELSE c_custkey % 97 <> 0 END) AS BIGINT) AS exact_rows,
+         |       CAST((SELECT COUNT(*) FROM orders o JOIN customer c
+         |               ON o.o_custkey = c.c_custkey
+         |             WHERE CASE WHEN e.wide = 0 THEN c.c_custkey % 97 = 0
+         |                        ELSE c.c_custkey % 97 <> 0 END) AS BIGINT) AS n_orders,
+         |       (SELECT ${graft.QueryDsl.sqlDsum("o.o_totalprice")}
+         |        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |        WHERE CASE WHEN e.wide = 0 THEN c.c_custkey % 97 = 0
+         |                   ELSE c.c_custkey % 97 <> 0 END) AS total_price
+         |FROM est e, tot t
+         |ORDER BY regime""".stripMargin,
   )
 }

@@ -58,4 +58,28 @@ class SketchesAndBucketingSpec extends AnyFunSuite {
     assert(shufflesUnderJoin.isEmpty,
       s"bucketed join must not shuffle either side:\n${smjs.head}")
   }
+
+  test("sketch-planned join: estimates bracket reality and the decision flips") {
+    // the query itself REQUIREs the executed plans (broadcast for the
+    // narrow regime, shuffle for the wide one) — a wrong decision throws
+    // before any row lands; here we pin the estimate quality the rule
+    // depends on
+    val rows = Sketches.sketchPlannedJoin(s, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toMap2
+    val (narrowStrat, narrowEst, narrowExact) = rows("narrow_filter")
+    val (wideStrat, wideEst, wideExact) = rows("wide_filter")
+    assert(narrowStrat == "broadcast" && wideStrat == "shuffle",
+      s"decision did not flip: narrow=$narrowStrat wide=$wideStrat")
+    // a ~1% filter must estimate well under the 10% rule's threshold and
+    // a ~99% filter well over it — with honest slack for k=128 sampling
+    assert(narrowEst <= narrowExact * 4 + 40,
+      s"narrow estimate $narrowEst wildly above exact $narrowExact")
+    assert(wideEst * 2 >= wideExact,
+      s"wide estimate $wideEst less than half of exact $wideExact")
+  }
+
+  private implicit class Map2[A](rows: Array[(String, A, Long, Long)]) {
+    def toMap2: Map[String, (A, Long, Long)] =
+      rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+  }
 }
