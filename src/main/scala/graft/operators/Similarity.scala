@@ -361,6 +361,7 @@ object Similarity {
     recallOf(annIvf(s, d), "ivf")
       .unionByName(recallOf(annIvfTrained(s, d), "ivf_kmeans"))
       .unionByName(recallOf(annLsh(s, d), "lsh"))
+      .unionByName(recallOf(annNsw(s, d), "nsw"))
       .unionByName(recallOf(annPq(s, d), "pq"))
       .unionByName(recallOf(annPqTrained(s, d), "pq_kmeans"))
       .unionByName(recallOf(annQuantized(s, d), "quant"))
@@ -967,7 +968,133 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- Graph ANN: a two-layer navigable-small-world (NSW) — the graph
+  // family (HNSW/NSW) that is today's default single-node ANN, re-shaped
+  // for a distributed engine. The graph is STAGED (build-once, probe
+  // many), out-degree is bounded, and every distance is the proven
+  // FLOOR(v·1e6) integer mapping, so build, probe, and oracle are all
+  // bit-deterministic.
+  //
+  //  * Layer 0: one node per vector; out-edges = the M nearest among its
+  //    LSH-bucket mates (candidates from the SAME staged band index the
+  //    LSH probe path uses — never an all-pairs build).
+  //  * Layer 1: a COARSE layer of ids ≡ 0 (mod NswLayerMod) — the
+  //    IVF-centroid analogue, a fixed fraction chosen so the layer stays
+  //    effectively constant-sized; its all-pairs top-M build is bounded
+  //    by construction the way k-means' k×k is.
+  //  * Probe: greedy beam descent — NswSteps1 beam rounds on layer 1
+  //    from a fixed entry node to localize, then NswSteps rounds on
+  //    layer 0; every VISITED node is a candidate, re-ranked by exact
+  //    float cosine like every other ANN leg. Probe cost is
+  //    O(steps × beam × M) edge lookups — independent of corpus size,
+  //    which is the property that makes graph ANN the default. ----
+  private val NswM = 8
+  private val NswLayerMod = 16L
+  private val NswBeamW = 8
+  private val NswSteps = 3
+  private val NswBeam1W = 3
+  private val NswSteps1 = 2
+
+  def nswStageDir(sfDir: String): String =
+    s"/tmp/graft_stage/nsw_m${NswM}_l${NswLayerMod}_b${NswBeamW}_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Scaled-integer vector column — the same mapping as [[scaledVec]]. */
+  private def scaledCol(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(CentroidScale)).cast("long"))
+
+  /** Exact integer squared L2 between two scaled long arrays. */
+  private def intD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Stage both edge layers once per corpus. */
+  def ensureNswStaged(s: SparkSession, d: String): (String, String) = {
+    val dir = nswStageDir(d)
+    val e0Path = dir + "/edges0"
+    val e1Path = dir + "/edges1"
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      val sv = emb(s, d).select(col("vec_id"), scaledCol(col("embedding")).as("sv"))
+      val svS = sv.select(col("vec_id").as("src"), col("sv").as("sv_s"))
+      val svD = sv.select(col("vec_id").as("dst"), col("sv").as("sv_d"))
+      val wSrc = Window.partitionBy(col("src")).orderBy(col("d2").asc, col("dst").asc)
+      def topM(pairs: DataFrame): DataFrame =
+        pairs.join(svS, "src").join(svD, "dst")
+          .select(col("src"), col("dst"), intD2(col("sv_s"), col("sv_d")).as("d2"))
+          .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= NswM)
+          .select("src", "dst", "d2")
+      // layer 0: candidates from shared LSH buckets, never all-pairs
+      val bands = stagedCorpusBands(s, d)
+      topM(bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst")).distinct())
+        .write.mode("overwrite").parquet(e0Path)
+      // layer 1: the constant-sized coarse layer; bounded all-pairs
+      val coarse = sv.filter(col("vec_id") % NswLayerMod === 0)
+      topM(coarse.select(col("vec_id").as("src"))
+        .join(coarse.select(col("vec_id").as("dst")), col("src") =!= col("dst")))
+        .write.mode("overwrite").parquet(e1Path)
+    }: Unit
+    (e0Path, e1Path)
+  }
+
+  /** `v_ann_nsw` — the staged two-layer NSW probed with a fixed beam;
+    * output shape matches every other ANN leg (exact-cosine re-rank of
+    * the visited candidate set), oracle = the fully unrolled beam chain
+    * (the d_pagerank pattern) over the identically rebuilt edges. */
+  def annNsw(s: SparkSession, d: String): DataFrame = {
+    val (e0Path, e1Path) = ensureNswStaged(s, d)
+    val edges0 = s.read.parquet(e0Path).select(col("src"), col("dst"))
+    val edges1 = s.read.parquet(e1Path).select(col("src"), col("dst"))
+    val sv = emb(s, d).select(col("vec_id").as("node"), scaledCol(col("embedding")).as("sv"))
+    val qv = queriesDf(s, d).select(col("q_id"), scaledCol(col("q_emb")).as("qv"))
+    // frontier (q_id, node) → integer distance: the frontier is O(q×beam×M),
+    // always the broadcast side; the corpus is only ever equi-joined
+    def scored(frontier: DataFrame): DataFrame =
+      sv.join(broadcast(frontier.select("q_id", "node").distinct()), Seq("node"))
+        .join(broadcast(qv), Seq("q_id"))
+        .select(col("q_id"), col("node"), intD2(col("qv"), col("sv")).as("d2"))
+    def beamStep(beam: DataFrame, edges: DataFrame, width: Int): DataFrame = {
+      val expand = edges.join(broadcast(beam.select(col("node").as("src"),
+          col("q_id")).distinct()), Seq("src"))
+        .select(col("q_id"), col("dst").as("node"))
+      val uni = beam.select("q_id", "node").unionByName(expand).distinct()
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("node").asc)
+      scored(uni).withColumn("rn", row_number().over(w)).filter(col("rn") <= width)
+        .select("q_id", "node")
+    }
+    val entry = emb(s, d).filter(col("vec_id") % NswLayerMod === 0)
+      .agg(min(col("vec_id"))).head().getLong(0) // 1 value — the fixed entry
+    var beam = qv.select(col("q_id")).withColumn("node", lit(entry))
+    for (_ <- 1 to NswSteps1) beam = beamStep(beam, edges1, NswBeam1W)
+    var visited = beam
+    for (_ <- 1 to NswSteps) {
+      val expand = edges0.join(broadcast(beam.select(col("node").as("src"),
+          col("q_id")).distinct()), Seq("src"))
+        .select(col("q_id"), col("dst").as("node"))
+      val uni = beam.unionByName(expand).distinct()
+      visited = visited.unionByName(uni).distinct()
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("node").asc)
+      beam = scored(uni).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NswBeamW).select("q_id", "node")
+    }
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb(s, d).select(col("vec_id"), col("embedding"))
+      .join(broadcast(visited.select(col("q_id"), col("node").as("vec_id")).distinct()),
+        Seq("vec_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queriesDf(s, d)), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_ann_nsw" -> (annNsw _),
     "v_embed_stats" -> (embedStats _),
     "v_kmeans_train" -> (kmeansTrain _),
     "v_ann_ivf_trained" -> (annIvfTrained _),
@@ -996,11 +1123,10 @@ object Similarity {
 
   private def hex8(m: String, s: Int): String = graft.QueryDsl.sqlHex8(m, s)
 
-  /** Shared DuckDB prefix rebuilding the SRP-LSH probe pipeline up to the
-    * exact-scored candidate set (`scored`): md5-derived hyperplanes, sign
-    * bits, band keys, bucket-join candidates, exact cosine. Used by both
-    * the ANN top-k and the hard-negative oracles. */
-  private lazy val lshScoredCte: String =
+  /** Shared DuckDB prefix rebuilding queries + the SRP band-key index:
+    * md5-derived hyperplanes, sign bits, (vec_id, band, bkey). The exact
+    * prefix the LSH probe AND the NSW layer-0 edge build both consume. */
+  private lazy val lshBandsCte: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
        |hpv AS (
        |  SELECT hs.h, js.j,
@@ -1018,14 +1144,20 @@ object Similarity {
        |bands AS (
        |  SELECT vec_id, CAST(h // $BitsPerBand AS INT) AS band,
        |         CAST(SUM(bit * ([${(0 until BitsPerBand).map(1 << _).mkString(",")}])[(h % $BitsPerBand) + 1]) AS BIGINT) AS bkey
-       |  FROM bits GROUP BY vec_id, h // $BitsPerBand),
-       |cand AS (
-       |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
-       |  FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bkey = cb.bkey
-       |  WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
-       |scored AS (
-       |  SELECT c.q_id, c.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
-       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)""".stripMargin
+       |  FROM bits GROUP BY vec_id, h // $BitsPerBand)""".stripMargin
+
+  /** [[lshBandsCte]] extended to the exact-scored LSH candidate set
+    * (`scored`). Used by both the ANN top-k and hard-negative oracles. */
+  private lazy val lshScoredCte: String =
+    lshBandsCte +
+      s""",
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+         |  FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+         |  WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)""".stripMargin
 
   /** The exact and approximate top-k oracles as standalone vals so the
     * recall harness can embed each as a parenthesized subquery. */
@@ -1052,6 +1184,72 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin
+
+  // The NSW chain fully unrolled (the d_pagerank pattern): scaled integer
+  // vectors, bucket-candidate layer-0 edges + coarse-layer-1 edges (both
+  // top-M by (d2, dst)), the fixed entry, NswSteps1 beam rounds on layer
+  // 1, NswSteps rounds on layer 0 with the visited-set union, and the
+  // exact-cosine re-rank — every intermediate integer-exact cross-engine.
+  private lazy val annNswOracle: String = {
+    def edgeCte(name: String, pairs: String): String =
+      s"""${name}d AS (
+         |  SELECT p.src, p.dst, SUM((a.e - b.e) * (a.e - b.e)) AS d2
+         |  FROM $pairs p JOIN sv a ON a.vec_id = p.src
+         |       JOIN sv b ON b.vec_id = p.dst AND b.dim = a.dim
+         |  GROUP BY p.src, p.dst),
+         |$name AS (SELECT src, dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |             ORDER BY d2 ASC, dst ASC) AS rn
+         |    FROM ${name}d) t WHERE rn <= $NswM)""".stripMargin
+    def step(t: String, prev: String, edges: String, width: Int): String =
+      s"""u$t AS (SELECT q_id, node FROM $prev
+         |        UNION
+         |        SELECT p.q_id, e.dst AS node
+         |        FROM $prev p JOIN $edges e ON e.src = p.node),
+         |s$t AS (SELECT u.q_id, u.node, SUM((qe.e - ne.e) * (qe.e - ne.e)) AS d2
+         |        FROM u$t u JOIN sv qe ON qe.vec_id = u.q_id
+         |             JOIN sv ne ON ne.vec_id = u.node AND ne.dim = qe.dim
+         |        GROUP BY u.q_id, u.node),
+         |b$t AS (SELECT q_id, node FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY d2 ASC, node ASC) AS rn
+         |    FROM s$t) t WHERE rn <= $width)""".stripMargin
+    val l1Steps = (1 to NswSteps1).map(t =>
+      step(s"l$t", if (t == 1) "bent" else s"bl${t - 1}", "e1", NswBeam1W)).mkString(",\n")
+    val l0Steps = (1 to NswSteps).map(t =>
+      step(s"g$t", if (t == 1) s"bl$NswSteps1" else s"bg${t - 1}", "e0", NswBeamW))
+      .mkString(",\n")
+    lshBandsCte +
+      s""",
+         |sv AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e
+         |       FROM embeddings),
+         |p0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |       FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
+         |${edgeCte("e0", "p0")},
+         |cn AS (SELECT vec_id FROM embeddings WHERE vec_id % $NswLayerMod = 0),
+         |p1 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |       FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+         |${edgeCte("e1", "p1")},
+         |bent AS (SELECT q_id, (SELECT MIN(vec_id) FROM cn) AS node FROM q),
+         |$l1Steps,
+         |$l0Steps,
+         |vis AS (${(1 to NswSteps).map(t => s"SELECT q_id, node FROM ug$t")
+          .mkString("\n       UNION\n       ")}),
+         |rr AS (SELECT v.q_id, v.node AS vec_id,
+         |         ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+         |       FROM vis v JOIN embeddings e ON e.vec_id = v.node
+         |            JOIN q ON q.q_id = v.q_id
+         |       WHERE v.node <> v.q_id),
+         |rankedn AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, vec_id, cosine FROM rankedn WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** DuckDB fragment: Σ over subspace `m` (a column in scope) of
     * (v_i − c_i)² with the same left fold as [[subL2]]. */
@@ -1432,6 +1630,8 @@ object Similarity {
     // rebuilds the identical md5-derived hyperplane constants, sign bits,
     // and band keys, then re-ranks candidates exactly like the engine
     "v_ann_lsh" -> annLshOracle,
+    // the staged two-layer graph and the fixed-beam descent unrolled
+    "v_ann_nsw" -> annNswOracle,
     // recall@k: each approximate top-k subquery is the EXACT oracle text
     // of its own gate, embedded verbatim — the recall numbers are over
     // the same result sets the per-path gates hash-check
@@ -1441,6 +1641,7 @@ object Similarity {
          |ivfr AS (SELECT q_id, vec_id FROM ($annIvfOracle) t),
          |tkr AS (SELECT q_id, vec_id FROM ($annIvfTrainedOracle) t),
          |lshr AS (SELECT q_id, vec_id FROM ($annLshOracle) t),
+         |nswr AS (SELECT q_id, vec_id FROM ($annNswOracle) t),
          |pqr AS (SELECT q_id, vec_id FROM ($annPqOracle) t),
          |pqt AS (SELECT q_id, vec_id FROM ($annPqTrainedOracle) t),
          |qur AS (SELECT q_id, vec_id FROM ($annQuantizedOracle) t),
@@ -1449,6 +1650,8 @@ object Similarity {
          |th AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN tkr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |lh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN lshr USING (q_id, vec_id)
+         |       GROUP BY q_id),
+         |nh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN nswr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |ph AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN pqr USING (q_id, vec_id)
          |       GROUP BY q_id),
@@ -1465,6 +1668,9 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'lsh' AS method, qs.q_id, CAST(COALESCE(lh.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN lh USING (q_id)
+         |  UNION ALL
+         |  SELECT 'nsw' AS method, qs.q_id, CAST(COALESCE(nh.n, 0) AS BIGINT) AS n_hit
+         |  FROM qs LEFT JOIN nh USING (q_id)
          |  UNION ALL
          |  SELECT 'pq' AS method, qs.q_id, CAST(COALESCE(ph.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN ph USING (q_id)
