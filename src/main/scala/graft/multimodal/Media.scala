@@ -560,9 +560,103 @@ object Media {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Video table with real MJPEG-in-AVI payloads (video-typed ids,
+    * doc_id%3==2): nf=(id%4)+2 frames of w=(id%7)+2 × h=(id%5)+2, frame
+    * f raster byte j = (id·17 + f·29 + j) % 256 (channel = j%3) — the
+    * same closed-form family as the JPEG fixture, per frame. Each frame
+    * is a genuine quality-0.9 interchange JPEG muxed by [[AviCodec]]. */
+  def aviTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .map { id =>
+        val nf = (id % 4).toInt + 2
+        val w = (id % 7).toInt + 2
+        val h = (id % 5).toInt + 2
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < w * h) {
+            val base = 3L * i
+            val r = ((id * 17 + f * 29 + base) % 256).toInt
+            val g = ((id * 17 + f * 29 + base + 1) % 256).toInt
+            val b = ((id * 17 + f * 29 + base + 2) % 256).toInt
+            img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+            i += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+          val params = writer.getDefaultWriteParam
+          params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          params.setCompressionQuality(0.9f)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+          writer.dispose(); ios.close()
+          out.toByteArray
+        }
+        (id, AviCodec.encode(w, h, 10, frames))
+      }
+  }
+
+  /** `m_avi_frames` — MJPEG-in-AVI container walk, 1 record → N frame
+    * rows: [[AviCodec.decode]] walks the RIFF structure (header, movi
+    * frame chunks, index skipped by length), each extracted `00dc`
+    * payload is decoded by the JDK's independent JPEG reader, dimensions
+    * are exact, and the lossy pixel contract is the same per-pixel
+    * error-budget verdict as `m_jpeg_decode`. Container structure
+    * (frame count, dimensions) AND codec payloads are both verified by
+    * data — this retires the fallback-shape note on `m_frame_sample`
+    * for video. */
+  def aviFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    aviTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val vid = AviCodec.decode(bytes)
+        vid.frames.zipWithIndex.map { case (jpeg, f) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+          require(img != null, s"AVI $id frame $f: no JPEG reader accepted the payload")
+          require(img.getWidth == vid.width && img.getHeight == vid.height,
+            s"AVI $id frame $f: ${img.getWidth}x${img.getHeight} != container " +
+              s"${vid.width}x${vid.height}")
+          val w = img.getWidth
+          val h = img.getHeight
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          var r = 0L; var g = 0L; var b = 0L
+          var i = 0
+          while (i < argb.length) {
+            r += (argb(i) >> 16) & 0xff
+            g += (argb(i) >> 8) & 0xff
+            b += argb(i) & 0xff
+            i += 1
+          }
+          var er = 0L; var eg = 0L; var eb = 0L
+          var j = 0L
+          while (j < 3L * w * h) {
+            val v = (id * 17 + f * 29 + j) % 256
+            (j % 3).toInt match {
+              case 0 => er += v
+              case 1 => eg += v
+              case _ => eb += v
+            }
+            j += 1
+          }
+          val budget = JpegPerPixelBound * w * h
+          val ok = math.abs(r - er) <= budget &&
+            math.abs(g - eg) <= budget && math.abs(b - eb) <= budget
+          (id, f, w, h, vid.frames.length, if (ok) 1 else 0)
+        }
+      }))
+      .toDF("media_id", "frame_idx", "width", "height", "n_frames", "within_bound")
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_gif_frames" -> (gifFrames _),
+    "m_avi_frames" -> (aviFrames _),
     "m_ppm_decode" -> (ppmDecode _),
     "m_png_decode" -> (pngDecode _),
     "m_jpeg_decode" -> (jpegDecode _),
@@ -596,6 +690,19 @@ object Media {
         |       CAST(nf AS INT) AS n_frames,
         |       CAST(SUM(v) AS BIGINT) AS sum_px
         |FROM px GROUP BY doc_id, f, w, h, nf
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // the AVI walk rebuilt from the fixture formulas: frame count and
+    // dimensions are exact; the JPEG payload contract is the literal-1
+    // error-budget verdict (the m_jpeg_decode pattern, per frame)
+    "m_avi_frames" ->
+      """WITH vids AS (
+        |  SELECT doc_id, (doc_id % 7) + 2 AS w, (doc_id % 5) + 2 AS h,
+        |         (doc_id % 4) + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(nf AS INT) AS n_frames, 1 AS within_bound
+        |FROM vids, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f)
         |ORDER BY media_id, frame_idx""".stripMargin,
     // the decoded-payload stats rebuilt from the pixel formula: raster
     // byte i = (id*31+i)%256, channel = i%3 — dimensions and sums must

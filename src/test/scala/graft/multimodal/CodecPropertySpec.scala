@@ -123,4 +123,49 @@ object CodecPropertySpec extends Properties("CodecProperty") {
         PpmCodec.decode(full.dropRight(cut)): Unit
       }
     }
+
+  // AVI frame payloads are opaque byte blobs to the container — any
+  // non-empty bytes exercise the mux/demux round trip
+  private val aviGen: Gen[(Int, Int, Int, Seq[Array[Byte]])] = for {
+    w <- Gen.chooseNum(1, 64)
+    h <- Gen.chooseNum(1, 64)
+    fps <- Gen.chooseNum(1, 60)
+    nf <- Gen.chooseNum(1, 12)
+    frames <- Gen.listOfN(nf,
+      Gen.chooseNum(1, 200).flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
+  } yield (w, h, fps, frames)
+
+  property("AVI demux ∘ mux recovers every frame payload bit-exactly") =
+    Prop.forAll(aviGen) { case (w, h, fps, frames) =>
+      val v = AviCodec.decode(AviCodec.encode(w, h, fps, frames))
+      v.width == w && v.height == h && v.frames.length == frames.length &&
+        v.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    }
+
+  property("AVI rejects any truncation of a valid payload") =
+    Prop.forAll(aviGen, Gen.chooseNum(1, 5)) { case ((w, h, fps, frames), cut) =>
+      val full = AviCodec.encode(w, h, fps, frames)
+      // the declared RIFF length no longer fits the payload; the walk
+      // must fail loudly, never return a short frame set
+      Prop.throws(classOf[IllegalArgumentException]) {
+        AviCodec.decode(full.dropRight(cut)): Unit
+      }
+    }
+
+  property("AVI rejects a frame-count mismatch between header and movi") =
+    Prop.forAll(aviGen) { case (w, h, fps, frames) =>
+      val full = AviCodec.encode(w, h, fps, frames)
+      // patch avih's dwTotalFrames (RIFF 12 + LIST hdr 8 + 'hdrl' 4 +
+      // avih id/len 8 + field offset 16 = byte 48) to a structural lie
+      val lied = full.clone()
+      val wrong = frames.length + 1
+      lied(48) = (wrong & 0xff).toByte
+      lied(49) = ((wrong >> 8) & 0xff).toByte
+      lied(50) = ((wrong >> 16) & 0xff).toByte
+      lied(51) = ((wrong >> 24) & 0xff).toByte
+      Prop.throws(classOf[IllegalArgumentException]) {
+        AviCodec.decode(lied): Unit
+      }
+    }
 }
