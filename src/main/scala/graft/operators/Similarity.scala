@@ -968,6 +968,38 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** `v_ann_mrr` — MEAN-RECIPROCAL-RANK overlay on the recall harness:
+    * recall@K says whether the true neighbors appear; MRR says how HIGH
+    * the first one lands — the metric retrieval stacks tune on when
+    * only the top result is consumed (RAG with a 1-doc context). Per
+    * (method, query): the minimum approx-list rank holding a true
+    * top-K neighbor (0 = total miss) and rr_milli = 1000 div rank —
+    * integer division, so the whole row hash-checks; the same
+    * O(queries × K) overlay economics as recall. */
+  def annMrr(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopK(s, d).select(col("q_id"), col("vec_id"))
+    val qs = exact.select(col("q_id")).distinct()
+    def mrrOf(approx: DataFrame, method: String): DataFrame = {
+      val first = approx.select(col("q_id"), col("rank"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(min(col("rank")).as("fr"))
+      qs.join(first, Seq("q_id"), "left")
+        .select(lit(method).as("method"), col("q_id"),
+          coalesce(col("fr"), lit(0)).cast("int").as("first_hit_rank"))
+        .withColumn("rr_milli",
+          when(col("first_hit_rank") > 0,
+            expr("1000 div first_hit_rank")).otherwise(lit(0L)))
+    }
+    mrrOf(annIvf(s, d), "ivf")
+      .unionByName(mrrOf(annIvfTrained(s, d), "ivf_kmeans"))
+      .unionByName(mrrOf(annLsh(s, d), "lsh"))
+      .unionByName(mrrOf(annNsw(s, d), "nsw"))
+      .unionByName(mrrOf(annPq(s, d), "pq"))
+      .unionByName(mrrOf(annPqTrained(s, d), "pq_kmeans"))
+      .unionByName(mrrOf(annQuantized(s, d), "quant"))
+      .orderBy("method", "q_id")
+  }
+
   // ---- Graph ANN: a two-layer navigable-small-world (NSW) — the graph
   // family (HNSW/NSW) that is today's default single-node ANN, re-shaped
   // for a distributed engine. The graph is STAGED (build-once, probe
@@ -1095,6 +1127,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_ann_nsw" -> (annNsw _),
+    "v_ann_mrr" -> (annMrr _),
     "v_embed_stats" -> (embedStats _),
     "v_kmeans_train" -> (kmeansTrain _),
     "v_ann_ivf_trained" -> (annIvfTrained _),
@@ -1632,6 +1665,32 @@ object Similarity {
     "v_ann_lsh" -> annLshOracle,
     // the staged two-layer graph and the fixed-beam descent unrolled
     "v_ann_nsw" -> annNswOracle,
+    // MRR overlay: each method's own gate SQL embedded verbatim, first
+    // true-neighbor rank + integer reciprocal per (method, query)
+    "v_ann_mrr" -> {
+      val methods = Seq(
+        "ivf" -> annIvfOracle, "ivf_kmeans" -> annIvfTrainedOracle,
+        "lsh" -> annLshOracle, "nsw" -> annNswOracle,
+        "pq" -> annPqOracle, "pq_kmeans" -> annPqTrainedOracle,
+        "quant" -> annQuantizedOracle)
+      val ctes = methods.zipWithIndex.map { case ((_, o), i) =>
+        s"""m$i AS (SELECT a.q_id, MIN(a.rank) AS fr
+           |       FROM ($o) a JOIN exr USING (q_id, vec_id) GROUP BY a.q_id)""".stripMargin
+      }.mkString(",\n")
+      val unions = methods.zipWithIndex.map { case ((name, _), i) =>
+        s"""SELECT '$name' AS method, qs.q_id,
+           |       CAST(COALESCE(m$i.fr, 0) AS INT) AS first_hit_rank,
+           |       CAST(CASE WHEN COALESCE(m$i.fr, 0) > 0
+           |                 THEN 1000 // m$i.fr ELSE 0 END AS BIGINT) AS rr_milli
+           |FROM qs LEFT JOIN m$i USING (q_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH exr AS (SELECT q_id, vec_id FROM ($cosineTopkOracle) t),
+         |qs AS (SELECT DISTINCT q_id FROM exr),
+         |$ctes
+         |SELECT method, q_id, first_hit_rank, rr_milli FROM (
+         |$unions) u
+         |ORDER BY method, q_id""".stripMargin
+    },
     // recall@k: each approximate top-k subquery is the EXACT oracle text
     // of its own gate, embedded verbatim — the recall numbers are over
     // the same result sets the per-path gates hash-check

@@ -1037,7 +1037,50 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** `t_lm_surprisal` — the CCNet-shape LM QUALITY FILTER made
+    * integer-exact: a unigram language model trained on the train split
+    * (doc_id % 10 < 8) scores every document's eligible tokens by
+    * surprisal, and docs whose mean surprisal exceeds the corpus mean
+    * are flagged — the "perplexity filter" every web-scale pipeline
+    * runs, with KenLM's n-gram LM reduced to the unigram that stays
+    * oracle-exact. Surprisal is FLOOR-LOG2 in pure integers —
+    * L(x) = len(bin(x)) − 1, the identical string-length trick in Spark
+    * and DuckDB — so cost(w) = L(N) − L(cnt(w)) bits for in-vocab words
+    * and L(N) + 1 for OOV (one bit beyond the rarest observable), and
+    * the above-average flag is an exact integer cross-multiplication,
+    * no division anywhere.
+    *
+    * Scale shape: one map-side-combined pass builds the O(vocab) LM,
+    * one builds per-doc word counts; the doc⋈vocab equi-join shuffles
+    * on the word key; the train total and corpus totals are 1-row
+    * broadcasts. */
+  def lmSurprisal(s: SparkSession, d: String): DataFrame = {
+    def lg(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
+    val words = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 12)
+    val vocab = words.filter(col("doc_id") % 10 < 8)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("n_train")) // 1 row
+    val perDoc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .join(vocab, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("c"),
+        (col("c") * when(col("cnt").isNull, lg(col("n_train")) + 1)
+          .otherwise(lg(col("n_train")) - lg(col("cnt")))).as("surp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("surp")).as("surprisal"))
+    val corpus = perDoc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("surprisal")).as("tot_surp"))
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal"),
+        (col("surprisal") * col("tot_tokens") > col("tot_surp") * col("n_tokens"))
+          .cast("int").as("above_avg"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_lm_surprisal" -> (lmSurprisal _),
     "t_langid_confusion" -> (langidConfusion _),
     "t_curriculum" -> (curriculum _),
     "t_substring_search" -> (substringSearch _),
@@ -1122,6 +1165,33 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the unigram LM rebuilt verbatim: train-split counts, floor-log2
+    // via binary-string length (the same integer trick Spark's bin()
+    // provides), OOV = L(N)+1, above-average by cross-multiplication
+    "t_lm_surprisal" ->
+      """WITH fw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= 12),
+        |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM fw WHERE doc_id % 10 < 8 GROUP BY w),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_train FROM vocab),
+        |dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM fw GROUP BY 1, 2),
+        |sc AS (SELECT dw.doc_id, dw.c,
+        |         dw.c * (CASE WHEN v.cnt IS NULL
+        |                      THEN CAST(length(bin(t.n_train)) AS BIGINT)
+        |                      ELSE CAST(length(bin(t.n_train)) AS BIGINT)
+        |                           - CAST(length(bin(v.cnt)) AS BIGINT) END) AS surp
+        |       FROM dw LEFT JOIN vocab v USING (w), tot t),
+        |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |              CAST(SUM(surp) AS BIGINT) AS surprisal
+        |       FROM sc GROUP BY 1),
+        |cp AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+        |              CAST(SUM(surprisal) AS BIGINT) AS ts FROM pd)
+        |SELECT doc_id, n_tokens, surprisal,
+        |       CAST(CASE WHEN surprisal * cp.tt > cp.ts * n_tokens
+        |                 THEN 1 ELSE 0 END AS INT) AS above_avg
+        |FROM pd, cp ORDER BY doc_id""".stripMargin,
     // the naive global window the two-phase ranking must reproduce
     "t_curriculum" ->
       """SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS rank,

@@ -250,4 +250,31 @@ class LlmCorpusSpec extends AnyFunSuite {
     assert(zeroSide.filter(col("n_shared") =!= 0).count() == 0,
       "unflagged doc with nonzero overlap")
   }
+
+  test("t_lm_surprisal equals an independent in-memory unigram LM") {
+    val docs = graft.Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def words(t: String) =
+      t.split(" ").filter(w => w.matches("[a-z]+") && w.length <= 12)
+    val vocab = docs.filter(_._1 % 10 < 8).flatMap(d => words(d._2))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val n = vocab.values.sum
+    def lg(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val perDoc = docs.map { case (id, t) =>
+      val ws = words(t)
+      val surp = ws.iterator.map(w =>
+        vocab.get(w).map(c => lg(n) - lg(c)).getOrElse(lg(n) + 1)).sum
+      (id, ws.length.toLong, surp)
+    }.filter(_._2 > 0)
+    val tt = perDoc.map(_._2).sum
+    val ts = perDoc.map(_._3).sum
+    val expected = perDoc.map { case (id, nt, sp) =>
+      (id, nt, sp, if (sp * tt > ts * nt) 1 else 0)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.lmSurprisal(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected, s"LM surprisal diverged: got ${got.take(3)} exp ${expected.take(3)}")
+    // the flag genuinely separates: both classes must exist
+    assert(got.exists(_._4 == 1) && got.exists(_._4 == 0))
+  }
 }

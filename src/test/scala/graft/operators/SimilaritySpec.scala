@@ -239,4 +239,20 @@ class SimilaritySpec extends AnyFunSuite {
       assert(recall == expected.toDouble / 5.0, s"$m q=$q recall")
     }
   }
+
+  test("v_ann_mrr is consistent with recall and its own reciprocal arithmetic") {
+    val recall = Similarity.annRecall(s, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val mrr = Similarity.annMrr(s, sf).collect()
+    assert(mrr.length == recall.size, "one MRR row per (method, query)")
+    mrr.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val fr = r.getInt(2)
+      val rr = r.getLong(3)
+      assert((fr > 0) == (recall(key) > 0),
+        s"$key: first-hit/recall hit disagreement (fr=$fr, n_hit=${recall(key)})")
+      assert(rr == (if (fr > 0) 1000L / fr else 0L), s"$key: rr_milli arithmetic")
+      assert(fr >= 0 && fr <= 25, s"$key: rank $fr outside any approx list length")
+    }
+  }
 }
