@@ -1087,19 +1087,29 @@ object Similarity {
       sv.join(broadcast(frontier.select("q_id", "node").distinct()), Seq("node"))
         .join(broadcast(qv), Seq("q_id"))
         .select(col("q_id"), col("node"), intD2(col("qv"), col("sv")).as("d2"))
-    def beamStep(beam: DataFrame, edges: DataFrame, width: Int): DataFrame = {
-      val expand = edges.join(broadcast(beam.select(col("node").as("src"),
-          col("q_id")).distinct()), Seq("src"))
-        .select(col("q_id"), col("dst").as("node"))
-      val uni = beam.select("q_id", "node").unionByName(expand).distinct()
+    def topW(uni: DataFrame, width: Int): DataFrame = {
       val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("node").asc)
       scored(uni).withColumn("rn", row_number().over(w)).filter(col("rn") <= width)
         .select("q_id", "node")
     }
+    def beamStep(beam: DataFrame, edges: DataFrame, width: Int): DataFrame = {
+      val expand = edges.join(broadcast(beam.select(col("node").as("src"),
+          col("q_id")).distinct()), Seq("src"))
+        .select(col("q_id"), col("dst").as("node"))
+      topW(beam.select("q_id", "node").unionByName(expand), width)
+    }
     val entry = emb(s, d).filter(col("vec_id") % NswLayerMod === 0)
       .agg(min(col("vec_id"))).head().getLong(0) // 1 value — the fixed entry
-    var beam = qv.select(col("q_id")).withColumn("node", lit(entry))
-    for (_ <- 1 to NswSteps1) beam = beamStep(beam, edges1, NswBeam1W)
+    // step 1's frontier is {entry} ∪ out(entry) for EVERY query — a fixed
+    // ≤ M+1 node set, read once (bounded) and exploded as literals so the
+    // probe plan never joins on a constant (which would fold to a
+    // degenerate nested-loop cross)
+    val entryFront = entry +: s.read.parquet(e1Path)
+      .filter(col("src") === entry).select(col("dst"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    var beam = topW(qv.select(col("q_id"))
+      .withColumn("node", explode(array(entryFront.map(lit): _*))), NswBeam1W)
+    for (_ <- 2 to NswSteps1) beam = beamStep(beam, edges1, NswBeam1W)
     var visited = beam
     for (_ <- 1 to NswSteps) {
       val expand = edges0.join(broadcast(beam.select(col("node").as("src"),

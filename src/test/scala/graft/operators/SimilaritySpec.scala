@@ -240,6 +240,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("NSW probe plan is cartesian-free: broadcast frontiers, equi-joined corpus") {
+    // the staged BUILD contains the bounded coarse-layer all-pairs by
+    // design; the PROBE — the per-query cost — must not
+    val df = Similarity.annNsw(s, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"NSW probe planned an all-pairs join:\n$plan")
+  }
+
   test("v_ann_mrr is consistent with recall and its own reciprocal arithmetic") {
     val recall = Similarity.annRecall(s, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
