@@ -755,6 +755,81 @@ object Formats {
     audit(1).unionByName(audit(2)).orderBy("version")
   }
 
+  private val dvCdfRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def parseEntry(e: String): (String, Option[String]) =
+    entryPaths(e) match {
+      case Seq(p)     => (p, None)
+      case Seq(p, dv) => (p, Some(dv))
+    }
+
+  /** `k_dv_cdf` — CHANGE DATA FEED FROM DELETION VECTORS, completing the
+    * DV family (write [[deleteVectors]], merge-on-read read, DV-aware GC,
+    * and now the change feed): downstream consumers of an erasure-bearing
+    * table need WHICH rows disappeared between versions without
+    * re-diffing data. With DVs that answer is already materialized — the
+    * delta BITMAP (to-version bitmap minus from-version bitmap) keys a
+    * broadcast semi-join into the single changed bucket file, so each
+    * transition reads exactly ONE data file regardless of table size
+    * (REQUIREd: exactly one manifest entry differs per transition) and
+    * emits exactly the newly-deleted rows. Two successive erasures (the
+    * two smallest subjects) prove the delta semantics: the v2→v3 feed
+    * must NOT re-emit v2's deletes even when both subjects share a
+    * bucket and the v3 bitmap contains both. */
+  def dvCdf(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "dv_cdf") + "/run" + dvCdfRuns.incrementAndGet()
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+    val files = (0 until GdprBuckets).map { b =>
+      val p = s"$base/data/b$b"
+      ev.filter(pmod(col("user_id"), lit(GdprBuckets)) === b).write.mode("overwrite").parquet(p)
+      p
+    }
+    require(ManifestLog.publish(base, 1, files), s"v1 exists under $base")
+    val subjects = ev.select(col("user_id")).distinct().orderBy("user_id").limit(2)
+      .collect().map(_.getLong(0)) // 2 rows — the erasure queue, bounded
+    def publishDelete(v: Int, subject: Long, prev: Seq[String]): Seq[String] = {
+      val tb = Math.floorMod(subject, GdprBuckets.toLong).toInt
+      val (path, prevDv) = parseEntry(prev(tb))
+      val dvPath = s"$base/dv/b${tb}_v$v"
+      val newPositions = s.read.parquet(path)
+        .select(col("_metadata.file_name").as("__dv_file"),
+          col("_metadata.row_index").as("__dv_pos"), col("user_id"))
+        .filter(col("user_id") === subject)
+        .drop("user_id")
+      // the published bitmap is cumulative per file; the feed diffs them
+      prevDv.map(p => s.read.parquet(p).unionByName(newPositions))
+        .getOrElse(newPositions)
+        .write.mode("overwrite").parquet(dvPath)
+      val next = prev.updated(tb, s"$path|dv=$dvPath")
+      require(ManifestLog.publish(base, v, next), s"v$v exists under $base")
+      next
+    }
+    val v1e: Seq[String] = files
+    val v2e = publishDelete(2, subjects(0), v1e)
+    val v3e = publishDelete(3, subjects(1), v2e)
+    def changes(fromE: Seq[String], toE: Seq[String], fromV: Int): DataFrame = {
+      val changed = fromE.zip(toE).filter { case (a, b) => a != b }
+      require(changed.size == 1,
+        s"expected exactly one changed entry v$fromV→v${fromV + 1}, got ${changed.size}")
+      val (path, fromDv) = parseEntry(changed.head._1)
+      val (_, toDv) = parseEntry(changed.head._2)
+      val deltaBm = fromDv match {
+        case Some(p) => s.read.parquet(toDv.get).exceptAll(s.read.parquet(p))
+        case None    => s.read.parquet(toDv.get)
+      }
+      s.read.parquet(path)
+        .withColumn("__dv_file", col("_metadata.file_name"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(deltaBm), Seq("__dv_file", "__dv_pos"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(fromV).as("from_v"), lit(fromV + 1).as("to_v"),
+          lit("delete").as("op"), col("n_rows"), col("n_users"), col("sum_value"))
+    }
+    changes(v1e, v2e, 1).unionByName(changes(v2e, v3e, 2)).orderBy("from_v")
+  }
+
   private val dsv2Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_dsv2_write` — a distributed write through the engine's
@@ -808,6 +883,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_gdpr_delete" -> (gdprDelete _),
     "k_delete_vectors" -> (deleteVectors _),
+    "k_dv_cdf" -> (dvCdf _),
     "k_vacuum" -> (vacuum _),
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
@@ -839,6 +915,23 @@ object Formats {
          |       ${sqlDsum("value")}, 1
          |FROM events, tgt WHERE user_id <> tgt.u
          |ORDER BY version""".stripMargin,
+    // each transition's change set = exactly the newly-erased subject's
+    // rows (the two smallest users, in erasure order)
+    "k_dv_cdf" ->
+      s"""WITH u AS (SELECT user_id, row_number() OVER (ORDER BY user_id) AS rn
+         |           FROM (SELECT DISTINCT user_id FROM events) t)
+         |SELECT 1 AS from_v, 2 AS to_v, 'delete' AS op,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+         |       ${sqlDsum("e.value")} AS sum_value
+         |FROM events e JOIN u ON e.user_id = u.user_id AND u.rn = 1
+         |UNION ALL
+         |SELECT 2, 3, 'delete',
+         |       CAST(COUNT(*) AS BIGINT),
+         |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT),
+         |       ${sqlDsum("e.value")}
+         |FROM events e JOIN u ON e.user_id = u.user_id AND u.rn = 2
+         |ORDER BY from_v""".stripMargin,
     // merge-on-read erasure: same per-version totals as the rewrite leg,
     // but zero files rewritten and one published bitmap in v2
     "k_delete_vectors" ->

@@ -1027,8 +1027,9 @@ object Similarity {
   private val NswBeam1W = 3
   private val NswSteps1 = 2
 
+  // p1 = edge-payload schema v1 (dst's scaled vector carried on the edge)
   def nswStageDir(sfDir: String): String =
-    s"/tmp/graft_stage/nsw_m${NswM}_l${NswLayerMod}_b${NswBeamW}_" +
+    s"/tmp/graft_stage/nsw_m${NswM}_l${NswLayerMod}_b${NswBeamW}_p1_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Scaled-integer vector column — the same mapping as [[scaledVec]]. */
@@ -1039,7 +1040,13 @@ object Similarity {
   private def intD2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
-  /** Stage both edge layers once per corpus. */
+  /** Stage both edge layers once per corpus. Each edge CARRIES its
+    * destination's scaled vector (the adjacency-with-payload trick every
+    * graph-ANN store uses): beam expansion then scores candidates from
+    * the edge row alone, so a probe touches the corpus exactly twice —
+    * once to seed, once for the final float re-rank — instead of once
+    * per beam step. The ×M payload duplication is the standard storage
+    * trade for corpus-scan-free traversal. */
   def ensureNswStaged(s: SparkSession, d: String): (String, String) = {
     val dir = nswStageDir(d)
     val e0Path = dir + "/edges0"
@@ -1051,9 +1058,10 @@ object Similarity {
       val wSrc = Window.partitionBy(col("src")).orderBy(col("d2").asc, col("dst").asc)
       def topM(pairs: DataFrame): DataFrame =
         pairs.join(svS, "src").join(svD, "dst")
-          .select(col("src"), col("dst"), intD2(col("sv_s"), col("sv_d")).as("d2"))
+          .select(col("src"), col("dst"),
+            intD2(col("sv_s"), col("sv_d")).as("d2"), col("sv_d"))
           .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= NswM)
-          .select("src", "dst", "d2")
+          .select("src", "dst", "d2", "sv_d")
       // layer 0: candidates from shared LSH buckets, never all-pairs
       val bands = stagedCorpusBands(s, d)
       topM(bands.as("x")
@@ -1077,49 +1085,49 @@ object Similarity {
     * (the d_pagerank pattern) over the identically rebuilt edges. */
   def annNsw(s: SparkSession, d: String): DataFrame = {
     val (e0Path, e1Path) = ensureNswStaged(s, d)
-    val edges0 = s.read.parquet(e0Path).select(col("src"), col("dst"))
-    val edges1 = s.read.parquet(e1Path).select(col("src"), col("dst"))
+    val edges0 = s.read.parquet(e0Path).select(col("src"), col("dst"), col("sv_d"))
+    val edges1 = s.read.parquet(e1Path).select(col("src"), col("dst"), col("sv_d"))
     val sv = emb(s, d).select(col("vec_id").as("node"), scaledCol(col("embedding")).as("sv"))
     val qv = queriesDf(s, d).select(col("q_id"), scaledCol(col("q_emb")).as("qv"))
-    // frontier (q_id, node) → integer distance: the frontier is O(q×beam×M),
-    // always the broadcast side; the corpus is only ever equi-joined
-    def scored(frontier: DataFrame): DataFrame =
-      sv.join(broadcast(frontier.select("q_id", "node").distinct()), Seq("node"))
-        .join(broadcast(qv), Seq("q_id"))
-        .select(col("q_id"), col("node"), intD2(col("qv"), col("sv")).as("d2"))
-    def topW(uni: DataFrame, width: Int): DataFrame = {
-      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("node").asc)
-      scored(uni).withColumn("rn", row_number().over(w)).filter(col("rn") <= width)
-        .select("q_id", "node")
-    }
-    def beamStep(beam: DataFrame, edges: DataFrame, width: Int): DataFrame = {
-      val expand = edges.join(broadcast(beam.select(col("node").as("src"),
+    // beam rows carry (q_id, node, d2); expansion scores candidates from
+    // the EDGE PAYLOAD (dst's staged scaled vector), so beam steps never
+    // touch the corpus — the frontier is O(q×beam×M), always broadcast
+    def expandScore(beam: DataFrame, edges: DataFrame): DataFrame =
+      edges.join(broadcast(beam.select(col("node").as("src"),
           col("q_id")).distinct()), Seq("src"))
-        .select(col("q_id"), col("dst").as("node"))
-      topW(beam.select("q_id", "node").unionByName(expand), width)
+        .join(broadcast(qv), Seq("q_id"))
+        .select(col("q_id"), col("dst").as("node"),
+          intD2(col("qv"), col("sv_d")).as("d2"))
+    def topW(scoredUni: DataFrame, width: Int): DataFrame = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("node").asc)
+      scoredUni.distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= width)
+        .select("q_id", "node", "d2")
     }
+    def beamStep(beam: DataFrame, edges: DataFrame, width: Int): DataFrame =
+      topW(beam.unionByName(expandScore(beam, edges)), width)
     val entry = emb(s, d).filter(col("vec_id") % NswLayerMod === 0)
       .agg(min(col("vec_id"))).head().getLong(0) // 1 value — the fixed entry
     // step 1's frontier is {entry} ∪ out(entry) for EVERY query — a fixed
     // ≤ M+1 node set, read once (bounded) and exploded as literals so the
     // probe plan never joins on a constant (which would fold to a
-    // degenerate nested-loop cross)
+    // degenerate nested-loop cross); scoring it is the probe's ONLY
+    // pre-rank corpus touch
     val entryFront = entry +: s.read.parquet(e1Path)
       .filter(col("src") === entry).select(col("dst"))
       .collect().map(_.getLong(0)).toSeq.sorted
-    var beam = topW(qv.select(col("q_id"))
-      .withColumn("node", explode(array(entryFront.map(lit): _*))), NswBeam1W)
+    val initScored = sv
+      .join(broadcast(qv.select(col("q_id"))
+        .withColumn("node", explode(array(entryFront.map(lit): _*)))), Seq("node"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("node"), intD2(col("qv"), col("sv")).as("d2"))
+    var beam = topW(initScored, NswBeam1W)
     for (_ <- 2 to NswSteps1) beam = beamStep(beam, edges1, NswBeam1W)
-    var visited = beam
+    var visited = beam.select("q_id", "node")
     for (_ <- 1 to NswSteps) {
-      val expand = edges0.join(broadcast(beam.select(col("node").as("src"),
-          col("q_id")).distinct()), Seq("src"))
-        .select(col("q_id"), col("dst").as("node"))
-      val uni = beam.unionByName(expand).distinct()
-      visited = visited.unionByName(uni).distinct()
-      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("node").asc)
-      beam = scored(uni).withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= NswBeamW).select("q_id", "node")
+      val uni = beam.unionByName(expandScore(beam, edges0))
+      visited = visited.unionByName(uni.select("q_id", "node")).distinct()
+      beam = topW(uni, NswBeamW)
     }
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
