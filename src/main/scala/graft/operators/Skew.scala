@@ -155,10 +155,68 @@ object Skew {
       .orderBy(col("cnt").desc, col("user_id"))
   }
 
+  // salt when the heaviest key carries ≥ 4× the mean key weight
+  private val SaltFactorX10 = 40
+
+  /** `k_stats_salted_join` — the engine's own SKEW STATISTIC drives the
+    * salting decision (the second stats→plan consumer next to
+    * `k_sketch_planned_join`, closing the loop [[skewStats]] diagnoses
+    * and [[saltedJoin]] solves by hand): one map-side-combined per-key
+    * count reduced to (max, total, distinct) — O(keys), one bounded
+    * 1-row sync — and the exact integer rule max·n_keys·10 ≥ 40·total
+    * (heaviest key ≥ 4× the mean) picks SALTED vs PLAIN for the same
+    * merge-hinted fact⋈dim join. Two regimes run the decision both
+    * ways: a heavy-tailed key (one key ≈ 80% of rows) must salt
+    * (REQUIREd: the executed join keys on (k, salt)), a uniform key
+    * must not (REQUIREd: no salt column in the plan) — and both
+    * regimes' answers are the plain formulation's, because salting is a
+    * physical change only. The oracle recomputes the statistic, the
+    * rule, and the join aggregate, so a flipped decision hash-fails. */
+  def statsSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def regime(label: String, keyCol: org.apache.spark.sql.Column):
+        (String, String, Long, Long, Double) = {
+      val fact = li.select(keyCol.as("k"), col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val st = fact.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("total"),
+          count(lit(1)).as("n_keys"))
+        .head() // 1 row — the skew statistic, never data
+      val (maxCnt, total, nKeys) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val salted = maxCnt * nKeys * 10 >= SaltFactorX10 * total
+      val dim = fact.select(col("k")).distinct()
+        .select(col("k"), (col("k") % 97).as("dim_tag"))
+      val joined =
+        if (salted) {
+          val f = fact.withColumn("salt", pmod(col("l_orderkey"), lit(Salts)))
+          val dm = dim.select(col("k"), col("dim_tag"),
+            explode(sequence(lit(0), lit(Salts - 1))).as("salt"))
+          f.hint("merge").join(dm, Seq("k", "salt"))
+        } else fact.hint("merge").join(dim, Seq("k"))
+      val agg = joined.agg(count(lit(1)).as("n_lines"), dsum(col("rev")).as("revenue"))
+      val row = agg.collect().head
+      val plan = agg.queryExecution.executedPlan.toString
+      if (salted) require(plan.contains("salt#"),
+        s"regime $label: stats chose salting but the plan carries no salt key:\n$plan")
+      else require(!plan.contains("salt#"),
+        s"regime $label: stats chose plain but the plan carries a salt key:\n$plan")
+      (label, if (salted) "salted" else "plain", nKeys,
+        row.getLong(0), row.getDouble(1))
+    }
+    val heavy = regime("skewed_key",
+      when(col("l_orderkey") % 10 < 8, lit(0L)).otherwise(col("l_orderkey") % 10))
+    val flat = regime("uniform_key", col("l_orderkey") % 10)
+    import s.implicits._
+    Seq(heavy, flat)
+      .toDF("regime", "strategy", "n_keys", "n_lines", "revenue")
+      .orderBy("regime")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_salted_join" -> (saltedJoin _),
     "k_aqe_skew_join" -> (aqeSkewJoin _),
     "k_skew_stats" -> (skewStats _),
+    "k_stats_salted_join" -> (statsSaltedJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -185,6 +243,26 @@ object Skew {
          |FROM f JOIN nation ON skew_key = CAST(n_nationkey AS BIGINT)
          |GROUP BY skew_key, n_name
          |ORDER BY skew_key""".stripMargin,
+    // the statistic, the decision rule, and the plain join aggregate all
+    // rebuilt — the strategy column hash-fails on a flipped decision
+    "k_stats_salted_join" -> {
+      def regimeSql(label: String, keyExpr: String): String =
+        s"""SELECT '$label' AS regime,
+           |       CASE WHEN s.mc * s.nk * 10 >= $SaltFactorX10 * s.tot
+           |            THEN 'salted' ELSE 'plain' END AS strategy,
+           |       CAST(s.nk AS BIGINT) AS n_keys,
+           |       CAST(s.tot AS BIGINT) AS n_lines,
+           |       (SELECT ${sqlDsum("l_extendedprice * (1.0 - l_discount)")}
+           |        FROM lineitem) AS revenue
+           |FROM (SELECT MAX(cnt) AS mc, SUM(cnt) AS tot, COUNT(*) AS nk FROM (
+           |        SELECT $keyExpr AS k, COUNT(*) AS cnt
+           |        FROM lineitem GROUP BY 1) t) s""".stripMargin
+      regimeSql("skewed_key",
+        "CASE WHEN l_orderkey % 10 < 8 THEN CAST(0 AS BIGINT) ELSE l_orderkey % 10 END") +
+        "\nUNION ALL\n" +
+        regimeSql("uniform_key", "l_orderkey % 10") +
+        "\nORDER BY regime"
+    },
     "k_skew_stats" ->
       s"""WITH pk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
          |            FROM events GROUP BY user_id),
