@@ -215,6 +215,74 @@ object CorpusClean {
       .orderBy("doc_id")
   }
 
+  private val DsirBuckets = 1024
+  private val DsirFx = 1048576L // 2^20 fixed-point probability scale
+
+  /** `t_dsir` — DATA SELECTION VIA IMPORTANCE RESAMPLING (the DSIR
+    * recipe of Xie et al. 2023, the published method for "pick raw web
+    * documents that look like the target domain"): featurize every doc
+    * as HASHED BIGRAM bucket counts (the paper's hashed n-gram
+    * features — unigrams carry no signal on this corpus, whose languages
+    * share one vocabulary and differ only in word ORDER), fit two
+    * add-one-smoothed bag-of-features distributions — the TARGET (the
+    * `lang='en'` slice, standing in for "looks like Wikipedia/books")
+    * and the RAW corpus — and score each doc by its importance weight,
+    * keeping docs that look more target-like than the corpus average.
+    * Two deliberate deviations from the paper keep every row
+    * oracle-exact: (1) the log-likelihood ratio becomes the FIXED-POINT
+    * LINEAR DISCRIMINANT Σ_b c_b·(p̂_b − q̂_b) with probabilities in 2²⁰
+    * fixed point (`n·2²⁰ div total` — bounded by 2²⁰ at ANY corpus
+    * size, and exact in both engines where ln/log2 of a ±5% ratio
+    * rounds to nothing an integer can hold); (2) Gumbel top-k sampling
+    * becomes the deterministic above-corpus-mean cross-multiplication
+    * (`score·Σn > Σscore·n`, the [[TextAnalysis.lmSurprisal]] rule), so
+    * no randomness crosses engines. On this corpus the rule keeps ~88%
+    * of target-language docs and ~20% of the rest (spec-pinned).
+    *
+    * Scale shape: two map-side-combined passes build the O(B)=1024-row
+    * distributions (broadcast); per-doc bucket counts are one shuffle of
+    * O(docs × ≤B) rows; scoring is an equi-join against the broadcast
+    * distribution table and a per-doc aggregate; the corpus totals are a
+    * 1-row broadcast — nothing corpus-sized crosses the wire twice, and
+    * B is the constant that keeps the distribution tables driver-free at
+    * any corpus size. */
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    val bigrams = when(size(words) >= 2, transform(
+        sequence(lit(0), size(words) - 2),
+        i => array_join(slice(words, i + lit(1), lit(2)), "_")))
+      .otherwise(array().cast("array<string>"))
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
+      .withColumn("b",
+        pmod(conv(substring(md5(concat(lit("g_"), col("g")).cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(DsirBuckets)))
+    val target = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("np"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("nq"))
+    val dom = s.range(DsirBuckets).select(col("id").as("b"))
+    val dist = dom.join(target, Seq("b"), "left").join(raw, Seq("b"), "left")
+      .select(col("b"),
+        (coalesce(col("np"), lit(0L)) + 1).as("p"),
+        (coalesce(col("nq"), lit(0L)) + 1).as("q"))
+    val tot = dist.agg(sum(col("p")).as("tp"), sum(col("q")).as("tq")) // 1 row
+    val fx = dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"p * $DsirFx div tp").as("pfx"),
+        expr(s"q * $DsirFx div tq").as("qfx"))
+    val perDoc = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(fx), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * (col("pfx") - col("qfx"))).as("dsir_score"))
+    val corpus = perDoc.agg(sum(col("n_tokens")).as("tn"),
+      sum(col("dsir_score")).as("ts")) // 1 row
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_score"),
+        (col("dsir_score") * col("tn") > col("ts") * col("n_tokens"))
+          .cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- Poisoned-TEXT gate: the ugly-input contract for the text stack,
   // the way v_poisoned_lsh proves it for vectors. Real corpora carry
   // null/empty/whitespace-only/multibyte documents; this derives them
@@ -248,6 +316,7 @@ object CorpusClean {
     "t_pii_redact" -> (piiRedact _),
     "t_mixture_sample" -> (mixtureSample _),
     "t_temperature_mixture" -> (temperatureMixture _),
+    "t_dsir" -> (dsir _),
     "t_poisoned_text" -> (poisonedTextStats _),
   )
 
@@ -333,6 +402,38 @@ object CorpusClean {
          |JOIN r USING (lang)
          |WHERE u < thr
          |ORDER BY doc_id""".stripMargin,
+    // the DSIR pipeline rebuilt term-for-term: bigram bucket hash, both
+    // add-one smoothed distributions over the full bucket domain, 2^20
+    // fixed-point probabilities (// pairs with Spark div), the linear
+    // discriminant, and the above-corpus-mean cross-multiplied keep
+    "t_dsir" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (SELECT doc_id, lang, ws[i] || '_' || ws[i+1] AS g
+         |       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+         |tk AS (SELECT doc_id, lang,
+         |         ${graft.QueryDsl.sqlHex8("md5('g_' || g)", 1)} % $DsirBuckets AS b
+         |       FROM bg),
+         |tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS np FROM tk
+         |        WHERE lang = 'en' GROUP BY b),
+         |raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nq FROM tk GROUP BY b),
+         |dom AS (SELECT unnest(range(0, $DsirBuckets)) AS b),
+         |dist AS (SELECT dom.b, COALESCE(np, 0) + 1 AS p, COALESCE(nq, 0) + 1 AS q
+         |         FROM dom LEFT JOIN tgt ON dom.b = tgt.b
+         |                  LEFT JOIN raw ON dom.b = raw.b),
+         |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS tp, CAST(SUM(q) AS BIGINT) AS tq
+         |        FROM dist),
+         |fx AS (SELECT b, p * $DsirFx // tp AS pfx, q * $DsirFx // tq AS qfx
+         |       FROM dist, tot),
+         |db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |              CAST(SUM(c * (pfx - qfx)) AS BIGINT) AS dsir_score
+         |       FROM db JOIN fx ON db.b = fx.b GROUP BY 1),
+         |cp AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
+         |              CAST(SUM(dsir_score) AS BIGINT) AS ts FROM pd)
+         |SELECT doc_id, n_tokens, dsir_score,
+         |       CAST(CASE WHEN dsir_score * cp.tn > cp.ts * n_tokens
+         |                 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM pd, cp ORDER BY doc_id""".stripMargin,
     "t_mixture_sample" ->
       s"""WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
          |tot AS (SELECT CAST(floor(COUNT(*) / $SampleHalf) AS BIGINT) AS target FROM documents),

@@ -287,6 +287,70 @@ object Sketches {
       .orderBy("regime")
   }
 
+  private val BloomBits = 1024
+  private val BloomWords = BloomBits / 64
+
+  /** `k_portable_bloom_join` — ENGINE-OWNED Bloom semi-join reduction,
+    * the deterministic twin of `k_bloom_join` (Layout.scala), which
+    * exercises Catalyst's own `runtime.bloomFilter` injection: that
+    * filter's contents are engine-internal (xxhash64 bits — only its
+    * EFFECT is checkable, and the optimizer declines injection whenever
+    * its cost model says broadcast), whereas THIS bloom the engine builds
+    * itself from the same portable `conv(substring(md5 …))` integers the
+    * MinHash / hash-split family uses — so the ORACLE REBUILDS THE FILTER
+    * ITSELF (bit p set ⟺ p ∈ the dim's position set — an m-bit bitmap is
+    * exactly that set), recomputes which fact rows pass, and prices the
+    * false-positive budget as a hash-checked column. A bloom that dropped
+    * a true match (the one thing a Bloom filter must never do) hash-fails
+    * against the plain join's row count. A portable filter is also the
+    * shippable one: the same m-bit bitmap can ride into a DSv2 pushdown,
+    * a file-skipping sidecar, or a different engine entirely. REQUIREs
+    * the reduction actually happened (passed < total/4). The build's
+    * driver sync is the bitmap itself — O(m bits), planner-statistics
+    * class, never data.
+    *
+    * Scale shape: one pass over the dim to O(m) positions, one broadcast
+    * of 16 longs, one narrow fact filter (bit tests codegen via
+    * `bit_get`), then the shuffle join runs over the reduced fact. */
+  def portableBloomJoin(s: SparkSession, d: String): DataFrame = {
+    def bpos(c: org.apache.spark.sql.Column, off: Int) =
+      pmod(conv(substring(md5(c.cast("string").cast("binary")), off, 8), 16, 10)
+        .cast("long"), lit(BloomBits))
+    val dim = Tables.customer(s, d)
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").cast("long").as("ck"))
+    // the bitmap build: distinct bit positions — bounded by m, never data
+    val positions = dim
+      .select(explode(array(bpos(col("ck"), 1), bpos(col("ck"), 9))).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](BloomWords)
+    positions.foreach(p => words((p / 64).toInt) |= (1L << (p % 64).toInt))
+    val bloomDf = s.range(1).select(array(words.map(lit(_)).toIndexedSeq: _*).as("bw"))
+    val fact = Tables.orders(s, d)
+      .select(col("o_custkey").cast("long").as("ok"), col("o_totalprice"))
+      .withColumn("h1", bpos(col("ok"), 1))
+      .withColumn("h2", bpos(col("ok"), 9))
+    val probed = fact.crossJoin(broadcast(bloomDf))
+      .withColumn("pass",
+        expr("bit_get(element_at(bw, cast(h1 div 64 as int) + 1), cast(h1 % 64 as int)) = 1 AND " +
+             "bit_get(element_at(bw, cast(h2 div 64 as int) + 1), cast(h2 % 64 as int)) = 1"))
+    val nFact = fact.count()
+    val passed = probed.filter(col("pass")).select(col("ok"), col("o_totalprice"))
+    val nPass = passed.count()
+    require(nPass * 4 < nFact,
+      s"bloom reduced $nFact fact rows only to $nPass — filter ineffective")
+    // the join itself runs over the REDUCED fact (merge-hinted: at scale
+    // the dim's parent table may not be broadcastable even if selective)
+    val joined = passed.hint("merge").join(dim, col("ok") === col("ck"))
+    import s.implicits._
+    joined.agg(count(lit(1)).as("n_join_rows"),
+        graft.QueryDsl.dsum(col("o_totalprice")).as("revenue"))
+      .crossJoin(Seq((nFact, nPass)).toDF("n_fact", "n_pass_bloom"))
+      .select(col("n_fact"), col("n_pass_bloom"), col("n_join_rows"),
+        (col("n_pass_bloom") - col("n_join_rows")).as("n_false_pos"),
+        col("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_approx_distinct" -> (approxDistinct _),
     "k_approx_quantiles" -> (approxQuantiles _),
@@ -294,6 +358,7 @@ object Sketches {
     "k_bottomk_quantiles" -> (bottomkQuantiles _),
     "k_join_cardinality" -> (joinCardinality _),
     "k_sketch_planned_join" -> (sketchPlannedJoin _),
+    "k_portable_bloom_join" -> (portableBloomJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -421,5 +486,31 @@ object Sketches {
          |                   ELSE c.c_custkey % 97 <> 0 END) AS total_price
          |FROM est e, tot t
          |ORDER BY regime""".stripMargin,
+    // the filter itself rebuilt: bit p set ⟺ p ∈ the dim's position set,
+    // so membership, the passing fact rows, the false-positive count and
+    // the joined revenue are all recomputed — a bloom that dropped a
+    // true match diverges from the plain join here
+    "k_portable_bloom_join" ->
+      s"""WITH dim AS (SELECT CAST(c_custkey AS BIGINT) AS ck
+         |            FROM customer WHERE c_custkey % 50 = 0),
+         |pos AS (SELECT DISTINCT p FROM (
+         |    SELECT ${graft.QueryDsl.sqlHex8("md5(CAST(ck AS VARCHAR))", 1)} % $BloomBits AS p
+         |    FROM dim
+         |    UNION ALL
+         |    SELECT ${graft.QueryDsl.sqlHex8("md5(CAST(ck AS VARCHAR))", 9)} % $BloomBits AS p
+         |    FROM dim)),
+         |fact AS (SELECT CAST(o_custkey AS BIGINT) AS ok, o_totalprice,
+         |    ${graft.QueryDsl.sqlHex8("md5(CAST(o_custkey AS VARCHAR))", 1)} % $BloomBits AS h1,
+         |    ${graft.QueryDsl.sqlHex8("md5(CAST(o_custkey AS VARCHAR))", 9)} % $BloomBits AS h2
+         |  FROM orders),
+         |pass AS (SELECT ok, o_totalprice FROM fact
+         |         WHERE h1 IN (SELECT p FROM pos) AND h2 IN (SELECT p FROM pos)),
+         |j AS (SELECT p.o_totalprice FROM pass p JOIN dim ON p.ok = dim.ck)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fact) AS n_fact,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_pass_bloom,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_join_rows,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pass)
+         |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_false_pos,
+         |       (SELECT ${graft.QueryDsl.sqlDsum("o_totalprice")} FROM j) AS revenue""".stripMargin,
   )
 }

@@ -93,4 +93,55 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must not shuffle into the rates join:\n$plan")
   }
+
+  test("dsir ≡ an independent in-memory reimplementation; selection is discriminative") {
+    val B = 1024
+    val Fx = 1048576L
+    def hex8(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val raw = graft.Tables.documents(s, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = raw.flatMap { case (id, lang, text) =>
+      val ws = text.split(" ", -1)
+      ws.sliding(2).filter(_.length == 2)
+        .map(p => (id, lang, (hex8("g_" + p(0) + "_" + p(1)) % B).toInt))
+    }
+    val np = Array.fill(B)(1L); val nq = Array.fill(B)(1L)
+    toks.foreach { case (_, lang, b) =>
+      if (lang == "en") np(b) += 1
+      nq(b) += 1
+    }
+    val (tp, tq) = (np.sum, nq.sum)
+    val pfx = np.map(_ * Fx / tp); val qfx = nq.map(_ * Fx / tq)
+    val scores = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ((ts.length.toLong,
+        ts.iterator.map { case (_, _, b) => pfx(b) - qfx(b) }.sum))
+    }
+    val (tn, tscore) = (scores.values.map(_._1).sum, scores.values.map(_._2).sum)
+    val expected = scores.map { case (id, (n, sc)) =>
+      id -> ((n, sc, if (sc * tn > tscore * n) 1 else 0))
+    }
+    val got = CorpusClean.dsir(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got.keySet == expected.keySet, "doc coverage differs")
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: engine ${got(id)} vs reimplementation $e")
+    }
+    // the selection must discriminate: target-language docs skew kept,
+    // every other language skews dropped
+    val langOf = raw.map(t => t._1 -> t._2).toMap
+    def keepRate(lang: String): Double = {
+      val ids = expected.keys.filter(langOf(_) == lang)
+      ids.count(expected(_)._3 == 1).toDouble / ids.size
+    }
+    assert(keepRate("en") > 0.8, s"en keep rate ${keepRate("en")} not high")
+    Seq("de", "es", "fr", "zh").foreach { l =>
+      assert(keepRate(l) < 0.4, s"$l keep rate ${keepRate(l)} not low")
+    }
+  }
 }

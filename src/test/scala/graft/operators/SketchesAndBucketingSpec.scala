@@ -82,4 +82,23 @@ class SketchesAndBucketingSpec extends AnyFunSuite {
     def toMap2: Map[String, (A, Long, Long)] =
       rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
   }
+
+  test("portable bloom join: no false negatives, real reduction, FP accounting") {
+    import org.apache.spark.sql.functions._
+    val r = Sketches.portableBloomJoin(s, sf).collect().head
+    val (nFact, nPass, nJoin, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // no false negatives: the bloom-filtered join finds every true match
+    val plainMatches = graft.Tables.orders(s, sf)
+      .join(graft.Tables.customer(s, sf).filter(col("c_custkey") % 50 === 0),
+        col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(nJoin == plainMatches,
+      s"bloom dropped true matches: joined $nJoin of $plainMatches")
+    // the filter must actually reduce the fact side (the operator
+    // REQUIREs < 1/4; hold the same line here)
+    assert(nPass * 4 < nFact, s"no reduction: $nPass of $nFact passed")
+    // false positives are exactly the passed-but-unmatched rows
+    assert(nFp == nPass - nJoin && nFp >= 0, s"FP accounting broken: $nFp")
+  }
 }
