@@ -480,6 +480,51 @@ object Media {
       .orderBy("media_id")
   }
 
+  private val FeatWin = 16
+
+  /** `m_audio_features` — FRAMED FEATURE EXTRACTION on real parsed
+    * audio, the step after decode in every audio-training pipeline
+    * (VAD, silence trimming, data filtering all run on framed
+    * energy/ZCR, not raw samples): channel 0 of each decoded clip is
+    * cut into non-overlapping [[FeatWin]]-frame windows (ragged tail
+    * dropped — fixed tensor shapes, like [[ppmResize]]) and each window
+    * reports short-time ENERGY (Σ s²), ZERO-CROSSING count (sign
+    * changes between adjacent samples — the classic voiced/unvoiced,
+    * speech/noise discriminator), and PEAK |s|. All integer arithmetic
+    * on the parsed PCM, so the closed-form oracle (the generator's
+    * sample formula walked per window) matches bit-for-bit.
+    *
+    * Scale shape: narrow per-record flatMap (1 clip → O(frames/W)
+    * feature rows), no shuffle until the final presentation sort —
+    * feature extraction is embarrassingly parallel and stays that way
+    * at any corpus size. */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val a = WavCodec.decode(bytes)
+        val nWin = a.nFrames / FeatWin
+        (0 until nWin).map { w =>
+          var energy = 0L; var zc = 0L; var peak = 0L
+          var k = 0
+          while (k < FeatWin) {
+            val f = w * FeatWin + k
+            val v = a.samples(f * a.channels).toLong
+            energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (k > 0) {
+              val prev = a.samples((f - 1) * a.channels).toLong
+              if (prev * v < 0) zc += 1
+            }
+            k += 1
+          }
+          (id, w, energy, zc, peak)
+        }
+      }))
+      .toDF("media_id", "win", "energy", "zero_cross", "peak")
+      .orderBy("media_id", "win")
+  }
+
   private val ThumbDim = 4
 
   /** `m_ppm_resize` — decode → TRANSFORM on real parsed pixels: a 4×4
@@ -663,6 +708,7 @@ object Media {
     "m_ppm_resize" -> (ppmResize _),
     "m_wav_decode" -> (wavDecode _),
     "m_wav_resample" -> (wavResample _),
+    "m_audio_features" -> (audioFeatures _),
     "m_adpcm_decode" -> (adpcmDecode _),
     "m_frame_sample" -> (frameSamples _),
     "m_resize_thumb" -> (resizeThumbs _),
@@ -826,6 +872,32 @@ object Media {
         |       CAST(SUM(v) AS BIGINT) AS sum_all
         |FROM sm GROUP BY doc_id, rate, ch, frames
         |ORDER BY media_id""".stripMargin,
+    // per-window energy / zero-cross / peak walked from the generator's
+    // channel-0 sample formula v(f) = ((id·7 + f·ch·13) % 65536) − 32768;
+    // zero-cross needs no window function — the previous sample is the
+    // same closed form at f−1
+    "m_audio_features" ->
+      """WITH au AS (
+        |  SELECT doc_id, (doc_id % 50) + 20 AS frames, 1 + (doc_id % 2) AS ch
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (
+        |  SELECT doc_id, ch, win
+        |  FROM au, LATERAL (SELECT unnest(range(0, frames // 16)) AS win)),
+        |k AS (
+        |  SELECT doc_id, ch, win, kk, win * 16 + kk AS f
+        |  FROM w, LATERAL (SELECT unnest(range(0, 16)) AS kk)),
+        |sv AS (
+        |  SELECT doc_id, win, kk,
+        |         ((doc_id * 7 + f * ch * 13) % 65536) - 32768 AS v,
+        |         ((doc_id * 7 + (f - 1) * ch * 13) % 65536) - 32768 AS pv
+        |  FROM k)
+        |SELECT doc_id AS media_id, CAST(win AS INT) AS win,
+        |       CAST(SUM(v * v) AS BIGINT) AS energy,
+        |       CAST(SUM(CASE WHEN kk > 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS zero_cross,
+        |       CAST(MAX(abs(v)) AS BIGINT) AS peak
+        |FROM sv GROUP BY doc_id, win
+        |ORDER BY media_id, win""".stripMargin,
     // text is ASCII (lowercase words + spaces): byte values == char codes.
     "m_media_features" ->
       """WITH m AS (

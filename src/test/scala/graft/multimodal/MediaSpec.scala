@@ -64,4 +64,31 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.map(_._2) == Seq(0, 2, 4, 6))
     assert(frames.forall(_._1 == 7L))
   }
+
+  test("audio features: window fan-out, bounds, and an independent per-clip recompute") {
+    val s = graft.TestSpark.spark
+    val rows = Media.audioFeatures(s, graft.TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every clip fans out to exactly frames/16 windows
+    val winCount = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    winCount.foreach { case (id, n) =>
+      assert(n == ((id % 50).toInt + 20) / 16, s"clip $id: $n windows")
+    }
+    // feature bounds: ZCR < window, peak ≤ 2^15, energy ≤ 16·2^30
+    rows.foreach { case (id, w, energy, zc, peak) =>
+      assert(zc >= 0 && zc < 16 && peak <= 32768 && energy <= 16L * 32768 * 32768,
+        s"clip $id win $w out of bounds: e=$energy zc=$zc p=$peak")
+    }
+    // independent recompute of one clip from the generator formula
+    val id = rows.head._1
+    val ch = 1 + (id % 2).toInt
+    def v(f: Long): Long = ((id * 7 + f * ch * 13) % 65536) - 32768
+    rows.filter(_._1 == id).foreach { case (_, w, energy, zc, peak) =>
+      val fs = (w * 16L until w * 16L + 16).map(v)
+      assert(energy == fs.map(x => x * x).sum)
+      assert(zc == fs.sliding(2).count(p => p(0) * p(1) < 0))
+      assert(peak == fs.map(math.abs).max)
+    }
+  }
 }
