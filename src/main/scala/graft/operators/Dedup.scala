@@ -810,6 +810,57 @@ object Dedup {
     mass.orderBy("doc_id")
   }
 
+  private val KCoreK = 2
+  private val KCoreRounds = 3
+
+  /** `d_kcore` — K-CORE DECOMPOSITION on the near-dup graph, the fourth
+    * graph-analytics class next to connected components (cluster
+    * membership), PageRank (centrality), and triangles (local density):
+    * iterative PEELING — remove every node of degree < k, recompute
+    * degrees among survivors, repeat — classifies each node by HOW DEEP
+    * it sits in the duplication structure (a 2-core member is part of a
+    * dense mutual-duplication web; a round-1 peel is a leaf that merely
+    * brushed one near-dup). Dedup policies use exactly this split:
+    * peel-depth ranks which docs are safe to drop wholesale vs review.
+    * Bounded [[KCoreRounds]] rounds (the `d_pagerank` discipline —
+    * DedupScaleSpec pins that the peel has CONVERGED by round 3 on this
+    * graph: a further round removes nobody), so the oracle unrolls every
+    * round as CTEs and the whole row set hash-checks.
+    *
+    * Scale shape: consumes the STAGED pair table (8th consumer — no LSH
+    * recompute); each round is one equi-join of surviving edges against
+    * the surviving node set plus a map-side-combined degree count, cost
+    * ∝ surviving duplicate-graph edges (≪ corpus), shrinking
+    * monotonically; rounds are a fixed constant, not data-dependent. */
+  def kCore(s: SparkSession, d: String): DataFrame = {
+    val nd = stagedNeardupPairs(s, d).select(col("a"), col("b"))
+    val edges = nd.union(nd.select(col("b"), col("a")))
+      .toDF("src", "dst")
+    def degreesAmong(active: DataFrame): DataFrame = {
+      val surviving = edges
+        .join(active.withColumnRenamed("doc_id", "src"), "src")
+        .join(active.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy("src").agg(count(lit(1)).as("cnt"))
+      active.join(surviving.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("deg"))
+    }
+    var active = edges.select(col("src").as("doc_id")).distinct()
+    var removed: DataFrame = null
+    for (r <- 1 to KCoreRounds) {
+      val deg = degreesAmong(active)
+      val out = deg.filter(col("deg") < KCoreK)
+        .select(col("doc_id"), lit(r).as("removed_round"))
+      removed = if (removed == null) out else removed.union(out)
+      active = deg.filter(col("deg") >= KCoreK).select("doc_id")
+    }
+    val core = degreesAmong(active)
+      .select(col("doc_id"), lit(0).as("removed_round"),
+        lit(1).as("in_core"), col("deg").as("core_deg"))
+    core.union(removed.select(col("doc_id"), col("removed_round"),
+        lit(0).as("in_core"), lit(0L).as("core_deg")))
+      .orderBy("doc_id")
+  }
+
   // ---- EXACT set-similarity self-join via PREFIX FILTERING (the
   // AllPairs/PPJoin family): the third dedup algorithm class next to
   // MinHash-LSH (approximate, probabilistic) and SimHash (approximate,
@@ -1035,6 +1086,7 @@ object Dedup {
     "d_triangles" -> (triangles _),
     "d_semdedup" -> (semDedup _),
     "d_pagerank" -> (pageRank _),
+    "d_kcore" -> (kCore _),
     "d_incremental_dedup" -> (incrementalDedup _),
     "d_span_dedup" -> (spanDedup _),
     "d_dup_clusters" -> (dupClusters _),
@@ -1124,6 +1176,18 @@ object Dedup {
   /** One PageRank iteration as DuckDB CTEs: contributions (integer floor
     * division, the engine's exact arithmetic) then left-join back onto the
     * full node set. */
+  /** One k-core peel round as DuckDB CTEs: degrees among survivors
+    * (left join — isolated survivors count 0), then the < k split. */
+  private def kcIterCte(i: Int): String =
+    s"""kd$i AS (SELECT a.doc_id, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS deg
+       |       FROM ka${i - 1} a LEFT JOIN (
+       |         SELECT e.src, COUNT(*) AS cnt FROM edges e
+       |         JOIN ka${i - 1} x ON e.src = x.doc_id
+       |         JOIN ka${i - 1} y ON e.dst = y.doc_id GROUP BY e.src) t
+       |         ON a.doc_id = t.src),
+       |kr$i AS (SELECT doc_id FROM kd$i WHERE deg < $KCoreK),
+       |ka$i AS (SELECT doc_id FROM kd$i WHERE deg >= $KCoreK)""".stripMargin
+
   private def prIterCte(i: Int): String =
     s"""c$i AS (SELECT e.dst AS doc_id, SUM((m.mass * 85) // (100 * g.deg)) AS in_mass
        |       FROM edges e JOIN m${i - 1} m ON m.doc_id = e.src JOIN deg g ON g.src = e.src
@@ -1245,6 +1309,32 @@ object Dedup {
            |${prIterCte(2)},
            |${prIterCte(3)}
            |SELECT doc_id, mass FROM m3 ORDER BY doc_id""".stripMargin),
+    // the peel unrolled round-for-round over the same rebuilt pair
+    // table; core degrees recomputed among final survivors
+    "d_kcore" ->
+      (sigCte +
+        s""",
+           |nd AS (
+           |  SELECT c.a, c.b
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE CAST(list_sum(list_transform(range(0, 16),
+           |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+           |edges AS (SELECT a AS src, b AS dst FROM nd UNION ALL SELECT b, a FROM nd),
+           |ka0 AS (SELECT DISTINCT src AS doc_id FROM edges),
+           |${kcIterCte(1)},
+           |${kcIterCte(2)},
+           |${kcIterCte(3)},
+           |cd AS (SELECT a.doc_id, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS deg
+           |       FROM ka3 a LEFT JOIN (
+           |         SELECT e.src, COUNT(*) AS cnt FROM edges e
+           |         JOIN ka3 x ON e.src = x.doc_id
+           |         JOIN ka3 y ON e.dst = y.doc_id GROUP BY e.src) t
+           |         ON a.doc_id = t.src)
+           |SELECT doc_id, 0 AS removed_round, 1 AS in_core, deg AS core_deg FROM cd
+           |UNION ALL SELECT doc_id, 1, 0, CAST(0 AS BIGINT) FROM kr1
+           |UNION ALL SELECT doc_id, 2, 0, CAST(0 AS BIGINT) FROM kr2
+           |UNION ALL SELECT doc_id, 3, 0, CAST(0 AS BIGINT) FROM kr3
+           |ORDER BY doc_id""".stripMargin),
     "d_exact_dedup" ->
       """WITH n AS (SELECT doc_id, md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS norm_md5
         |           FROM documents)

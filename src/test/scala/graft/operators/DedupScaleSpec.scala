@@ -121,6 +121,41 @@ class DedupScaleSpec extends AnyFunSuite {
       s"canonical selection re-runs the MinHash pipeline:\n$plan")
   }
 
+  test("k-core peel converges by round 3 and matches an in-memory peel to fixpoint") {
+    val pairs = Dedup.stagedNeardupPairs(s, sf).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // in-memory peel to FIXPOINT (unbounded rounds)
+    var adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var roundOf = Map.empty[Long, Int]
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val out = adj.collect { case (n, nbrs) if nbrs.size < 2 => n }.toSet
+      if (out.isEmpty) done = true
+      else {
+        roundOf ++= out.map(_ -> round)
+        adj = (adj -- out).view.mapValues(_ -- out).toMap
+      }
+    }
+    val fixpointRounds = round - 1 // last round removed nobody
+    assert(fixpointRounds <= 3,
+      s"peel needs $fixpointRounds rounds on this graph — raise KCoreRounds")
+    val got = Dedup.kCore(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // engine's core == the fixpoint core, with matching degrees and rounds
+    assert(got.keySet == adj.keySet ++ roundOf.keySet, "node coverage differs")
+    adj.foreach { case (n, nbrs) =>
+      assert(got(n) == ((0, 1, nbrs.size.toLong)), s"core node $n: ${got(n)}")
+    }
+    roundOf.foreach { case (n, r) =>
+      assert(got(n) == ((r, 0, 0L)), s"peeled node $n: ${got(n)} vs round $r")
+    }
+    // both classes exist on the fixture: the graph has leaves AND a web
+    assert(adj.nonEmpty && roundOf.nonEmpty, "fixture lacks a core or a fringe")
+  }
+
   test("band stats forecast the candidate join: row conservation and pair bounds") {
     val stats = Dedup.bandStats(s, sf).collect()
     assert(stats.length == 4, "one row per band")
