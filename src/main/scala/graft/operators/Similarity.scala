@@ -368,6 +368,56 @@ object Similarity {
       .orderBy("method", "q_id")
   }
 
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** `v_matryoshka` — TRUNCATED-DIMENSION RECALL (the Matryoshka
+    * representation-learning eval): MRL-style embedding deployments cut
+    * the stored vector to its FIRST d′ dimensions to trade recall for
+    * 2–8× memory/bandwidth, and this harness measures exactly what that
+    * trade costs — exact top-K under each prefix width (8, 16, 32, 64 of
+    * 64) overlaid on the full-width exact top-K, per (width, query).
+    * The 64-dim leg is the built-in control (recall 1.0 by identity,
+    * spec-pinned); the curve down-width is the published MRL read-out.
+    * Cross-engine exact because truncation is just a shorter
+    * sequential-fold prefix: the same codegen'd float cosine over
+    * `slice(embedding, 1, d′)` mirrors DuckDB's `range(0, d′)` fold.
+    *
+    * Scale shape: ONE corpus scan scores all four widths (the prefix
+    * cosines ride the same crossJoin row and explode 4×), then the
+    * [[cosineTopK]] two-phase salted top-K per (width, query) — no
+    * reducer holds a corpus partition; the recall overlay joins two
+    * O(queries × K) sets. Zero-hit queries kept via the left join. */
+  def matryoshka(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = cosineTopK(s, d).select(col("q_id"), col("vec_id"))
+    val qs = exact.select(col("q_id")).distinct()
+    val scored = emb(s, d)
+      .crossJoin(broadcast(queriesDf(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        explode(array(MrlDims.map(n =>
+          struct(lit(n).as("dims"),
+            cosineF(slice(col("embedding"), 1, n), slice(col("q_emb"), 1, n))
+              .as("cosine"))): _*)).as("e"))
+      .select(col("q_id"), col("vec_id"),
+        col("e.dims").as("dims"), col("e.cosine").as("cosine"))
+    val w1 = Window.partitionBy(col("dims"), col("q_id"), pmod(col("vec_id"), lit(Salts)))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val w2 = Window.partitionBy(col("dims"), col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val topk = scored
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= K)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= K)
+      .select(col("dims"), col("q_id"), col("vec_id"))
+    val hits = topk.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("dims"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    MrlDims.toDF("dims").crossJoin(qs)
+      .join(hits, Seq("dims", "q_id"), "left")
+      .select(col("dims"), col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(K.toDouble))
+      .orderBy("dims", "q_id")
+  }
+
   // ---- Hard-negative mining: the contrastive-training data op (pick,
   // per query/anchor, the most-similar items that are NOT near-dups —
   // informative negatives a random sample would almost never contain).
@@ -1157,6 +1207,7 @@ object Similarity {
     "v_ann_ivf" -> (annIvf _),
     "v_ann_lsh" -> (annLsh _),
     "v_ann_recall" -> (annRecall _),
+    "v_matryoshka" -> (matryoshka _),
     "v_ann_quantized" -> (annQuantized _),
     "v_hard_negatives" -> (hardNegatives _),
     "v_hybrid_search" -> (hybridSearch _),
@@ -1708,6 +1759,38 @@ object Similarity {
          |SELECT method, q_id, first_hit_rank, rr_milli FROM (
          |$unions) u
          |ORDER BY method, q_id""".stripMargin
+    },
+    // each prefix-width leg rebuilt with the same fold truncated to
+    // range(0, d′); the 64-wide leg reduces to the exact oracle itself
+    "v_matryoshka" -> {
+      def dotN(a: String, b: String, n: Int) =
+        s"""list_reduce(list_transform(range(0, $n),
+           |  i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
+      def cosN(a: String, b: String, n: Int) =
+        s"${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)}))"
+      val legs = MrlDims.map { n =>
+        s"""tk$n AS (SELECT q_id, vec_id FROM (
+           |  SELECT q.q_id, e.vec_id,
+           |         row_number() OVER (PARTITION BY q.q_id
+           |           ORDER BY ${cosN("e.embedding", "q.q_emb", n)} DESC, e.vec_id ASC) AS rank
+           |  FROM embeddings e, q WHERE e.vec_id <> q.q_id) t WHERE rank <= $K)""".stripMargin
+      }.mkString(",\n")
+      val unions = MrlDims.map(n => s"SELECT $n AS dims, q_id, vec_id FROM tk$n")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |exr AS (SELECT q_id, vec_id FROM ($cosineTopkOracle) t),
+         |$legs,
+         |legs AS ($unions),
+         |hits AS (SELECT l.dims, l.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |         FROM legs l JOIN exr ON l.q_id = exr.q_id AND l.vec_id = exr.vec_id
+         |         GROUP BY 1, 2),
+         |dom AS (SELECT d.dims, q.q_id
+         |        FROM (VALUES ${MrlDims.map(n => s"($n)").mkString(", ")}) d(dims),
+         |             (SELECT DISTINCT q_id FROM q) q)
+         |SELECT dom.dims, dom.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+         |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / $K.0 AS recall
+         |FROM dom LEFT JOIN hits h ON dom.dims = h.dims AND dom.q_id = h.q_id
+         |ORDER BY dom.dims, dom.q_id""".stripMargin
     },
     // recall@k: each approximate top-k subquery is the EXACT oracle text
     // of its own gate, embedded verbatim — the recall numbers are over

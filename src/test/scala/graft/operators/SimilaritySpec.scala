@@ -265,4 +265,21 @@ class SimilaritySpec extends AnyFunSuite {
       assert(fr >= 0 && fr <= 25, s"$key: rank $fr outside any approx list length")
     }
   }
+
+  test("matryoshka truncation: full-width control at 1.0, recall monotone in width") {
+    val rows = Similarity.matryoshka(s, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (dims, q, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 5 && recall == nHit / 5.0,
+        s"dims=$dims q=$q: n_hit=$nHit recall=$recall inconsistent")
+      if (dims == 64) assert(recall == 1.0,
+        s"full-width control must recall itself exactly (q=$q: $recall)")
+    }
+    val mean = rows.groupBy(_._1).view
+      .mapValues(g => g.map(_._4).sum / g.length).toMap
+    val curve = Seq(8, 16, 32, 64).map(mean)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      s"mean recall not monotone in width: $curve")
+  }
 }
