@@ -287,6 +287,68 @@ object Sketches {
       .orderBy("regime")
   }
 
+  private val SoK = 64
+  private[operators] def SoKForSpec: Int = SoK
+
+  /** `k_kmv_setops` — THETA-SKETCH SET OPERATIONS from KMV sketches:
+    * the profile question sketches exist for at 100 TB is rarely "how
+    * many distinct" alone but "how much do these two sets OVERLAP"
+    * (shared users across products, shared keys across snapshots,
+    * vocabulary shared by two corpora) — answered here WITHOUT ever
+    * joining the underlying sets: each side is one O(k) KMV sketch
+    * ([[graft.functions.KmvHashes]]), θ = min of the two k-th hashes,
+    * and union / intersection / A∖B / Jaccard all come from set algebra
+    * on the ≤ 2k sampled hashes below θ, scaled by the sampled
+    * hash-space fraction in pure integer arithmetic (the
+    * [[joinCardinality]] `·2³² div θ` discipline — degrades to EXACT
+    * when both sets fit their sketches). Sides: order keys under two
+    * overlapping predicates (urgent priority vs finished status). The
+    * exact answers ride along as honest baselines with within-2×
+    * verdicts; every column is a deterministic integer, so sketch
+    * contents, estimates, baselines, and verdicts all hash-check.
+    *
+    * Scale shape: one map-side-combined sketch pass per side (O(k)
+    * buffers); ALL set estimates are O(k) array algebra on two 1-row
+    * frames — the exact baselines are the only corpus-sized work, and
+    * they exist only to grade the estimates. */
+  def kmvSetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val predA = col("o_orderpriority") === "1-URGENT"
+    val predB = col("o_orderstatus") === "F"
+    def sketch(pred: org.apache.spark.sql.Column, name: String): DataFrame =
+      o.filter(pred).select(col("o_orderkey").cast("string").as("v"))
+        .agg(expr(s"kmv_hashes(v, $SoK)").as(name))
+    def theta(hs: String): org.apache.spark.sql.Column =
+      when(size(col(hs)) < SoK, lit(Two32))
+        .otherwise(element_at(col(hs), size(col(hs))))
+    val exact = o.agg(
+      countDistinct(when(predA, col("o_orderkey"))).as("exact_a"),
+      countDistinct(when(predB, col("o_orderkey"))).as("exact_b"),
+      countDistinct(when(predA && predB, col("o_orderkey"))).as("exact_inter"),
+      countDistinct(when(predA || predB, col("o_orderkey"))).as("exact_union"))
+    sketch(predA, "ha").crossJoin(sketch(predB, "hb")).crossJoin(exact)
+      .withColumn("theta", least(theta("ha"), theta("hb")))
+      .withColumn("ua", filter(col("ha"), h => h < col("theta")))
+      .withColumn("ub", filter(col("hb"), h => h < col("theta")))
+      .withColumn("n_union", size(array_distinct(concat(col("ua"), col("ub")))).cast("long"))
+      .withColumn("n_inter", size(array_intersect(col("ua"), col("ub"))).cast("long"))
+      .withColumn("n_aonly", size(array_except(col("ua"), col("ub"))).cast("long"))
+      .select(col("theta"),
+        col("n_union"), col("n_inter"), col("n_aonly"),
+        expr(s"n_union * ${Two32}L div theta").as("est_union"),
+        expr(s"n_inter * ${Two32}L div theta").as("est_inter"),
+        expr(s"n_aonly * ${Two32}L div theta").as("est_a_only"),
+        when(col("n_union") > 0, expr("n_inter * 1000L div n_union"))
+          .otherwise(lit(0L)).as("jaccard_milli"),
+        col("exact_a"), col("exact_b"), col("exact_inter"), col("exact_union"))
+      .withColumn("union_within_2x",
+        (col("est_union") * 2 >= col("exact_union") &&
+          col("est_union") <= col("exact_union") * 2).cast("int"))
+      .withColumn("inter_within_2x",
+        (col("est_inter") * 2 >= col("exact_inter") &&
+          col("est_inter") <= col("exact_inter") * 2).cast("int"))
+  }
+
   private val BloomBits = 1024
   private val BloomWords = BloomBits / 64
 
@@ -359,6 +421,7 @@ object Sketches {
     "k_join_cardinality" -> (joinCardinality _),
     "k_sketch_planned_join" -> (sketchPlannedJoin _),
     "k_portable_bloom_join" -> (portableBloomJoin _),
+    "k_kmv_setops" -> (kmvSetOps _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -486,6 +549,58 @@ object Sketches {
          |                   ELSE c.c_custkey % 97 <> 0 END) AS total_price
          |FROM est e, tot t
          |ORDER BY regime""".stripMargin,
+    // both side sketches rebuilt hash-for-hash (ranked portable md5),
+    // θ, the below-θ set algebra, the integer scale-ups, the exact
+    // baselines, and the verdicts — the whole sketch-set-ops pipeline
+    "k_kmv_setops" -> {
+      def side(n: String, pred: String): String =
+        s"""${n}v AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v
+           |       FROM orders WHERE $pred),
+           |${n}h AS (SELECT ${graft.QueryDsl.sqlHex8("md5(v)", 1)} AS h FROM ${n}v),
+           |${n}f AS (SELECT h FROM (
+           |         SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ${n}h)
+           |       WHERE rn <= $SoK),
+           |${n}th AS (SELECT CASE WHEN (SELECT COUNT(*) FROM ${n}h) < $SoK
+           |                  THEN $Two32 ELSE (SELECT MAX(h) FROM ${n}f) END AS th)""".stripMargin
+      s"""WITH ${side("a", "o_orderpriority = '1-URGENT'")},
+         |${side("b", "o_orderstatus = 'F'")},
+         |th AS (SELECT LEAST(ath.th, bth.th) AS theta FROM ath, bth),
+         |ua AS (SELECT h FROM af, th WHERE h < theta),
+         |ub AS (SELECT h FROM bf, th WHERE h < theta),
+         |cnt AS (SELECT
+         |    (SELECT CAST(COUNT(DISTINCT h) AS BIGINT)
+         |     FROM (SELECT h FROM ua UNION ALL SELECT h FROM ub) z) AS n_union,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ua
+         |     WHERE h IN (SELECT h FROM ub)) AS n_inter,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ua
+         |     WHERE h NOT IN (SELECT h FROM ub)) AS n_aonly),
+         |ex AS (SELECT
+         |    CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+         |         THEN o_orderkey END) AS BIGINT) AS exact_a,
+         |    CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F'
+         |         THEN o_orderkey END) AS BIGINT) AS exact_b,
+         |    CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+         |          AND o_orderstatus = 'F' THEN o_orderkey END) AS BIGINT) AS exact_inter,
+         |    CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+         |          OR o_orderstatus = 'F' THEN o_orderkey END) AS BIGINT) AS exact_union
+         |  FROM orders)
+         |SELECT CAST(th.theta AS BIGINT) AS theta,
+         |       cnt.n_union, cnt.n_inter, cnt.n_aonly,
+         |       CAST(cnt.n_union * $Two32 // th.theta AS BIGINT) AS est_union,
+         |       CAST(cnt.n_inter * $Two32 // th.theta AS BIGINT) AS est_inter,
+         |       CAST(cnt.n_aonly * $Two32 // th.theta AS BIGINT) AS est_a_only,
+         |       CAST(CASE WHEN cnt.n_union > 0
+         |                 THEN cnt.n_inter * 1000 // cnt.n_union
+         |                 ELSE 0 END AS BIGINT) AS jaccard_milli,
+         |       ex.exact_a, ex.exact_b, ex.exact_inter, ex.exact_union,
+         |       CAST(CASE WHEN cnt.n_union * $Two32 // th.theta * 2 >= ex.exact_union
+         |                  AND cnt.n_union * $Two32 // th.theta <= ex.exact_union * 2
+         |                 THEN 1 ELSE 0 END AS INT) AS union_within_2x,
+         |       CAST(CASE WHEN cnt.n_inter * $Two32 // th.theta * 2 >= ex.exact_inter
+         |                  AND cnt.n_inter * $Two32 // th.theta <= ex.exact_inter * 2
+         |                 THEN 1 ELSE 0 END AS INT) AS inter_within_2x
+         |FROM th, cnt, ex""".stripMargin
+    },
     // the filter itself rebuilt: bit p set ⟺ p ∈ the dim's position set,
     // so membership, the passing fact rows, the false-positive count and
     // the joined revenue are all recomputed — a bloom that dropped a

@@ -83,6 +83,23 @@ class SketchesAndBucketingSpec extends AnyFunSuite {
       rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
   }
 
+  test("kmv set ops: estimates bracket exact answers; sample algebra consistent") {
+    val r = Sketches.kmvSetOps(s, sf).collect().head
+    def l(n: String) = r.getLong(r.fieldIndex(n))
+    // sampled-set algebra: union ⊇ inter + a-only (the rest is b-only)
+    assert(l("n_union") >= l("n_inter") + l("n_aonly"))
+    assert(l("n_inter") <= math.min(l("n_union"), Sketches.SoKForSpec))
+    // accuracy: the within-2x verdicts hold, and union is much tighter
+    assert(r.getInt(r.fieldIndex("union_within_2x")) == 1)
+    assert(r.getInt(r.fieldIndex("inter_within_2x")) == 1)
+    assert(math.abs(l("est_union") - l("exact_union")) * 2 <= l("exact_union"),
+      s"union est ${l("est_union")} vs exact ${l("exact_union")} off by >50%")
+    // jaccard estimate near the exact ratio (both in milli)
+    val exactJ = l("exact_inter") * 1000 / l("exact_union")
+    assert(math.abs(l("jaccard_milli") - exactJ) <= 150,
+      s"jaccard est ${l("jaccard_milli")} vs exact $exactJ")
+  }
+
   test("portable bloom join: no false negatives, real reduction, FP accounting") {
     import org.apache.spark.sql.functions._
     val r = Sketches.portableBloomJoin(s, sf).collect().head
