@@ -635,6 +635,26 @@ object Streams {
         col("c.event_id").as("click_id"),
         col("c.value").as("click_value"))
 
+  /** FULL-outer interval join — the third stream-stream join mode:
+    * watermark expiry emits BOTH sides' orphans (never-clicked
+    * purchases AND never-converted clicks), the shape a marketing
+    * attribution pipeline needs when unconverted clicks are themselves
+    * the negative-label training set. Same watermarks and time bound as
+    * [[clickAttributionOuter]]; user_id coalesces across sides because
+    * either side may be the absent one. */
+  def clickAttributionFull(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.withWatermark("ts", "1 hour").alias("p")
+      .join(
+        clicks.withWatermark("ts", "1 hour").alias("c"),
+        expr("""p.user_id = c.user_id AND
+                c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""),
+        "fullOuter")
+      .select(
+        coalesce(col("p.user_id"), col("c.user_id")).as("user_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"),
+        col("c.value").as("click_value"))
+
   /** `e_stream_join` — [[clickAttribution]] replayed over the events
     * table as two separate MemoryStreams; SQL-expressible (a BETWEEN
     * join), so fully hash-checked. */
@@ -697,6 +717,42 @@ object Streams {
     val sink = "e_stream_join_outer_sink"
     withReplayShuffle(s) {
       val q = clickAttributionOuter(namedEv(inClicks), namedEv(inPurchases))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        inClicks.addData(clicks.toIndexedSeq)
+        inPurchases.addData(purchases.toIndexedSeq)
+        q.processAllAvailable()
+        inClicks.addData(sentinel(10L))
+        inPurchases.addData(sentinel(10L))
+        q.processAllAvailable()
+        q.processAllAvailable() // fence: the no-data flush batch has committed
+      } finally q.stop()
+    }
+    s.table(sink)
+      .filter(col("user_id") =!= sentinelUser)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  /** `e_stream_join_full` — [[clickAttributionFull]] replayed the
+    * [[streamJoinOuterReplay]] way (both-side sentinels push the
+    * watermark so both orphan classes flush); the oracle is DuckDB's
+    * native FULL OUTER interval join — matched rows, never-clicked
+    * purchases, and never-converted clicks all hash-checked. */
+  def streamJoinFullReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clicks = eventSide(s, d, "click")
+    val purchases = eventSide(s, d, "purchase")
+    val maxMs = (clicks.iterator ++ purchases.iterator).map(_._3.getTime).max
+    val sentinelUser = -1L
+    def sentinel(dayOff: Long): Ev =
+      (sentinelUser, -1L, new java.sql.Timestamp(maxMs + dayOff * 24 * 3600 * 1000), 0.0)
+    val inClicks = MemoryStream[Ev]
+    val inPurchases = MemoryStream[Ev]
+    val sink = "e_stream_join_full_sink"
+    withReplayShuffle(s) {
+      val q = clickAttributionFull(namedEv(inClicks), namedEv(inPurchases))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append).start()
       try {
@@ -1687,6 +1743,7 @@ object Streams {
     "d_lsh_dedup_stream" -> (lshDedupStreamReplay _),
     "e_stream_join" -> (streamJoinReplay _),
     "e_stream_join_outer" -> (streamJoinOuterReplay _),
+    "e_stream_join_full" -> (streamJoinFullReplay _),
   )
 
   /** The sentinel closes EVERY real session, so the streaming result is
@@ -1925,6 +1982,21 @@ object Streams {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |                   AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
         |ORDER BY p.user_id, purchase_id, click_id NULLS FIRST""".stripMargin,
+    // DuckDB's native FULL OUTER interval join — an independent sorted
+    // algorithm emitting both orphan classes; user_id coalesced, every
+    // nullable sort key spelled NULLS FIRST to match Spark ASC
+    "e_stream_join_full" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus,
+        |                  value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pus
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+        |       purchase_id, click_id, click_value
+        |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+        |                         AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
+        |ORDER BY COALESCE(p.user_id, c.user_id),
+        |         purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
     // "flagged dup in the stream" == "has a lower-id LSH near-dup" — the
     // batch candidate join recomputed relationally
     "d_lsh_dedup_stream" ->

@@ -211,6 +211,29 @@ class StreamingSpec extends AnyFunSuite {
       "a matched purchase also emitted a null-joined row")
   }
 
+  test("full-outer stream join = outer rows + never-converted clicks, nothing else") {
+    val sf = graft.TestSpark.sf
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    val full = Streams.streamJoinFullReplay(s, sf).collect().map(key).toSeq
+    val outer = Streams.streamJoinOuterReplay(s, sf).collect().map(key).toSeq
+    // the purchase-side rows (matched + null-click) are exactly the outer join
+    assert(full.filter(_._2.isDefined).sorted == outer.sorted,
+      "full join's purchase-side rows diverge from the left-outer join")
+    // the new class: clicks that never led to a purchase (null purchase_id)
+    val orphanClicks = full.filter(_._2.isEmpty)
+    assert(orphanClicks.nonEmpty, "no never-converted clicks surfaced")
+    assert(orphanClicks.forall(_._3.isDefined),
+      "a row with neither side set cannot exist")
+    // an orphan click must not also appear matched
+    val matchedClicks = full.filter(r => r._2.isDefined && r._3.isDefined)
+      .flatMap(_._3).toSet
+    assert(orphanClicks.forall(r => !matchedClicks.contains(r._3.get)),
+      "a matched click also emitted an orphan row")
+  }
+
   test("tumbling window agg emits a window once its end passes the watermark") {
     import s.implicits._
     implicit val sql = s.sqlContext
