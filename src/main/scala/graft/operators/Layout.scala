@@ -343,6 +343,110 @@ object Layout {
       .orderBy("month")
   }
 
+  def bloomIndexDir(sfDir: String): String =
+    "/tmp/graft_stage/bloomidx_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val BloomIdxFiles = 16
+  private val BloomIdxBits = 16384
+  private[operators] val bloomIdxBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stage events into [[BloomIdxFiles]] files hash-partitioned by
+    * USER (arrival-shaped placement — event ids land everywhere), and
+    * record per file BOTH a min/max range AND a Bloom position set over
+    * `event_id` (2 portable md5-derived positions per id, the
+    * `k_portable_bloom_join` hash family). One stats pass at write
+    * time; the manifest is O(files × m bits) metadata. */
+  def ensureBloomIndex(s: SparkSession, d: String): String = {
+    val dir = bloomIndexDir(d)
+    val built = graft.Staging.ensure(dir, Seq(s"$d/events.parquet")) {
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        .repartition(BloomIdxFiles, col("user_id"))
+        .write.mode("overwrite").parquet(s"$dir/data")
+      val p1 = pmod(conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long"), lit(BloomIdxBits))
+      val p2 = pmod(conv(substring(md5(col("event_id").cast("string").cast("binary")), 9, 8),
+        16, 10).cast("long"), lit(BloomIdxBits))
+      val stats = s.read.parquet(s"$dir/data")
+        .select(input_file_name().as("path"), col("event_id"),
+          explode(array(p1, p2)).as("p"))
+        .groupBy(col("path"))
+        .agg(min(col("event_id")).as("mn"), max(col("event_id")).as("mx"),
+          sort_array(collect_set(col("p"))).as("ps")) // ≤ m positions/file
+        .collect() // O(files) rows of O(m) metadata — never data
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/bloom_manifest.txt"),
+        stats.map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+            r.getSeq[Long](3).mkString(","))
+          .mkString("\n").getBytes("UTF-8")): Unit
+    }
+    if (built) bloomIdxBuildCount.incrementAndGet()
+    dir
+  }
+
+  /** `k_bloom_index` — FILE-LEVEL BLOOM SKIPPING INDEX (the Delta
+    * bloom-filter-index / Parquet-bloom shape), the fifth scan-efficiency
+    * mechanism and the one for POINT LOOKUPS on a high-cardinality
+    * column the layout does NOT cluster: partition-dir pruning needs a
+    * partitioned layout, min/max stats need clustered writes (REQUIREd
+    * here: every file's [min, max] event_id range covers every probe —
+    * the stats gate keeps ALL files, provably useless on this layout),
+    * but a per-file Bloom answers "which files MIGHT hold id X" for any
+    * placement. Five probe ids resolve against the manifest first; only
+    * bloom-passing files are opened (REQUIREd < half the files), the
+    * residual filter handles false positives, and a false NEGATIVE —
+    * the one failure a Bloom index must never have — would lose a probe
+    * row and hash-fail against the oracle, which reads the ORIGINAL
+    * events table (the `k_layout_prune` discipline: layout changes
+    * cost, never answers).
+    *
+    * Scale shape: the index is one write-time stats fold; each lookup
+    * is an O(files × 2) driver-side manifest resolution (metadata
+    * plane) followed by a scan of O(1) files — independent of table
+    * size, the debugging/GDPR-locate query pattern at 100 TB. */
+  def bloomIndexLookup(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureBloomIndex(s, d)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/bloom_manifest.txt")), "UTF-8")
+      .split("\n").toIndexedSeq.filter(_.nonEmpty)
+      .map { line =>
+        val parts = line.split("\t")
+        (parts(0), parts(1).toLong, parts(2).toLong,
+          parts(3).split(",").map(_.toLong).toSet)
+      }
+    // interior ids (edge ids would legitimately fall outside some
+    // file's range and hand min/max stats an accidental win)
+    val probes = Tables.events(s, d).select(col("event_id").cast("long"))
+      .filter(col("event_id") % 1000 === 500)
+      .orderBy("event_id").limit(5).collect().map(_.getLong(0)).toSeq
+    def hex8(text: String, off: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
+    }
+    def positions(id: Long): Seq[Long] =
+      Seq(hex8(id.toString, 0) % BloomIdxBits, hex8(id.toString, 8) % BloomIdxBits)
+    // the layout makes min/max stats useless here — assert it, so the
+    // bloom index is demonstrably the only mechanism that can prune
+    probes.foreach { p =>
+      require(manifest.forall { case (_, mn, mx, _) => p >= mn && p <= mx },
+        s"probe $p escapes some file's [min,max] — stats would prune; wrong fixture shape")
+    }
+    val live = manifest.collect {
+      case (path, _, _, ps) if probes.exists(positions(_).forall(ps.contains)) => path
+    }
+    require(live.nonEmpty && live.size * 2 < manifest.size,
+      s"bloom index skipped too little: ${live.size}/${manifest.size} files opened")
+    val probeDf = {
+      import s.implicits._
+      probes.toDF("event_id")
+    }
+    s.read.parquet(live: _*)
+      .join(broadcast(probeDf), "event_id")
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("total_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_layout_prune" -> (layoutPrune _),
     "k_zorder_prune" -> (zorderPrune _),
@@ -350,9 +454,20 @@ object Layout {
     "k_dpp_prune" -> (dppPrune _),
     "k_bloom_join" -> (bloomJoin _),
     "k_stats_prune" -> (statsPrune _),
+    "k_bloom_index" -> (bloomIndexLookup _),
   )
 
   val oracle: Map[String, String] = Map(
+    // the probe lookups over the ORIGINAL events table: a bloom false
+    // negative (a probe lost to file skipping) diverges here
+    "k_bloom_index" ->
+      s"""WITH probes AS (SELECT event_id FROM events WHERE event_id % 1000 = 500
+         |               ORDER BY event_id LIMIT 5)
+         |SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       ${sqlDsum("e.value")} AS total_value
+         |FROM events e JOIN probes p ON e.event_id = p.event_id
+         |GROUP BY e.event_id
+         |ORDER BY e.event_id""".stripMargin,
     // plain one-year rollup over the original parquet: manifest-level
     // file skipping must change scan cost, never the answer
     "k_stats_prune" ->

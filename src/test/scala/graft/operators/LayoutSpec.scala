@@ -105,4 +105,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(scan.isDefined)
     assert(scan.get.metrics("numFiles").value <= 8)
   }
+
+  test("bloom index: build-once staging; every probe found exactly once") {
+    val r1 = Layout.bloomIndexLookup(s, sf).collect()
+    val builds = Layout.bloomIdxBuildCount.get()
+    val r2 = Layout.bloomIndexLookup(s, sf).collect()
+    assert(Layout.bloomIdxBuildCount.get() == builds,
+      "repeat lookup rebuilt the bloom index")
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    // event ids are unique: each probe resolves to exactly one row — a
+    // bloom false negative would lose a probe entirely (and hash-fail)
+    // sf0.001 has ~1000 event ids → fewer than 5 interior probes exist
+    assert(r1.nonEmpty && r1.length <= 5 && r1.forall(_.getLong(1) == 1L),
+      s"probe lookup shape wrong: ${r1.mkString("; ")}")
+  }
 }
