@@ -675,6 +675,43 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** `t_auc` — exact ROC-AUC of the quality classifier against the
+    * rule-gate gold labels, completing the eval family (confusion
+    * matrix = one threshold, calibration = probability quality, AUC =
+    * ranking quality across ALL thresholds — the number a gate-tuning
+    * decision actually reads). Computed as the Mann-Whitney rank-sum
+    * made integer-exact through DOUBLED MIDRANKS: per distinct logit v,
+    * dr(v) = 2·cnt_less + cnt_eq + 1 (twice the tie-averaged midrank,
+    * an integer), so Σ_pos dr, the tie correction, and
+    * AUC = (Σ_pos dr − n_pos·(n_pos+1)) / (2·n_pos·n_neg) are exact
+    * integers capped by ONE final IEEE division — bit-identical
+    * cross-engine, ties handled exactly (no ±½ float drift).
+    *
+    * Scale shape: one map-side-combined groupBy to the O(distinct
+    * logits) value table; the rank windows run over that bounded table,
+    * never the corpus; totals are a 1-row broadcast. */
+  def auc(s: SparkSession, d: String): DataFrame = {
+    val scored = qualityClassifier(s, d).select(col("doc_id"), col("logit"))
+      .join(docs(s, d).select(col("doc_id"), (qScore >= 0.5).cast("long").as("pos")),
+        "doc_id")
+    val perValue = scored.groupBy(col("logit"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("cnt_pos"))
+    val ordV = Window.orderBy(col("logit"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("cum", sum(col("cnt")).over(ordV))
+      .select(col("cnt_pos"),
+        (col("cnt_pos") * (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1))
+          .as("dr_pos"))
+      .agg(sum(col("cnt_pos")).as("n_pos_tmp"), sum(col("dr_pos")).as("sum_dr"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))))
+      .select(col("np").as("n_pos"), (col("n") - col("np")).as("n_neg"),
+        col("sum_dr"),
+        ((col("sum_dr") - col("np") * (col("np") + 1)).cast("double")
+          / (lit(2.0) * col("np").cast("double") * (col("n") - col("np")).cast("double")))
+          .as("auc"))
+  }
+
   /** Frequency-vocabulary induction with a coverage cut — the tokenizer-
     * prep step (which words does a 90%-coverage vocab need?). Global word
     * counts, ordered by (count desc, word asc), cumulative coverage, keep
@@ -1091,6 +1128,7 @@ object TextAnalysis {
     "t_source_filter" -> (sourceFilter _),
     "t_quality_classifier" -> (qualityClassifier _),
     "t_calibration" -> (calibration _),
+    "t_auc" -> (auc _),
     "t_vocab_coverage" -> (vocabCoverage _),
     "t_ks_drift" -> (ksDrift _),
     "t_rep_signals" -> (repetitionSignals _),
@@ -1310,6 +1348,38 @@ object TextAnalysis {
          |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(j.pos) AS BIGINT) AS n_pos,
          |       CAST(SUM(j.pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
          |FROM j, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the same classifier + gate CTEs as t_calibration, reduced over the
+    // distinct-logit value table with doubled midranks — every quantity
+    // an exact integer until the single final division
+    "t_auc" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlWords) AS word FROM documents),
+         |w AS (SELECT doc_id,
+         |             ${graft.QueryDsl.sqlHex8("md5('w_' || word)", 1)} - 2147483648 AS w
+         |      FROM tok),
+         |cls AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS logit FROM w GROUP BY doc_id),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN 0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+         |               + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+         |                              / CAST(len($sqlWords) AS DOUBLE))
+         |               + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                              / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) >= 0.5
+         |             THEN 1 ELSE 0 END AS pos
+         |      FROM documents),
+         |j AS (SELECT cls.logit, g.pos FROM cls JOIN g USING (doc_id)),
+         |pv AS (SELECT logit, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |              CAST(SUM(pos) AS BIGINT) AS cnt_pos
+         |       FROM j GROUP BY logit),
+         |r AS (SELECT cnt_pos,
+         |        cnt_pos * (2 * (CAST(SUM(cnt) OVER (ORDER BY logit
+         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt) + cnt + 1) AS dr_pos
+         |      FROM pv),
+         |sdr AS (SELECT CAST(SUM(dr_pos) AS BIGINT) AS sum_dr FROM r),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np
+         |        FROM j)
+         |SELECT tot.np AS n_pos, tot.n - tot.np AS n_neg, sdr.sum_dr,
+         |       CAST(sdr.sum_dr - tot.np * (tot.np + 1) AS DOUBLE)
+         |         / (2.0 * CAST(tot.np AS DOUBLE) * CAST(tot.n - tot.np AS DOUBLE)) AS auc
+         |FROM tot, sdr""".stripMargin,
     "t_vocab_coverage" ->
       s"""WITH tok AS (SELECT unnest($sqlWords) AS word FROM documents),
          |c AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),

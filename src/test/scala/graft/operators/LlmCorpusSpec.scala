@@ -277,4 +277,30 @@ class LlmCorpusSpec extends AnyFunSuite {
     // the flag genuinely separates: both classes must exist
     assert(got.exists(_._4 == 1) && got.exists(_._4 == 0))
   }
+
+  test("AUC equals the brute-force pairwise Mann-Whitney probability") {
+    import org.apache.spark.sql.functions._
+    val r = TextAnalysis.auc(s, sf).collect().head
+    val (np, nn, auc) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    // brute force over every (pos, neg) pair: 2·[s_p > s_n] + [s_p = s_n]
+    val scored = TextAnalysis.qualityClassifier(s, sf)
+      .select(col("doc_id"), col("logit")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val gold = graft.Tables.documents(s, sf).selectExpr("doc_id",
+        """cast(0.5 * least(cast(size(split(text, ' ')) as double) / 100.0, 1.0)
+          | + 0.3 * (1.0 - cast(size(filter(split(text, ' '), w -> w in ('a','the'))) as double)
+          |                / cast(size(split(text, ' ')) as double))
+          | + 0.2 * least((cast(length(replace(text, ' ', '')) as double)
+          |                / cast(size(split(text, ' ')) as double)) / 6.0, 1.0) >= 0.5
+          | as int) as pos""".stripMargin)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val pos = gold.collect { case (id, 1) => scored(id) }.toSeq
+    val neg = gold.collect { case (id, 0) => scored(id) }.toSeq
+    assert(pos.size == np && neg.size == nn, "class sizes diverge from the query")
+    val num2 = (for (p <- pos; n <- neg)
+      yield (if (p > n) 2L else 0L) + (if (p == n) 1L else 0L)).sum
+    val brute = num2.toDouble / (2.0 * np.toDouble * nn.toDouble)
+    assert(auc == brute, s"rank-sum AUC $auc != brute-force $brute")
+    assert(auc > 0.6 && auc <= 1.0, s"classifier should rank better than chance: $auc")
+  }
 }
