@@ -228,6 +228,94 @@ object Formats {
       .orderBy("version")
   }
 
+  private val ckptRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val CkptEvery = 3
+
+  /** `k_log_checkpoint` — ACTION LOG + CHECKPOINTING, the missing third
+    * leg of the transaction-log family: [[timeTravel]]'s manifests store
+    * FULL file lists (O(files) metadata per commit — fine for small
+    * tables, quadratic for a table with millions of files), so the
+    * production shape (Delta exactly) stores per-commit ACTIONS
+    * (`add`/`remove` lines, O(change) each) and pays for it at READ
+    * time: resolving a version means replaying every commit since the
+    * beginning — unless the writer periodically materializes a
+    * CHECKPOINT (the cumulative file list at version k) and points
+    * `_last_checkpoint` at it, after which any reader resolves any
+    * version from the nearest checkpoint at-or-below plus the action
+    * suffix. The scenario: 7 commits (appends, a compaction, two
+    * rewrites), checkpoints at v3/v6, reads at v3 (0 actions replayed),
+    * v5 (2), and latest-via-pointer (1) — the replayed-action counts are
+    * REQUIREd at exactly those values AND emitted as columns, so the
+    * oracle hash-checks the bounded-replay property itself, not just
+    * row contents. Rewrites preserve rows (checked by the oracle's
+    * slice rules: v5 and v7 read identical totals through different
+    * file sets).
+    *
+    * Scale shape: commits are O(change) metadata; a reader is
+    * O(files-at-checkpoint + actions-since) — never O(history); data
+    * files are immutable parquet, the reader unions only live files. */
+  def logCheckpoint(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "logckpt") + "/run" + ckptRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 4 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 4 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 4 === 2))
+    val fD = writeFile("D", o.filter(col("o_orderkey") % 4 === 3))
+    val fAB = writeFile("AB", o.filter(col("o_orderkey") % 4 <= 1))
+    val fD2 = writeFile("D2", o.filter(col("o_orderkey") % 4 === 3))
+    val fC2 = writeFile("C2", o.filter(col("o_orderkey") % 4 === 2))
+    def write(p: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        lines.mkString("\n").getBytes("UTF-8")): Unit
+    def readLines(p: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    // the writer: action commits, checkpoint every CkptEvery commits
+    var state = Vector.empty[String]
+    def commit(v: Int, remove: Seq[String], add: Seq[String]): Unit = {
+      write(s"$base/commit-v$v.txt",
+        remove.map("remove\t" + _) ++ add.map("add\t" + _))
+      state = state.filterNot(remove.contains) ++ add
+      if (v % CkptEvery == 0) {
+        write(s"$base/checkpoint-v$v.txt", state)
+        write(s"$base/_last_checkpoint", Seq(v.toString))
+      }
+    }
+    commit(1, Nil, Seq(fA)); commit(2, Nil, Seq(fB)); commit(3, Nil, Seq(fC))
+    commit(4, Nil, Seq(fD))
+    commit(5, Seq(fA, fB), Seq(fAB)) // compaction
+    commit(6, Seq(fD), Seq(fD2))     // rewrite
+    commit(7, Seq(fC), Seq(fC2))     // rewrite
+    // the reader: nearest checkpoint at-or-below + action suffix
+    def resolve(v: Int): (Seq[String], Int) = {
+      val ck = (v to 1 by -1).find(i => i % CkptEvery == 0 &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/checkpoint-v$i.txt")))
+        .getOrElse(0)
+      var files = if (ck > 0) readLines(s"$base/checkpoint-v$ck.txt") else Seq.empty[String]
+      ((ck + 1) to v).foreach { i =>
+        readLines(s"$base/commit-v$i.txt").foreach { line =>
+          val Array(op, p) = line.split("\t")
+          files = if (op == "remove") files.filterNot(_ == p) else files :+ p
+        }
+      }
+      (files, v - ck)
+    }
+    val latest = readLines(s"$base/_last_checkpoint").head.toInt // pointer → O(1) start
+    val reads = Seq(3 -> 0, 5 -> 2, 7 -> (7 - latest))
+    reads.map { case (v, expectReplay) =>
+      val (files, replayed) = resolve(v)
+      require(replayed == expectReplay,
+        s"v$v replayed $replayed actions, expected $expectReplay — checkpoint not consulted")
+      s.read.parquet(files: _*)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .select(lit(v).as("version"), lit(replayed).as("actions_replayed"),
+          col("n_rows"), col("total"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
   // ---- OPTIMISTIC CONCURRENCY on the manifest log: the transaction
   // protocol every modern table format (Delta/Iceberg/Hudi) layers on
   // the manifest core [[timeTravel]] builds. A commit is an ATOMIC
@@ -887,6 +975,7 @@ object Formats {
     "k_vacuum" -> (vacuum _),
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
+    "k_log_checkpoint" -> (logCheckpoint _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_manifest_cdf" -> (manifestCdf _),
     "k_fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
@@ -1034,6 +1123,18 @@ object Formats {
          |UNION ALL
          |SELECT 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")}
          |FROM orders
+         |ORDER BY version""".stripMargin,
+    // slice rules per resolved version + the bounded-replay counts as
+    // literals: a reader that ignored the checkpoint (or replayed the
+    // wrong suffix) diverges on actions_replayed before it even reads
+    "k_log_checkpoint" ->
+      s"""SELECT 3 AS version, 0 AS actions_replayed,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+         |UNION ALL
+         |SELECT 5, 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")} FROM orders
+         |UNION ALL
+         |SELECT 7, 1, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")} FROM orders
          |ORDER BY version""".stripMargin,
     // computed straight from parquet: both format paths must agree with it
     "k_format_roundtrip" ->

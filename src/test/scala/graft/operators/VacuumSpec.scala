@@ -26,4 +26,21 @@ class VacuumSpec extends AnyFunSuite {
     assert(Formats.ManifestLog.read(run, 3).nonEmpty)
     assert(Formats.ManifestLog.latest(run)._1 == 4)
   }
+
+  test("action-log checkpoint reads are deterministic; rewrites preserve rows") {
+    val a = Formats.logCheckpoint(s, TestSpark.sf).collect().map(_.toSeq).toSeq
+    val b = Formats.logCheckpoint(s, TestSpark.sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "two log-checkpoint runs diverged")
+    val byV = a.map(r => r.head.asInstanceOf[Int] ->
+      ((r(1).asInstanceOf[Int], r(2).asInstanceOf[Long], r(3).asInstanceOf[Double]))).toMap
+    // replay counts: v3 straight off its checkpoint, v5 = ckpt3 + 2
+    // actions, latest = ckpt6 + 1 action (via the _last_checkpoint pointer)
+    assert(byV(3)._1 == 0 && byV(5)._1 == 2 && byV(7)._1 == 1)
+    // v5 (post-compaction) and v7 (post-rewrites) hold identical rows —
+    // file maintenance never changes content
+    assert(byV(5)._2 == byV(7)._2 && byV(5)._3 == byV(7)._3,
+      s"rewrite changed content: v5=${byV(5)} v7=${byV(7)}")
+    // v3 predates the D append: strictly fewer rows
+    assert(byV(3)._2 < byV(5)._2)
+  }
 }
