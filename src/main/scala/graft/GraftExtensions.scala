@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{BottomKCounts, CosineSimilarity, ExtractHoldingsGen, Int8Quantize, KmvHashes, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys, TopKPairs}
+import graft.functions.{BitmapAgg, BottomKCounts, CosineSimilarity, ExtractHoldingsGen, Int8Quantize, KmvHashes, MinHashSignature, SigAgreement, SimHash16, SrpBandKeys, TopKPairs}
 
 /** Engine extensions, injected via the standard
   * `spark.sql.extensions=graft.GraftExtensions` mechanism (GraftSession
@@ -104,6 +104,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"kmv_hashes: k must be an integer literal, got $other")
         }
         KmvHashes(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "bitmap_agg"),
+      (children: Seq[Expression]) => {
+        // bitmap_agg(pos, nbits): fixed-width bitmap with bit pos set
+        // per input row; nbits a multiple-of-64 literal
+        require(children.length == 2, "bitmap_agg takes (pos, nbits)")
+        val nbits = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"bitmap_agg: nbits must be an integer literal, got $other")
+        }
+        BitmapAgg(children.head, nbits)
       }))
     ext.injectFunction((
       new FunctionIdentifier("topk_pairs"),

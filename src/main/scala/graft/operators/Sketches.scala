@@ -350,7 +350,6 @@ object Sketches {
   }
 
   private val BloomBits = 1024
-  private val BloomWords = BloomBits / 64
 
   /** `k_portable_bloom_join` — ENGINE-OWNED Bloom semi-join reduction,
     * the deterministic twin of `k_bloom_join` (Layout.scala), which
@@ -381,12 +380,15 @@ object Sketches {
     val dim = Tables.customer(s, d)
       .filter(col("c_custkey") % 50 === 0)
       .select(col("c_custkey").cast("long").as("ck"))
-    // the bitmap build: distinct bit positions — bounded by m, never data
-    val positions = dim
+    // the bitmap build runs DISTRIBUTED through the engine's own
+    // declarative bitmap-OR aggregate ([[graft.functions.BitmapAgg]]):
+    // each position sets a bit in a fixed-width UnsafeRow buffer,
+    // partials OR map-side, and the one-row sync IS the finished filter
+    // (16 longs) — no position set ever materializes anywhere
+    val words = dim
       .select(explode(array(bpos(col("ck"), 1), bpos(col("ck"), 9))).as("p"))
-      .distinct().collect().map(_.getLong(0))
-    val words = new Array[Long](BloomWords)
-    positions.foreach(p => words((p / 64).toInt) |= (1L << (p % 64).toInt))
+      .agg(expr(s"bitmap_agg(p, $BloomBits)").as("bw"))
+      .head().getSeq[Long](0).toArray
     val bloomDf = s.range(1).select(array(words.map(lit(_)).toIndexedSeq: _*).as("bw"))
     val fact = Tables.orders(s, d)
       .select(col("o_custkey").cast("long").as("ok"), col("o_totalprice"))
