@@ -605,6 +605,48 @@ object Media {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** `m_keyframes` — SHOT-BOUNDARY / KEYFRAME detection on real decoded
+    * video frames, the sampling policy a video-training pipeline runs
+    * INSTEAD of blind every-Nth-frame striding ([[frameSamples]]): the
+    * inter-frame difference d(f) = Σ_i |p_f(i) − p_{f−1}(i)| over the
+    * DECODED rasters marks a frame a keyframe when its change exceeds
+    * the clip's mean change (adaptive threshold, cross-multiplied —
+    * d(f)·(n−1) > Σd·1 — so no division), with frame 0 always a key.
+    * GIF is lossless, so the decoded rasters ARE the generator's
+    * closed-form pixels and the whole row — diff included — hash-checks
+    * against the per-pixel walk in SQL.
+    *
+    * Scale shape: a clip's frames arrive in ONE record, so diffs, the
+    * clip mean, and the flags all compute inside the per-record flatMap
+    * — zero shuffles at any corpus size; output ∝ total frames. */
+  def keyframes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gifTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val frames = GifCodec.decode(bytes)
+        val diffs = frames.indices.map { f =>
+          if (f == 0) 0L
+          else {
+            var acc = 0L
+            var i = 0
+            val cur = frames(f).indices; val prev = frames(f - 1).indices
+            while (i < cur.length) {
+              acc += math.abs((cur(i) & 0xff) - (prev(i) & 0xff)); i += 1
+            }
+            acc
+          }
+        }
+        val moving = diffs.drop(1)
+        val (tot, cnt) = (moving.sum, moving.length.toLong)
+        frames.indices.map { f =>
+          val key = if (f == 0) 1 else if (diffs(f) * cnt > tot) 1 else 0
+          (id, f, diffs(f), key)
+        }
+      }))
+      .toDF("media_id", "frame_idx", "diff", "is_key")
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Video table with real MJPEG-in-AVI payloads (video-typed ids,
     * doc_id%3==2): nf=(id%4)+2 frames of w=(id%7)+2 × h=(id%5)+2, frame
     * f raster byte j = (id·17 + f·29 + j) % 256 (channel = j%3) — the
@@ -701,6 +743,7 @@ object Media {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_gif_frames" -> (gifFrames _),
+    "m_keyframes" -> (keyframes _),
     "m_avi_frames" -> (aviFrames _),
     "m_ppm_decode" -> (ppmDecode _),
     "m_png_decode" -> (pngDecode _),
@@ -872,6 +915,31 @@ object Media {
         |       CAST(SUM(v) AS BIGINT) AS sum_all
         |FROM sm GROUP BY doc_id, rate, ch, frames
         |ORDER BY media_id""".stripMargin,
+    // per-frame diffs walked pixel-for-pixel from the generator formula
+    // (lossless GIF: decoded rasters == the formula), the clip mean, and
+    // the adaptive cross-multiplied keyframe rule
+    "m_keyframes" ->
+      """WITH vids AS (
+        |  SELECT doc_id, (doc_id % 9) + 2 AS w, (doc_id % 6) + 2 AS h,
+        |         (doc_id % 5) + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, w, h, nf, f
+        |       FROM vids, LATERAL (SELECT unnest(range(0, nf)) AS f)),
+        |px AS (SELECT doc_id, nf, f, i
+        |       FROM fr, LATERAL (SELECT unnest(range(0, w * h)) AS i)),
+        |df AS (SELECT doc_id, nf, f,
+        |         CAST(SUM(CASE WHEN f = 0 THEN 0
+        |                  ELSE abs((doc_id*13 + f*7 + i) % 256
+        |                           - (doc_id*13 + (f-1)*7 + i) % 256) END) AS BIGINT) AS diff
+        |       FROM px GROUP BY 1, 2, 3),
+        |cl AS (SELECT doc_id, CAST(SUM(CASE WHEN f > 0 THEN diff ELSE 0 END) AS BIGINT) AS tot,
+        |              CAST(nf - 1 AS BIGINT) AS cnt
+        |       FROM df GROUP BY doc_id, nf)
+        |SELECT df.doc_id AS media_id, CAST(df.f AS INT) AS frame_idx, df.diff,
+        |       CAST(CASE WHEN df.f = 0 THEN 1
+        |                 WHEN df.diff * cl.cnt > cl.tot THEN 1 ELSE 0 END AS INT) AS is_key
+        |FROM df JOIN cl USING (doc_id)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // per-window energy / zero-cross / peak walked from the generator's
     // channel-0 sample formula v(f) = ((id·7 + f·ch·13) % 65536) − 32768;
     // zero-cross needs no window function — the previous sample is the

@@ -65,6 +65,21 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.forall(_._1 == 7L))
   }
 
+  test("keyframes: frame 0 always keyed; adaptive rule splits moving frames") {
+    val s = graft.TestSpark.spark
+    val rows = Media.keyframes(s, graft.TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 0).foreach { case (id, _, diff, key) =>
+      assert(key == 1 && diff == 0L, s"clip $id frame 0: diff=$diff key=$key")
+    }
+    val moving = rows.filter(_._2 > 0)
+    assert(moving.forall(_._3 > 0), "a moving frame with zero pixel change")
+    // the adaptive threshold genuinely splits: both classes exist overall
+    assert(moving.exists(_._4 == 1) && moving.exists(_._4 == 0),
+      "keyframe rule degenerate: all moving frames on one side")
+  }
+
   test("audio features: window fan-out, bounds, and an independent per-clip recompute") {
     val s = graft.TestSpark.spark
     val rows = Media.audioFeatures(s, graft.TestSpark.sf).collect()
