@@ -1116,8 +1116,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** `t_lm_bigram` — BACKOFF BIGRAM LM surprisal, the KenLM-shaped step
+    * past [[lmSurprisal]]'s unigram (real perplexity filters condition
+    * on context; a unigram can't tell "the the the" from prose): a
+    * bigram LM trained on the train split scores each document's
+    * adjacent word pairs at L(c₁(w₁)) − L(c₂(w₁,w₂)) bits (conditional
+    * floor-log2 surprisal), BACKING OFF for unseen bigrams to
+    * 1 + unigram cost (the stupid-backoff shape with an integer 1-bit
+    * penalty), OOV words costing L(N) bits — the raw binary-string
+    * lengths, since every −1 offset cancels inside each branch. The
+    * above-corpus-mean flag is the usual cross-multiplication; no
+    * division or float anywhere, so per-doc bits hash-check exactly.
+    *
+    * Scale shape: the LM is two map-side-combined train passes
+    * (O(distinct bigrams) + O(vocab)); per-doc pair counts equi-join
+    * the LM on the bigram key — the corpus-sized shuffle the honest
+    * corpus-wide dictionary requires ([[bigramNovelty]]'s argument);
+    * context/backoff tables and the train total are broadcast-sized. */
+  def lmBigram(s: SparkSession, d: String): DataFrame = {
+    def lb(c: org.apache.spark.sql.Column) = length(bin(c)).cast("long")
+    val pairs = docs(s, d)
+      .select(col("doc_id"),
+        explode(when(size(words) >= 2, transform(
+            sequence(lit(0), size(words) - 2),
+            i => struct(element_at(words, i + lit(1)).as("w1"),
+              element_at(words, i + lit(2)).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = pairs.filter(col("doc_id") % 10 < 8)
+    val big = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctx = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val uni = ctx.select(col("w1").as("w2"), col("c1").as("u2"))
+    val tot = ctx.agg(sum(col("c1")).as("n_train")) // 1 row
+    pairs.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c"),
+        (col("c") * when(col("c2").isNotNull, lb(col("c1")) - lb(col("c2")))
+          .otherwise(lit(1L) + when(col("u2").isNotNull, lb(col("n_train")) - lb(col("u2")))
+            .otherwise(lb(col("n_train"))))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("bits")).as("surprisal"))
+      .transform { perDoc =>
+        val corpus = perDoc.agg(sum(col("n_bigrams")).as("tot_bigrams"),
+          sum(col("surprisal")).as("tot_surp")) // 1 row
+        perDoc.crossJoin(broadcast(corpus))
+          .select(col("doc_id"), col("n_bigrams"), col("surprisal"),
+            (col("surprisal") * col("tot_bigrams") > col("tot_surp") * col("n_bigrams"))
+              .cast("int").as("above_avg"))
+          .orderBy("doc_id")
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_lm_surprisal" -> (lmSurprisal _),
+    "t_lm_bigram" -> (lmBigram _),
     "t_langid_confusion" -> (langidConfusion _),
     "t_curriculum" -> (curriculum _),
     "t_substring_search" -> (substringSearch _),
@@ -1203,6 +1258,42 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // bigram LM + stupid backoff rebuilt verbatim: train pair/context
+    // counts, conditional floor-log2 bits via raw binary-string lengths
+    // (the −1 offsets cancel inside each branch), the 1-bit backoff
+    // penalty, OOV = L(N), above-average by cross-multiplication
+    "t_lm_bigram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+        |tr AS (SELECT * FROM bg WHERE doc_id % 10 < 8),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tr GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_train FROM ctx),
+        |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT db.doc_id, db.c,
+        |         db.c * (CASE WHEN big.c2 IS NOT NULL
+        |                      THEN CAST(length(bin(ctx.c1)) AS BIGINT)
+        |                           - CAST(length(bin(big.c2)) AS BIGINT)
+        |                      WHEN u2.c1 IS NOT NULL
+        |                      THEN 1 + CAST(length(bin(t.n_train)) AS BIGINT)
+        |                           - CAST(length(bin(u2.c1)) AS BIGINT)
+        |                      ELSE 1 + CAST(length(bin(t.n_train)) AS BIGINT) - 1
+        |                 END) AS bits
+        |       FROM db
+        |       LEFT JOIN big ON db.w1 = big.w1 AND db.w2 = big.w2
+        |       LEFT JOIN ctx ON db.w1 = ctx.w1
+        |       LEFT JOIN ctx u2 ON db.w2 = u2.w1, tot t),
+        |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |              CAST(SUM(bits) AS BIGINT) AS surprisal
+        |       FROM sc GROUP BY 1),
+        |cp AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS tb,
+        |              CAST(SUM(surprisal) AS BIGINT) AS ts FROM pd)
+        |SELECT doc_id, n_bigrams, surprisal,
+        |       CAST(CASE WHEN surprisal * cp.tb > cp.ts * n_bigrams
+        |                 THEN 1 ELSE 0 END AS INT) AS above_avg
+        |FROM pd, cp ORDER BY doc_id""".stripMargin,
     // the unigram LM rebuilt verbatim: train-split counts, floor-log2
     // via binary-string length (the same integer trick Spark's bin()
     // provides), OOV = L(N)+1, above-average by cross-multiplication

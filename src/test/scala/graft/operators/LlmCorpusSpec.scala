@@ -278,6 +278,38 @@ class LlmCorpusSpec extends AnyFunSuite {
     assert(got.exists(_._4 == 1) && got.exists(_._4 == 0))
   }
 
+  test("bigram LM ≡ an independent in-memory backoff reimplementation") {
+    def len(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val raw = graft.Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docPairs = raw.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      id -> ws.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    }
+    val trainPairs = docPairs.filter(_._1 % 10 < 8).flatMap(_._2)
+    val big = trainPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = trainPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = ctx.values.sum
+    val expected = docPairs.filter(_._2.nonEmpty).map { case (id, ps) =>
+      val bits = ps.map { case (w1, w2) =>
+        big.get((w1, w2)) match {
+          case Some(c2) => (len(ctx(w1)) - len(c2)).toLong
+          case None => 1L + ctx.get(w2).map(u => len(n) - len(u)).getOrElse(len(n) - 1) // OOV: len(N)
+        }
+      }.sum
+      id -> ((ps.size.toLong, bits))
+    }.toMap
+    val (tb, ts) = (expected.values.map(_._1).sum, expected.values.map(_._2).sum)
+    val got = TextAnalysis.lmBigram(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got.keySet == expected.keySet, "doc coverage differs")
+    expected.foreach { case (id, (nb, bits)) =>
+      val flag = if (bits * tb > ts * nb) 1 else 0
+      assert(got(id) == ((nb, bits, flag)), s"doc $id: ${got(id)} vs ($nb, $bits, $flag)")
+    }
+    assert(got.values.exists(_._3 == 1) && got.values.exists(_._3 == 0))
+  }
+
   test("AUC equals the brute-force pairwise Mann-Whitney probability") {
     import org.apache.spark.sql.functions._
     val r = TextAnalysis.auc(s, sf).collect().head
