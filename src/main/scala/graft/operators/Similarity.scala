@@ -368,6 +368,61 @@ object Similarity {
       .orderBy("method", "q_id")
   }
 
+  private val IvfSweep = Seq(1, 2, 4, 10)
+
+  /** `v_ivf_sweep` — the NPROBE TUNING CURVE, the IVF analogue of
+    * `d_lsh_tuning`: recall@K AND candidate cost measured at every probe
+    * width (1, 2, 4, 10 of the 10 partitions), the evidence behind choosing
+    * [[NProbe]] — a deployment picks the knee of exactly this curve
+    * (probe more partitions → touch more of the corpus → recover more
+    * of the exact top-K; the nprobe = nlist = 10 leg degrades to the
+    * exact scan, so the curve's top end must read recall 1.0,
+    * spec-pinned). Probe
+    * ranking and exact cosines are computed ONCE (pr ≤ max nprobe);
+    * each sweep leg is a filter over the shared scored set, so the
+    * corpus join runs a single time for the whole sweep. `n_cand` is
+    * the per-(leg, query) scanned-vector count — the cost axis,
+    * integer-exact, so the whole curve hash-checks.
+    *
+    * Scale shape: one broadcast centroid probe, one label equi-join
+    * against the corpus, legs as a broadcast literal cross — O(legs)
+    * row amplification on the already-candidate-bounded set, and the
+    * recall overlay joins two O(queries × K) sets. */
+  def ivfSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = cosineTopK(s, d).select(col("q_id"), col("vec_id"))
+    val qs = exact.select(col("q_id")).distinct()
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_label").asc)
+    val probed = queriesDf(s, d)
+      .crossJoin(broadcast(stagedCentroids(s, d)))
+      .select(col("q_id"), col("q_emb"), col("c_label"),
+        cosine(col("q_emb"), col("centroid")).as("c_cos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= IvfSweep.max)
+    val scored = probed
+      .join(emb(s, d), col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("pr"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+    val legs = IvfSweep.toDF("nprobe")
+    val cand = scored.crossJoin(broadcast(legs)).filter(col("pr") <= col("nprobe"))
+    val rankW = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val topk = cand
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+    val nCand = cand.groupBy(col("nprobe"), col("q_id")).agg(count(lit(1)).as("n_cand"))
+    val hits = topk.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("nprobe"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    legs.crossJoin(qs)
+      .join(nCand, Seq("nprobe", "q_id"), "left")
+      .join(hits, Seq("nprobe", "q_id"), "left")
+      .select(col("nprobe"), col("q_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(K.toDouble))
+      .orderBy("nprobe", "q_id")
+  }
+
   private val MrlDims = Seq(8, 16, 32, 64)
 
   /** `v_matryoshka` — TRUNCATED-DIMENSION RECALL (the Matryoshka
@@ -1208,6 +1263,7 @@ object Similarity {
     "v_ann_lsh" -> (annLsh _),
     "v_ann_recall" -> (annRecall _),
     "v_matryoshka" -> (matryoshka _),
+    "v_ivf_sweep" -> (ivfSweep _),
     "v_ann_quantized" -> (annQuantized _),
     "v_hard_negatives" -> (hardNegatives _),
     "v_hybrid_search" -> (hybridSearch _),
@@ -1760,6 +1816,53 @@ object Similarity {
          |$unions) u
          |ORDER BY method, q_id""".stripMargin
     },
+    // the annIvf oracle parameterized over the probe widths: probe
+    // ranking and scored candidates built once, legs as a literal list,
+    // candidate counts and recall per (leg, query)
+    "v_ivf_sweep" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |expl AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos,
+         |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |           / (COUNT(*) * 1000000.0) AS c
+         |  FROM expl GROUP BY label, pos),
+         |carr AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+         |  FROM cent GROUP BY label),
+         |probed AS (
+         |  SELECT q_id, q_emb, c_label,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY ${sqlCos("q_emb", "centroid")} DESC, c_label ASC) AS pr
+         |  FROM q, carr),
+         |exr AS (SELECT q_id, vec_id FROM ($cosineTopkOracle) t),
+         |scored AS (
+         |  SELECT p.q_id, p.pr, e.vec_id, ${sqlCos("e.embedding", "p.q_emb")} AS cosine
+         |  FROM probed p JOIN embeddings e ON e.label = p.c_label AND e.vec_id <> p.q_id
+         |  WHERE p.pr <= ${IvfSweep.max}),
+         |legs AS (SELECT unnest([${IvfSweep.mkString(", ")}]) AS nprobe),
+         |cand AS (SELECT l.nprobe, sc.q_id, sc.vec_id, sc.cosine
+         |         FROM scored sc, legs l WHERE sc.pr <= l.nprobe),
+         |tk AS (SELECT nprobe, q_id, vec_id FROM (
+         |         SELECT nprobe, q_id, vec_id,
+         |                row_number() OVER (PARTITION BY nprobe, q_id
+         |                  ORDER BY cosine DESC, vec_id ASC) AS rank
+         |         FROM cand) t WHERE rank <= $K),
+         |nc AS (SELECT nprobe, q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |       FROM cand GROUP BY 1, 2),
+         |h AS (SELECT t.nprobe, t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |      FROM tk t JOIN exr ON t.q_id = exr.q_id AND t.vec_id = exr.vec_id
+         |      GROUP BY 1, 2),
+         |dom AS (SELECT l.nprobe, qq.q_id FROM legs l, (SELECT DISTINCT q_id FROM q) qq)
+         |SELECT dom.nprobe, dom.q_id,
+         |       COALESCE(nc.n_cand, 0) AS n_cand, COALESCE(h.n_hit, 0) AS n_hit,
+         |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / $K.0 AS recall
+         |FROM dom LEFT JOIN nc ON dom.nprobe = nc.nprobe AND dom.q_id = nc.q_id
+         |         LEFT JOIN h ON dom.nprobe = h.nprobe AND dom.q_id = h.q_id
+         |ORDER BY dom.nprobe, dom.q_id""".stripMargin,
     // each prefix-width leg rebuilt with the same fold truncated to
     // range(0, d′); the 64-wide leg reduces to the exact oracle itself
     "v_matryoshka" -> {

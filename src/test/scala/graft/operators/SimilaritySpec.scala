@@ -266,6 +266,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf sweep: recall and cost monotone in nprobe; full-probe control at 1.0") {
+    val rows = Similarity.ivfSweep(s, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (np, q, nCand, nHit, recall) =>
+      assert(recall == nHit / 5.0, s"np=$np q=$q recall/n_hit inconsistent")
+      if (np == 10) assert(recall == 1.0,
+        s"probing every partition must equal the exact scan (q=$q: $recall)")
+    }
+    val mean = rows.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._5).sum / g.length, g.map(_._3).sum / g.length)
+    }.toMap
+    val curve = Seq(1, 2, 4, 10).map(mean)
+    assert(curve.zip(curve.tail).forall { case ((r1, c1), (r2, c2)) => r1 <= r2 && c1 <= c2 },
+      s"recall/cost not monotone in nprobe: $curve")
+  }
+
   test("matryoshka truncation: full-width control at 1.0, recall monotone in width") {
     val rows = Similarity.matryoshka(s, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
