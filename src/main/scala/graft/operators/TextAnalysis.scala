@@ -1170,9 +1170,59 @@ object TextAnalysis {
       }
   }
 
+  private val MaskBlock = 20
+
+  /** `t_span_mask` — SPAN CORRUPTION (the T5/UL2 denoising objective's
+    * data transform): contiguous token spans are replaced by sentinels
+    * to build (input, target) pairs, and this op emits the per-doc
+    * accounting a span-corruption writer bills on — masked token count,
+    * span count, and the exact input/target lengths
+    * (`input = unmasked + sentinels`, `target = masked + sentinels`).
+    * The usual implementation draws spans from an RNG; here span
+    * placement is a DETERMINISTIC function of (doc, block): tokens
+    * partition into fixed blocks of [[MaskBlock]], and each block masks
+    * `[start, start+len)` with start = md5-hash % 17 and
+    * len = 2 + md5-hash % 3 (≈15% noise density, mean span 3 — the T5
+    * defaults), clipped at the block edge. Block-local spans have no
+    * sequential dependency, so the whole selection is SQL-expressible
+    * and `masked_md5` (the md5 of the position-ordered masked tokens)
+    * pins the EXACT tokens chosen, not just their count.
+    *
+    * Scale shape: one narrow posexplode + per-doc aggregation; the only
+    * collection is the per-doc masked-token list (bounded by a single
+    * document's length, the CorpusClean.scala:71 documented class). */
+  def spanMask(s: SparkSession, d: String): DataFrame = {
+    def h(off: Int) = conv(substring(md5(
+        concat(lit("m_"), col("doc_id").cast("string"), lit("_"),
+          col("blk").cast("string")).cast("binary")), off, 8), 16, 10).cast("long")
+    docs(s, d)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "t")))
+      .withColumn("blk", expr(s"pos div $MaskBlock"))
+      .withColumn("start", pmod(h(1), lit(17)))
+      .withColumn("len", lit(2) + pmod(h(9), lit(3)))
+      .withColumn("off", pmod(col("pos"), lit(MaskBlock)))
+      .withColumn("masked",
+        col("off") >= col("start") && col("off") < col("start") + col("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        countDistinct(when(col("masked"), col("blk"))).as("n_spans"),
+        // per-doc bounded collect: one document's masked tokens
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("masked"),
+            struct(col("pos"), col("t"))))),
+          e => e.getField("t")), "|").cast("binary")).as("masked_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+        (col("n_tokens") - col("n_masked") + col("n_spans")).as("input_len"),
+        (col("n_masked") + col("n_spans")).as("target_len"),
+        col("masked_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_lm_surprisal" -> (lmSurprisal _),
     "t_lm_bigram" -> (lmBigram _),
+    "t_span_mask" -> (spanMask _),
     "t_langid_confusion" -> (langidConfusion _),
     "t_curriculum" -> (curriculum _),
     "t_substring_search" -> (substringSearch _),
@@ -1258,6 +1308,32 @@ object TextAnalysis {
        |FROM cut ORDER BY shard, chunk_id, seg_pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // block-local span selection rebuilt hash-for-hash: same md5 block
+    // hashes, same start/len arithmetic, same position-ordered masked
+    // token digest — a different span choice anywhere flips masked_md5
+    "t_span_mask" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS t
+         |       FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+         |hs AS (SELECT doc_id, pos, t, pos // $MaskBlock AS blk,
+         |         ${graft.QueryDsl.sqlHex8("md5('m_' || doc_id || '_' || (pos // " + MaskBlock + "))", 1)} % 17 AS st,
+         |         2 + ${graft.QueryDsl.sqlHex8("md5('m_' || doc_id || '_' || (pos // " + MaskBlock + "))", 9)} % 3 AS ln,
+         |         pos % $MaskBlock AS off
+         |       FROM tk),
+         |fl AS (SELECT doc_id, pos, t, blk,
+         |         (off >= st AND off < st + ln) AS masked
+         |       FROM hs)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |       CAST(COUNT(DISTINCT CASE WHEN masked THEN blk END) AS BIGINT) AS n_spans,
+         |       CAST(COUNT(*) - SUM(CASE WHEN masked THEN 1 ELSE 0 END)
+         |            + COUNT(DISTINCT CASE WHEN masked THEN blk END) AS BIGINT) AS input_len,
+         |       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END)
+         |            + COUNT(DISTINCT CASE WHEN masked THEN blk END) AS BIGINT) AS target_len,
+         |       md5(COALESCE(array_to_string(
+         |             list(t ORDER BY pos) FILTER (WHERE masked), '|'), ''))
+         |         AS masked_md5
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bigram LM + stupid backoff rebuilt verbatim: train pair/context
     // counts, conditional floor-log2 bits via raw binary-string lengths
     // (the −1 offsets cancel inside each branch), the 1-bit backoff

@@ -278,6 +278,47 @@ class LlmCorpusSpec extends AnyFunSuite {
     assert(got.exists(_._4 == 1) && got.exists(_._4 == 0))
   }
 
+  test("span mask: T5 accounting holds and an independent recompute agrees") {
+    def hex8(text: String, off: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
+    }
+    val rows = TextAnalysis.spanMask(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, m, sp, in, tg, _) =>
+      assert(in == n - m + sp && tg == m + sp, s"doc $id: T5 accounting broken")
+      assert(sp <= n / 20 + 1 && m <= n, s"doc $id: span/mask bounds broken")
+    }
+    // corpus noise density lands near the configured ~15%
+    val (totM, totN) = (rows.map(_._3).sum, rows.map(_._2).sum)
+    val density = totM.toDouble / totN
+    assert(density > 0.10 && density < 0.20, s"noise density $density off target")
+    // independent recompute of one document's exact masked set
+    val (id, text) = {
+      val r = graft.Tables.documents(s, sf)
+        .selectExpr("doc_id", "text").orderBy("doc_id").head()
+      (r.getLong(0), r.getString(1))
+    }
+    val ws = text.split(" ", -1)
+    val masked = ws.zipWithIndex.filter { case (_, pos) =>
+      val blk = pos / 20
+      val st = hex8(s"m_${id}_$blk", 0) % 17
+      val ln = 2 + hex8(s"m_${id}_$blk", 8) % 3
+      val off = pos % 20
+      off >= st && off < st + ln
+    }.map(_._1)
+    val expectMd5 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(masked.mkString("|").getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val got = rows.find(_._1 == id).get
+    assert(got._3 == masked.length && got._7 == expectMd5,
+      s"doc $id: engine masked ${got._3}/${got._7}, recompute ${masked.length}/$expectMd5")
+  }
+
   test("bigram LM ≡ an independent in-memory backoff reimplementation") {
     def len(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
     val raw = graft.Tables.documents(s, sf).select("doc_id", "text").collect()
