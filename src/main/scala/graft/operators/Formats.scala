@@ -140,6 +140,56 @@ object Formats {
       .orderBy("bucket")
   }
 
+  private val csvqRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_csv_quoting` — RFC-4180 TORTURE ROUND TRIP, the CSV edge-path
+    * contract [[quarantineRead]]'s malformed-feed split doesn't touch:
+    * real 100 TB text feeds carry embedded DELIMITERS, QUOTES, and
+    * NEWLINES inside fields, and an engine whose writer/reader disagree
+    * on quoting silently shears rows apart (the classic "row count grew
+    * after re-ingest" corruption). Every order derives a deterministic
+    * torture payload hitting all three hazards plus their combinations
+    * (`a,b`, `say ""hi""`, a LF mid-field, a trailing quote), writes
+    * through the engine's CSV writer, reads back with `multiLine` +
+    * quote-escape config, and verifies BYTE EQUALITY per row in-engine.
+    * The hash-checked output is the audit: total rows, byte-exact rows
+    * (REQUIREd equal — a sheared row also changes the count), and the
+    * exact-decimal value sum proving the numeric column survived
+    * alongside the hostile text.
+    *
+    * Scale shape: a narrow derive→write→read→join pipeline; the verify
+    * join is key-equi on the order key. `multiLine` is the one honest
+    * cost: embedded newlines make raw byte-split impossible, so files
+    * are read whole — the reason binary-safe formats beat CSV at scale,
+    * stated here as a measured contract rather than folklore. */
+  def csvQuoting(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "csvq") + "/run" + csvqRuns.incrementAndGet()
+    val torture = concat(
+      lit("a,"), col("o_orderkey").cast("string"),
+      lit(",\"q\" mid\nline2 "), col("o_orderpriority"), lit(" tail\""))
+    val src = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), torture.as("t"), col("o_totalprice").as("v"))
+    src.write.mode("overwrite")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(base)
+    val read = s.read
+      .schema("k BIGINT, t STRING, v DOUBLE")
+      .option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(base)
+      .select(col("k"), col("t").as("t2"), col("v").as("v2"))
+    val out = src.join(read, "k")
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("t") === col("t2")).cast("long")).as("n_text_exact"),
+        sum((col("v") === col("v2")).cast("long")).as("n_value_exact"),
+        dsum(col("v2")).as("total_value"))
+    val row = out.collect().head
+    require(row.getLong(0) == row.getLong(1) && row.getLong(0) == row.getLong(2),
+      s"CSV round trip sheared rows: ${row.mkString(", ")}")
+    s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1), out.schema)
+  }
+
   /** CDC MERGE apply — the companion to [[snapshotDiff]]'s detect: a
     * change batch with explicit op codes (Insert / Update / Delete, the
     * Debezium-shape feed) applied to the base snapshot in one plan. The
@@ -976,6 +1026,7 @@ object Formats {
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
     "k_log_checkpoint" -> (logCheckpoint _),
+    "k_csv_quoting" -> (csvQuoting _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_manifest_cdf" -> (manifestCdf _),
     "k_fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
@@ -1124,6 +1175,15 @@ object Formats {
          |SELECT 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")}
          |FROM orders
          |ORDER BY version""".stripMargin,
+    // the audit closed-form: every torture row must survive byte-exact,
+    // so counts are the filtered cardinality and the sum is the plain
+    // decimal-exact aggregate over the same slice
+    "k_csv_quoting" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(COUNT(*) AS BIGINT) AS n_text_exact,
+         |       CAST(COUNT(*) AS BIGINT) AS n_value_exact,
+         |       ${sqlDsum("o_totalprice")} AS total_value
+         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
     // slice rules per resolved version + the bounded-replay counts as
     // literals: a reader that ignored the checkpoint (or replayed the
     // wrong suffix) diverges on actions_replayed before it even reads

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -77,7 +77,19 @@ object FilingIndexStream {
 
   private[sources] class IndexMicroBatchStream(
       path: String, maxFilesPerTrigger: Option[Int] = None)
-      extends MicroBatchStream with SupportsAdmissionControl {
+      extends MicroBatchStream with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow {
+    // Trigger.AvailableNow BACKFILL: the engine announces it up front,
+    // the source pins the CURRENT end of the feed, and the paced drain
+    // stops there — "process everything that exists now in bounded
+    // batches, then terminate", the standard backfill/catch-up shape.
+    // Files arriving after the pin are left for the next run (the
+    // checkpointed offset carries over — exactly-once is unchanged).
+    @volatile private var availableNowCap: Option[Int] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Some(listSorted().length)
+
     private def listSorted(): Array[String] = {
       val p = new Path(path)
       val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
@@ -105,7 +117,7 @@ object FilingIndexStream {
       * backlog of N files drains in ⌈N/limit⌉ bounded micro-batches. */
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val a = start.asInstanceOf[FileCountOffset].n
-      val total = listSorted().length
+      val total = availableNowCap.getOrElse(listSorted().length)
       limit match {
         case mf: ReadMaxFiles => FileCountOffset(math.min(total, a + mf.maxFiles()))
         case _                => FileCountOffset(total)

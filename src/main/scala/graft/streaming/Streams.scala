@@ -375,6 +375,54 @@ object Streams {
   def filingStreamPaced(s: SparkSession, d: String): DataFrame =
     filingStreamReplayWith(s, d, maxFilesPerTrigger = Some(2))
 
+  /** `e_filing_stream_backfill` — Trigger.AvailableNow over the custom
+    * V2 source: the BACKFILL trigger every catch-up job uses ("drain
+    * everything that exists right now in bounded batches, then STOP" —
+    * vs processAllAvailable's test-only semantics and a continuous
+    * trigger's never-terminating one). The source implements
+    * `SupportsTriggerAvailableNow`: the engine announces the trigger,
+    * the source pins the feed's current end, and the paced drain
+    * (maxFilesPerTrigger=2) walks to the pin and terminates on its own
+    * — REQUIREd: the query self-terminates inside the timeout AND took
+    * ≥ ⌈files/2⌉ data batches. Data identical to the other two replays
+    * (same oracle): a trigger changes scheduling, never answers. */
+  def filingStreamBackfill(s: SparkSession, d: String): DataFrame = {
+    val staged = graft.sources.FilingIndex.ensureStaged(s, d)
+    val arrivals = graft.TempPaths.scratch(s, "filing_stream") +
+      "/run" + filingStreamRuns.incrementAndGet()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+    val files = new java.io.File(staged).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(arrivals, f"backlog-$i%03d.jsonl")): Unit
+    }
+    val sink = "e_filing_stream_backfill_sink"
+    withReplayShuffle(s) {
+      val q = s.readStream
+        .format(classOf[graft.sources.FilingIndexStream].getName)
+        .option("maxFilesPerTrigger", 2)
+        .load(arrivals)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        require(q.awaitTermination(120000),
+          "AvailableNow backfill did not terminate on its own")
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        val floor = math.ceil(files.length.toDouble / 2).toInt
+        require(dataBatches >= floor && floor > 2,
+          s"backfill not paced: ${files.length} files drained in $dataBatches batches")
+      } finally q.stop()
+    }
+    s.table(sink)
+      .groupBy(col("form_type"))
+      .agg(count(lit(1)).as("n_filings"), countDistinct(col("cik")).as("n_funds"))
+      .orderBy("form_type")
+  }
+
   private def filingStreamReplayWith(
       s: SparkSession, d: String, maxFilesPerTrigger: Option[Int]): DataFrame = {
     val staged = graft.sources.FilingIndex.ensureStaged(s, d)
@@ -1734,6 +1782,7 @@ object Streams {
     "e_dsv2_stream_sink" -> (dsv2StreamSink _),
     "e_filing_stream" -> (filingStreamReplay _),
     "e_filing_stream_paced" -> (filingStreamPaced _),
+    "e_filing_stream_backfill" -> (filingStreamBackfill _),
     "e_topk_stream" -> (topkStream _),
     "e_stream_enrich" -> (streamStaticEnrichReplay _),
     "e_stream_enrich_scd" -> (streamEnrichScdReplay _),
@@ -1904,6 +1953,12 @@ object Streams {
     // pacing changes the micro-batch stride, never the data: identical
     // aggregate to the unpaced replay
     "e_filing_stream_paced" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_filings,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_funds
+        |FROM orders GROUP BY 1 ORDER BY form_type""".stripMargin,
+    // a trigger changes scheduling, never data: identical aggregate
+    "e_filing_stream_backfill" ->
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
         |       CAST(COUNT(*) AS BIGINT) AS n_filings,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_funds

@@ -119,6 +119,45 @@ class FilingIndexStreamSpec extends AnyFunSuite {
       "expected every filing exactly once after the paced drain")
   }
 
+  test("AvailableNow pins the feed end: post-pin arrivals wait for the next run") {
+    val staged = FilingIndex.ensureStaged(s, TestSpark.sf)
+    val root = java.nio.file.Files.createTempDirectory("fis_an").toString
+    val arrivals = s"$root/arrivals"
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+    val files = new java.io.File(staged).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    def arrive(fs: Seq[java.io.File], wave: Int): Unit = fs.zipWithIndex.foreach {
+      case (f, i) => java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(arrivals, f"wave$wave%02d-$i%03d.jsonl")): Unit
+    }
+    def backfillOnce(): Unit = {
+      val q = s.readStream.format(classOf[FilingIndexStream].getName)
+        .option("maxFilesPerTrigger", 2).load(arrivals)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+      finally q.stop()
+    }
+    arrive(files.take(files.length / 2).toSeq, 1)
+    backfillOnce()
+    val afterRun1 = s.read.parquet(out).count()
+    assert(afterRun1 > 0)
+    // wave 2 lands AFTER run 1's pin: a fresh AvailableNow run drains
+    // exactly the remainder from the checkpointed offset
+    arrive(files.drop(files.length / 2).toSeq, 2)
+    backfillOnce()
+    val rows = s.read.parquet(out)
+    assert(rows.count() > afterRun1, "wave 2 never ingested by the second run")
+    val dups = rows.groupBy(col("cik"), col("accession_number"))
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0, "the second backfill re-ingested run-1 files")
+  }
+
   test("a non-append arrival (offset beyond listing) fails loudly, not silently") {
     val stream = new FilingIndexStream.IndexMicroBatchStream(
       java.nio.file.Files.createTempDirectory("fis_empty").toString)
