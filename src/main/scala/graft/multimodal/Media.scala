@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
@@ -740,7 +741,57 @@ object Media {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** `m_pipeline_e2e` — the COMPOSED end-to-end MULTIMODAL training
+    * pass, the vision twin of `t_pipeline_e2e`: real-decode image gate →
+    * caption quality gate → pair assembly with the aspect rule → exact
+    * caption dedup → shard-sliced writer manifest, one lazy plan reusing
+    * each standalone operator's semantics.
+    *
+    *  1. IMAGES: [[jpegDecode]]'s real decoded records; REQUIREs every
+    *     decode verdict green (so the oracle may model the verdict as
+    *     pass), then gates on width ≥ 4 — the too-small-to-train filter.
+    *  2. CAPTIONS: token count in [8, 200] ([[pairAssembly]]'s rule).
+    *  3. PAIRS: id equi-join + the integer aspect gate 2·w ≥ h.
+    *  4. DEDUP: normalized caption digest (sorted words — the
+    *     `d_exact_dedup` normalization), lowest media_id wins.
+    *  5. MANIFEST: md5 shard assignment (4 shards) + per-shard ordinal —
+    *     the (shard, idx) a data-loader resumes from.
+    *
+    * Scale shape: decode is the narrow batched flatMap; every gate is a
+    * filter before the single id equi-join; dedup groups on the digest;
+    * the ordinal window partitions BY SHARD (never a global sort). */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val decoded = jpegDecode(s, d)
+    require(decoded.filter(col("within_bound") =!= 1).isEmpty,
+      "a decode verdict left the error budget — the oracle's pass model would lie")
+    val images = decoded.filter(col("width") >= 4)
+      .select(col("media_id"), col("width"), col("height"))
+    val captions = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text"),
+        size(split(col("text"), " ")).as("cap_tokens"))
+      .filter(col("cap_tokens").between(8, 200))
+    val pairs = images.join(captions, "media_id")
+      .filter(col("width") * 2 >= col("height"))
+    val deduped = pairs
+      .withColumn("norm_md5",
+        md5(array_join(array_sort(split(col("text"), " ")), " ").cast("binary")))
+      .withColumn("keep_id",
+        min(col("media_id")).over(Window.partitionBy(col("norm_md5"))))
+      .filter(col("media_id") === col("keep_id"))
+    deduped
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(4)))
+      .withColumn("idx_in_shard", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("media_id"))))
+      .select(col("shard"), col("idx_in_shard"), col("media_id"),
+        col("width"), col("height"), col("cap_tokens"),
+        md5(col("text").cast("binary")).as("cap_md5"))
+      .orderBy("shard", "idx_in_shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_pipeline_e2e" -> (pipelineE2e _),
     "m_media_features" -> (mediaFeatures _),
     "m_gif_frames" -> (gifFrames _),
     "m_keyframes" -> (keyframes _),
@@ -759,6 +810,37 @@ object Media {
   )
 
   val oracle: Map[String, String] = Map(
+    // the five-stage chain as CTEs: dims from the generator formulas
+    // (decode verdicts REQUIREd green engine-side), the caption and
+    // aspect gates, the sorted-words dedup digest, md5 sharding, and
+    // the per-shard ordinal
+    "m_pipeline_e2e" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id AS media_id,
+         |         CAST((doc_id % 11) + 2 AS INT) AS width,
+         |         CAST((doc_id % 5) + 2 AS INT) AS height
+         |  FROM documents WHERE doc_id % 3 = 2 AND (doc_id % 11) + 2 >= 4),
+         |caps AS (
+         |  SELECT doc_id AS media_id, text,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS cap_tokens
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) BETWEEN 8 AND 200),
+         |pairs AS (
+         |  SELECT i.media_id, i.width, i.height, c.text, c.cap_tokens
+         |  FROM imgs i JOIN caps c USING (media_id)
+         |  WHERE i.width * 2 >= i.height),
+         |dd AS (SELECT *, md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+         |         AS norm_md5 FROM pairs),
+         |keep AS (SELECT * FROM (
+         |    SELECT *, MIN(media_id) OVER (PARTITION BY norm_md5) AS keep_id FROM dd) t
+         |  WHERE media_id = keep_id),
+         |sh AS (SELECT *, ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 4 AS shard FROM keep)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY media_id) AS INT)
+         |         AS idx_in_shard,
+         |       media_id, width, height, cap_tokens, md5(text) AS cap_md5
+         |FROM sh
+         |ORDER BY shard, idx_in_shard""".stripMargin,
     // the container walk rebuilt from the frame/pixel formulas: frame f
     // pixel i = (id*13 + f*7 + i) % 256 — frame count, dimensions, and
     // per-frame sums must match what the JDK reader DECODED out of the

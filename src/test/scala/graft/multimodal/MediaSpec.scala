@@ -65,6 +65,26 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.forall(_._1 == 7L))
   }
 
+  test("multimodal e2e: gates reject, dedup keeps lowest id, shard ordinals dense") {
+    val rows = Media.pipelineE2e(s, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    // every surviving pair passed the gates
+    rows.foreach { case (_, _, _, w, h, tok) =>
+      assert(w >= 4 && w * 2 >= h && tok >= 8 && tok <= 200)
+    }
+    // the width gate genuinely rejects on this fixture (ids with
+    // id%11 in {0,1} decode at width 2 or 3)
+    val nImages = Media.jpegDecode(s, sf).count()
+    assert(rows.length < nImages, "no image was ever rejected")
+    // per-shard ordinals are a dense 1..n sequence
+    rows.groupBy(_._1).foreach { case (shard, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length),
+        s"shard $shard ordinals not dense")
+    }
+  }
+
   test("keyframes: frame 0 always keyed; adaptive rule splits moving frames") {
     val s = graft.TestSpark.spark
     val rows = Media.keyframes(s, graft.TestSpark.sf).collect()
