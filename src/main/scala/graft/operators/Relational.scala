@@ -530,6 +530,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** `r_stats_typed` — the SAME descriptive-stats kernel through the
+    * public typed `Aggregator` API ([[graft.functions.MomentsAgg]]):
+    * `groupByKey(...).agg(agg.toColumn)` with a case-class buffer — the
+    * aggregation path a LIBRARY USER extends without touching Catalyst,
+    * proven semantically identical to the SQL formulation by sharing
+    * [[statsKernel]]'s oracle verbatim. Constant-width six-long buffer,
+    * map-side combined; statistics derived in `finish` with the same
+    * single-division IEEE discipline. */
+  def statsTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long"), col("l_linenumber").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(graft.functions.MomentsAgg.toColumn.name("st"))
+      .toDF("l_returnflag", "st")
+      .select(col("l_returnflag"), col("st.n").as("n"),
+        col("st.mean_qty").as("mean_qty"), col("st.var_qty").as("var_qty"),
+        col("st.sd_qty").as("sd_qty"), col("st.corr_qty_line").as("corr_qty_line"))
+      .orderBy("l_returnflag")
+  }
+
   private val HistBuckets = 16
 
   /** EQUI-WIDTH HISTOGRAM, integer-exact: the distribution profile a cost
@@ -641,6 +664,7 @@ object Relational {
     "r_histogram"       -> (histogram _),
     "r_histogram_equidepth" -> (histogramEquidepth _),
     "r_stats_kernel"    -> (statsKernel _),
+    "r_stats_typed"     -> (statsTyped _),
     "r_fuzzy_join"      -> (fuzzyJoin _),
     "r_record_linkage"  -> (recordLinkage _),
     "r_join_full_outer" -> (joinFullOuter _),
@@ -726,6 +750,24 @@ object Relational {
     // every sum is BIGINT-exact, every double op correctly rounded, so
     // the statistics are bit-identical to the Spark side
     "r_stats_kernel" ->
+      """WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |             CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
+        |             CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS syy,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |       CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+        |       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd_qty,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_line
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    // the typed Aggregator is an API change, not a semantics change:
+    // identical oracle to r_stats_kernel
+    "r_stats_typed" ->
       """WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
         |             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
