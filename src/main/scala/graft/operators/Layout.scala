@@ -347,7 +347,13 @@ object Layout {
     "/tmp/graft_stage/bloomidx_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   private val BloomIdxFiles = 16
-  private val BloomIdxBits = 16384
+  // sized at write time: ~24 bits per expected element per file (fp ~
+  // 0.7% with 2 hashes), floor 16k -- a FIXED m saturates the moment the
+  // table grows (observed: 13/16 files passing at 10x the design size),
+  // which is why real bloom indexes size per file at write time
+  private val BloomIdxMinBits = 16384
+  private def bloomBitsFor(perFile: Long): Long =
+    math.max(BloomIdxMinBits.toLong, (perFile * 24 + 63) / 64 * 64)
   private[operators] val bloomIdxBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stage events into [[BloomIdxFiles]] files hash-partitioned by
@@ -359,13 +365,14 @@ object Layout {
   def ensureBloomIndex(s: SparkSession, d: String): String = {
     val dir = bloomIndexDir(d)
     val built = graft.Staging.ensure(dir, Seq(s"$d/events.parquet")) {
-      Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
-        .repartition(BloomIdxFiles, col("user_id"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      val bits = bloomBitsFor(ev.count() / BloomIdxFiles)
+      ev.repartition(BloomIdxFiles, col("user_id"))
         .write.mode("overwrite").parquet(s"$dir/data")
       val p1 = pmod(conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 8),
-        16, 10).cast("long"), lit(BloomIdxBits))
+        16, 10).cast("long"), lit(bits))
       val p2 = pmod(conv(substring(md5(col("event_id").cast("string").cast("binary")), 9, 8),
-        16, 10).cast("long"), lit(BloomIdxBits))
+        16, 10).cast("long"), lit(bits))
       val stats = s.read.parquet(s"$dir/data")
         .select(input_file_name().as("path"), col("event_id"),
           explode(array(p1, p2)).as("p"))
@@ -375,8 +382,9 @@ object Layout {
         .collect() // O(files) rows of O(m) metadata — never data
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/bloom_manifest.txt"),
-        stats.map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
-            r.getSeq[Long](3).mkString(","))
+        (s"BITS\t$bits" +: stats.map(r =>
+            s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+              r.getSeq[Long](3).mkString(",")).toIndexedSeq)
           .mkString("\n").getBytes("UTF-8")): Unit
     }
     if (built) bloomIdxBuildCount.incrementAndGet()
@@ -405,9 +413,11 @@ object Layout {
     * size, the debugging/GDPR-locate query pattern at 100 TB. */
   def bloomIndexLookup(s: SparkSession, d: String): DataFrame = {
     val dir = ensureBloomIndex(s, d)
-    val manifest = new String(java.nio.file.Files.readAllBytes(
+    val lines = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/bloom_manifest.txt")), "UTF-8")
       .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    val bits = lines.head.split("\t")(1).toLong // header: the write-time m
+    val manifest = lines.tail
       .map { line =>
         val parts = line.split("\t")
         (parts(0), parts(1).toLong, parts(2).toLong,
@@ -424,7 +434,7 @@ object Layout {
       java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
     }
     def positions(id: Long): Seq[Long] =
-      Seq(hex8(id.toString, 0) % BloomIdxBits, hex8(id.toString, 8) % BloomIdxBits)
+      Seq(hex8(id.toString, 0) % bits, hex8(id.toString, 8) % bits)
     // the layout makes min/max stats useless here — assert it, so the
     // bloom index is demonstrably the only mechanism that can prune
     probes.foreach { p =>
