@@ -834,8 +834,12 @@ object Dedup {
     * monotonically; rounds are a fixed constant, not data-dependent. */
   def kCore(s: SparkSession, d: String): DataFrame = {
     val nd = stagedNeardupPairs(s, d).select(col("a"), col("b"))
+    // materialize the invariant edge list once (the d_pagerank
+    // discipline): every peel round joins against it twice, and without
+    // the pin each round would replay the staged-pairs scan through a
+    // lineage that deepens by two joins per round
     val edges = nd.union(nd.select(col("b"), col("a")))
-      .toDF("src", "dst")
+      .toDF("src", "dst").localCheckpoint()
     def degreesAmong(active: DataFrame): DataFrame = {
       val surviving = edges
         .join(active.withColumnRenamed("doc_id", "src"), "src")
@@ -847,7 +851,9 @@ object Dedup {
     var active = edges.select(col("src").as("doc_id")).distinct()
     var removed: DataFrame = null
     for (r <- 1 to KCoreRounds) {
-      val deg = degreesAmong(active)
+      // pin each round's degree table: both the removed and surviving
+      // halves read it, and the next round builds on the survivor half
+      val deg = degreesAmong(active).localCheckpoint()
       val out = deg.filter(col("deg") < KCoreK)
         .select(col("doc_id"), lit(r).as("removed_round"))
       removed = if (removed == null) out else removed.union(out)

@@ -160,6 +160,9 @@ object Extraction {
     "x_doc_source_compacted" -> (docSourceCompactedHoldings _),
     "x_filing_index" -> (filingIndex _),
     "x_filing_index_v2" -> (filingIndexV2 _),
+    "x_filing_index_v2_columnar" ->
+      ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Columnar(s, d)
+        .orderBy("cik", "accession_number")),
     "x_filing_index_v2_agg" ->
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Agg(s, d)),
     "x_filing_index_v2_prune" ->
@@ -182,6 +185,8 @@ object Extraction {
         |ORDER BY doc_id""".stripMargin,
     "x_filing_index" -> filingIndexOracle,
     "x_filing_index_v2" -> filingIndexOracle,
+    // batch hand-off is a physical change only: identical oracle
+    "x_filing_index_v2_columnar" -> filingIndexOracle,
     // the per-form counts from the same orders derivation the staged
     // JSON encodes: the in-source tally must reproduce them exactly
     "x_filing_index_v2_agg" ->

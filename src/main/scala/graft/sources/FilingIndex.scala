@@ -149,6 +149,29 @@ object FilingIndex {
       .withColumn("doc_url", docUrl)
   }
 
+  /** `x_filing_index_v2_columnar` — the connector's VECTORIZED read
+    * path: the same scan planned COLUMNAR (`option("columnar", true)`),
+    * so the source hands the engine ColumnarBatches of on-heap vectors
+    * (the Parquet-vectorized-reader discipline at the wire-format
+    * layer) and rows first materialize at the plan's ColumnarToRow
+    * boundary. REQUIREs the executed V2 scan actually reports columnar
+    * support — a green row certifies the vectorized path ran, and the
+    * shared oracle certifies batch hand-off changed nothing. */
+  def filingIndexV2Columnar(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    def reader = s.read.format(classOf[FilingIndexV2].getName)
+      .option("columnar", "true").load(dir)
+      .filter(col("form_type") === "NPORT-P")
+    val probe = reader
+    val columnarScans = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.supportsColumnar => b
+    }
+    require(columnarScans.nonEmpty,
+      s"V2 scan did not plan columnar:\n${probe.queryExecution.executedPlan}")
+    reader.withColumn("doc_url", docUrl)
+  }
+
   /** `x_filing_index_v2_prune` — FILE-LEVEL STATS PRUNING inside the
     * connector: a cik-range probe against the cik-range-partitioned
     * stage. The pushed predicate prunes whole files via the `_CIKSTATS`

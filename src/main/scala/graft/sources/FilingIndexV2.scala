@@ -64,10 +64,10 @@ object FilingIndexV2 {
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new IndexScanBuilder(path)
+      new IndexScanBuilder(path, options.getBoolean("columnar", false))
   }
 
-  private[sources] class IndexScanBuilder(path: String)
+  private[sources] class IndexScanBuilder(path: String, columnar: Boolean = false)
       extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
       with SupportsPushDownAggregates {
     private var required: StructType = Schema
@@ -152,7 +152,7 @@ object FilingIndexV2 {
       }
       IndexScan(path, schema, pushed.collect { case EqualTo("form_type", v: String) => v },
         pushed.exists { case IsNotNull("form_type") => true; case _ => false },
-        aggGrouped, lo, hi, inSet)
+        aggGrouped, lo, hi, inSet, columnar)
     }
   }
 
@@ -165,7 +165,7 @@ object FilingIndexV2 {
       path: String, required: StructType, formEq: Array[String],
       formNotNull: Boolean = false, aggGrouped: Option[Boolean] = None,
       cikLo: Long = Long.MinValue, cikHi: Long = Long.MaxValue,
-      cikIn: Option[Set[Long]] = None)
+      cikIn: Option[Set[Long]] = None, columnar: Boolean = false)
       extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     override def readSchema(): StructType = required
@@ -266,7 +266,8 @@ object FilingIndexV2 {
       IndexReaderFactory(required.fieldNames, formEq, formNotNull, aggGrouped,
         cikLo, cikHi, cikIn,
         new org.apache.spark.util.SerializableConfiguration(
-          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration),
+        columnar)
   }
 
   private[sources] case class IndexPartition(file: String) extends InputPartition
@@ -284,7 +285,8 @@ object FilingIndexV2 {
       cols: Array[String], formEq: Array[String], formNotNull: Boolean,
       aggGrouped: Option[Boolean],
       cikLo: Long, cikHi: Long, cikIn: Option[Set[Long]],
-      conf: org.apache.spark.util.SerializableConfiguration)
+      conf: org.apache.spark.util.SerializableConfiguration,
+      columnar: Boolean = false)
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val file = partition.asInstanceOf[IndexPartition].file
@@ -294,6 +296,75 @@ object FilingIndexV2 {
           new IndexAggReader(file, formEq, formNotNull, grouped, cik, conf.value)
         case None => new IndexReader(file, cols, formEq, formNotNull, cik, conf.value)
       }
+    }
+
+    // VECTORIZED read path: the engine consumes ColumnarBatches straight
+    // from the connector (Parquet's vectorized reader discipline at the
+    // wire-format layer) — Tungsten operators read column vectors without
+    // a per-row materialization until the plan's ColumnarToRow boundary.
+    // Aggregate pushdown keeps the row path (its output is one tally row
+    // per file — nothing to vectorize).
+    override def supportColumnarReads(partition: InputPartition): Boolean =
+      columnar && aggGrouped.isEmpty
+    override def createColumnarReader(
+        partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      require(supportColumnarReads(partition), "columnar read not enabled for this scan")
+      val file = partition.asInstanceOf[IndexPartition].file
+      new IndexColumnarReader(file, cols,
+        new IndexReader(file, cols, formEq, formNotNull,
+          CikPredicate(cikLo, cikHi, cikIn), conf.value))
+    }
+  }
+
+  /** Columnar adapter over the row reader: fills fixed-capacity on-heap
+    * column vectors (the Tungsten in-memory layout) in batches of
+    * [[ColumnarCap]] rows. The expansion/filter logic stays in ONE place
+    * (the row reader); what changes is the hand-off to the engine —
+    * batch-at-a-time vectors instead of row-at-a-time InternalRows. */
+  private val ColumnarCap = 1024
+
+  private[sources] class IndexColumnarReader(
+      file: String, cols: Array[String],
+      rows: PartitionReader[InternalRow])
+      extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    private val types = cols.map(n => Schema(Schema.fieldIndex(n)).dataType)
+    private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+    override def next(): Boolean = {
+      if (batch != null) { batch.close(); batch = null }
+      val vectors = types.map(t => new OnHeapColumnVector(ColumnarCap, t))
+      var n = 0
+      while (n < ColumnarCap && rows.next()) {
+        val row = rows.get()
+        var c = 0
+        while (c < cols.length) {
+          types(c) match {
+            case LongType => vectors(c).putLong(n, row.getLong(c))
+            case _ =>
+              if (row.isNullAt(c)) vectors(c).putNull(n)
+              else {
+                val bytes = row.getUTF8String(c).getBytes
+                vectors(c).putByteArray(n, bytes): Unit
+              }
+          }
+          c += 1
+        }
+        n += 1
+      }
+      if (n == 0) { vectors.foreach(_.close()); false }
+      else {
+        batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+          vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector], n)
+        true
+      }
+    }
+
+    override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+    override def close(): Unit = {
+      if (batch != null) batch.close()
+      rows.close()
     }
   }
 

@@ -95,6 +95,29 @@ class FilingIndexV2Spec extends AnyFunSuite {
     assert(scanOf(point).planInputPartitions().length <= parts)
   }
 
+  test("columnar scan: vectorized batches, row-identical to the row path") {
+    val dir = FilingIndex.ensureStaged(s, TestSpark.sf)
+    def read(columnar: Boolean) = {
+      val r = s.read.format(classOf[FilingIndexV2].getName)
+      (if (columnar) r.option("columnar", "true") else r).load(dir)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+    // the option flips the scan's planning mode
+    assert(scans(read(true)).exists(_.supportsColumnar), "columnar scan not planned")
+    assert(!scans(read(false)).exists(_.supportsColumnar), "row path planned columnar")
+    // hand-off is physical only: identical rows, nulls and all
+    val a = read(true).collect().map(_.toSeq).sortBy(_.toString)
+    val b = read(false).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      "columnar and row reads diverged")
+    // projection still prunes through the columnar path
+    val pruned = read(true).select("cik", "form_type")
+    assert(pruned.collect().length == a.length)
+  }
+
   test("runtime (DPP) filtering: answers equal the DPP-disabled run") {
     val withDpp = FilingIndex.filingIndexV2Dpp(s, sf).collect().toSeq
     val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
