@@ -160,6 +160,8 @@ object Extraction {
     "x_doc_source_compacted" -> (docSourceCompactedHoldings _),
     "x_filing_index" -> (filingIndex _),
     "x_filing_index_v2" -> (filingIndexV2 _),
+    "x_catalog_sql" ->
+      ((s: SparkSession, d: String) => graft.sources.FilingIndex.catalogSql(s, d)),
     "x_filing_index_v2_columnar" ->
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Columnar(s, d)
         .orderBy("cik", "accession_number")),
@@ -187,6 +189,13 @@ object Extraction {
     "x_filing_index_v2" -> filingIndexOracle,
     // batch hand-off is a physical change only: identical oracle
     "x_filing_index_v2_columnar" -> filingIndexOracle,
+    // per-form counts over the same orders derivation the staged JSON
+    // encodes — the catalog is a naming layer, not a data change
+    "x_catalog_sql" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_filings,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_funds
+        |FROM orders GROUP BY 1 ORDER BY form_type""".stripMargin,
     // the per-form counts from the same orders derivation the staged
     // JSON encodes: the in-source tally must reproduce them exactly
     "x_filing_index_v2_agg" ->

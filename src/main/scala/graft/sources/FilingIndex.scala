@@ -149,6 +149,27 @@ object FilingIndex {
       .withColumn("doc_url", docUrl)
   }
 
+  /** `x_catalog_sql` — the connector through a CATALOG PLUGIN
+    * ([[GraftCatalog]]): the whole query is SQL TEXT addressing the
+    * table BY NAME (`<cat>.filing_index`) — the BI/notebook path where
+    * no library import exists, proving the catalog hands back the same
+    * full-capability table (the pushed IS NOT NULL filter and the
+    * aggregate both ride through it). The catalog name encodes the
+    * staged dir (catalog instances are cached per session after first
+    * resolution; two scale points in one session must not share one). */
+  def catalogSql(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    val cat = "graft_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    s.sql(
+      s"""SELECT form_type, COUNT(*) AS n_filings, COUNT(DISTINCT cik) AS n_funds
+         |FROM $cat.filing_index
+         |WHERE form_type IS NOT NULL
+         |GROUP BY form_type
+         |ORDER BY form_type""".stripMargin)
+  }
+
   /** `x_filing_index_v2_columnar` — the connector's VECTORIZED read
     * path: the same scan planned COLUMNAR (`option("columnar", true)`),
     * so the source hands the engine ColumnarBatches of on-heap vectors

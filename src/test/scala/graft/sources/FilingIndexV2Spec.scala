@@ -95,6 +95,32 @@ class FilingIndexV2Spec extends AnyFunSuite {
     assert(scanOf(point).planInputPartitions().length <= parts)
   }
 
+  test("catalog plugin: named SQL access equals the programmatic read; DDL refused") {
+    val dir = FilingIndex.ensureStaged(s, TestSpark.sf)
+    val cat = "graftspec_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    val viaSql = s.sql(s"SELECT cik, accession_number, form_type FROM $cat.filing_index")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val direct = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+      .select("cik", "accession_number", "form_type")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaSql.length == direct.length &&
+      viaSql.zip(direct).forall { case (a, b) => a == b },
+      "catalog table diverged from the direct read")
+    // catalog surface: listing, existence, read-only DDL
+    val ct = new GraftCatalog
+    ct.initialize("t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir)))
+    assert(ct.listTables(Array.empty).map(_.name).toSeq == Seq("filing_index"))
+    assert(ct.tableExists(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, "filing_index")))
+    intercept[Exception](ct.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "nope")))
+    intercept[UnsupportedOperationException](ct.dropTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "filing_index")))
+  }
+
   test("columnar scan: vectorized batches, row-identical to the row path") {
     val dir = FilingIndex.ensureStaged(s, TestSpark.sf)
     def read(columnar: Boolean) = {
