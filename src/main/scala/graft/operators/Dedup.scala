@@ -1025,6 +1025,55 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** `d_rouge_pairs` — ROUGE-2 precision / recall / F1 over the staged
+    * near-dup pairs (10th consumer), the n-gram-overlap EVAL METRIC
+    * family (summarization/generation scoring) run as a corpus
+    * measurement: how much of each pair's overlap is contiguous-bigram
+    * overlap, with the lower-id doc as candidate and the higher as
+    * reference. CLIPPED counts (Σ min(c_cand, c_ref) per bigram — the
+    * published ROUGE definition, not distinct intersection) and the
+    * exact identity F1 = 2·ov/(n_c + n_r) make every metric one integer
+    * division in milli units — the whole row hash-checks.
+    *
+    * Scale shape: the corpus bigram stream is semi-joined down to
+    * dup-member docs FIRST (the `d_jaccard_calibration` discipline), so
+    * counting touches O(dup volume); the clipped-overlap join keys on
+    * (doc, bigram) against the pair table — ∝ duplicate volume, never
+    * the corpus. */
+  def rougePairs(s: SparkSession, d: String): DataFrame = {
+    val bigrams = when(size(words) >= 2, transform(
+        sequence(lit(0), size(words) - 2),
+        i => array_join(slice(words, i + lit(1), lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val pairs = stagedNeardupPairs(s, d).select(col("a"), col("b"))
+    val dupDocs = pairs.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val bg = docs(s, d)
+      .join(broadcast(dupDocs), "doc_id")
+      .select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val sz = bg.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val ov = pairs
+      .join(bg.select(col("doc_id").as("a"), col("g"), col("c").as("ca")), "a")
+      .join(bg.select(col("doc_id").as("b"), col("g"), col("c").as("cb")), Seq("b", "g"))
+      .groupBy(col("a"), col("b")).agg(sum(least(col("ca"), col("cb"))).as("ov"))
+    pairs
+      .join(ov, Seq("a", "b"), "left")
+      .join(sz.select(col("doc_id").as("a"), col("n").as("n_cand")), Seq("a"), "left")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("n_ref")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("ov"), lit(0L)).as("ov"))
+      .withColumn("p_milli",
+        when(col("n_cand") > 0, expr("ov * 1000L div n_cand")).otherwise(lit(0L)))
+      .withColumn("r_milli",
+        when(col("n_ref") > 0, expr("ov * 1000L div n_ref")).otherwise(lit(0L)))
+      .withColumn("f1_milli",
+        when(col("n_cand") + col("n_ref") > 0,
+          expr("ov * 2000L div (n_cand + n_ref)")).otherwise(lit(0L)))
+      .orderBy("a", "b")
+  }
+
   /** LSH TUNING HARNESS — the evidence behind the (bands, rows) choice:
     * for every split of the 16-perm signature (1×16 … 16×1), the
     * MEASURED candidate-pair count on this corpus next to the EXACT
@@ -1093,6 +1142,7 @@ object Dedup {
     "d_semdedup" -> (semDedup _),
     "d_pagerank" -> (pageRank _),
     "d_kcore" -> (kCore _),
+    "d_rouge_pairs" -> (rougePairs _),
     "d_incremental_dedup" -> (incrementalDedup _),
     "d_span_dedup" -> (spanDedup _),
     "d_dup_clusters" -> (dupClusters _),
@@ -1315,6 +1365,42 @@ object Dedup {
            |${prIterCte(2)},
            |${prIterCte(3)}
            |SELECT doc_id, mass FROM m3 ORDER BY doc_id""".stripMargin),
+    // pairs rebuilt via sigCte+nd, bigram multiset counts over the
+    // dup-member slice only, clipped overlap, and the milli divisions
+    "d_rouge_pairs" ->
+      (sigCte +
+        s""",
+           |nd AS (
+           |  SELECT c.a, c.b
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE CAST(list_sum(list_transform(range(0, 16),
+           |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+           |dup AS (SELECT DISTINCT doc_id FROM (
+           |          SELECT a AS doc_id FROM nd UNION ALL SELECT b FROM nd) t),
+           |wsd AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
+           |        FROM documents d JOIN dup USING (doc_id)),
+           |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+           |       FROM wsd, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+           |bc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+           |sz AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY 1),
+           |ov AS (SELECT nd.a, nd.b, CAST(SUM(LEAST(ca.c, cb.c)) AS BIGINT) AS ov
+           |       FROM nd JOIN bc ca ON ca.doc_id = nd.a
+           |               JOIN bc cb ON cb.doc_id = nd.b AND cb.g = ca.g
+           |       GROUP BY 1, 2)
+           |SELECT nd.a, nd.b,
+           |       COALESCE(sa.n, 0) AS n_cand, COALESCE(sb.n, 0) AS n_ref,
+           |       COALESCE(ov.ov, 0) AS ov,
+           |       CAST(CASE WHEN COALESCE(sa.n, 0) > 0
+           |                 THEN COALESCE(ov.ov, 0) * 1000 // sa.n ELSE 0 END AS BIGINT) AS p_milli,
+           |       CAST(CASE WHEN COALESCE(sb.n, 0) > 0
+           |                 THEN COALESCE(ov.ov, 0) * 1000 // sb.n ELSE 0 END AS BIGINT) AS r_milli,
+           |       CAST(CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0) > 0
+           |                 THEN COALESCE(ov.ov, 0) * 2000 // (sa.n + sb.n)
+           |                 ELSE 0 END AS BIGINT) AS f1_milli
+           |FROM nd LEFT JOIN ov ON ov.a = nd.a AND ov.b = nd.b
+           |        LEFT JOIN sz sa ON sa.doc_id = nd.a
+           |        LEFT JOIN sz sb ON sb.doc_id = nd.b
+           |ORDER BY nd.a, nd.b""".stripMargin),
     // the peel unrolled round-for-round over the same rebuilt pair
     // table; core degrees recomputed among final survivors
     "d_kcore" ->

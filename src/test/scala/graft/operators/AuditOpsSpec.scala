@@ -41,6 +41,24 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(ranks.toSet == (1L to n).toSet, "two-phase ranking must emit a dense permutation")
   }
 
+  test("ROUGE pairs cover every staged pair; metrics bounded; F1 between P and R") {
+    val pairs = Dedup.stagedNeardupPairs(s, sf).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Dedup.rougePairs(s, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+    assert(rows.map(_._1).toSet == pairs, "pair coverage differs")
+    rows.foreach { case ((a, b), (nc, nr, ov, p, rr, f1)) =>
+      assert(ov <= math.min(nc, nr), s"($a,$b): clipped overlap exceeds a side")
+      assert(p <= 1000 && rr <= 1000 && f1 <= 1000, s"($a,$b): metric above 1000 milli")
+      // F1 is the harmonic mean: min(P,R) − 1 ≤ F1 ≤ max(P,R) (integer floors)
+      assert(f1 >= math.min(p, rr) - 1 && f1 <= math.max(p, rr) + 1,
+        s"($a,$b): F1 $f1 outside [min,max] of P=$p R=$rr")
+      // near-dup pairs genuinely share contiguous bigrams
+      assert(ov > 0, s"($a,$b): a staged near-dup pair with zero bigram overlap")
+    }
+  }
+
   test("jaccard calibration covers every staged pair; exact is in [0,1]; error in [-1,1]") {
     val rows = Dedup.jaccardCalibration(s, sf).collect()
     val staged = Dedup.stagedNeardupPairs(s, sf).count()
