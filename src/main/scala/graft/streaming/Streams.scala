@@ -1408,6 +1408,75 @@ object Streams {
     s.table(sink).orderBy("user_id", "event_id")
   }
 
+  private val mergeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `e_stream_merge` — STREAMING CDC APPLY, the unbounded twin of
+    * `k_merge_upsert`'s batch MERGE: a Debezium-shape op feed (explicit
+    * Insert / Update / Delete codes) lands in micro-batches, and each
+    * batch MERGEs into the current snapshot generation via foreachBatch
+    * (read gen N ∪ apply ops → write gen N+1 — the
+    * [[streamUpsertReplay]] generation discipline, with real
+    * three-verb semantics instead of last-write-wins): deletes
+    * anti-join out, updates replace the key's digest, inserts append.
+    * The op feed derives deterministically from the base keys (k%3:
+    * 0→D, 1→U, 2→I of a fresh key), splits into two ordered
+    * micro-batches, and every base key is touched by exactly one op —
+    * so the final snapshot is closed-form and the oracle rebuilds it
+    * outright: updated digests for the U keys, untouched rows for the
+    * I-generators, the inserted twins, and no trace of the D keys.
+    *
+    * Scale shape: each merge is one anti/union plan ∝ |gen| + |batch|;
+    * at 100 TB the generation is a keyed table and the same foreachBatch
+    * body targets MERGE INTO on a bucketed layout — batch-split
+    * independence (spec-relevant) comes from ops being per-key unique. */
+  def streamMergeReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = graft.Tables.orders(s, d)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey").as("k")).distinct()
+      .select(col("k"),
+        md5(concat(lit("base"), col("k").cast("string")).cast("binary")).as("digest"))
+    val ops = base.select(col("k"),
+        when(col("k") % 3 === 0, lit("D"))
+          .when(col("k") % 3 === 1, lit("U")).otherwise(lit("I")).as("op"))
+      .select(col("op"),
+        when(col("op") === "I", col("k") + 1000000L).otherwise(col("k")).as("k"),
+        when(col("op") === "D", lit(null).cast("string"))
+          .otherwise(md5(concat(lower(col("op")), col("k").cast("string"))
+            .cast("binary"))).as("digest"))
+      .as[(String, Long, String)]
+      .collect().sortBy(_._2)
+    val scratch = graft.TempPaths.scratch(s, "stream_merge") + "/run" + mergeRuns.incrementAndGet()
+    base.write.mode("overwrite").parquet(s"$scratch/gen_base")
+    @volatile var current: String = s"$scratch/gen_base"
+    val in = MemoryStream[(String, Long, String)]
+    withReplayShuffle(s) {
+      val q = in.toDF().toDF("op", "k", "digest")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val ss = batch.sparkSession
+          val gen = ss.read.parquet(current)
+          val touched = batch.filter(col("op").isin("D", "U")).select(col("k"))
+          val survivors = gen.join(touched, Seq("k"), "left_anti")
+          val added = batch.filter(col("op").isin("U", "I"))
+            .select(col("k"), col("digest"))
+          val next = s"$scratch/gen$id"
+          survivors.unionByName(added).write.mode("overwrite").parquet(next)
+          current = next
+        }
+        .start()
+      try {
+        val (b1, b2) = ops.splitAt(ops.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.read.parquet(current).orderBy("k")
+  }
+
   private val upsertRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `e_stream_upsert` — keyed LAST-WRITE-WINS upsert through
@@ -1768,6 +1837,7 @@ object Streams {
     "e_sessionize_stream" -> (sessionizeStream _),
     "e_funnel_stream" -> (funnelStreamReplay _),
     "e_stream_upsert" -> (streamUpsertReplay _),
+    "e_stream_merge" -> (streamMergeReplay _),
     "e_idempotent_sink" -> (idempotentSinkReplay _),
     "e_rate_limit_stream" -> (rateLimitStreamReplay _),
     "e_debounce_stream" -> (debounceStreamReplay _),
@@ -1957,6 +2027,18 @@ object Streams {
         |       CAST(COUNT(*) AS BIGINT) AS n_filings,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_funds
         |FROM orders GROUP BY 1 ORDER BY form_type""".stripMargin,
+    // the final snapshot outright: U keys re-digested, I-generator keys
+    // untouched, inserted twins appended, D keys absent
+    "e_stream_merge" ->
+      """WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |              WHERE o_orderkey % 20 = 0)
+        |SELECT k, md5('u' || k) AS digest FROM keys WHERE k % 3 = 1
+        |UNION ALL
+        |SELECT k, md5('base' || k) AS digest FROM keys WHERE k % 3 = 2
+        |UNION ALL
+        |SELECT k + 1000000 AS k, md5('i' || k) AS digest
+        |FROM keys WHERE k % 3 = 2
+        |ORDER BY k""".stripMargin,
     // a trigger changes scheduling, never data: identical aggregate
     "e_filing_stream_backfill" ->
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type,

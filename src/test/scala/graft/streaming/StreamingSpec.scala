@@ -211,6 +211,27 @@ class StreamingSpec extends AnyFunSuite {
       "a matched purchase also emitted a null-joined row")
   }
 
+  test("streaming CDC merge: final snapshot = closed-form op application") {
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val keys = graft.Tables.events(s, graft.TestSpark.sf).sparkSession
+      .read.parquet(graft.TestSpark.sf + "/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 20 === 0)
+      .select("o_orderkey").distinct().collect().map(_.getLong(0))
+    val expected = (
+      keys.filter(_ % 3 == 1).map(k => k -> md5hex("u" + k)) ++
+      keys.filter(_ % 3 == 2).map(k => k -> md5hex("base" + k)) ++
+      keys.filter(_ % 3 == 2).map(k => (k + 1000000L) -> md5hex("i" + k))
+    ).sortBy(_._1).toSeq
+    val got = Streams.streamMergeReplay(s, graft.TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected, s"merged snapshot diverged (${got.size} vs ${expected.size})")
+    // deleted keys really are gone
+    val gotKeys = got.map(_._1).toSet
+    assert(keys.filter(_ % 3 == 0).forall(k => !gotKeys.contains(k)),
+      "a deleted key survived the merge")
+  }
+
   test("full-outer stream join = outer rows + never-converted clicks, nothing else") {
     val sf = graft.TestSpark.sf
     def key(r: org.apache.spark.sql.Row) =
