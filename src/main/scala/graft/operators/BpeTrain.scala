@@ -140,11 +140,39 @@ object BpeTrain {
       .orderBy("doc_id")
   }
 
+  /** `t_bpe_curve` — the TOKENIZER-SIZE TUNING SWEEP (the d_lsh_tuning
+    * shape for the tokenizer): at every merge count k = 0..4, the total
+    * corpus token bill Σ cnt·len(tokens(w)) and the live symbol-vocab
+    * size — the compression-vs-vocabulary curve a "how many merges"
+    * decision reads (k=0 is the character baseline, each merge can only
+    * shrink the bill and grow the vocab by ≤1). Every point is an O(|V|)
+    * aggregate over the rewrite chain's snapshot after k merges — the
+    * corpus is never re-touched past the one word-count pass.
+    * Oracle = the unrolled train chain evaluated at every prefix. */
+  def bpeCurve(s: SparkSession, d: String): DataFrame = {
+    val merges = trainedMerges(s, d)
+    var df = wordCounts(s, d).select(col("cnt"), symbolize(col("w")).as("s"))
+    val points = (0 to BpeMerges).map { k =>
+      if (k > 0) {
+        val (_, l, r, _) = merges(k - 1)
+        df = df.withColumn("s", mergePass(col("s"), l, r))
+      }
+      val toks = df.select(col("cnt"), split(trim(col("s")), " ").as("ts"))
+      toks.select(
+          sum(col("cnt") * size(col("ts"))).as("total_tokens"))
+        .crossJoin(toks.select(explode(col("ts")).as("t")).agg(
+          countDistinct(col("t")).as("n_symbols")))
+        .select(lit(k).as("n_merges"), col("total_tokens"), col("n_symbols"))
+    }
+    points.reduce(_ unionByName _).orderBy("n_merges")
+  }
+
   private def sqlEsc(s: String): String = s.replace("'", "''")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> (bpeTrain _),
     "t_bpe_apply" -> (bpeApply _),
+    "t_bpe_curve" -> (bpeCurve _),
   )
 
   /** One unrolled merge step: pair counts + argmax over `prev`, then the
@@ -189,6 +217,30 @@ object BpeTrain {
          |$steps
          |$out
          |ORDER BY step""".stripMargin
+    },
+    // every prefix of the unrolled train chain evaluated: per k the
+    // O(|V|) token bill and distinct live symbols
+    "t_bpe_curve" -> {
+      val steps = (1 to BpeMerges).map(t => mergeStep(t, if (t == 1) "s0" else s"s${t - 1}"))
+        .mkString(",\n")
+      val points = (0 to BpeMerges).map { k =>
+        val src = if (k == 0) "s0" else s"s$k"
+        s"""SELECT $k AS n_merges,
+           |  (SELECT CAST(SUM(cnt * len(string_split(trim(s), ' '))) AS BIGINT) FROM $src)
+           |    AS total_tokens,
+           |  (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM (
+           |     SELECT unnest(string_split(trim(s), ' ')) AS t FROM $src) z)
+           |    AS n_symbols""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= $MaxWordLen
+         |  GROUP BY w),
+         |s0 AS (SELECT cnt, regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS s FROM w),
+         |$steps
+         |$points
+         |ORDER BY n_merges""".stripMargin
     },
     // the same unrolled train chain, carrying each word through the four
     // rewrites, then billing every document against the tokenized vocab

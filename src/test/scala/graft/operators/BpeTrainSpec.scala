@@ -95,4 +95,21 @@ class BpeTrainSpec extends AnyFunSuite {
       assert((r.getString(1) + r.getString(2)).matches("[a-z]+"))
     }
   }
+
+  test("bpe curve: char baseline, monotone compression, vocab grows by at most 1") {
+    val pts = BpeTrain.bpeCurve(s, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(pts.map(_._1).toSeq == (0 to 4))
+    // k=0 bills characters: equals the corpus char count of eligible words
+    val chars = graft.Tables.documents(s, TestSpark.sf)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where("w rlike '^[a-z]+$' AND length(w) <= 12")
+      .selectExpr("sum(length(w))").head().getLong(0)
+    assert(pts.head._2 == chars, s"char baseline ${pts.head._2} != $chars")
+    // each merge can only shrink the bill and add at most one symbol
+    pts.sliding(2).foreach { case Array((_, t1, v1), (k, t2, v2)) =>
+      assert(t2 < t1, s"merge $k did not compress: $t1 -> $t2")
+      assert(v2 <= v1 + 1, s"merge $k added ${v2 - v1} symbols")
+    }
+  }
 }
