@@ -212,7 +212,52 @@ object Skew {
       .orderBy("regime")
   }
 
+  /** `k_aqe_coalesce` — AQE PARTITION COALESCING, the third runtime
+    * re-plan next to skew splitting ([[aqeSkewJoin]]) and the runtime
+    * bloom filter: a static `spark.sql.shuffle.partitions` tuned for the
+    * biggest stage over-partitions every SMALL aggregation (200 near-
+    * empty reducers = 200 tasks of pure scheduler overhead; at 100 TB a
+    * cluster-wide setting can never fit every stage), so AQE merges
+    * adjacent sub-target reducers at runtime from the map-output sizes.
+    * The aggregate here reduces to O(priorities) rows — the worst case
+    * for static partitioning — and the operator REQUIREs the executed
+    * plan's `AQEShuffleRead` to have coalesced strictly below the
+    * configured partition count. Answers are partitioning-independent
+    * (oracle = the plain aggregate).
+    *
+    * Conf scoping as in [[aqeSkewJoin]]: a 64 MB advisory target makes
+    * tiny test shuffles coalesce to ~1 partition — which is exactly
+    * what the default does to same-shaped small stages in production. */
+  def aqeCoalesce(s: SparkSession, d: String): DataFrame = {
+    val scoped = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+      val rows = agg.collect()
+      val configured = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val coalesced = agg.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("AQEShuffleRead")).mkString("\n")
+      require(coalesced.contains("coalesced"),
+        s"AQE did not coalesce the aggregation shuffle (configured $configured):\n" +
+          agg.queryExecution.executedPlan)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
+        .orderBy("o_orderpriority")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_aqe_coalesce" -> (aqeCoalesce _),
     "k_salted_join" -> (saltedJoin _),
     "k_aqe_skew_join" -> (aqeSkewJoin _),
     "k_skew_stats" -> (skewStats _),
@@ -220,6 +265,11 @@ object Skew {
   )
 
   val oracle: Map[String, String] = Map(
+    // partitioning is physical: the plain aggregate
+    "k_aqe_coalesce" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${sqlDsum("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // the oracle runs the UNSALTED join: salting must not change results
     "k_salted_join" ->
       s"""WITH dim AS (

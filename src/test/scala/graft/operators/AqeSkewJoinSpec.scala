@@ -32,6 +32,20 @@ class AqeSkewJoinSpec extends AnyFunSuite {
       "AQE-split join must produce identical rows to the unsplit recompute")
   }
 
+  test("AQE coalesce: answers equal the plain aggregate; confs restored") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val before = keys.map(k => s.conf.getOption(k))
+    val got = Skew.aqeCoalesce(s, sf).collect().map(_.toSeq)
+    assert(keys.map(k => s.conf.getOption(k)) == before, "scoped confs leaked")
+    val plain = graft.Tables.orders(s, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), graft.QueryDsl.dsum(col("o_totalprice")).as("r"))
+      .orderBy("o_orderpriority").collect().map(_.toSeq)
+    assert(got.toSeq == plain.toSeq, "coalescing changed the answer")
+  }
+
   test("scoped skew confs are restored after the query") {
     val keys = Seq(
       "spark.sql.adaptive.forceOptimizeSkewedJoin",
