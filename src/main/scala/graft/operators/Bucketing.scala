@@ -114,9 +114,99 @@ object Bucketing {
       .orderBy("strategy", "n_name")
   }
 
+  private val SpjBuckets = 8
+
+  private def spjDir(sfDir: String): String =
+    "/tmp/graft_stage/spj_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Stage both join sides as bucket-directory layouts (`bucket=i` dirs
+    * of `k,v` lines, i = k mod [[SpjBuckets]]) — the ingest-time write
+    * whose grouping the SPJ connector reports back to the planner. */
+  def ensureSpjStaged(s: SparkSession, d: String): String = {
+    val dir = spjDir(d)
+    graft.Staging.ensure(dir,
+      Seq(s"$d/orders.parquet", s"$d/customer.parquet")) {
+      Tables.orders(s, d)
+        .select(concat_ws(",", col("o_custkey"), col("o_totalprice")).as("value"),
+          pmod(col("o_custkey"), lit(SpjBuckets)).as("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").text(s"$dir/orders")
+      Tables.customer(s, d)
+        .select(concat_ws(",", col("c_custkey"), col("c_acctbal")).as("value"),
+          pmod(col("c_custkey"), lit(SpjBuckets)).as("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").text(s"$dir/customer")
+    }: Unit
+    dir
+  }
+
+  /** `k_spj_join` — STORAGE-PARTITIONED JOIN through the
+    * [[graft.sources.KeyedLinesV2]] connector: both sides' scans report
+    * `KeyGroupedPartitioning(bucket(8, k))` with per-partition bucket
+    * keys, and under `spark.sql.sources.v2.bucketing.enabled` the
+    * planner joins partition i against partition i directly — the
+    * fact⋈fact join with ZERO exchanges that [[bucketedJoin]] achieves
+    * with catalog bucketing, now at the CONNECTOR layer where a
+    * lakehouse table format (Iceberg's bucket join) lives: no session
+    * catalog, no saveAsTable — the table's own metadata carries the
+    * layout. REQUIREd: no ShuffleExchange anywhere under the executed
+    * join. The broadcast threshold is disabled in scope so the planner
+    * can't dodge the demonstration (at 100 TB neither fact broadcasts).
+    * Oracle = the plain orders⋈customer aggregate over the original
+    * parquet: layout and join strategy are physical only. */
+  def spjJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSpjStaged(s, d)
+    val scoped = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    // the tables must resolve THROUGH the catalog: the planner can only
+    // prove two bucket(n, k) partitionings compatible by resolving the
+    // transform against the table catalog's FunctionCatalog (the Iceberg
+    // mechanism) — a bare TableProvider read has no catalog and falls
+    // back to shuffles (found empirically; the SPJ precondition worth
+    // documenting)
+    val cat = "graft_spj_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.spj_path", dir)
+    s.conf.set(s"spark.sql.catalog.$cat.spj_buckets", SpjBuckets.toString)
+    try {
+      val joined = s.table(s"$cat.orders_spj")
+        .join(s.table(s"$cat.customer_spj"), col("o_k") === col("c_k"))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.QueryDsl.dsum(col("o_v")).as("total_spend"),
+          graft.QueryDsl.dsum(col("c_v")).as("total_bal"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      val all = flatten(plan)
+      val join = all.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      require(join.isDefined, s"no shuffled join planned:\n$plan")
+      val exchanges = flatten(join.get).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      require(exchanges.isEmpty,
+        s"storage-partitioned join still shuffled (${exchanges.length} exchanges):\n$plan")
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), joined.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_bucketed_join" -> (bucketedJoin _),
     "k_join_strategy" -> (joinStrategy _),
+    "k_spj_join" -> (spjJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -127,6 +217,13 @@ object Bucketing {
          |       ${graft.QueryDsl.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the layout and the zero-shuffle plan are physical: the plain join
+    // over the original parquet
+    "k_spj_join" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       ${graft.QueryDsl.sqlDsum("o.o_totalprice")} AS total_spend,
+         |       ${graft.QueryDsl.sqlDsum("c.c_acctbal")} AS total_bal
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     // one plain join, emitted once per strategy label: both physical
     // strategies must land on the identical rows
     "k_join_strategy" ->

@@ -2,10 +2,12 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DataSource V2 CATALOG PLUGIN — the last connector surface next to
@@ -23,30 +25,66 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Read-only by design: DDL mutations throw (the feed directory is an
   * ingest artifact, not a managed table — writes go through the
   * FixedWidthV2 write connector's own two-phase commit). */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catName: String = _
   private var path: String = _
+  private var spjPath: String = _
+  private var spjBuckets: Int = 8
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     path = options.get("path")
-    require(path != null, s"catalog $name requires spark.sql.catalog.$name.path")
+    spjPath = options.get("spj_path")
+    spjBuckets = Option(options.get("spj_buckets")).map(_.toInt).getOrElse(8)
+    require(path != null || spjPath != null,
+      s"catalog $name requires spark.sql.catalog.$name.path or .spj_path")
   }
 
   override def name(): String = catName
 
+  private def tables: Map[String, () => Table] = {
+    val base = Option(path).map(p =>
+      "filing_index" -> (() => new FilingIndexV2.IndexTable(p): Table)).toMap
+    val spj = Option(spjPath).map(p => Map(
+      "orders_spj" -> (() =>
+        new KeyedLinesV2.KeyedTable(s"$p/orders", "o_", spjBuckets): Table),
+      "customer_spj" -> (() =>
+        new KeyedLinesV2.KeyedTable(s"$p/customer", "c_", spjBuckets): Table)))
+      .getOrElse(Map.empty)
+    base ++ spj
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array(Identifier.of(Array.empty, "filing_index"))
+    tables.keys.toArray.sorted.map(n => Identifier.of(Array.empty, n))
   }
 
   override def loadTable(ident: Identifier): Table =
-    if (ident.namespace.isEmpty && ident.name == "filing_index")
-      new FilingIndexV2.IndexTable(path)
+    if (ident.namespace.isEmpty) tables.get(ident.name)
+      .map(_.apply()).getOrElse(throw new NoSuchTableException(ident))
     else throw new NoSuchTableException(ident)
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.isEmpty && ident.name == "filing_index"
+    ident.namespace.isEmpty && tables.contains(ident.name)
+
+  // ---- FunctionCatalog: the piece that makes STORAGE-PARTITIONED JOINS
+  // resolvable. A scan reporting KeyGroupedPartitioning(bucket(n, k))
+  // hands Catalyst a TRANSFORM; the planner can only reason about it (and
+  // prove two sides co-partitioned) if the table's catalog serves the
+  // function's semantics — exactly how Iceberg's bucket joins resolve.
+  // graft's bucket is the staging rule itself: bucket(n, k) = k mod n. ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array.empty, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftCatalog.BucketUnbound
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && ident.name == "bucket"
 
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
@@ -61,4 +99,33 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(s"$catName is read-only")
+}
+
+object GraftCatalog {
+
+  /** `bucket(numBuckets, key)` — the staging rule (`k mod n`, nonnegative
+    * keys) as a catalog-served V2 function: `canonicalName` is the
+    * equality the planner uses to prove two scans' partitionings
+    * compatible, so both SPJ sides resolving here is what licenses the
+    * exchange-free join. */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String = "graft bucket(n, key) = key mod n"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType(0).dataType == IntegerType && inputType(1).dataType == LongType,
+        s"bucket expects (int numBuckets, bigint key), got ${inputType.simpleString}")
+      BucketBound
+    }
+  }
+
+  object BucketBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      java.lang.Math.floorMod(input.getLong(1), input.getInt(0).toLong).toInt
+  }
 }

@@ -83,6 +83,23 @@ class SketchesAndBucketingSpec extends AnyFunSuite {
       rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
   }
 
+  test("storage-partitioned join: answers equal the plain join; confs restored") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => s.conf.getOption(k))
+    // the operator REQUIREs zero exchanges under the join — a plain
+    // pass certifies the SPJ fired
+    val got = Bucketing.spjJoin(s, sf).collect().map(_.toSeq)
+    assert(keys.map(k => s.conf.getOption(k)) == before, "scoped confs leaked")
+    val plain = graft.Tables.orders(s, sf)
+      .join(graft.Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)), graft.QueryDsl.dsum(col("o_totalprice")),
+        graft.QueryDsl.dsum(col("c_acctbal")))
+      .collect().map(_.toSeq)
+    assert(got.toSeq == plain.toSeq, "SPJ diverged from the plain join")
+  }
+
   test("kmv set ops: estimates bracket exact answers; sample algebra consistent") {
     val r = Sketches.kmvSetOps(s, sf).collect().head
     def l(n: String) = r.getLong(r.fieldIndex(n))
