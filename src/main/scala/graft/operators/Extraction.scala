@@ -162,6 +162,8 @@ object Extraction {
     "x_filing_index_v2" -> (filingIndexV2 _),
     "x_catalog_sql" ->
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.catalogSql(s, d)),
+    "x_filing_index_v2_topn" ->
+      ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2TopN(s, d)),
     "x_filing_index_v2_columnar" ->
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2Columnar(s, d)
         .orderBy("cik", "accession_number")),
@@ -189,6 +191,16 @@ object Extraction {
     "x_filing_index_v2" -> filingIndexOracle,
     // batch hand-off is a physical change only: identical oracle
     "x_filing_index_v2_columnar" -> filingIndexOracle,
+    // the same derivation through a plain global ORDER BY + LIMIT: the
+    // per-partition heap is a physical strategy, never an answer change
+    "x_filing_index_v2_topn" ->
+      """WITH idx AS (
+        |  SELECT o_custkey AS cik,
+        |         printf('%010d-%02d-%06d', o_custkey, o_orderkey % 100, o_orderkey) AS accession_number,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'NPORT-P' ELSE '10-K' END AS form_type
+        |  FROM orders)
+        |SELECT cik, accession_number, form_type
+        |FROM idx ORDER BY cik, accession_number LIMIT 25""".stripMargin,
     // per-form counts over the same orders derivation the staged JSON
     // encodes — the catalog is a naming layer, not a data change
     "x_catalog_sql" ->

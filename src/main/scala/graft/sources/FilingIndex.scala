@@ -149,6 +149,31 @@ object FilingIndex {
       .withColumn("doc_url", docUrl)
   }
 
+  /** `x_filing_index_v2_topn` — TOP-N PUSHDOWN into the connector
+    * (`SupportsPushDownTopN`): `ORDER BY cik, accession LIMIT 25` keeps
+    * a 25-row bounded heap per FILE during the line scan (partial push —
+    * Spark's final TakeOrdered merges the per-partition heaps), so the
+    * global-sort shuffle a naive plan pays for a 25-row answer never
+    * exists and each partition ships 25 rows however large its file.
+    * The pushed order is the (cik, accession) TOTAL order — the
+    * condition under which a bounded per-partition heap provably
+    * contains the global answer. REQUIREs the planned scan carries the
+    * pushed top-n. */
+  def filingIndexV2TopN(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    def q = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+      .select("cik", "accession_number", "form_type")
+      .orderBy("cik", "accession_number")
+      .limit(25)
+    val probe = q
+    val pushed = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case sc: FilingIndexV2.IndexScan if sc.topN.contains(25) => sc }
+    require(pushed.isDefined,
+      s"TopN not pushed into the V2 scan:\n${probe.queryExecution.executedPlan}")
+    q
+  }
+
   /** `x_catalog_sql` — the connector through a CATALOG PLUGIN
     * ([[GraftCatalog]]): the whole query is SQL TEXT addressing the
     * table BY NAME (`<cat>.filing_index`) — the BI/notebook path where

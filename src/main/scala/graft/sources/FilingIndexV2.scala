@@ -69,10 +69,42 @@ object FilingIndexV2 {
 
   private[sources] class IndexScanBuilder(path: String, columnar: Boolean = false)
       extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-      with SupportsPushDownAggregates {
+      with SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
     private var required: StructType = Schema
     private var pushed: Array[Filter] = Array.empty
     private var aggGrouped: Option[Boolean] = None
+    private var topN: Option[Int] = None
+
+    /** TOP-N pushed into the source ([[SupportsPushDownTopN]]): an
+      * `ORDER BY cik, accession_number LIMIT n` keeps only a bounded
+      * heap of n rows PER FILE during the line scan instead of
+      * materializing every row for a global sort. PARTIAL pushdown
+      * (`isPartiallyPushed = true`): each partition returns its own
+      * top-n and Spark's final TakeOrdered merges — correct for any
+      * partition count. Only the (cik asc, accession_number asc) order
+      * is accepted: it is a TOTAL order over filings, so a bounded
+      * per-partition heap provably contains the global top-n (a
+      * non-total pushed order could drop a boundary-tied row the global
+      * answer needed). */
+    override def pushTopN(
+        orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+        limit: Int): Boolean = {
+      import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+      def isAsc(o: org.apache.spark.sql.connector.expressions.SortOrder, col: String) =
+        o.direction == SortDirection.ASCENDING && (o.expression match {
+          case n: NamedReference => n.fieldNames.sameElements(Array(col))
+          case _ => false
+        })
+      val ok = aggGrouped.isEmpty && orders.length == 2 &&
+        isAsc(orders(0), "cik") && isAsc(orders(1), "accession_number") &&
+        required.fieldNames.contains("cik") &&
+        required.fieldNames.contains("accession_number")
+      if (ok) topN = Some(limit)
+      ok
+    }
+
+    override def isPartiallyPushed: Boolean = true
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       // in aggregate mode the read schema is the agg output, fixed below
@@ -152,7 +184,7 @@ object FilingIndexV2 {
       }
       IndexScan(path, schema, pushed.collect { case EqualTo("form_type", v: String) => v },
         pushed.exists { case IsNotNull("form_type") => true; case _ => false },
-        aggGrouped, lo, hi, inSet, columnar)
+        aggGrouped, lo, hi, inSet, columnar, topN)
     }
   }
 
@@ -165,7 +197,8 @@ object FilingIndexV2 {
       path: String, required: StructType, formEq: Array[String],
       formNotNull: Boolean = false, aggGrouped: Option[Boolean] = None,
       cikLo: Long = Long.MinValue, cikHi: Long = Long.MaxValue,
-      cikIn: Option[Set[Long]] = None, columnar: Boolean = false)
+      cikIn: Option[Set[Long]] = None, columnar: Boolean = false,
+      topN: Option[Int] = None)
       extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     override def readSchema(): StructType = required
@@ -267,7 +300,7 @@ object FilingIndexV2 {
         cikLo, cikHi, cikIn,
         new org.apache.spark.util.SerializableConfiguration(
           org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration),
-        columnar)
+        columnar, topN)
   }
 
   private[sources] case class IndexPartition(file: String) extends InputPartition
@@ -286,7 +319,7 @@ object FilingIndexV2 {
       aggGrouped: Option[Boolean],
       cikLo: Long, cikHi: Long, cikIn: Option[Set[Long]],
       conf: org.apache.spark.util.SerializableConfiguration,
-      columnar: Boolean = false)
+      columnar: Boolean = false, topN: Option[Int] = None)
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val file = partition.asInstanceOf[IndexPartition].file
@@ -294,7 +327,10 @@ object FilingIndexV2 {
       aggGrouped match {
         case Some(grouped) =>
           new IndexAggReader(file, formEq, formNotNull, grouped, cik, conf.value)
-        case None => new IndexReader(file, cols, formEq, formNotNull, cik, conf.value)
+        case None =>
+          val rows = new IndexReader(file, cols, formEq, formNotNull, cik, conf.value)
+          topN.fold(rows: PartitionReader[InternalRow])(n =>
+            new TopNReader(rows, n, cols))
       }
     }
 
@@ -497,5 +533,37 @@ object FilingIndexV2 {
 
     override def get(): InternalRow = current
     override def close(): Unit = if (opened) in.close()
+  }
+
+  /** Bounded-heap per-partition TOP-N over the row reader: holds at most
+    * n rows ordered by (cik asc, accession_number asc) — the pushed
+    * order the builder accepted — so a file of millions of filings
+    * contributes n rows of memory and network, not a full sort spill.
+    * Rows are copied into the heap (defensive — the inner reader builds
+    * fresh rows, but the contract doesn't promise it) and replayed in
+    * heap-sorted order. */
+  private[sources] class TopNReader(
+      inner: PartitionReader[InternalRow], n: Int, cols: Array[String])
+      extends PartitionReader[InternalRow] {
+    private val cikAt = cols.indexOf("cik")
+    private val accAt = cols.indexOf("accession_number")
+    private val ord = Ordering.by[InternalRow, (Long, String)] { r =>
+      (r.getLong(cikAt),
+        Option(r.getUTF8String(accAt)).map(_.toString).getOrElse(""))
+    }
+    // max-heap of the n smallest: evict the largest when over budget
+    private lazy val sorted: Iterator[InternalRow] = {
+      val heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
+      while (inner.next()) {
+        heap.enqueue(inner.get().copy())
+        if (heap.size > n) { heap.dequeue(): Unit }
+      }
+      heap.dequeueAll.reverse.iterator
+    }
+    private var current: InternalRow = _
+    override def next(): Boolean =
+      if (sorted.hasNext) { current = sorted.next(); true } else false
+    override def get(): InternalRow = current
+    override def close(): Unit = inner.close()
   }
 }

@@ -95,6 +95,27 @@ class FilingIndexV2Spec extends AnyFunSuite {
     assert(scanOf(point).planInputPartitions().length <= parts)
   }
 
+  test("topN pushdown: total-order push only, heap path row-identical to full sort") {
+    val dir = FilingIndex.ensureStaged(s, TestSpark.sf)
+    def base = s.read.format(classOf[FilingIndexV2].getName).load(dir)
+      .select("cik", "accession_number", "form_type")
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.collectFirst { case sc: FilingIndexV2.IndexScan => sc }
+    // the accepted shape pushes; a non-total order (form_type) must NOT
+    val pushed = base.orderBy("cik", "accession_number").limit(10)
+    assert(scanOf(pushed).exists(_.topN.contains(10)), "total-order topN not pushed")
+    val unpushable = base.orderBy("form_type").limit(10)
+    assert(scanOf(unpushable).forall(_.topN.isEmpty),
+      "a non-total order was pushed — boundary ties could drop rows")
+    // heap path ≡ full sort on the same data
+    val viaHeap = pushed.collect().map(_.toSeq).toSeq
+    val full = base.collect().map(_.toSeq)
+      .sortBy(r => (r(0).asInstanceOf[Long], String.valueOf(r(1)))).take(10).toSeq
+    assert(viaHeap == full, "pushed topN diverged from the full sort")
+  }
+
   test("catalog plugin: named SQL access equals the programmatic read; DDL refused") {
     val dir = FilingIndex.ensureStaged(s, TestSpark.sf)
     val cat = "graftspec_" + dir.replaceAll("[^A-Za-z0-9]", "_")
