@@ -349,6 +349,51 @@ object Sketches {
           col("est_inter") <= col("exact_inter") * 2).cast("int"))
   }
 
+  private val SampleMod = 20 // 5% deterministic row sample
+
+  /** `k_sample_agg` — SAMPLE-BASED APPROXIMATE GROUP BY (the
+    * BlinkDB/approximate-dashboard shape): a 5% row sample answers the
+    * group-by at 1/20th the scan-and-shuffle cost, scaled back up by the
+    * sampling fraction, with the exact answer alongside and a within-10%
+    * verdict per group. Two deliberate choices keep every row
+    * hash-checked: the sample is DETERMINISTIC (md5 of the row key mod
+    * [[SampleMod]] — the `t_stratified_sample` discipline, no rand()),
+    * and the scaled estimate is integer arithmetic (`cnt · 20`,
+    * `sum·20` on exact decimal cents). This is the third accuracy-
+    * contract family next to the sketch bounds and the recall harness:
+    * a sampling dashboard ships WITH its error audit, or it ships
+    * wrong numbers silently.
+    *
+    * Scale shape: the sampled branch filters BEFORE its map-side
+    * combine, so the shuffle carries ~5% of the groups' partials; the
+    * exact branch exists only to grade the estimate (a production
+    * deployment drops it — that's the point). */
+  def sampleAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val keyHash = conv(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val sampled = li.filter(pmod(keyHash, lit(SampleMod)) === 0)
+      .groupBy(col("l_returnflag"))
+      .agg((count(lit(1)) * SampleMod).as("est_lines"),
+        (sum(floor(col("l_extendedprice").cast("double") * 100).cast("long"))
+          * SampleMod).as("est_cents"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("exact_lines"),
+        sum(floor(col("l_extendedprice").cast("double") * 100).cast("long"))
+          .as("exact_cents"))
+    exact.join(sampled, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("exact_lines"), col("exact_cents"),
+        coalesce(col("est_lines"), lit(0L)).as("est_lines"),
+        coalesce(col("est_cents"), lit(0L)).as("est_cents"))
+      .withColumn("lines_within_10pct",
+        (abs(col("est_lines") - col("exact_lines")) * 10 <= col("exact_lines"))
+          .cast("int"))
+      .withColumn("cents_within_10pct",
+        (abs(col("est_cents") - col("exact_cents")) * 10 <= col("exact_cents"))
+          .cast("int"))
+      .orderBy("l_returnflag")
+  }
+
   private val BloomBits = 1024
 
   /** `k_portable_bloom_join` — ENGINE-OWNED Bloom semi-join reduction,
@@ -424,6 +469,7 @@ object Sketches {
     "k_sketch_planned_join" -> (sketchPlannedJoin _),
     "k_portable_bloom_join" -> (portableBloomJoin _),
     "k_kmv_setops" -> (kmvSetOps _),
+    "k_sample_agg" -> (sampleAgg _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -551,6 +597,31 @@ object Sketches {
          |                   ELSE c.c_custkey % 97 <> 0 END) AS total_price
          |FROM est e, tot t
          |ORDER BY regime""".stripMargin,
+    // the deterministic sample, the integer scale-up, the exact
+    // baselines, and the verdicts all rebuilt — a drifting sample or a
+    // broken scale factor hash-fails, not just a bad estimate
+    "k_sample_agg" ->
+      s"""WITH sm AS (
+         |  SELECT l_returnflag,
+         |         CAST(COUNT(*) * $SampleMod AS BIGINT) AS est_lines,
+         |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+         |              * $SampleMod AS BIGINT) AS est_cents
+         |  FROM lineitem
+         |  WHERE ${graft.QueryDsl.sqlHex8("md5(CAST(l_orderkey AS VARCHAR))", 1)} % $SampleMod = 0
+         |  GROUP BY 1),
+         |ex AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS exact_lines,
+         |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS exact_cents
+         |  FROM lineitem GROUP BY 1)
+         |SELECT ex.l_returnflag, ex.exact_lines, ex.exact_cents,
+         |       COALESCE(sm.est_lines, 0) AS est_lines,
+         |       COALESCE(sm.est_cents, 0) AS est_cents,
+         |       CAST(CASE WHEN abs(COALESCE(sm.est_lines, 0) - ex.exact_lines) * 10
+         |                      <= ex.exact_lines THEN 1 ELSE 0 END AS INT) AS lines_within_10pct,
+         |       CAST(CASE WHEN abs(COALESCE(sm.est_cents, 0) - ex.exact_cents) * 10
+         |                      <= ex.exact_cents THEN 1 ELSE 0 END AS INT) AS cents_within_10pct
+         |FROM ex LEFT JOIN sm USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     // both side sketches rebuilt hash-for-hash (ranked portable md5),
     // θ, the below-θ set algebra, the integer scale-ups, the exact
     // baselines, and the verdicts — the whole sketch-set-ops pipeline

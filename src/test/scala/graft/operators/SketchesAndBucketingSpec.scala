@@ -117,6 +117,18 @@ class SketchesAndBucketingSpec extends AnyFunSuite {
       s"jaccard est ${l("jaccard_milli")} vs exact $exactJ")
   }
 
+  test("sample agg: deterministic sample, estimates inside the audit bounds") {
+    val r1 = Sketches.sampleAgg(s, sf).collect().map(_.toSeq)
+    val r2 = Sketches.sampleAgg(s, sf).collect().map(_.toSeq)
+    assert(r1.toSeq == r2.toSeq, "md5 sampling must be run-invariant")
+    r1.foreach { row =>
+      val (exact, est) = (row(1).asInstanceOf[Long], row(3).asInstanceOf[Long])
+      assert(est > 0, "the 5% sample missed a whole group")
+      assert(math.abs(est - exact) * 5 <= exact,
+        s"estimate $est vs exact $exact off by >20% at sf")
+    }
+  }
+
   test("portable bloom join: no false negatives, real reduction, FP accounting") {
     import org.apache.spark.sql.functions._
     val r = Sketches.portableBloomJoin(s, sf).collect().head
