@@ -423,6 +423,53 @@ object Similarity {
       .orderBy("nprobe", "q_id")
   }
 
+  private val RagBudget = 256 // context token budget per query
+
+  /** `v_rag_e2e` — the COMPOSED RETRIEVAL-ASSEMBLY pass (the third
+    * flagship pipeline next to `t_pipeline_e2e` and `m_pipeline_e2e`,
+    * covering the RAG serving side of a corpus): per query,
+    * [[hybridSearch]]'s keyword×vector candidates are (1) DIVERSIFIED —
+    * a retrieved doc is dropped when a higher-ranked retrieved doc for
+    * the SAME query is its staged near-dup (context slots are too
+    * expensive to spend on the same text twice), then (2) PACKED under
+    * a [[RagBudget]]-token context budget with the
+    * `t_vocab_coverage` prefix rule (keep while the PRECEDING
+    * cumulative count is under budget — the first overflowing doc still
+    * ships, a truncation the serving layer handles). Output is the
+    * context manifest a generator consumes: (query, slot, doc, tokens,
+    * running total).
+    *
+    * Scale shape: retrieval cost is [[hybridSearch]]'s (keyword-pruned
+    * postings, never the corpus); the dedup join probes the STAGED pair
+    * table with the O(queries × K) candidate set; packing windows run
+    * per query over ≤ K rows. */
+  def ragE2e(s: SparkSession, d: String): DataFrame = {
+    val cand = hybridSearch(s, d).select(col("q_id"), col("rank"), col("vec_id"))
+    val pairs = graft.operators.Dedup.stagedNeardupPairs(s, d).select(col("a"), col("b"))
+    val sym = pairs.union(pairs.select(col("b"), col("a"))).toDF("x", "y")
+    // drop a candidate with a higher-ranked near-dup partner in the
+    // same query's list
+    val dropped = cand.as("lo")
+      .join(sym, col("lo.vec_id") === col("y"))
+      .join(cand.as("hi"),
+        col("hi.q_id") === col("lo.q_id") && col("hi.vec_id") === col("x") &&
+          col("hi.rank") < col("lo.rank"))
+      .select(col("lo.q_id").as("q_id"), col("lo.vec_id").as("vec_id"))
+      .distinct()
+    val kept = cand.join(dropped, Seq("q_id", "vec_id"), "left_anti")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val slotW = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val runW = slotW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept.join(toks, "vec_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(runW))
+      .filter(col("cum_tokens") - col("n_tokens") < RagBudget)
+      .withColumn("slot", row_number().over(slotW))
+      .select(col("q_id"), col("slot"), col("vec_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("q_id", "slot")
+  }
+
   private val MrlDims = Seq(8, 16, 32, 64)
 
   /** `v_matryoshka` — TRUNCATED-DIMENSION RECALL (the Matryoshka
@@ -1263,6 +1310,7 @@ object Similarity {
     "v_ann_lsh" -> (annLsh _),
     "v_ann_recall" -> (annRecall _),
     "v_matryoshka" -> (matryoshka _),
+    "v_rag_e2e" -> (ragE2e _),
     "v_ivf_sweep" -> (ivfSweep _),
     "v_ann_quantized" -> (annQuantized _),
     "v_hard_negatives" -> (hardNegatives _),
@@ -1816,6 +1864,48 @@ object Similarity {
          |$unions) u
          |ORDER BY method, q_id""".stripMargin
     },
+    // hybrid retrieval + the rebuilt pair table + the diversify
+    // anti-join + the prefix-budget pack, all as one CTE chain
+    "v_rag_e2e" ->
+      (graft.operators.Dedup.sigCte +
+        s""",
+           |nd AS (
+           |  SELECT c.a, c.b
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE CAST(list_sum(list_transform(range(0, 16),
+           |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+           |hq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+           |kw AS (SELECT doc_id FROM documents
+           |       WHERE list_contains(string_split(text, ' '), '$HybridKeyword')),
+           |scored AS (
+           |  SELECT hq.q_id, e.vec_id, ${sqlCos("e.embedding", "hq.q_emb")} AS cosine
+           |  FROM embeddings e JOIN kw ON kw.doc_id = e.vec_id, hq
+           |  WHERE e.vec_id <> hq.q_id),
+           |rk AS (SELECT q_id, vec_id, rank FROM (
+           |         SELECT q_id, vec_id,
+           |                CAST(row_number() OVER (PARTITION BY q_id
+           |                  ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+           |         FROM scored) t WHERE rank <= $K),
+           |sym AS (SELECT a AS x, b AS y FROM nd UNION ALL SELECT b, a FROM nd),
+           |drp AS (SELECT DISTINCT lo.q_id, lo.vec_id
+           |        FROM rk lo JOIN sym ON lo.vec_id = sym.y
+           |                   JOIN rk hi ON hi.q_id = lo.q_id AND hi.vec_id = sym.x
+           |                              AND hi.rank < lo.rank),
+           |kept AS (SELECT rk.* FROM rk
+           |         LEFT JOIN drp ON rk.q_id = drp.q_id AND rk.vec_id = drp.vec_id
+           |         WHERE drp.q_id IS NULL),
+           |tk AS (SELECT doc_id AS vec_id,
+           |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |       FROM documents),
+           |j AS (SELECT kept.q_id, kept.rank, kept.vec_id, tk.n_tokens,
+           |        CAST(SUM(tk.n_tokens) OVER (PARTITION BY kept.q_id ORDER BY kept.rank
+           |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |      FROM kept JOIN tk USING (vec_id))
+           |SELECT q_id,
+           |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY rank) AS INT) AS slot,
+           |       vec_id, n_tokens, cum AS cum_tokens
+           |FROM j WHERE cum - n_tokens < $RagBudget
+           |ORDER BY q_id, slot""".stripMargin),
     // the annIvf oracle parameterized over the probe widths: probe
     // ranking and scored candidates built once, legs as a literal list,
     // candidate counts and recall per (leg, query)

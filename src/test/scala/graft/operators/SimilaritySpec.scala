@@ -266,6 +266,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rag assembly: slots dense, budget prefix rule holds, contexts near-dup-free") {
+    val rows = Similarity.ragE2e(s, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to g.length), s"q=$q slots not dense")
+      // running total is consistent and the prefix rule held
+      var cum = 0L
+      sorted.foreach { case (_, slot, _, n, c) =>
+        assert(cum < 256, s"q=$q slot $slot started past the budget")
+        cum += n
+        assert(c == cum, s"q=$q slot $slot cum mismatch")
+      }
+    }
+    // no kept context is a near-dup of an earlier kept context
+    val pairs = graft.operators.Dedup.stagedNeardupPairs(s, sf)
+      .select("a", "b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val ordered = g.sortBy(_._2).map(_._3)
+      for (i <- ordered.indices; j <- 0 until i)
+        assert(!pairs.contains((ordered(j), ordered(i))),
+          s"q=$q kept a near-dup pair (${ordered(j)}, ${ordered(i)})")
+    }
+  }
+
   test("ivf sweep: recall and cost monotone in nprobe; full-probe control at 1.0") {
     val rows = Similarity.ivfSweep(s, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
