@@ -530,6 +530,57 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** `r_bitemporal` — BITEMPORAL dimension query (valid time ×
+    * transaction time), the audit-grade SCD the plain [[scd2]] interval
+    * table can't answer: "what did we BELIEVE on date T about the state
+    * at date V" — regulatory restatements, late corrections, and
+    * reproducible-report requirements all live here. The dim derives
+    * in-query: every customer's segment is valid over two periods
+    * (pre/post 2022), and a TX-TIME CORRECTION recorded later rewrites
+    * the early period's segment for every 10th customer — so the same
+    * valid moment (mid-2021) reads DIFFERENTLY from the two transaction
+    * snapshots, which is the entire point of the second time axis
+    * (an uncorrected query is not "wrong", it is what the books said at
+    * T₁, and both answers stay forever reproducible). Orders join the
+    * as-of-both-axes dim slice and aggregate per segment per snapshot.
+    *
+    * Scale shape: the bitemporal predicate is a narrow filter on the
+    * dim BEFORE the fact join (at scale the dim is a keyed table and
+    * the filter prunes at the manifest); one equi-join per snapshot on
+    * the customer key, snapshots unioned — never a fact×interval range
+    * join. */
+  def bitemporal(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // dim rows: (key, segment, valid_from, valid_to, tx_from, tx_to) in
+    // integer year-quarters; 9999 = open
+    val dim = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(2020).as("valid_from"), lit(2022).as("valid_to"),
+        lit(2020).as("tx_from"),
+        when(col("c_custkey") % 10 === 0, lit(2023)).otherwise(lit(9999)).as("tx_to"))
+      .unionByName(cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(2022).as("valid_from"), lit(9999).as("valid_to"),
+        lit(2020).as("tx_from"), lit(9999).as("tx_to")))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("CORRECTED").as("c_mktsegment"),
+          lit(2020).as("valid_from"), lit(2022).as("valid_to"),
+          lit(2023).as("tx_from"), lit(9999).as("tx_to")))
+    val orders = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+    def snapshot(label: String, tx: Int): DataFrame = {
+      val slice = dim.filter(
+        col("tx_from") <= tx && lit(tx) < col("tx_to") &&
+          col("valid_from") <= 2021 && lit(2021) < col("valid_to"))
+      orders.join(slice, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .select(lit(label).as("as_recorded_at"), col("c_mktsegment"),
+          col("n_orders"), col("revenue"))
+    }
+    snapshot("t1_before_correction", 2022)
+      .unionByName(snapshot("t2_after_correction", 2024))
+      .orderBy("as_recorded_at", "c_mktsegment")
+  }
+
   /** `r_stats_typed` — the SAME descriptive-stats kernel through the
     * public typed `Aggregator` API ([[graft.functions.MomentsAgg]]):
     * `groupByKey(...).agg(agg.toColumn)` with a case-class buffer — the
@@ -665,6 +716,7 @@ object Relational {
     "r_histogram_equidepth" -> (histogramEquidepth _),
     "r_stats_kernel"    -> (statsKernel _),
     "r_stats_typed"     -> (statsTyped _),
+    "r_bitemporal"      -> (bitemporal _),
     "r_fuzzy_join"      -> (fuzzyJoin _),
     "r_record_linkage"  -> (recordLinkage _),
     "r_join_full_outer" -> (joinFullOuter _),
@@ -765,6 +817,23 @@ object Relational {
         |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_line
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // both transaction snapshots rebuilt from the same correction rule:
+    // t1 reads the original segments for the 2021 valid moment, t2 reads
+    // the corrected ones for every 10th customer
+    "r_bitemporal" -> {
+      def snap(label: String, corrected: Boolean): String =
+        s"""SELECT '$label' AS as_recorded_at,
+           |       ${if (corrected)
+               "CASE WHEN c.c_custkey % 10 = 0 THEN 'CORRECTED' ELSE c.c_mktsegment END"
+             else "c.c_mktsegment"} AS c_mktsegment,
+           |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       ${graft.QueryDsl.sqlDsum("o.o_totalprice")} AS revenue
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY 1, 2""".stripMargin
+      snap("t1_before_correction", corrected = false) + "\nUNION ALL\n" +
+        snap("t2_after_correction", corrected = true) +
+        "\nORDER BY as_recorded_at, c_mktsegment"
+    },
     // the typed Aggregator is an API change, not a semantics change:
     // identical oracle to r_stats_kernel
     "r_stats_typed" ->

@@ -41,6 +41,24 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(ranks.toSet == (1L to n).toSet, "two-phase ranking must emit a dense permutation")
   }
 
+  test("bitemporal: snapshots conserve orders; only the correction moves mass") {
+    val rows = Dedup.stagedNeardupPairs(s, sf).sparkSession // session handle
+    val got = Relational.bitemporal(s, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val t1 = got.collect { case (("t1_before_correction", seg), n) => seg -> n }
+    val t2 = got.collect { case (("t2_after_correction", seg), n) => seg -> n }
+    // each snapshot sees every order exactly once — the time axes never
+    // duplicate or lose facts
+    assert(t1.values.sum == t2.values.sum, "snapshots disagree on total orders")
+    // the correction exists only in the t2 view, and t1 has no trace
+    assert(!t1.keySet.contains("CORRECTED") && t2.keySet.contains("CORRECTED"))
+    // uncorrected segments only SHRINK from t1 to t2 (mass moves to
+    // CORRECTED, never appears from nowhere)
+    t2.filter(_._1 != "CORRECTED").foreach { case (seg, n) =>
+      assert(n <= t1(seg), s"segment $seg grew across the correction")
+    }
+  }
+
   test("ROUGE pairs cover every staged pair; metrics bounded; F1 between P and R") {
     val pairs = Dedup.stagedNeardupPairs(s, sf).select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
