@@ -214,6 +214,50 @@ object Events {
       .orderBy("anchor_id")
   }
 
+  private val HourUs = 3600000000L
+  private val OutageTopK = 8
+
+  /** `e_interval_overlap` — INTERVAL×INTERVAL OVERLAP JOIN, the join
+    * class [[intervalJoin]]'s point-in-interval primitive doesn't cover
+    * (both sides have extent): which user SESSIONS overlapped the
+    * platform's worst OUTAGE windows, and by how much — the incident
+    * blast-radius query every reliability review runs. Outages = the
+    * top-[[OutageTopK]] busiest error hours (deterministic TakeOrdered —
+    * scale-free where a fixed threshold goes empty as hourly counts
+    * concentrate); sessions = the 30-min-gap sessionization. The join
+    * blocks on the HOUR GRID: a session explodes to the hour buckets it
+    * spans, each outage IS one bucket, so candidates come from an
+    * equi-join on the bucket id — never an interval cross join — and
+    * the exact half-open overlap length is integer µs arithmetic.
+    * Oracle = the naive interval-intersection join (independent
+    * algorithm).
+    *
+    * Scale shape: one sessionization shuffle (shared discipline),
+    * an O(hours) map-side-combined error count with an O(K) TakeOrdered,
+    * and a bucket equi-join whose outage side is K broadcast rows. */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionize(s, d).select(col("user_id"), col("start_us"), col("end_us"))
+    val outages = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(expr(s"unix_micros(ts) div ${HourUs}L").as("hour"))
+      .groupBy(col("hour")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hour")).limit(OutageTopK)
+      .select(col("hour").as("bucket"),
+        (col("hour") * HourUs).as("o_start_us"),
+        ((col("hour") + 1) * HourUs).as("o_end_us"))
+    val sessBuckets = sess.withColumn("bucket",
+      explode(sequence(expr(s"start_us div ${HourUs}L"), expr(s"end_us div ${HourUs}L"))))
+    sessBuckets.join(broadcast(outages), "bucket")
+      // session [start, end] closed; outage [o_start, o_end) half-open
+      .filter(col("start_us") < col("o_end_us") && col("o_start_us") <= col("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        (least(col("end_us") + 1, col("o_end_us"))
+          - greatest(col("start_us"), col("o_start_us"))).as("ol_us"))
+      .groupBy(col("user_id"), col("start_us"))
+      .agg(count(lit(1)).as("n_outages"), sum(col("ol_us")).as("overlap_us"))
+      .orderBy("user_id", "start_us")
+  }
+
   private val GridFrom = "2024-01-01"
   private val GridTo = "2024-01-30"
 
@@ -787,6 +831,7 @@ object Events {
     "e_interpolate" -> (interpolate _),
     "e_funnel_attribution" -> (funnelAttribution _),
     "e_sessionize" -> (sessionize _),
+    "e_interval_overlap" -> (intervalOverlap _),
     "e_session_funnel" -> (sessionFunnel _),
     "e_asof_join" -> (asofJoin _),
     "e_asof_two_table" -> (asofTwoTable _),
@@ -1057,6 +1102,24 @@ object Events {
          |              v0 + (v1 - v0) * (CAST(day - d0 AS DOUBLE) / CAST(d1 - d0 AS DOUBLE))
          |       END AS ival
          |FROM w ORDER BY user_id, day""".stripMargin,
+    // the naive interval-intersection join over recomputed sessions and
+    // the same top-K outage hours — the independent algorithm
+    "e_interval_overlap" ->
+      (sessionedCte +
+        s""",
+           |sess AS (SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us
+           |         FROM sessioned GROUP BY user_id, session_id),
+           |oh AS (SELECT (epoch_ns(ts) // 1000) // $HourUs AS hour, COUNT(*) AS n
+           |       FROM events WHERE event_type = 'error' GROUP BY 1
+           |       ORDER BY n DESC, hour LIMIT $OutageTopK),
+           |oi AS (SELECT hour * $HourUs AS o_start, (hour + 1) * $HourUs AS o_end FROM oh),
+           |ov AS (SELECT s.user_id, s.start_us,
+           |         LEAST(s.end_us + 1, oi.o_end) - GREATEST(s.start_us, oi.o_start) AS ol
+           |       FROM sess s JOIN oi ON s.start_us < oi.o_end AND oi.o_start <= s.end_us)
+           |SELECT user_id, start_us, CAST(COUNT(*) AS BIGINT) AS n_outages,
+           |       CAST(SUM(ol) AS BIGINT) AS overlap_us
+           |FROM ov GROUP BY 1, 2
+           |ORDER BY user_id, start_us""".stripMargin),
     "e_sessionize" ->
       (sessionedCte +
         s"""

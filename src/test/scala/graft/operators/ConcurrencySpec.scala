@@ -41,4 +41,33 @@ class ConcurrencySpec extends AnyFunSuite {
     // the last bucket's running max can never be negative
     assert(rows.last._2 >= 0)
   }
+
+  test("interval overlap equals a brute-force interval-intersection join") {
+    val HourUs = 3600000000L
+    val sess = Events.sessionize(s, TestSpark.sf)
+      .select("user_id", "start_us", "end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val outages = Tables.events(s, TestSpark.sf)
+      .filter(col("event_type") === "error")
+      .select(expr(s"unix_micros(ts) div ${HourUs}L").as("hour"))
+      .groupBy("hour").count()
+      .orderBy(col("count").desc, col("hour")).limit(8)
+      .collect().map(_.getLong(0))
+      .map(h => (h * HourUs, (h + 1) * HourUs))
+    val expected = sess.flatMap { case (u, st, en) =>
+      val ols = outages.collect {
+        case (os, oe) if st < oe && os <= en =>
+          math.min(en + 1, oe) - math.max(st, os)
+      }
+      if (ols.isEmpty) None else Some((u, st) -> ((ols.length.toLong, ols.sum)))
+    }.toMap
+    val got = Events.intervalOverlap(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"overlap join diverged: ${got.size} vs ${expected.size} rows")
+    assert(got.nonEmpty, "fixture produced no session-outage overlaps")
+    // an overlap can never exceed the outage hour or the session length
+    got.foreach { case ((u, st), (n, ol)) =>
+      assert(ol <= n * HourUs, s"user $u session $st: overlap $ol > $n outage hours")
+    }
+  }
 }
