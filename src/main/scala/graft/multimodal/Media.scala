@@ -526,6 +526,48 @@ object Media {
       .orderBy("media_id", "win")
   }
 
+  private val PatchDim = 2
+
+  /** `m_patchify` — ViT-style PATCH EXTRACTION on real decoded pixels:
+    * each decoded PPM raster cuts into non-overlapping
+    * [[PatchDim]]×[[PatchDim]] patches (the vision transformer's input
+    * tokenization — one patch = one token), ragged right/bottom edges
+    * dropped (fixed tensor shapes, the [[audioFeatures]] window
+    * discipline). Per patch: exact per-channel sums from the PARSED
+    * raster, so the closed-form oracle (the generator's pixel formula
+    * walked patch-by-patch) matches bit-for-bit. The fan-out
+    * 1 image → (w/P)·(h/P) patch rows is the shape a patch-embedding
+    * stage consumes.
+    *
+    * Scale shape: narrow batched flatMap, zero shuffles before the
+    * presentation sort — like every decode stage here. */
+  def patchify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val img = PpmCodec.decode(bytes)
+        val (pw, ph) = (img.width / PatchDim, img.height / PatchDim)
+        for (py <- 0 until ph; px <- 0 until pw) yield {
+          var r = 0L; var g = 0L; var b = 0L
+          var dy = 0
+          while (dy < PatchDim) {
+            var dx = 0
+            while (dx < PatchDim) {
+              val base = 3 * ((py * PatchDim + dy) * img.width + (px * PatchDim + dx))
+              r += img.raster(base) & 0xff
+              g += img.raster(base + 1) & 0xff
+              b += img.raster(base + 2) & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          (id, py * pw + px, px, py, r, g, b)
+        }
+      }))
+      .toDF("media_id", "patch_idx", "px", "py", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id", "patch_idx")
+  }
+
   private val ThumbDim = 4
 
   /** `m_ppm_resize` — decode → TRANSFORM on real parsed pixels: a 4×4
@@ -797,6 +839,7 @@ object Media {
     "m_keyframes" -> (keyframes _),
     "m_avi_frames" -> (aviFrames _),
     "m_ppm_decode" -> (ppmDecode _),
+    "m_patchify" -> (patchify _),
     "m_png_decode" -> (pngDecode _),
     "m_jpeg_decode" -> (jpegDecode _),
     "m_ppm_resize" -> (ppmResize _),
@@ -997,6 +1040,28 @@ object Media {
         |       CAST(SUM(v) AS BIGINT) AS sum_all
         |FROM sm GROUP BY doc_id, rate, ch, frames
         |ORDER BY media_id""".stripMargin,
+    // patches walked from the generator formula pixel(i) = (id*31+i)%256
+    // over the 3-channel row-major raster, ragged edges dropped
+    "m_patchify" ->
+      """WITH im AS (
+        |  SELECT doc_id, (doc_id % 13) + 2 AS w, (doc_id % 7) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pt AS (SELECT doc_id, w, h, w // 2 AS pw, py, px
+        |       FROM im,
+        |            LATERAL (SELECT unnest(range(0, h // 2)) AS py),
+        |            LATERAL (SELECT unnest(range(0, w // 2)) AS px)),
+        |px4 AS (SELECT doc_id, w, pw, py, px, dy, dx,
+        |          3 * ((py * 2 + dy) * w + (px * 2 + dx)) AS base
+        |        FROM pt,
+        |             LATERAL (SELECT unnest(range(0, 2)) AS dy),
+        |             LATERAL (SELECT unnest(range(0, 2)) AS dx))
+        |SELECT doc_id AS media_id, CAST(py * pw + px AS INT) AS patch_idx,
+        |       CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+        |       CAST(SUM((doc_id * 31 + base) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((doc_id * 31 + base + 1) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((doc_id * 31 + base + 2) % 256) AS BIGINT) AS sum_b
+        |FROM px4 GROUP BY doc_id, pw, py, px
+        |ORDER BY media_id, patch_idx""".stripMargin,
     // per-frame diffs walked pixel-for-pixel from the generator formula
     // (lossless GIF: decoded rasters == the formula), the clip mean, and
     // the adaptive cross-multiplied keyframe rule

@@ -85,6 +85,30 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("patchify: full-patch fan-out; sums conserve on even-dimension images") {
+    val s = graft.TestSpark.spark
+    val rows = Media.patchify(s, graft.TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val byImg = rows.groupBy(_._1)
+    byImg.foreach { case (id, g) =>
+      val (w, h) = ((id % 13).toInt + 2, (id % 7).toInt + 2)
+      assert(g.length == (w / 2) * (h / 2), s"img $id: ${g.length} patches")
+      assert(g.map(_._2).sorted.toSeq == (0 until g.length), s"img $id: idx not dense")
+    }
+    // on an even-by-even image the patches tile exactly: channel sums
+    // conserve against the whole-image decode
+    val whole = Media.ppmDecode(s, graft.TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val even = byImg.keys.filter(id => (id % 13) % 2 == 0 && (id % 7) % 2 == 0)
+    assert(even.nonEmpty, "fixture has no even-dimension image")
+    even.foreach { id =>
+      val g = byImg(id)
+      assert((g.map(_._3).sum, g.map(_._4).sum, g.map(_._5).sum) == whole(id),
+        s"img $id: patch sums do not conserve")
+    }
+  }
+
   test("keyframes: frame 0 always keyed; adaptive rule splits moving frames") {
     val s = graft.TestSpark.spark
     val rows = Media.keyframes(s, graft.TestSpark.sf).collect()
