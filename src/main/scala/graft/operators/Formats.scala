@@ -366,6 +366,67 @@ object Formats {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
+  private val histRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_log_history` — the DESCRIBE-HISTORY metadata table over the
+    * action log (every table format ships one; it is how an operator
+    * answers "what happened to this table and when" without reading a
+    * byte of data): per version, the add/remove action counts, the LIVE
+    * file count after replay, and whether a checkpoint was cut — all
+    * resolved purely from the metadata plane ([[logCheckpoint]]'s
+    * commit/checkpoint files), O(history) text reads, zero data-file
+    * opens. The scenario is [[logCheckpoint]]'s 7-commit script, so
+    * every row is closed-form and the oracle is a literal table — a
+    * reader that miscounted an action or missed a checkpoint diverges.
+    */
+  def logHistory(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "loghist") + "/run" + histRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 4 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 4 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 4 === 2))
+    val fD = writeFile("D", o.filter(col("o_orderkey") % 4 === 3))
+    val fAB = writeFile("AB", o.filter(col("o_orderkey") % 4 <= 1))
+    val fD2 = writeFile("D2", o.filter(col("o_orderkey") % 4 === 3))
+    val fC2 = writeFile("C2", o.filter(col("o_orderkey") % 4 === 2))
+    def write(p: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        lines.mkString("\n").getBytes("UTF-8")): Unit
+    var state = Vector.empty[String]
+    def commit(v: Int, remove: Seq[String], add: Seq[String]): Unit = {
+      write(s"$base/commit-v$v.txt",
+        remove.map("remove\t" + _) ++ add.map("add\t" + _))
+      state = state.filterNot(remove.contains) ++ add
+      if (v % CkptEvery == 0) write(s"$base/checkpoint-v$v.txt", state)
+    }
+    commit(1, Nil, Seq(fA)); commit(2, Nil, Seq(fB)); commit(3, Nil, Seq(fC))
+    commit(4, Nil, Seq(fD))
+    commit(5, Seq(fA, fB), Seq(fAB))
+    commit(6, Seq(fD), Seq(fD2))
+    commit(7, Seq(fC), Seq(fC2))
+    // the reader: metadata-plane only — walk the action files once,
+    // folding live-file counts; checkpoints detected by existence
+    import s.implicits._
+    def readLines(p: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    var live = 0
+    val rows = (1 to 7).map { v =>
+      val acts = readLines(s"$base/commit-v$v.txt")
+      val nAdd = acts.count(_.startsWith("add\t"))
+      val nRemove = acts.count(_.startsWith("remove\t"))
+      live += nAdd - nRemove
+      val ckpt = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/checkpoint-v$v.txt"))
+      (v, nAdd, nRemove, live, if (ckpt) 1 else 0)
+    }
+    rows.toDF("version", "n_add", "n_remove", "n_live_files", "is_checkpoint")
+      .orderBy("version")
+  }
+
   // ---- OPTIMISTIC CONCURRENCY on the manifest log: the transaction
   // protocol every modern table format (Delta/Iceberg/Hudi) layers on
   // the manifest core [[timeTravel]] builds. A commit is an ATOMIC
@@ -1026,6 +1087,7 @@ object Formats {
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
     "k_log_checkpoint" -> (logCheckpoint _),
+    "k_log_history" -> (logHistory _),
     "k_csv_quoting" -> (csvQuoting _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_manifest_cdf" -> (manifestCdf _),
@@ -1175,6 +1237,13 @@ object Formats {
          |SELECT 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")}
          |FROM orders
          |ORDER BY version""".stripMargin,
+    // the 7-commit script's history is closed-form: a literal table
+    "k_log_history" ->
+      """SELECT * FROM (VALUES
+        |  (1, 1, 0, 1, 0), (2, 1, 0, 2, 0), (3, 1, 0, 3, 1), (4, 1, 0, 4, 0),
+        |  (5, 1, 2, 3, 0), (6, 1, 1, 3, 1), (7, 1, 1, 3, 0))
+        |  t(version, n_add, n_remove, n_live_files, is_checkpoint)
+        |ORDER BY version""".stripMargin,
     // the audit closed-form: every torture row must survive byte-exact,
     // so counts are the filtered cardinality and the sum is the plain
     // decimal-exact aggregate over the same slice
