@@ -322,6 +322,52 @@ object Streams {
   /** `e_kmv_stream` — [[kmvWindowAgg]] replayed over the events table;
     * same sentinel-flush shape as [[windowedReplay]], then the sketch
     * arrays explode to (rank, hash) rows for the driver's row compare. */
+  /** `e_bitmap_stream` — the DECLARATIVE aggregate
+    * ([[graft.functions.BitmapAgg]]) inside watermarked streaming
+    * aggregation state, completing the custom-aggregate streaming
+    * matrix (KMV and topk_pairs are TypedImperative through the state
+    * store; this one's fixed-width long-slot buffers live in the store
+    * as plain columns with ZERO serialization hooks — the declarative
+    * form's whole point, now proven under state round-trips too). Per
+    * (6 h window, type): a 256-bit presence bitmap of `user_id mod 256`
+    * whose words and popcount are pure functions of the window's user
+    * set — flushed windows hash-check against a windowed bit_or
+    * recompute, popcount = COUNT(DISTINCT user_id % 256) exactly. */
+  def bitmapStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch = graft.Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("user_id"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .collect()
+    val maxMs = batch.iterator.map(_._2.getTime).max
+    val in = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val sink = "e_bitmap_stream_sink"
+    withReplayShuffle(s) {
+      val q = in.toDF().toDF("event_type", "ts", "user_id")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(expr("bitmap_agg(pmod(user_id, 256), 256)").as("bw"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("bw"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(("sentinel",
+          new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("window_start")).as("ws_us"), col("event_type"),
+        aggregate(col("bw"), lit(0L), (acc, w) => acc + bit_count(w)).as("popcnt"),
+        posexplode(col("bw")).as(Seq("word_idx", "word")))
+      .select(col("ws_us"), col("event_type"), col("word_idx"), col("word"), col("popcnt"))
+      .orderBy("ws_us", "event_type", "word_idx")
+  }
+
   def kmvStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1848,6 +1894,7 @@ object Streams {
     "e_late_data_audit" -> (lateDataAuditReplay _),
     "e_sliding_agg_stream" -> (slidingAggStream _),
     "e_kmv_stream" -> (kmvStream _),
+    "e_bitmap_stream" -> (bitmapStream _),
     "e_bottomk_stream" -> (bottomkStream _),
     "e_dsv2_stream_sink" -> (dsv2StreamSink _),
     "e_filing_stream" -> (filingStreamReplay _),
@@ -2058,6 +2105,28 @@ object Streams {
     // the KMV sketch is a deterministic function of each window's value
     // set (k smallest md5-derived hashes), so the flushed streaming
     // windows hash-match this windowed recompute, rank for rank
+    // each window's bitmap words rebuilt by bit_or over the distinct
+    // positions; popcount doubles as COUNT(DISTINCT user_id % 256)
+    "e_bitmap_stream" ->
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us,
+         |                  user_id % 256 AS pos FROM events),
+         |p AS (SELECT DISTINCT us - us % 21600000000 AS ws_us, event_type, pos FROM e),
+         |wd AS (SELECT ws_us, event_type, CAST(pos // 64 AS INT) AS word_idx,
+         |              CAST(bit_or(CASE WHEN pos % 64 = 63
+         |                     THEN CAST(-9223372036854775808 AS BIGINT)
+         |                     ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END)
+         |                AS BIGINT) AS word
+         |       FROM p GROUP BY 1, 2, 3),
+         |dom AS (SELECT DISTINCT ws_us, event_type, w.word_idx
+         |        FROM p, (SELECT unnest(range(0, 4)) AS word_idx) w),
+         |pc AS (SELECT ws_us, event_type, CAST(COUNT(*) AS BIGINT) AS popcnt
+         |       FROM p GROUP BY 1, 2)
+         |SELECT dom.ws_us, dom.event_type, CAST(dom.word_idx AS INT) AS word_idx,
+         |       COALESCE(wd.word, 0) AS word, pc.popcnt
+         |FROM dom LEFT JOIN wd ON dom.ws_us = wd.ws_us
+         |     AND dom.event_type = wd.event_type AND dom.word_idx = wd.word_idx
+         |JOIN pc ON dom.ws_us = pc.ws_us AND dom.event_type = pc.event_type
+         |ORDER BY dom.ws_us, dom.event_type, dom.word_idx""".stripMargin,
     "e_kmv_stream" ->
       s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, user_id FROM events),
          |h AS (SELECT DISTINCT us - us % 21600000000 AS ws_us, event_type,
