@@ -366,6 +366,48 @@ object Formats {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** `k_expectations` — the DATA-QUALITY CONTRACT suite (the Great
+    * Expectations / dbt-tests shape): a declarative rule set evaluated
+    * against the live table in ONE scan of conditional aggregates (plus
+    * one anti-join for the referential rule), emitting per rule the
+    * violation count and a pass flag — the gate an ingest promotes or
+    * quarantines a batch on, next to [[schemaDrift]]'s structural check
+    * and [[quarantineRead]]'s row-level split. A DELIBERATELY failing
+    * rule (`totalprice ≤ 100`) stays in the suite: an expectations
+    * harness that has never been seen to fail is itself untested.
+    *
+    * Scale shape: all scalar rules ride one map-side-combined pass over
+    * the fact; the FK rule is a left-anti join against the dim's key
+    * projection (broadcast at any realistic dim size); output is
+    * O(rules). */
+  def expectations(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val scalar = o.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_notnull"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("v_nonneg"),
+      sum(when(!col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L)
+        .otherwise(0L)).as("v_domain"),
+      sum(when(col("o_totalprice") > 100, 1L).otherwise(0L)).as("v_le100"))
+      .head()
+    val fkViolations = o.select(col("o_custkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    import s.implicits._
+    Seq(
+      ("o_orderkey", "not_null", scalar.getLong(0)),
+      ("o_orderkey", "unique", scalar.getLong(1)),
+      ("o_totalprice", "non_negative", scalar.getLong(2)),
+      ("o_orderpriority", "in_domain", scalar.getLong(3)),
+      ("o_totalprice", "max_le_100", scalar.getLong(4)), // the canary: must fail
+      ("o_custkey", "fk_customer", fkViolations))
+      .toDF("column", "rule", "n_violations")
+      .withColumn("passed", (col("n_violations") === 0).cast("int"))
+      .orderBy("column", "rule")
+  }
+
   private val histRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_log_history` — the DESCRIBE-HISTORY metadata table over the
@@ -1088,6 +1130,7 @@ object Formats {
     "k_timetravel" -> (timeTravel _),
     "k_log_checkpoint" -> (logCheckpoint _),
     "k_log_history" -> (logHistory _),
+    "k_expectations" -> (expectations _),
     "k_csv_quoting" -> (csvQuoting _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_manifest_cdf" -> (manifestCdf _),
@@ -1237,6 +1280,31 @@ object Formats {
          |SELECT 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")}
          |FROM orders
          |ORDER BY version""".stripMargin,
+    // every rule recomputed: the canary must fail, everything else pass
+    "k_expectations" ->
+      """WITH sc AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+        |    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_nonneg,
+        |    CAST(SUM(CASE WHEN o_orderpriority NOT IN
+        |         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+        |    CAST(SUM(CASE WHEN o_totalprice > 100 THEN 1 ELSE 0 END) AS BIGINT) AS v_le100
+        |  FROM orders),
+        |fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = o.o_custkey)),
+        |rules AS (
+        |  SELECT 'o_orderkey' AS "column", 'not_null' AS rule, v_notnull AS n_violations FROM sc
+        |  UNION ALL SELECT 'o_orderkey', 'unique', v_unique FROM sc
+        |  UNION ALL SELECT 'o_totalprice', 'non_negative', v_nonneg FROM sc
+        |  UNION ALL SELECT 'o_orderpriority', 'in_domain', v_domain FROM sc
+        |  UNION ALL SELECT 'o_totalprice', 'max_le_100', v_le100 FROM sc
+        |  UNION ALL SELECT 'o_custkey', 'fk_customer', v FROM fk)
+        |SELECT "column", rule, n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM rules ORDER BY "column", rule""".stripMargin,
     // the 7-commit script's history is closed-form: a literal table
     "k_log_history" ->
       """SELECT * FROM (VALUES
