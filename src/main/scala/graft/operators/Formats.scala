@@ -366,6 +366,42 @@ object Formats {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** `k_profile` — the PER-COLUMN PROFILING report (what ANALYZE
+    * publishes, as a queryable long-format table): row count, null
+    * count, distinct count, min/max, and the modal value with its
+    * frequency, per column. Everything derives from ONE per-column
+    * value-count table (a map-side-combined groupBy to O(distinct)
+    * rows): totals are its sums, distincts its cardinality, the mode a
+    * TakeOrdered(1) with the (count desc, value asc) tie order — the
+    * corpus is scanned once per column and nothing corpus-sized crosses
+    * an unbounded window. Values stringify so heterogeneous columns
+    * share one report schema (the profiling-UI contract).
+    *
+    * The data-ops triptych: [[expectations]] gates, [[schemaDrift]]
+    * guards structure, and this PROFILES — the three reads an ingest
+    * runbook makes before promoting a batch. */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def col1(name: String): DataFrame = {
+      val vc = o.groupBy(col(name).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = vc.agg(
+        sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("v").isNotNull, 1)).as("n_distinct"),
+        min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+      val mode = vc.filter(col("v").isNotNull)
+        .orderBy(col("cnt").desc, col("v")).limit(1)
+        .select(col("v").as("top_value"), col("cnt").as("top_count"))
+      totals.crossJoin(mode).select(lit(name).as("column"),
+        col("n_rows"), col("n_null"), col("n_distinct"),
+        col("min_val"), col("max_val"), col("top_value"), col("top_count"))
+    }
+    Seq("o_orderpriority", "o_orderstatus", "o_custkey")
+      .map(col1).reduce(_ unionByName _)
+      .orderBy("column")
+  }
+
   /** `k_expectations` — the DATA-QUALITY CONTRACT suite (the Great
     * Expectations / dbt-tests shape): a declarative rule set evaluated
     * against the live table in ONE scan of conditional aggregates (plus
@@ -1131,6 +1167,7 @@ object Formats {
     "k_log_checkpoint" -> (logCheckpoint _),
     "k_log_history" -> (logHistory _),
     "k_expectations" -> (expectations _),
+    "k_profile" -> (profile _),
     "k_csv_quoting" -> (csvQuoting _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_manifest_cdf" -> (manifestCdf _),
@@ -1280,6 +1317,24 @@ object Formats {
          |SELECT 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")}
          |FROM orders
          |ORDER BY version""".stripMargin,
+    // per column: the same value-count derivation, modal tie order
+    // (count desc, value asc), everything stringified
+    "k_profile" -> {
+      def colSql(name: String): String =
+        s"""SELECT '$name' AS "column",
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE $name IS NULL) AS n_null,
+           |  (SELECT CAST(COUNT(DISTINCT $name) AS BIGINT) FROM orders) AS n_distinct,
+           |  (SELECT MIN(CAST($name AS VARCHAR)) FROM orders) AS min_val,
+           |  (SELECT MAX(CAST($name AS VARCHAR)) FROM orders) AS max_val,
+           |  t.top_value, t.top_count
+           |FROM (SELECT CAST($name AS VARCHAR) AS top_value,
+           |             CAST(COUNT(*) AS BIGINT) AS top_count
+           |      FROM orders WHERE $name IS NOT NULL
+           |      GROUP BY 1 ORDER BY top_count DESC, top_value LIMIT 1) t""".stripMargin
+      Seq("o_orderpriority", "o_orderstatus", "o_custkey").map(colSql)
+        .mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+    },
     // every rule recomputed: the canary must fail, everything else pass
     "k_expectations" ->
       """WITH sc AS (
