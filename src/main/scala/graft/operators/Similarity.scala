@@ -423,6 +423,35 @@ object Similarity {
       .orderBy("nprobe", "q_id")
   }
 
+  /** `v_triplets` — CONTRASTIVE TRIPLET assembly (anchor, positive,
+    * hard negative), the manifest an embedding trainer consumes: from
+    * ONE scored-candidate table (the staged-LSH all-pairs candidates,
+    * symmetrized), each anchor takes its best at-or-above-threshold
+    * partner as the POSITIVE and its best sub-threshold partner as the
+    * HARD NEGATIVE (the closest non-positive — the informative negative
+    * a random sample almost never contains), deterministic argmax tie
+    * order; anchors lacking either side drop (a triplet needs both).
+    *
+    * Scale shape: candidates come only from band buckets (never
+    * all-pairs), the symmetrize is a union, and both argmaxes are
+    * windows over each anchor's bounded candidate list. */
+  def triplets(s: SparkSession, d: String): DataFrame = {
+    val sc = embedLshCandidates(s, d).select(col("a"), col("b"), col("cosine"))
+    val p = sc.select(col("a").as("anchor"), col("b").as("partner"), col("cosine"))
+      .unionByName(sc.select(col("b").as("anchor"), col("a").as("partner"), col("cosine")))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("cosine").desc, col("partner").asc)
+    def best(df: DataFrame, vCol: String, cCol: String): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor"), col("partner").as(vCol), col("cosine").as(cCol))
+    val pos = best(p.filter(col("cosine") >= HardNegCut), "positive", "pos_cosine")
+    val neg = best(p.filter(col("cosine") < HardNegCut), "negative", "neg_cosine")
+    pos.join(neg, "anchor")
+      .select(col("anchor"), col("positive"), col("pos_cosine"),
+        col("negative"), col("neg_cosine"))
+      .orderBy("anchor")
+  }
+
   private val RagBudget = 256 // context token budget per query
 
   /** `v_rag_e2e` — the COMPOSED RETRIEVAL-ASSEMBLY pass (the third
@@ -1316,6 +1345,7 @@ object Similarity {
     "v_hard_negatives" -> (hardNegatives _),
     "v_hybrid_search" -> (hybridSearch _),
     "v_lsh_candidates" -> (embedLshCandidates _),
+    "v_triplets" -> (triplets _),
     "v_poisoned_lsh" -> (poisonedLshBands _),
   )
 
@@ -2099,7 +2129,29 @@ object Similarity {
          |SELECT vec_id, NULL AS band, NULL AS bkey FROM embeddings
          |WHERE vec_id % 11 = 0 OR embedding IS NULL
          |ORDER BY vec_id, band NULLS FIRST""".stripMargin,
-    "v_lsh_candidates" ->
+    "v_lsh_candidates" -> lshCandidatesOracle,
+    // one scored-candidate table, symmetrized; per anchor the best
+    // at-or-above-threshold partner (positive) and the best
+    // sub-threshold partner (hard negative), both argmax with the
+    // (cosine desc, partner asc) tie order
+    "v_triplets" ->
+      s"""WITH sc AS (SELECT a, b, cosine FROM ($lshCandidatesOracleBody) z),
+         |p AS (SELECT a AS anchor, b AS partner, cosine FROM sc
+         |      UNION ALL SELECT b, a, cosine FROM sc),
+         |pos AS (SELECT anchor, partner AS positive, cosine AS pos_cosine FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY anchor
+         |            ORDER BY cosine DESC, partner ASC) AS rn
+         |          FROM p WHERE cosine >= $HardNegCut) t WHERE rn = 1),
+         |neg AS (SELECT anchor, partner AS negative, cosine AS neg_cosine FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY anchor
+         |            ORDER BY cosine DESC, partner ASC) AS rn
+         |          FROM p WHERE cosine < $HardNegCut) t WHERE rn = 1)
+         |SELECT pos.anchor, pos.positive, pos.pos_cosine, neg.negative, neg.neg_cosine
+         |FROM pos JOIN neg USING (anchor)
+         |ORDER BY anchor""".stripMargin,
+  )
+
+  private lazy val lshCandidatesOracleBody: String =
       s"""WITH hpv AS (
          |  SELECT hs.h, js.j,
          |         ${hex8("md5('hp' || CAST(hs.h AS VARCHAR) || '_' || CAST(js.j AS VARCHAR))", 1)}
@@ -2124,6 +2176,7 @@ object Similarity {
          |SELECT c.a, c.b, ${sqlCos("ea.embedding", "eb.embedding")} AS cosine
          |FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
          |            JOIN embeddings eb ON eb.vec_id = c.b
-         |ORDER BY a, b""".stripMargin,
-  )
+         |ORDER BY a, b""".stripMargin
+
+  private lazy val lshCandidatesOracle: String = lshCandidatesOracleBody
 }

@@ -266,6 +266,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("triplets: positive above the cut, negative the closest below it") {
+    val rows = Similarity.triplets(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "fixture produced no triplets")
+    rows.foreach { case (a, p, pc, n, nc) =>
+      assert(pc >= 0.4 && nc < 0.4, s"anchor $a: classes violated ($pc, $nc)")
+      assert(p != n && p != a && n != a, s"anchor $a: degenerate triplet")
+      assert(pc >= nc, s"anchor $a: negative outranks positive")
+    }
+    // the negative really is the anchor's BEST sub-threshold candidate
+    val cands = Similarity.embedLshCandidates(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byAnchor = (cands ++ cands.map(t => (t._2, t._1, t._3)))
+      .groupBy(_._1)
+    rows.foreach { case (a, _, _, n, nc) =>
+      val best = byAnchor(a).filter(_._3 < 0.4).maxBy(t => (t._3, -t._2))
+      assert(best._2 == n && best._3 == nc, s"anchor $a: negative not the argmax")
+    }
+  }
+
   test("rag assembly: slots dense, budget prefix rule holds, contexts near-dup-free") {
     val rows = Similarity.ragE2e(s, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
