@@ -214,6 +214,41 @@ object Events {
       .orderBy("anchor_id")
   }
 
+  /** `e_ab_lift` — the A/B EXPERIMENT READOUT (the analytics family
+    * next to cohorts and funnels that every event pipeline ends in):
+    * users assign to arms by the deterministic md5-residue rule (the
+    * `t_split_assign` discipline — no assignment service, no rand()),
+    * each arm reports exposed users / converters / conversion rate, and
+    * the treatment-vs-control verdict is an EXACT integer
+    * cross-multiplication (convB·expA vs convA·expB) — the readout is
+    * directional evidence, not a p-value, and it is bit-identical
+    * cross-engine where a float rate comparison need not be.
+    *
+    * Scale shape: one distinct to (user, converted) — map-side combined
+    * — then O(arms) aggregation; the verdict is a 2-row comparison. */
+  def abLift(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("int")).as("converted"))
+      .withColumn("arm",
+        when(pmod(conv(substring(md5(concat(lit("ab_"), col("user_id").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(2)) === 0, "control")
+          .otherwise("treatment"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_exposed"), sum(col("converted")).as("n_converted"))
+    val wide = arms.groupBy()
+      .pivot("arm", Seq("control", "treatment"))
+      .agg(first(col("n_exposed")).as("exposed"), first(col("n_converted")).as("converted"))
+    arms
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_exposed").cast("double"))
+      .crossJoin(broadcast(wide.select(
+        (col("treatment_converted") * col("control_exposed") >
+          col("control_converted") * col("treatment_exposed")).cast("int")
+          .as("treatment_wins"))))
+      .orderBy("arm")
+  }
+
   private val HourUs = 3600000000L
   private val OutageTopK = 8
 
@@ -832,6 +867,7 @@ object Events {
     "e_funnel_attribution" -> (funnelAttribution _),
     "e_sessionize" -> (sessionize _),
     "e_interval_overlap" -> (intervalOverlap _),
+    "e_ab_lift" -> (abLift _),
     "e_session_funnel" -> (sessionFunnel _),
     "e_asof_join" -> (asofJoin _),
     "e_asof_two_table" -> (asofTwoTable _),
@@ -1102,6 +1138,25 @@ object Events {
          |              v0 + (v1 - v0) * (CAST(day - d0 AS DOUBLE) / CAST(d1 - d0 AS DOUBLE))
          |       END AS ival
          |FROM w ORDER BY user_id, day""".stripMargin,
+    // arms, rates, and the cross-multiplied verdict rebuilt from the
+    // same md5 assignment rule
+    "e_ab_lift" ->
+      s"""WITH u AS (SELECT user_id,
+         |             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         |             CASE WHEN ${graft.QueryDsl.sqlHex8("md5('ab_' || user_id)", 1)} % 2 = 0
+         |                  THEN 'control' ELSE 'treatment' END AS arm
+         |           FROM events GROUP BY user_id),
+         |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_exposed,
+         |             CAST(SUM(converted) AS BIGINT) AS n_converted
+         |      FROM u GROUP BY arm),
+         |v AS (SELECT CAST(CASE WHEN t.n_converted * c.n_exposed
+         |                        > c.n_converted * t.n_exposed
+         |                  THEN 1 ELSE 0 END AS INT) AS treatment_wins
+         |      FROM a c, a t WHERE c.arm = 'control' AND t.arm = 'treatment')
+         |SELECT a.arm, a.n_exposed, a.n_converted,
+         |       CAST(a.n_converted AS DOUBLE) / CAST(a.n_exposed AS DOUBLE) AS conv_rate,
+         |       v.treatment_wins
+         |FROM a, v ORDER BY arm""".stripMargin,
     // the naive interval-intersection join over recomputed sessions and
     // the same top-K outage hours — the independent algorithm
     "e_interval_overlap" ->
