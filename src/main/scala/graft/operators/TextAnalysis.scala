@@ -712,6 +712,35 @@ object TextAnalysis {
           .as("auc"))
   }
 
+  /** `t_quality_vote` — the STACKED QUALITY FILTER (what production
+    * pipelines actually deploy: no single signal is trusted alone —
+    * signals VOTE): per document, (1) the hashed-feature classifier's
+    * logit above the corpus mean, (2) the blended rule score's ≥ 0.5
+    * gate, (3) the unigram-LM surprisal NOT above the corpus mean —
+    * keep on a 2-of-3 majority. Every signal is the exact integer form
+    * its standalone query hash-checks (cross-multiplied means, the
+    * floor-log2 LM), so the composed votes and the majority are
+    * hash-exact too. The disagreement surface is the point: the spec
+    * pins that no single signal equals the vote (each signal alone
+    * would misclassify documents the ensemble saves).
+    *
+    * Scale shape: three narrow per-doc signal pipelines (each already
+    * bounded — see their standalone queries) joined on doc_id once. */
+  def qualityVote(s: SparkSession, d: String): DataFrame = {
+    val cls = qualityClassifier(s, d).select(col("doc_id"), col("logit"))
+    val clsTot = cls.agg(sum(col("logit")).as("tot"), count(lit(1)).as("n")) // 1 row
+    val v1 = cls.crossJoin(broadcast(clsTot))
+      .select(col("doc_id"),
+        (col("logit") * col("n") > col("tot")).cast("int").as("v_classifier"))
+    val v2 = docs(s, d).select(col("doc_id"), (qScore >= 0.5).cast("int").as("v_rules"))
+    val v3 = lmSurprisal(s, d)
+      .select(col("doc_id"), (col("above_avg") === 0).cast("int").as("v_surprisal"))
+    v1.join(v2, "doc_id").join(v3, "doc_id")
+      .withColumn("n_votes", col("v_classifier") + col("v_rules") + col("v_surprisal"))
+      .withColumn("keep", (col("n_votes") >= 2).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Frequency-vocabulary induction with a coverage cut — the tokenizer-
     * prep step (which words does a 90%-coverage vocab need?). Global word
     * counts, ordered by (count desc, word asc), cumulative coverage, keep
@@ -1234,6 +1263,7 @@ object TextAnalysis {
     "t_quality_classifier" -> (qualityClassifier _),
     "t_calibration" -> (calibration _),
     "t_auc" -> (auc _),
+    "t_quality_vote" -> (qualityVote _),
     "t_vocab_coverage" -> (vocabCoverage _),
     "t_ks_drift" -> (ksDrift _),
     "t_rep_signals" -> (repetitionSignals _),
@@ -1515,6 +1545,58 @@ object TextAnalysis {
          |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(j.pos) AS BIGINT) AS n_pos,
          |       CAST(SUM(j.pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
          |FROM j, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // all three signal pipelines rebuilt (classifier mean by
+    // cross-multiplication, the rule gate, the floor-log2 LM) and the
+    // 2-of-3 majority — a flipped vote anywhere hash-fails
+    "t_quality_vote" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlWords) AS word FROM documents),
+         |w AS (SELECT doc_id,
+         |             ${graft.QueryDsl.sqlHex8("md5('w_' || word)", 1)} - 2147483648 AS w
+         |      FROM tok),
+         |cls AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS logit FROM w GROUP BY doc_id),
+         |ct AS (SELECT CAST(SUM(logit) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM cls),
+         |v1 AS (SELECT doc_id,
+         |         CAST(CASE WHEN cls.logit * ct.n > ct.tot THEN 1 ELSE 0 END AS INT)
+         |           AS v_classifier
+         |       FROM cls, ct),
+         |v2 AS (SELECT doc_id,
+         |        CAST(CASE WHEN 0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+         |               + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, w -> w IN ('a','the'))) AS DOUBLE)
+         |                              / CAST(len($sqlWords) AS DOUBLE))
+         |               + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                              / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) >= 0.5
+         |             THEN 1 ELSE 0 END AS INT) AS v_rules
+         |      FROM documents),
+         |fw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= 12),
+         |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |          FROM fw WHERE doc_id % 10 < 8 GROUP BY w),
+         |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_train FROM vocab),
+         |dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM fw GROUP BY 1, 2),
+         |sc AS (SELECT dw.doc_id, dw.c,
+         |         dw.c * (CASE WHEN v.cnt IS NULL
+         |                      THEN CAST(length(bin(t.n_train)) AS BIGINT)
+         |                      ELSE CAST(length(bin(t.n_train)) AS BIGINT)
+         |                           - CAST(length(bin(v.cnt)) AS BIGINT) END) AS surp
+         |       FROM dw LEFT JOIN vocab v USING (w), tt t),
+         |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |              CAST(SUM(surp) AS BIGINT) AS surprisal
+         |       FROM sc GROUP BY 1),
+         |cp AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt2,
+         |              CAST(SUM(surprisal) AS BIGINT) AS ts FROM pd),
+         |v3 AS (SELECT doc_id,
+         |         CAST(CASE WHEN surprisal * cp.tt2 > cp.ts * n_tokens
+         |                   THEN 0 ELSE 1 END AS INT) AS v_surprisal
+         |       FROM pd, cp)
+         |SELECT v1.doc_id, v1.v_classifier, v2.v_rules, v3.v_surprisal,
+         |       CAST(v1.v_classifier + v2.v_rules + v3.v_surprisal AS INT) AS n_votes,
+         |       CAST(CASE WHEN v1.v_classifier + v2.v_rules + v3.v_surprisal >= 2
+         |                 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM v1 JOIN v2 USING (doc_id) JOIN v3 USING (doc_id)
+         |ORDER BY v1.doc_id""".stripMargin,
     // the same classifier + gate CTEs as t_calibration, reduced over the
     // distinct-logit value table with doubled midranks — every quantity
     // an exact integer until the single final division

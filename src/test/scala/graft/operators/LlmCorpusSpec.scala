@@ -278,6 +278,27 @@ class LlmCorpusSpec extends AnyFunSuite {
     assert(got.exists(_._4 == 1) && got.exists(_._4 == 0))
   }
 
+  test("quality vote: majority arithmetic holds; no single signal equals the vote") {
+    val rows = TextAnalysis.qualityVote(s, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, a, b, c, n, keep) =>
+      assert(n == a + b + c && keep == (if (n >= 2) 1 else 0),
+        s"doc $id: vote arithmetic broken")
+    }
+    // the ensemble must genuinely differ from each signal alone —
+    // otherwise one of the three is redundant on this corpus
+    Seq[(String, ((Long, Int, Int, Int, Int, Int)) => Int)](
+      ("classifier", _._2), ("rules", _._3), ("surprisal", _._4)).foreach {
+      case (name, f) =>
+        assert(rows.exists(r => f(r) != r._6),
+          s"signal $name alone equals the ensemble — vote is degenerate")
+    }
+    // both classes survive the vote
+    assert(rows.exists(_._6 == 1) && rows.exists(_._6 == 0))
+  }
+
   test("span mask: T5 accounting holds and an independent recompute agrees") {
     def hex8(text: String, off: Int): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
