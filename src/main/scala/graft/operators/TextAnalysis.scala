@@ -712,6 +712,38 @@ object TextAnalysis {
           .as("auc"))
   }
 
+  /** `t_oov_rate` — HELD-OUT OOV RATE under the train vocabulary: the
+    * tokenizer/val-mismatch gate (a val split whose words the train
+    * vocabulary never saw inflates loss for reasons no model change
+    * fixes — this measures that mismatch BEFORE training): per val-split
+    * document, the share of tokens absent from the train split's
+    * vocabulary, in exact integer milli (`oov·1000 div n`), plus the
+    * corpus-level flag comparing each doc to the val-wide OOV rate by
+    * cross-multiplication. Splits are the engine's own hash-split rule
+    * (doc_id % 10: 8 train / val else — the [[lmSurprisal]] boundary).
+    *
+    * Scale shape: the train vocab is one map-side-combined distinct
+    * (O(|V|)); val tokens LEFT-join it on the word key; per-doc and
+    * corpus totals are bounded aggregates. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(words).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.filter(col("doc_id") % 10 < 8).select(col("w")).distinct()
+    val perDoc = toks.filter(col("doc_id") % 10 >= 8)
+      .join(vocab.withColumn("in_vocab", lit(1)), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_milli", expr("n_oov * 1000L div n_tokens"))
+    val tot = perDoc.agg(sum(col("n_tokens")).as("tn"), sum(col("n_oov")).as("to")) // 1 row
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_milli"),
+        (col("n_oov") * col("tn") > col("to") * col("n_tokens")).cast("int")
+          .as("above_corpus_rate"))
+      .orderBy("doc_id")
+  }
+
   /** `t_quality_vote` — the STACKED QUALITY FILTER (what production
     * pipelines actually deploy: no single signal is trusted alone —
     * signals VOTE): per document, (1) the hashed-feature classifier's
@@ -1264,6 +1296,7 @@ object TextAnalysis {
     "t_calibration" -> (calibration _),
     "t_auc" -> (auc _),
     "t_quality_vote" -> (qualityVote _),
+    "t_oov_rate" -> (oovRate _),
     "t_vocab_coverage" -> (vocabCoverage _),
     "t_ks_drift" -> (ksDrift _),
     "t_rep_signals" -> (repetitionSignals _),
@@ -1545,6 +1578,23 @@ object TextAnalysis {
          |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(j.pos) AS BIGINT) AS n_pos,
          |       CAST(SUM(j.pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
          |FROM j, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // train vocab, val-side left join, milli rate, corpus flag
+    "t_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE w <> ''),
+         |vocab AS (SELECT DISTINCT w FROM tk WHERE doc_id % 10 < 8),
+         |pd AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |              CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |       FROM tk LEFT JOIN vocab v ON tk.w = v.w
+         |       WHERE tk.doc_id % 10 >= 8 GROUP BY tk.doc_id),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
+         |               CAST(SUM(n_oov) AS BIGINT) AS toov FROM pd)
+         |SELECT doc_id, n_tokens, n_oov,
+         |       CAST(n_oov * 1000 // n_tokens AS BIGINT) AS oov_milli,
+         |       CAST(CASE WHEN n_oov * tot.tn > tot.toov * n_tokens
+         |                 THEN 1 ELSE 0 END AS INT) AS above_corpus_rate
+         |FROM pd, tot ORDER BY doc_id""".stripMargin,
     // all three signal pipelines rebuilt (classifier mean by
     // cross-multiplication, the rule gate, the floor-log2 LM) and the
     // 2-of-3 majority — a flipped vote anywhere hash-fails
