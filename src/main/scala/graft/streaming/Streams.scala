@@ -1454,6 +1454,63 @@ object Streams {
     s.table(sink).orderBy("user_id", "event_id")
   }
 
+  /** `e_stream_expectations` — the DATA-QUALITY CONTRACT as a
+    * PER-MICRO-BATCH monitor (`k_expectations`' streaming twin): every
+    * arriving batch is graded against the declarative rule set inside
+    * `foreachBatch` BEFORE it lands (the quarantine decision point —
+    * at 100 TB/day you fail a batch, not a table), emitting the
+    * per-(batch, rule) violation ledger an SLO dashboard reads. The
+    * key-ordered half-split makes batch membership closed-form, so the
+    * ledger hash-checks against a rank-rule recompute; the canary rule
+    * (`totalprice ≤ 100`) must fail in EVERY batch — a monitor never
+    * seen red is untested. */
+  def streamExpectationsReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = graft.Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .as[(Long, Double, String)]
+      .collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Double, String)]
+    val ledger = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long)]()
+    val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+    withReplayShuffle(s) {
+      val q = in.toDF().toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val r = batch.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+            sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("v_neg"),
+            sum(when(!col("o_orderpriority").isin(
+              "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L)
+              .otherwise(0L)).as("v_dom"),
+            sum(when(col("o_totalprice") > 100, 1L).otherwise(0L)).as("v_canary"))
+            .head()
+          val b = batchNo.getAndIncrement()
+          ledger.add((b, "not_null", r.getLong(0), r.getLong(1)))
+          ledger.add((b, "non_negative", r.getLong(0), r.getLong(2)))
+          ledger.add((b, "in_domain", r.getLong(0), r.getLong(3)))
+          ledger.add((b, "max_le_100", r.getLong(0), r.getLong(4)))
+          ()
+        }
+        .start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    ledger.asScala.toSeq
+      .toDF("batch_no", "rule", "n_rows", "n_violations")
+      .withColumn("passed", (col("n_violations") === 0).cast("int"))
+      .orderBy("batch_no", "rule")
+  }
+
   private val mergeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `e_stream_merge` — STREAMING CDC APPLY, the unbounded twin of
@@ -1884,6 +1941,7 @@ object Streams {
     "e_funnel_stream" -> (funnelStreamReplay _),
     "e_stream_upsert" -> (streamUpsertReplay _),
     "e_stream_merge" -> (streamMergeReplay _),
+    "e_stream_expectations" -> (streamExpectationsReplay _),
     "e_idempotent_sink" -> (idempotentSinkReplay _),
     "e_rate_limit_stream" -> (rateLimitStreamReplay _),
     "e_debounce_stream" -> (debounceStreamReplay _),
@@ -2074,6 +2132,30 @@ object Streams {
         |       CAST(COUNT(*) AS BIGINT) AS n_filings,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_funds
         |FROM orders GROUP BY 1 ORDER BY form_type""".stripMargin,
+    // batch membership is the key-ranked half split; each rule's
+    // violation count recomputed per half; the canary fails everywhere
+    "e_stream_expectations" ->
+      s"""WITH src AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+         |               row_number() OVER (ORDER BY o_orderkey) AS rn,
+         |               COUNT(*) OVER () AS n
+         |             FROM orders WHERE o_orderkey % 10 = 0),
+         |b AS (SELECT *, CASE WHEN rn <= n // 2 THEN 0 ELSE 1 END AS batch_no FROM src),
+         |agg AS (SELECT batch_no, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |          CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+         |          CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg,
+         |          CAST(SUM(CASE WHEN o_orderpriority NOT IN
+         |               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+         |          CAST(SUM(CASE WHEN o_totalprice > 100 THEN 1 ELSE 0 END) AS BIGINT) AS v_canary
+         |        FROM b GROUP BY batch_no),
+         |led AS (
+         |  SELECT batch_no, 'not_null' AS rule, n_rows, v_null AS n_violations FROM agg
+         |  UNION ALL SELECT batch_no, 'non_negative', n_rows, v_neg FROM agg
+         |  UNION ALL SELECT batch_no, 'in_domain', n_rows, v_dom FROM agg
+         |  UNION ALL SELECT batch_no, 'max_le_100', n_rows, v_canary FROM agg)
+         |SELECT CAST(batch_no AS INT) AS batch_no, rule, n_rows, n_violations,
+         |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+         |FROM led ORDER BY batch_no, rule""".stripMargin,
     // the final snapshot outright: U keys re-digested, I-generator keys
     // untouched, inserted twins appended, D keys absent
     "e_stream_merge" ->
