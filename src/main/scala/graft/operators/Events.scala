@@ -242,10 +242,16 @@ object Events {
     arms
       .withColumn("conv_rate",
         col("n_converted").cast("double") / col("n_exposed").cast("double"))
-      .crossJoin(broadcast(wide.select(
-        (col("treatment_converted") * col("control_exposed") >
-          col("control_converted") * col("treatment_exposed")).cast("int")
-          .as("treatment_wins"))))
+      .crossJoin(broadcast(wide
+        // an empty arm leaves its pivot columns NULL; the oracle's
+        // cross join of the two arm rows emits ZERO rows in that case,
+        // so drop the verdict row (emptying the result) rather than
+        // emit a NULL verdict
+        .filter(col("control_exposed").isNotNull && col("treatment_exposed").isNotNull)
+        .select(
+          (col("treatment_converted") * col("control_exposed") >
+            col("control_converted") * col("treatment_exposed")).cast("int")
+            .as("treatment_wins"))))
       .orderBy("arm")
   }
 

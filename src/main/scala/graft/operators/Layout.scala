@@ -343,8 +343,12 @@ object Layout {
       .orderBy("month")
   }
 
+  // v2 = BITS header + write-time per-file sizing; the format version
+  // lives in the dir name (the repo's stage-dir-constants discipline)
+  // so a stage built by an earlier code revision (headerless manifest)
+  // is never reused with the new parser
   def bloomIndexDir(sfDir: String): String =
-    "/tmp/graft_stage/bloomidx_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/bloomidx_v2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   private val BloomIdxFiles = 16
   // sized at write time: ~24 bits per expected element per file (fp ~
@@ -416,6 +420,8 @@ object Layout {
     val lines = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/bloom_manifest.txt")), "UTF-8")
       .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    require(lines.head.startsWith("BITS\t"),
+      s"bloom manifest at $dir missing BITS header — stale pre-v2 stage dir")
     val bits = lines.head.split("\t")(1).toLong // header: the write-time m
     val manifest = lines.tail
       .map { line =>

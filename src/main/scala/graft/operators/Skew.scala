@@ -243,10 +243,26 @@ object Skew {
         .orderBy("o_orderpriority")
       val rows = agg.collect()
       val configured = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val coalesced = agg.queryExecution.executedPlan.toString
-        .linesIterator.filter(_.contains("AQEShuffleRead")).mkString("\n")
-      require(coalesced.contains("coalesced"),
-        s"AQE did not coalesce the aggregation shuffle (configured $configured):\n" +
+      // the documented contract, checked structurally: every
+      // AQEShuffleRead in the executed plan must have merged to
+      // strictly fewer output partitions than the static setting —
+      // partitionSpecs length IS the post-coalesce partition count
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+      def reads(p: SparkPlan): Seq[AQEShuffleReadExec] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec        => Seq(q.plan)
+          case other                    => other.children
+        }
+        (p match { case r: AQEShuffleReadExec => Seq(r); case _ => Nil }) ++
+          kids.flatMap(reads)
+      }
+      val counts = reads(agg.queryExecution.executedPlan).map(_.partitionSpecs.length)
+      require(counts.nonEmpty && counts.forall(_ < configured),
+        s"AQE did not coalesce the aggregation shuffle below the configured " +
+          s"$configured (AQEShuffleRead partition counts: $counts):\n" +
           agg.queryExecution.executedPlan)
       s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
         .orderBy("o_orderpriority")

@@ -1217,7 +1217,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("c"),
         (col("c") * when(col("c2").isNotNull, lb(col("c1")) - lb(col("c2")))
           .otherwise(lit(1L) + when(col("u2").isNotNull, lb(col("n_train")) - lb(col("u2")))
-            .otherwise(lb(col("n_train"))))).as("bits"))
+            .otherwise(lb(col("n_train")) - 1L))).as("bits"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), sum(col("bits")).as("surprisal"))
       .transform { perDoc =>

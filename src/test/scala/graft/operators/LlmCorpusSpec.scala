@@ -372,6 +372,44 @@ class LlmCorpusSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 == 1) && got.values.exists(_._3 == 0))
   }
 
+  test("bigram LM OOV branch charges len(bin(N)) bits (val-only word)") {
+    // the sf fixture never exercises the OOV branch (every val word
+    // appears in train), so build a tiny corpus where it must fire:
+    // doc 8 is val-split (8 % 10 >= 8) and contains a word absent from
+    // the train split entirely
+    import s.implicits._
+    val dir = graft.TempPaths.scratch(s, "lm_oov_fixture")
+    Seq((0L, "a b a b c a"), (1L, "b c a b"), (8L, "a zzz b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def len(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val trainPairs = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+      ("b", "c"), ("c", "a"), ("a", "b"))
+    val big = trainPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = trainPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = ctx.values.sum // 8
+    def cost(w1: String, w2: String): Long = big.get((w1, w2)) match {
+      case Some(c2) => (len(ctx(w1)) - len(c2)).toLong
+      case None     => 1L + ctx.get(w2).map(u => len(n) - len(u)).getOrElse(len(n) - 1)
+    }
+    // doc 8's pairs: (a,zzz) — zzz OOV as w2 → 1 + (len(8)-1) = len(8) = 4
+    // bits; (zzz,b) — unseen bigram, b in ctx → backoff 1 + len(8)-len(3)
+    assert(cost("a", "zzz") == len(n).toLong, "fixture must exercise the OOV branch")
+    val expected = Map(
+      0L -> Seq(("a","b"),("b","a"),("a","b"),("b","c"),("c","a")),
+      1L -> Seq(("b","c"),("c","a"),("a","b")),
+      8L -> Seq(("a","zzz"),("zzz","b"))
+    ).map { case (id, ps) => id -> ((ps.size.toLong, ps.map((cost _).tupled).sum)) }
+    val (tb, ts) = (expected.values.map(_._1).sum, expected.values.map(_._2).sum)
+    val got = TextAnalysis.lmBigram(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got.keySet == expected.keySet, s"doc coverage: ${got.keySet}")
+    expected.foreach { case (id, (nb, bits)) =>
+      val flag = if (bits * tb > ts * nb) 1 else 0
+      assert(got(id) == ((nb, bits, flag)), s"doc $id: ${got(id)} vs ($nb, $bits, $flag)")
+    }
+  }
+
   test("AUC equals the brute-force pairwise Mann-Whitney probability") {
     import org.apache.spark.sql.functions._
     val r = TextAnalysis.auc(s, sf).collect().head
