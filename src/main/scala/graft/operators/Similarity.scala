@@ -90,10 +90,13 @@ object Similarity {
     * One hash aggregate, 65 fixed-width buffers per label, no explode:
     * the 64-row-per-vector expansion the posexplode formulation shuffled
     * is gone too. */
-  def centroidArrays(s: SparkSession, d: String): DataFrame = {
+  def centroidArrays(s: SparkSession, d: String): DataFrame =
+    centroidArraysOf(emb(s, d))
+
+  private def centroidArraysOf(vecs: DataFrame): DataFrame = {
     val sums = (0 until Dim).map(i =>
       sum(floor(col("embedding").getItem(i).cast("double") * lit(CentroidScale))).as(s"s$i"))
-    emb(s, d)
+    vecs
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("label").as("c_label"),
@@ -1324,7 +1327,116 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- Incremental ANN maintenance: the delta-ingest shape on the
+  // VECTOR side (the d_incremental_dedup discipline from
+  // operators/Dedup.scala applied to the IVF index). A production corpus
+  // receives embedding batches daily; rebuilding the index per batch
+  // re-scans the accumulated base — O(corpus) work for O(delta) new
+  // vectors. Instead the COARSE QUANTIZER IS FROZEN at base-build time:
+  // an arriving vector ASSIGNS against the existing staged centroids
+  // (one broadcast pass over the delta only) and its posting row is
+  // APPENDED to the staged postings — no base vector is re-read, no
+  // centroid is re-trained, base-vs-base work never appears in the
+  // plan. Because per-vector assignment is a deterministic function of
+  // (vector, centroids) and the centroids are fixed, probe-after-append
+  // is EXACTLY probe-after-full-rebuild-with-the-same-centroids — the
+  // oracle rebuilds from scratch in SQL and the hashes must agree.
+  // The delta here is a deterministic fixture slice (vec_id % 10 = 7,
+  // the incremental-dedup stand-in for an arriving batch; note probe
+  // q_id 7 IS a freshly-ingested vector). Postings are written
+  // partitioned by assigned label, so a probe's label filter prunes
+  // partition directories before the scan — at 100 TB a probe reads
+  // NProbe/k of the index, never all of it. ----
+
+  private val isDeltaVec: Column = pmod(col("vec_id"), lit(10)) === lit(7)
+
+  private[operators] val incAnnBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def incAnnStageDir(sfDir: String): String =
+    "/tmp/graft_stage/incann_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Nearest-frozen-centroid assignment — the ONLY per-vector work an
+    * ingest batch pays. Deterministic: cosine desc, label asc tie-break. */
+  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("a_cos").desc, col("c_label").asc)
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c_label"),
+        cosine(col("embedding"), col("centroid")).as("a_cos"))
+      .withColumn("ar", row_number().over(w)).filter(col("ar") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_label"))
+  }
+
+  /** Stages the BASE half of the incremental IVF index: centroids
+    * trained on base vectors only (frozen thereafter) + base postings
+    * (vec_id, embedding, assigned label), label-partitioned. Built once
+    * per corpus across queries and JVMs (graft.Staging). */
+  def ensureIncAnnStaged(s: SparkSession, d: String): (String, String) = {
+    val dir = incAnnStageDir(d)
+    val centroidsPath = dir + "/centroids"
+    val postingsPath = dir + "/postings"
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      incAnnBuildCount.incrementAndGet()
+      centroidArraysOf(emb(s, d).filter(!isDeltaVec))
+        .write.mode("overwrite").parquet(centroidsPath)
+      assignNearest(emb(s, d).filter(!isDeltaVec), s.read.parquet(centroidsPath))
+        .write.mode("overwrite").partitionBy("c_label").parquet(postingsPath)
+    }: Unit
+    (centroidsPath, postingsPath)
+  }
+
+  /** `v_incremental_ann` — IVF probe over the INCREMENTALLY MAINTAINED
+    * index: the delta batch assigns against the frozen base-trained
+    * centroids (cost ∝ delta), its postings union the staged base
+    * postings (in production: appended as new files under the assigned
+    * label's partition — a pure file append, no rewrite), and the probe
+    * ranks over the merged index. Hash-equal to a full rebuild with the
+    * same centroids — the oracle IS that rebuild. */
+  def incrementalAnn(s: SparkSession, d: String): DataFrame = {
+    val (cPath, pPath) = ensureIncAnnStaged(s, d)
+    val cents = s.read.parquet(cPath)
+    // the arriving batch: one pass over the delta slice, nothing else
+    val deltaPostings = assignNearest(emb(s, d).filter(isDeltaVec), cents)
+    val postings = s.read.parquet(pPath)
+      .select(col("vec_id"), col("embedding"), col("c_label"))
+      .unionByName(deltaPostings)
+    incAnnProbe(s, d, cents, postings)
+  }
+
+  /** The probe half, shared with the inline full-rebuild twin. */
+  private def incAnnProbe(s: SparkSession, d: String,
+      cents: DataFrame, postings: DataFrame): DataFrame = {
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_label").asc)
+    val probed = queriesDf(s, d)
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_emb"), col("c_label"),
+        cosine(col("q_emb"), col("centroid")).as("c_cos"))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("c_label"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    postings.join(broadcast(probed), "c_label")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The one-plan full-rebuild formulation — the executable spec of
+    * [[incrementalAnn]]'s semantics (IncrementalAnnSpec asserts
+    * append ≡ rebuild row-for-row); NOT the production shape: it
+    * re-trains nothing but re-assigns every base vector per run. */
+  private[operators] def incrementalAnnInline(s: SparkSession, d: String): DataFrame = {
+    val cents = centroidArraysOf(emb(s, d).filter(!isDeltaVec)).localCheckpoint()
+    incAnnProbe(s, d, cents, assignNearest(emb(s, d), cents))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_incremental_ann" -> (incrementalAnn _),
     "v_ann_nsw" -> (annNsw _),
     "v_ann_mrr" -> (annMrr _),
     "v_embed_stats" -> (embedStats _),
@@ -1846,6 +1958,48 @@ object Similarity {
         |FROM x GROUP BY i ORDER BY dim""".stripMargin,
     "v_cosine_topk" -> cosineTopkOracle,
     "v_ann_ivf" -> annIvfOracle,
+    // the FULL REBUILD with the same frozen centroids: base-only
+    // integer-floored per-label means, EVERY vector re-assigned to its
+    // nearest centroid (cosine desc, label asc), probe + re-rank — hash
+    // equality proves probe-after-append ≡ probe-after-rebuild
+    "v_incremental_ann" ->
+      s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+         |expl AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM base),
+         |cent AS (
+         |  SELECT label, pos,
+         |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |           / (COUNT(*) * 1000000.0) AS c
+         |  FROM expl GROUP BY label, pos),
+         |carr AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+         |  FROM cent GROUP BY label),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_label FROM (
+         |    SELECT e.vec_id, e.embedding, carr.c_label,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "carr.centroid")} DESC,
+         |                      carr.c_label ASC) AS ar
+         |    FROM embeddings e, carr) WHERE ar = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |probed AS (
+         |  SELECT q_id, q_emb, c_label,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY ${sqlCos("q_emb", "centroid")} DESC, c_label ASC) AS pr
+         |  FROM q, carr),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id, ${sqlCos("a.embedding", "p.q_emb")} AS cosine
+         |  FROM probed p JOIN assigned a ON a.c_label = p.c_label AND a.vec_id <> p.q_id
+         |  WHERE p.pr <= 2),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "v_kmeans_train" -> kmeansTrainOracle,
     "v_ann_ivf_trained" -> annIvfTrainedOracle,
     "v_pq_train" -> pqKmeansTrainOracle,
