@@ -71,6 +71,69 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- Staged exact ground truth for the eval harnesses. The exact
+  // top-K table is a pure function of the corpus (one fixed probe set,
+  // one deterministic ranking), yet through round 13 every eval overlay
+  // (recall@K, MRR, the nprobe sweep) re-ran the O(corpus × queries)
+  // brute-force scan PER METHOD LEG — the cost of adding an 8th ANN
+  // method grew with the exact recompute, not with the method. Stage it
+  // once per corpus fingerprint (graft.Staging, the postings-index
+  // pattern) and every harness reads a K×queries-row parquet instead.
+  // Longs round-trip parquet exactly; the cosine column is staged but
+  // the overlays join on (q_id, vec_id) only — hashes unchanged. ----
+
+  private[operators] val annTruthBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def annTruthStageDir(sfDir: String): String =
+    "/tmp/graft_stage/anntruth_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  def ensureAnnTruthStaged(s: SparkSession, d: String): String = {
+    val dir = annTruthStageDir(d)
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      annTruthBuildCount.incrementAndGet()
+      cosineTopK(s, d).write.mode("overwrite").parquet(dir + "/topk")
+    }: Unit
+    dir + "/topk"
+  }
+
+  private[operators] def stagedExactTopK(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureAnnTruthStaged(s, d))
+
+  // The per-METHOD result tables are pure corpus functions too: an eval
+  // harness runs each ANN method once and grades the stored results —
+  // it never re-runs the methods per overlay (recall and MRR grading
+  // the same run is precisely what makes their numbers comparable).
+  // Staged the same way; each method's own bench query still measures
+  // the live probe. Adding an 8th method = one more union leg here, at
+  // its own cost, with ZERO added cost in the overlays.
+
+  private[operators] val annEvalBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[operators] val evalMethods = Seq(
+    "ivf", "ivf_kmeans", "lsh", "nsw", "pq", "pq_kmeans", "quant")
+
+  def annEvalStageDir(sfDir: String): String =
+    "/tmp/graft_stage/anneval_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  def ensureAnnEvalStaged(s: SparkSession, d: String): String = {
+    val dir = annEvalStageDir(d)
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      annEvalBuildCount.incrementAndGet()
+      val legs = Map[String, DataFrame](
+        "ivf" -> annIvf(s, d), "ivf_kmeans" -> annIvfTrained(s, d),
+        "lsh" -> annLsh(s, d), "nsw" -> annNsw(s, d), "pq" -> annPq(s, d),
+        "pq_kmeans" -> annPqTrained(s, d), "quant" -> annQuantized(s, d))
+      evalMethods.map(m => legs(m)
+          .select(lit(m).as("method"), col("q_id"), col("rank"), col("vec_id")))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(dir + "/results")
+    }: Unit
+    dir + "/results"
+  }
+
+  private[operators] def stagedEvalResults(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureAnnEvalStaged(s, d))
+
   private val Dim = 64
   private val CentroidScale = 1e6
 
@@ -340,34 +403,27 @@ object Similarity {
     lshCandidates(s, d).count()
 
   /** Recall@K eval harness: per-query recall of each approximate path
-    * (IVF, SRP-LSH, int8-quantized) against the exact top-K — the
-    * accept/tune gate every ANN deployment runs before swapping the
-    * exact path out. Pure
-    * composition: both sides are the already-k-bounded query outputs
-    * (queries × K rows each), so the whole harness is an O(queries × K)
-    * overlay on indexes that are already staged — at any corpus size the
-    * expensive work happens once in the probe queries, and this join
-    * never touches the corpus. 0-hit queries are kept via the left join
-    * (a recall harness that silently drops them overstates recall). */
+    * against the exact top-K — the accept/tune gate every ANN deployment
+    * runs before swapping the exact path out. BOTH sides are STAGED pure
+    * corpus functions ([[stagedExactTopK]], [[stagedEvalResults]]): the
+    * harness itself is one O(methods × queries × K) join over two small
+    * parquet tables — at any corpus size the expensive work happens once
+    * in the stagers, and grading never touches the corpus; adding a
+    * method adds nothing to this overlay's cost. 0-hit queries are kept
+    * via the left join (a recall harness that silently drops them
+    * overstates recall). */
   def annRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = cosineTopK(s, d).select(col("q_id"), col("vec_id"))
+    import s.implicits._
+    val exact = stagedExactTopK(s, d).select(col("q_id"), col("vec_id"))
     val qs = exact.select(col("q_id")).distinct()
-    def recallOf(approx: DataFrame, method: String): DataFrame = {
-      val hits = exact
-        .join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
-        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-      qs.join(hits, Seq("q_id"), "left")
-        .select(lit(method).as("method"), col("q_id"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        .withColumn("recall", col("n_hit").cast("double") / lit(K.toDouble))
-    }
-    recallOf(annIvf(s, d), "ivf")
-      .unionByName(recallOf(annIvfTrained(s, d), "ivf_kmeans"))
-      .unionByName(recallOf(annLsh(s, d), "lsh"))
-      .unionByName(recallOf(annNsw(s, d), "nsw"))
-      .unionByName(recallOf(annPq(s, d), "pq"))
-      .unionByName(recallOf(annPqTrained(s, d), "pq_kmeans"))
-      .unionByName(recallOf(annQuantized(s, d), "quant"))
+    val hits = stagedEvalResults(s, d)
+      .join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("method"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    evalMethods.toDF("method").crossJoin(qs)
+      .join(hits, Seq("method", "q_id"), "left")
+      .select(col("method"), col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(K.toDouble))
       .orderBy("method", "q_id")
   }
 
@@ -393,7 +449,7 @@ object Similarity {
     * recall overlay joins two O(queries × K) sets. */
   def ivfSweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val exact = cosineTopK(s, d).select(col("q_id"), col("vec_id"))
+    val exact = stagedExactTopK(s, d).select(col("q_id"), col("vec_id"))
     val qs = exact.select(col("q_id")).distinct()
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_label").asc)
@@ -523,7 +579,7 @@ object Similarity {
     * O(queries × K) sets. Zero-hit queries kept via the left join. */
   def matryoshka(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val exact = cosineTopK(s, d).select(col("q_id"), col("vec_id"))
+    val exact = stagedExactTopK(s, d).select(col("q_id"), col("vec_id"))
     val qs = exact.select(col("q_id")).distinct()
     val scored = emb(s, d)
       .crossJoin(broadcast(queriesDf(s, d)))
@@ -1158,29 +1214,22 @@ object Similarity {
     * only the top result is consumed (RAG with a 1-doc context). Per
     * (method, query): the minimum approx-list rank holding a true
     * top-K neighbor (0 = total miss) and rr_milli = 1000 div rank —
-    * integer division, so the whole row hash-checks; the same
-    * O(queries × K) overlay economics as recall. */
+    * integer division, so the whole row hash-checks; the same staged
+    * two-small-tables overlay economics as [[annRecall]]. */
   def annMrr(s: SparkSession, d: String): DataFrame = {
-    val exact = cosineTopK(s, d).select(col("q_id"), col("vec_id"))
+    import s.implicits._
+    val exact = stagedExactTopK(s, d).select(col("q_id"), col("vec_id"))
     val qs = exact.select(col("q_id")).distinct()
-    def mrrOf(approx: DataFrame, method: String): DataFrame = {
-      val first = approx.select(col("q_id"), col("rank"), col("vec_id"))
-        .join(exact, Seq("q_id", "vec_id"))
-        .groupBy(col("q_id")).agg(min(col("rank")).as("fr"))
-      qs.join(first, Seq("q_id"), "left")
-        .select(lit(method).as("method"), col("q_id"),
-          coalesce(col("fr"), lit(0)).cast("int").as("first_hit_rank"))
-        .withColumn("rr_milli",
-          when(col("first_hit_rank") > 0,
-            expr("1000 div first_hit_rank")).otherwise(lit(0L)))
-    }
-    mrrOf(annIvf(s, d), "ivf")
-      .unionByName(mrrOf(annIvfTrained(s, d), "ivf_kmeans"))
-      .unionByName(mrrOf(annLsh(s, d), "lsh"))
-      .unionByName(mrrOf(annNsw(s, d), "nsw"))
-      .unionByName(mrrOf(annPq(s, d), "pq"))
-      .unionByName(mrrOf(annPqTrained(s, d), "pq_kmeans"))
-      .unionByName(mrrOf(annQuantized(s, d), "quant"))
+    val first = stagedEvalResults(s, d)
+      .join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("method"), col("q_id")).agg(min(col("rank")).as("fr"))
+    evalMethods.toDF("method").crossJoin(qs)
+      .join(first, Seq("method", "q_id"), "left")
+      .select(col("method"), col("q_id"),
+        coalesce(col("fr"), lit(0)).cast("int").as("first_hit_rank"))
+      .withColumn("rr_milli",
+        when(col("first_hit_rank") > 0,
+          expr("1000 div first_hit_rank")).otherwise(lit(0L)))
       .orderBy("method", "q_id")
   }
 

@@ -215,6 +215,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!optimized.contains("sort_array"))
   }
 
+  test("eval harness reads staged truth + results and builds each at most once") {
+    Similarity.annRecall(s, sf).collect()
+    val (truthBefore, evalBefore) =
+      (Similarity.annTruthBuildCount.get(), Similarity.annEvalBuildCount.get())
+    val df = Similarity.annMrr(s, sf)
+    df.collect()
+    Similarity.annRecall(s, sf).collect()
+    assert(Similarity.annTruthBuildCount.get() == truthBefore,
+      "overlay re-ran the exact brute-force truth")
+    assert(Similarity.annEvalBuildCount.get() == evalBefore,
+      "overlay re-ran the method probes")
+    // the grading plan touches only the two staged tables — never the
+    // corpus (no embeddings.parquet scan anywhere in the overlay)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("anntruth_") && plan.contains("anneval_"),
+      s"overlay does not read the staged tables:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"overlay re-scans the corpus:\n$plan")
+  }
+
   test("v_ann_recall equals independently-computed set intersections, both paths") {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getLong(0)).view
