@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.TopKStrategy)
     ext.injectOptimizerRule(_ => plans.RewriteWindowTopK)
+    // SQL MERGE INTO support for snapshot-manifest relations: lowered at
+    // parse time to the k_merge_upsert join/union plan (plans.GraftSqlParser)
+    ext.injectParser((session, delegate) =>
+      new plans.GraftSqlParser(session, delegate))
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

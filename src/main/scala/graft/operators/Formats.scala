@@ -231,6 +231,58 @@ object Formats {
       .orderBy("doc_id")
   }
 
+  private val mergeSqlRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_merge_sql` — the SQL-TEXT surface of [[mergeUpsert]]: the same
+    * CDC batch applied through a `MERGE INTO … WHEN MATCHED AND op='D'
+    * THEN DELETE / WHEN MATCHED AND op='U' THEN UPDATE / WHEN NOT
+    * MATCHED THEN INSERT` statement, parsed and lowered by the injected
+    * [[graft.plans.GraftSqlParser]] (SparkSessionExtensions.injectParser)
+    * into the identical left-join + anti-join-union plan. The statement
+    * returns the post-merge snapshot (the next table version); the query
+    * then labels each row against the pre-merge base (absent → insert,
+    * text changed → update, else keep) and digests it — the EXACT
+    * `k_merge_upsert` output, so the two queries share one oracle:
+    * hash equality proves the SQL path ≡ the DataFrame path.
+    *
+    * Scale shape: identical to [[mergeUpsert]] — the lowering produces
+    * one key-equi left join (AQE-broadcastable change side) plus an
+    * anti-join union; parsing is driver-side text work. */
+  def mergeSql(s: SparkSession, d: String): DataFrame = {
+    val run = mergeSqlRuns.incrementAndGet()
+    val bv = s"graft_merge_base_$run"
+    val cv = s"graft_merge_cdc_$run"
+    val k = (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 17).as("k")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"), k)
+    base.select(col("doc_id"), col("text")).createOrReplaceTempView(bv)
+    base.filter(col("k").isin(0L, 1L, 2L))
+      .select(
+        when(col("k") === 0, lit("D")).when(col("k") === 1, lit("U"))
+          .otherwise(lit("I")).as("op"),
+        when(col("k") === 2, col("doc_id") + 1000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("k") === 1, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("new_text"))
+      .createOrReplaceTempView(cv)
+    val merged = s.sql(
+      s"""MERGE INTO $bv AS t
+         |USING $cv AS c
+         |ON t.doc_id = c.doc_id AND c.op <> 'I'
+         |WHEN MATCHED AND c.op = 'D' THEN DELETE
+         |WHEN MATCHED AND c.op = 'U' THEN UPDATE SET text = c.new_text
+         |WHEN NOT MATCHED AND c.op = 'I' THEN INSERT (doc_id, text)
+         |  VALUES (c.doc_id, c.new_text)""".stripMargin)
+    merged
+      .join(base.select(col("doc_id"), col("text").as("old_text")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("old_text").isNull, lit("insert"))
+          .when(col("text") =!= col("old_text"), lit("update"))
+          .otherwise(lit("keep")).as("action"),
+        md5(col("text").cast("binary")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   /** TIME TRAVEL via versioned MANIFESTS — the transaction-log discipline
     * under every modern table format (Delta/Iceberg/Hudi), reduced to its
     * load-bearing core: a table version is a MANIFEST (an immutable list
@@ -1178,8 +1230,30 @@ object Formats {
     "k_schema_evolution" -> (schemaEvolution _),
     "k_snapshot_diff" -> (snapshotDiff _),
     "k_merge_upsert" -> (mergeUpsert _),
+    "k_merge_sql" -> (mergeSql _),
     "k_quarantine_read" -> (quarantineRead _),
   )
+
+  // shared by k_merge_upsert (DataFrame path) and k_merge_sql (parser
+  // path): one oracle, two engines' worth of proof the paths agree
+  private lazy val mergeOracle: String =
+    s"""WITH a AS (SELECT doc_id, text,
+       |             ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 17 AS k
+       |           FROM documents),
+       |cdc AS (SELECT CASE WHEN k = 0 THEN 'D' WHEN k = 1 THEN 'U' ELSE 'I' END AS op,
+       |               CASE WHEN k = 2 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+       |               CASE WHEN k = 1 THEN text || ' [rev2]' ELSE text END AS new_text
+       |        FROM a WHERE k IN (0, 1, 2)),
+       |m AS (SELECT a.doc_id,
+       |             CASE WHEN c.op = 'U' THEN 'update' ELSE 'keep' END AS action,
+       |             md5(CASE WHEN c.op = 'U' THEN c.new_text ELSE a.text END) AS digest
+       |      FROM a LEFT JOIN cdc c ON c.doc_id = a.doc_id AND c.op <> 'I'
+       |      WHERE c.op IS NULL OR c.op <> 'D')
+       |SELECT doc_id, action, digest FROM m
+       |UNION ALL
+       |SELECT doc_id, 'insert' AS action, md5(new_text) AS digest
+       |FROM cdc WHERE op = 'I'
+       |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // per-version audit rebuilt from the slice rule: v1 = every event,
@@ -1426,24 +1500,9 @@ object Formats {
          |  FROM av FULL OUTER JOIN bv USING (doc_id))
          |WHERE status IS NOT NULL
          |ORDER BY doc_id""".stripMargin,
-    "k_merge_upsert" ->
-      s"""WITH a AS (SELECT doc_id, text,
-         |             ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 17 AS k
-         |           FROM documents),
-         |cdc AS (SELECT CASE WHEN k = 0 THEN 'D' WHEN k = 1 THEN 'U' ELSE 'I' END AS op,
-         |               CASE WHEN k = 2 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
-         |               CASE WHEN k = 1 THEN text || ' [rev2]' ELSE text END AS new_text
-         |        FROM a WHERE k IN (0, 1, 2)),
-         |m AS (SELECT a.doc_id,
-         |             CASE WHEN c.op = 'U' THEN 'update' ELSE 'keep' END AS action,
-         |             md5(CASE WHEN c.op = 'U' THEN c.new_text ELSE a.text END) AS digest
-         |      FROM a LEFT JOIN cdc c ON c.doc_id = a.doc_id AND c.op <> 'I'
-         |      WHERE c.op IS NULL OR c.op <> 'D')
-         |SELECT doc_id, action, digest FROM m
-         |UNION ALL
-         |SELECT doc_id, 'insert' AS action, md5(new_text) AS digest
-         |FROM cdc WHERE op = 'I'
-         |ORDER BY doc_id""".stripMargin,
+    "k_merge_upsert" -> mergeOracle,
+    // the SQL-text MERGE lowers to the identical plan — one oracle
+    "k_merge_sql" -> mergeOracle,
     // the quarantine split must conserve the feed exactly: good rows carry
     // the original spend, corrupt rows only a count (spend unparseable)
     "k_quarantine_read" ->
