@@ -935,6 +935,137 @@ object Formats {
     audit(latest - 1).unionByName(audit(latest)).orderBy("version")
   }
 
+  private val vacuumTtlRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val TtlT0Micros = 1767225600000000L // 2026-01-01T00:00:00Z, fixture epoch
+  private val TtlHourMicros = 3600000000L
+  private val TtlRetainMicros = 3500L * 3600000L // 3.5 h
+
+  /** Commit timestamp line (`ts\t<epoch_micros>`) — the action log's
+    * time axis. Fixture commits are stamped deterministically
+    * (T0 + v hours) so TTL retention is oracle-checkable; a production
+    * writer stamps wall clock at publish. */
+  private def ttlCommitPath(base: String, v: Int) = s"$base/commit-v$v.txt"
+  private def ttlCkptPath(base: String, v: Int) = s"$base/checkpoint-v$v.txt"
+
+  private[operators] def ttlResolve(base: String, v: Int): (Seq[String], Int) = {
+    def readLines(p: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    val ck = (v to 1 by -1).find(i => i % CkptEvery == 0 &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(ttlCkptPath(base, i))))
+      .getOrElse(0)
+    var files = if (ck > 0) readLines(ttlCkptPath(base, ck)) else Seq.empty[String]
+    ((ck + 1) to v).foreach { i =>
+      readLines(ttlCommitPath(base, i)).foreach { line =>
+        val Array(op, p) = line.split("\t")
+        if (op != "ts")
+          files = if (op == "remove") files.filterNot(_ == p) else files :+ p
+      }
+    }
+    (files, v - ck)
+  }
+
+  /** `k_vacuum_ttl` — TIME-BASED RETENTION on the action log (the Delta
+    * `VACUUM … RETAIN n HOURS` / logRetentionDuration pair), the age
+    * axis [[vacuum]]'s keep-last-N doesn't cover: every commit carries a
+    * TIMESTAMP action, the retention cut is `latest_ts − TTL`, and
+    * CHECKPOINT AWARENESS is the load-bearing rule — a retained version
+    * resolves through the nearest checkpoint AT-OR-BELOW it plus the
+    * action suffix, so the vacuum must keep (a) every aged commit a
+    * retained version replays through and (b) the aged CHECKPOINT that
+    * anchors the oldest retained version, even though both fall outside
+    * the window by age alone (a naive delete-by-age breaks the oldest
+    * in-window read and hash-fails here). Deleted: aged commits below
+    * the anchor, checkpoints no retained version resolves through, and
+    * data files live in NO retained version. Aged versions below the
+    * anchor become unreadable AT THE MANIFEST (their replay chain is
+    * gone — VacuumTtlSpec proves it), while every in-window version
+    * reads exactly (the emitted audit rows).
+    *
+    * Scale shape: the decision plane is O(versions) metadata;
+    * data-file liveness is a set union over retained manifests —
+    * never a table scan. */
+  def vacuumTtl(s: SparkSession, d: String): DataFrame = vacuumTtlBuild(s, d)._2
+
+  /** (log base dir, audit) — the dir is exposed so VacuumTtlSpec can
+    * prove aged-version resolution fails post-vacuum. */
+  private[operators] def vacuumTtlBuild(s: SparkSession, d: String): (String, DataFrame) = {
+    val base = graft.TempPaths.scratch(s, "vacuum_ttl") + "/run" + vacuumTtlRuns.incrementAndGet()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 4 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 4 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 4 === 2))
+    val fD = writeFile("D", o.filter(col("o_orderkey") % 4 === 3))
+    val fAB = writeFile("AB", o.filter(col("o_orderkey") % 4 <= 1))
+    val fD2 = writeFile("D2", o.filter(col("o_orderkey") % 4 === 3))
+    val fC2 = writeFile("C2", o.filter(col("o_orderkey") % 4 === 2))
+    val fE = writeFile("E", o.filter(col("o_orderkey") % 5 === 0))
+    def write(p: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        lines.mkString("\n").getBytes("UTF-8")): Unit
+    var state = Vector.empty[String]
+    def commit(v: Int, remove: Seq[String], add: Seq[String]): Unit = {
+      write(ttlCommitPath(base, v),
+        s"ts\t${TtlT0Micros + v * TtlHourMicros}" +:
+          (remove.map("remove\t" + _) ++ add.map("add\t" + _)))
+      state = state.filterNot(remove.contains) ++ add
+      if (v % CkptEvery == 0) write(ttlCkptPath(base, v), state)
+    }
+    commit(1, Nil, Seq(fA)); commit(2, Nil, Seq(fB)); commit(3, Nil, Seq(fC))
+    commit(4, Nil, Seq(fD))
+    commit(5, Seq(fA, fB), Seq(fAB)) // compaction
+    commit(6, Seq(fD), Seq(fD2))     // rewrite
+    commit(7, Seq(fC), Seq(fC2))     // rewrite
+    commit(8, Nil, Seq(fE))          // late arrivals
+    val lastV = 8
+    def commitTs(v: Int): Long = {
+      val first = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ttlCommitPath(base, v))), "UTF-8").linesIterator.next()
+      require(first.startsWith("ts\t"), s"commit v$v missing timestamp action")
+      first.split("\t")(1).toLong
+    }
+    val cutoff = commitTs(lastV) - TtlRetainMicros
+    val retained = (1 to lastV).filter(commitTs(_) >= cutoff) // 5..8
+    // checkpoint awareness: the oldest retained version's anchor and
+    // every commit on a retained version's replay path must survive
+    def anchorOf(v: Int): Int = (v to 1 by -1)
+      .find(i => i % CkptEvery == 0 &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(ttlCkptPath(base, i))))
+      .getOrElse(0)
+    val neededCkpts = retained.map(anchorOf).filter(_ > 0).toSet
+    val neededCommits = retained.flatMap(v => (anchorOf(v) + 1) to v).toSet
+    val resolvedRetained = retained.map(v => v -> ttlResolve(base, v)).toMap
+    val live = resolvedRetained.values.flatMap(_._1).toSet
+    val deadCommits = (1 to lastV)
+      .filter(v => commitTs(v) < cutoff && !neededCommits.contains(v))
+    val deadCkpts = (1 to lastV).filter(v =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(ttlCkptPath(base, v))) &&
+        !neededCkpts.contains(v))
+    val deadData = Seq(fA, fB, fC, fD, fAB, fD2, fC2, fE).filterNot(live)
+    deadCommits.foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ttlCommitPath(base, v))))
+    deadCkpts.foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ttlCkptPath(base, v))))
+    deadData.foreach(f => deleteRecursively(new java.io.File(f)))
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(ttlCkptPath(base, 3))),
+      "vacuum deleted the checkpoint the oldest retained version resolves through")
+    val out = retained.map { v =>
+      val (files, replayed) = resolvedRetained(v)
+      s.read.parquet(files: _*)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .select(lit(v).as("version"), lit(replayed).as("actions_replayed"),
+          col("n_rows"), col("total"),
+          lit(deadCommits.length).as("n_commits_deleted"),
+          lit(deadCkpts.length).as("n_ckpts_deleted"),
+          lit(deadData.length).as("n_data_deleted"))
+    }.reduce(_ unionByName _).orderBy("version")
+    (base, out)
+  }
+
   private val gdprRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val GdprBuckets = 8
 
@@ -1214,6 +1345,7 @@ object Formats {
     "k_delete_vectors" -> (deleteVectors _),
     "k_dv_cdf" -> (dvCdf _),
     "k_vacuum" -> (vacuum _),
+    "k_vacuum_ttl" -> (vacuumTtl _),
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
     "k_log_checkpoint" -> (logCheckpoint _),
@@ -1307,6 +1439,27 @@ object Formats {
     // the retained versions' contents from the slice rules: v3 = A∪D =
     // every key, v4 = v3 plus the ≡0-mod-5 re-arrivals; vacuum dropped
     // exactly B and C plus the two pre-compaction manifests
+    // the TTL board: retained versions 5–8 all read exactly; v5 replays
+    // ckpt3+2 commits, v6 is its own checkpoint, v8 adds the E slice
+    // (duplicating the %5=0 rows); 3 aged commits and 2 dead data files
+    // deleted, 0 checkpoints (both are resolution anchors)
+    "k_vacuum_ttl" -> {
+      def leg(v: Int, replayed: Int, withE: Boolean) = {
+        val n =
+          if (withE) "CAST(COUNT(*) + SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+          else "CAST(COUNT(*) AS BIGINT)"
+        val t =
+          if (withE) sqlDsum("o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice ELSE 0 END")
+          else sqlDsum("o_totalprice")
+        s"""SELECT $v AS version, $replayed AS actions_replayed, $n AS n_rows,
+           |       $t AS total, 3 AS n_commits_deleted, 0 AS n_ckpts_deleted,
+           |       2 AS n_data_deleted
+           |FROM orders""".stripMargin
+      }
+      Seq(leg(5, 2, withE = false), leg(6, 0, withE = false),
+        leg(7, 1, withE = false), leg(8, 2, withE = true))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY version")
+    },
     "k_vacuum" ->
       s"""SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |       ${sqlDsum("o_totalprice")} AS total,
