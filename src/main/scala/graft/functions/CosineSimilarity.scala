@@ -109,6 +109,14 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         GraftInterop.expression(hashed), expectedItems).toAggregateExpression())
 
+  /** 3-D Hilbert curve index of three bigint columns, `bits` per
+    * dimension (codegen'd; see [[HilbertIndex3]]). Inputs must already
+    * be masked to `bits`. */
+  def hilbert_index3(x: Column, y: Column, z: Column, bits: Int): Column =
+    GraftInterop.column(HilbertIndex3(
+      GraftInterop.expression(x), GraftInterop.expression(y),
+      GraftInterop.expression(z), bits))
+
   /** Membership probe against a serialized bloom filter (a foldable
     * binary — `lit(bytes)`), over the same `xxhash64` hashing as
     * [[bloom_agg]]. May return false positives, never false negatives:

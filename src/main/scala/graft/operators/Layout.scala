@@ -129,6 +129,73 @@ object Layout {
         dsum(col("value")).as("total_value"))
       .orderBy("event_type")
 
+  // ---- HILBERT layout: the >2-column clustering the Morton interleave
+  // stops scaling to. Z-values keep per-file rectangles tight in 2-D,
+  // but each added dimension dilutes every dimension's bits AND Morton's
+  // locality breaks at bit boundaries (consecutive Z-values can jump
+  // across the space), so a 3-predicate workload over a 3-column Morton
+  // layout reads visibly more than it should. The Hilbert curve is the
+  // locality-optimal total order — consecutive indexes are UNIT distance
+  // in (user, day, type) space (HilbertSpec proves the invariant
+  // exhaustively) — which is why Delta's OPTIMIZE ZORDER successor and
+  // Iceberg's sort-order both grew Hilbert options. Same staging
+  // discipline as [[ensureZOrder]]: range-partition + sort by the curve
+  // key, drop it, answers never change (oracle reads original parquet). ----
+
+  private[operators] val hilbertBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val HilbertBits = 8
+
+  def hilbertDir(sfDir: String): String =
+    "/tmp/graft_stage/hilbert_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  // deterministic small code per event type (alphabetical rank; unseen
+  // types collapse into the top slot — at 100 TB this column is a
+  // dictionary lookup staged next to the table)
+  private[operators] def typeCode: org.apache.spark.sql.Column =
+    when(col("event_type") === "click", 0L)
+      .when(col("event_type") === "error", 1L)
+      .when(col("event_type") === "purchase", 2L)
+      .when(col("event_type") === "signup", 3L)
+      .when(col("event_type") === "view", 4L)
+      .otherwise(7L)
+
+  /** Stage events Hilbert-ordered on (user_id, day, event_type). */
+  def ensureHilbert(s: SparkSession, d: String): String = {
+    val dir = hilbertDir(d)
+    val built = graft.Staging.ensure(dir, Seq(s"$d/events.parquet")) {
+      val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+      Tables.events(s, d)
+        .withColumn("hv", graft.functions.GraftFunctions.hilbert_index3(
+          pmod(col("user_id"), lit(256L)),
+          day.cast("long").bitwiseAND(lit(255L)),
+          typeCode, HilbertBits))
+        .repartitionByRange(32, col("hv"))
+        .sortWithinPartitions(col("hv"))
+        .drop("hv")
+        .write.mode("overwrite").parquet(dir)
+    }
+    if (built) hilbertBuildCount.incrementAndGet()
+    dir
+  }
+
+  /** `k_hilbert_prune` — the 3-PREDICATE dashboard query the Hilbert
+    * layout exists for: a user range AND a date range AND one event
+    * type. All three predicates are raw-column and push to parquet; on
+    * the Hilbert layout their conjunction prunes row groups on all
+    * three axes at once (HilbertSpec measures the reduction vs both the
+    * 2-D Z-order and the unclustered layout). Answers are
+    * layout-independent — the oracle reads the ORIGINAL events table. */
+  def hilbertPrune(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureHilbert(s, d))
+      .filter(col("user_id").between(UserFrom, UserTo) &&
+        col("ts") >= lit(s"$From 00:00:00").cast("timestamp") &&
+        col("ts") < date_add(lit(To).cast("date"), 1).cast("timestamp") &&
+        col("event_type") === "view")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+
   // ---- Small-file COMPACTION: the table-maintenance pass every long-
   // lived 100 TB table needs (streaming appends and over-parallel writes
   // leave thousands of KB-scale files; each costs a task + an open per
@@ -466,6 +533,7 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_layout_prune" -> (layoutPrune _),
     "k_zorder_prune" -> (zorderPrune _),
+    "k_hilbert_prune" -> (hilbertPrune _),
     "k_compaction" -> (compactionQuery _),
     "k_dpp_prune" -> (dppPrune _),
     "k_bloom_join" -> (bloomJoin _),
@@ -534,6 +602,15 @@ object Layout {
          |FROM events
          |WHERE user_id BETWEEN $UserFrom AND $UserTo
          |  AND CAST(ts AS DATE) BETWEEN DATE '$From' AND DATE '$To'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+    "k_hilbert_prune" ->
+      s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |       ${sqlDsum("value")} AS total_value
+         |FROM events
+         |WHERE user_id BETWEEN $UserFrom AND $UserTo
+         |  AND CAST(ts AS DATE) BETWEEN DATE '$From' AND DATE '$To'
+         |  AND event_type = 'view'
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
     "k_compaction" ->
