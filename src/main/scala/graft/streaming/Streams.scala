@@ -1226,6 +1226,65 @@ object Streams {
     }
   }
 
+  // ---- STATE-SCHEMA EVOLUTION: the restart-hygiene leg of the
+  // transformWithState family. A long-lived stateful stream outlives
+  // its code: v2 of the limiter wants a new per-user counter, and the
+  // checkpoint holds millions of v1 state rows. Under the default
+  // UnsafeRow state encoding any state-class change is a hard
+  // incompatibility (restart refuses); under the AVRO encoding
+  // (spark.sql.streaming.stateStore.encodingFormat=avro) Spark resolves
+  // reader-vs-writer schemas, so an ADDED NULLABLE FIELD decodes as
+  // None on v1 rows and the stream resumes exactly-once with zero state
+  // loss and zero reprocessing — StateEvolutionSpec stops a v1 query at
+  // its checkpoint, restarts with [[RateLimitProcessorV2]], and proves
+  // both (the admitted/throttled verdicts still match the global SQL
+  // recompute, which only holds if v1 window state survived the
+  // restart; [[evolvedStateReads]] counts v1 rows decoded through the
+  // evolved schema). ----
+
+  final case class RlStateV2(windowStart: Long, count: Long, admittedTotal: Option[Long])
+
+  /** v1 state rows (no admittedTotal) decoded by the v2 processor —
+    * observable proof the restart read OLD state through the NEW schema
+    * rather than starting empty. */
+  val evolvedStateReads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The evolved rate limiter: same verdict semantics (output schema
+    * unchanged — the sink keeps appending), state grown by a lifetime
+    * admitted counter. v1 rows surface with `admittedTotal = None` (the
+    * Avro default for the added nullable field). */
+  class RateLimitProcessorV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RlEv, RlOut] {
+    @transient private var bucket: org.apache.spark.sql.streaming.ValueState[RlStateV2] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bucket = getHandle.getValueState[RlStateV2]("bucket",
+        org.apache.spark.sql.Encoders.product[RlStateV2],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RlEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RlOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      var cur = if (bucket.exists()) {
+        val st = bucket.get()
+        if (st.admittedTotal.isEmpty && st.windowStart >= 0)
+          evolvedStateReads.incrementAndGet(): Unit
+        st
+      } else RlStateV2(-1L, 0L, Some(0L))
+      val out = sorted.map { e =>
+        val w = e.us - e.us % RlWindowUs
+        if (w != cur.windowStart) cur = cur.copy(windowStart = w, count = 0L)
+        val admit = cur.count < RlLimit
+        if (admit) cur = cur.copy(count = cur.count + 1,
+          admittedTotal = Some(cur.admittedTotal.getOrElse(0L) + 1))
+        RlOut(e.user_id, e.event_id, e.us, if (admit) 1 else 0)
+      }
+      bucket.update(cur)
+      out.iterator
+    }
+  }
+
   /** `e_rate_limit_stream` — the events table replayed through the
     * transformWithState rate limiter in global event-time order; fully
     * SQL-expressible (a row_number per (user, minute) window), so the
