@@ -867,6 +867,69 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private val LpaRounds = 4
+
+  /** `d_communities` — COMMUNITY DETECTION on the near-dup graph
+    * (deterministic synchronous label propagation), the 5th graph
+    * class: connected components answer "which docs are transitively
+    * linked", communities answer "which docs form one MIRROR FARM" —
+    * the policy unit for "drop the whole neighborhood" decisions, one
+    * level above [[kCore]]'s depth ranking. Classic LPA is
+    * run-to-run nondeterministic (random update order, random tie
+    * breaks); this formulation is bit-deterministic: all nodes update
+    * SIMULTANEOUSLY each round, every node votes its own label plus
+    * each neighbor's (self-inclusion damps the bipartite oscillation
+    * sync LPA is prone to), and the winner is the most frequent label
+    * with INTEGER tie-breaking (smallest label id). [[LpaRounds]]
+    * fixed rounds, the `d_pagerank` unrolled-oracle discipline —
+    * SemDedupPageRankSpec pins that round [[LpaRounds]]+1 changes no
+    * label on this graph (converged), so the bound is an observed
+    * fixpoint, not a truncation.
+    *
+    * Scale shape: consumes the STAGED pair table; each round is one
+    * edge×label equi-join plus two map-side-combined aggregations —
+    * cost ∝ duplicate-graph edges (≪ corpus), constant round count. */
+  def communities(s: SparkSession, d: String): DataFrame = {
+    val nd = stagedNeardupPairs(s, d).select(col("a"), col("b"))
+    val edges = nd.union(nd.select(col("b"), col("a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("doc_id"), col("lbl"))
+      // pin each round's labels: the next round's join and the vote
+      // union both read them, and lineage would deepen by two joins
+      // per round otherwise (the kCore discipline)
+      labels = neigh.union(labels)
+        .groupBy(col("doc_id"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("doc_id"), (-col("m").getField("nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("community"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** One extra propagation round from an arbitrary label table — the
+    * spec's convergence probe (round LpaRounds+1 must be a fixpoint). */
+  private[operators] def lpaRoundOnce(s: SparkSession, d: String,
+      labels: DataFrame): DataFrame = {
+    val nd = stagedNeardupPairs(s, d).select(col("a"), col("b"))
+    val edges = nd.union(nd.select(col("b"), col("a"))).toDF("src", "dst")
+    edges.join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
+      .select(col("src").as("doc_id"), col("lbl"))
+      .union(labels)
+      .groupBy(col("doc_id"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("doc_id"), (-col("m").getField("nl")).as("lbl"))
+  }
+
   // ---- EXACT set-similarity self-join via PREFIX FILTERING (the
   // AllPairs/PPJoin family): the third dedup algorithm class next to
   // MinHash-LSH (approximate, probabilistic) and SimHash (approximate,
@@ -1142,6 +1205,7 @@ object Dedup {
     "d_semdedup" -> (semDedup _),
     "d_pagerank" -> (pageRank _),
     "d_kcore" -> (kCore _),
+    "d_communities" -> (communities _),
     "d_rouge_pairs" -> (rougePairs _),
     "d_incremental_dedup" -> (incrementalDedup _),
     "d_span_dedup" -> (spanDedup _),
@@ -1234,6 +1298,17 @@ object Dedup {
     * full node set. */
   /** One k-core peel round as DuckDB CTEs: degrees among survivors
     * (left join — isolated survivors count 0), then the < k split. */
+  // one synchronous LPA round: self + neighbor votes, most-frequent
+  // label wins, smallest label breaks ties — mirrors communities()
+  private def lpaIterCte(i: Int): String =
+    s"""lv$i AS (SELECT x.doc_id, x.lbl, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |  SELECT e.src AS doc_id, l.lbl FROM edges e JOIN ll${i - 1} l ON e.dst = l.doc_id
+       |  UNION ALL SELECT doc_id, lbl FROM ll${i - 1}) x GROUP BY x.doc_id, x.lbl),
+       |ll$i AS (SELECT doc_id, lbl FROM (
+       |  SELECT doc_id, lbl,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, lbl ASC) AS rn
+       |  FROM lv$i) t WHERE rn = 1)""".stripMargin
+
   private def kcIterCte(i: Int): String =
     s"""kd$i AS (SELECT a.doc_id, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS deg
        |       FROM ka${i - 1} a LEFT JOIN (
@@ -1403,6 +1478,24 @@ object Dedup {
            |ORDER BY nd.a, nd.b""".stripMargin),
     // the peel unrolled round-for-round over the same rebuilt pair
     // table; core degrees recomputed among final survivors
+    "d_communities" ->
+      (sigCte +
+        s""",
+           |nd AS (
+           |  SELECT c.a, c.b
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE CAST(list_sum(list_transform(range(0, 16),
+           |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+           |edges AS (SELECT a AS src, b AS dst FROM nd UNION ALL SELECT b, a FROM nd),
+           |ll0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM edges),
+           |${lpaIterCte(1)},
+           |${lpaIterCte(2)},
+           |${lpaIterCte(3)},
+           |${lpaIterCte(4)},
+           |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members FROM ll4 GROUP BY lbl)
+           |SELECT l.doc_id, l.lbl AS community, s.n_members
+           |FROM ll4 l JOIN sz s ON l.lbl = s.lbl
+           |ORDER BY l.doc_id""".stripMargin),
     "d_kcore" ->
       (sigCte +
         s""",

@@ -60,4 +60,32 @@ class SemDedupPageRankSpec extends AnyFunSuite {
     assert(mass.agg(max("mass")).collect().head.getLong(0) > 150000L)
     mass.unpersist(): Unit
   }
+
+  test("communities: round LpaRounds+1 is a fixpoint and labels refine components") {
+    val out = Dedup.communities(s, sf).cache()
+    val labels = out.select(col("doc_id"), col("community").as("lbl"))
+    // convergence pin: one MORE synchronous round changes no label —
+    // the fixed round bound is an observed fixpoint, not a truncation
+    val next = Dedup.lpaRoundOnce(s, sf, labels)
+    val changed = labels.withColumnRenamed("lbl", "before")
+      .join(next.withColumnRenamed("lbl", "after"), "doc_id")
+      .filter(col("before") =!= col("after")).count()
+    assert(changed == 0, s"$changed labels still moving after LpaRounds rounds")
+    // a community never spans two connected components (LPA labels only
+    // travel along edges, so communities REFINE the CC partition)
+    val cc = Dedup.dupClusters(s, sf)
+      .select(col("doc_id"), col("cluster_id").as("component_id"))
+    val split = out.join(cc, "doc_id")
+      .groupBy(col("community"))
+      .agg(countDistinct(col("component_id")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(split == 0, "a community spans multiple connected components")
+    // membership accounting: n_members is the true community size and
+    // sums back to the node count
+    val sizes = out.groupBy(col("community"), col("n_members")).count()
+      .filter(col("n_members") =!= col("count")).count()
+    assert(sizes == 0, "n_members disagrees with actual membership")
+    assert(out.count() > 0)
+    out.unpersist(): Unit
+  }
 }
