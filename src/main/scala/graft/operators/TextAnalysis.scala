@@ -1189,14 +1189,31 @@ object TextAnalysis {
     * above-corpus-mean flag is the usual cross-multiplication; no
     * division or float anywhere, so per-doc bits hash-check exactly.
     *
-    * Scale shape: the LM is two map-side-combined train passes
-    * (O(distinct bigrams) + O(vocab)); per-doc pair counts equi-join
-    * the LM on the bigram key — the corpus-sized shuffle the honest
-    * corpus-wide dictionary requires ([[bigramNovelty]]'s argument);
-    * context/backoff tables and the train total are broadcast-sized. */
-  def lmBigram(s: SparkSession, d: String): DataFrame = {
-    def lb(c: org.apache.spark.sql.Column) = length(bin(c)).cast("long")
-    val pairs = docs(s, d)
+    * Scale shape: the TRAIN side — the explode of 80% of the corpus
+    * into adjacent pairs plus its map-side-combined count — is a pure
+    * function of the corpus, so it is STAGED build-once (the postings-
+    * index pattern): [[ensureLmStaged]] writes the O(distinct bigrams)
+    * count table and every probe re-derives the context/backoff/total
+    * tables from it by aggregation over the COMPACT staged table
+    * (c1(w₁) = Σ_{w₂} c2(w₁,w₂) exactly — counting pairs by w1 and
+    * summing bigram counts by w1 are the same number), never touching
+    * the corpus again. Per-doc pair counts equi-join the staged LM on
+    * the bigram key — the corpus-sized shuffle the honest corpus-wide
+    * dictionary requires ([[bigramNovelty]]'s argument); context/
+    * backoff tables and the train total are broadcast-sized. */
+  private[operators] val lmStageBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Train-split constant (doc_id % 10 < 8) and pair definition are
+    * baked into the dir name per the stage-dir-constants discipline. */
+  def lmStageDir(sfDir: String): String =
+    "/tmp/graft_stage/lm_bigram_p8v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Adjacent-word pairs of every document — the probe-side explode
+    * (shared by the staged train build, which filters it to the train
+    * split before counting). */
+  private def bigramPairs(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(col("doc_id"),
         explode(when(size(words) >= 2, transform(
             sequence(lit(0), size(words) - 2),
@@ -1204,9 +1221,23 @@ object TextAnalysis {
               element_at(words, i + lit(2)).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val train = pairs.filter(col("doc_id") % 10 < 8)
-    val big = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val ctx = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+
+  private def ensureLmStaged(s: SparkSession, d: String): String = {
+    val dir = lmStageDir(d)
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      lmStageBuildCount.incrementAndGet()
+      bigramPairs(s, d).filter(col("doc_id") % 10 < 8)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .write.mode("overwrite").parquet(dir + "/big")
+    }: Unit
+    dir + "/big"
+  }
+
+  def lmBigram(s: SparkSession, d: String): DataFrame = {
+    def lb(c: org.apache.spark.sql.Column) = length(bin(c)).cast("long")
+    val pairs = bigramPairs(s, d)
+    val big = s.read.parquet(ensureLmStaged(s, d)) // (w1, w2, c2) staged
+    val ctx = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val uni = ctx.select(col("w1").as("w2"), col("c1").as("u2"))
     val tot = ctx.agg(sum(col("c1")).as("n_train")) // 1 row
     pairs.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))

@@ -364,6 +364,11 @@ class LlmCorpusSpec extends AnyFunSuite {
     val (tb, ts) = (expected.values.map(_._1).sum, expected.values.map(_._2).sum)
     val got = TextAnalysis.lmBigram(s, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val builds = TextAnalysis.lmStageBuildCount.get()
+    assert(TextAnalysis.lmBigram(s, sf).count() == got.size,
+      "second run row count differs")
+    assert(TextAnalysis.lmStageBuildCount.get() == builds,
+      "second run must reuse the staged bigram LM table")
     assert(got.keySet == expected.keySet, "doc coverage differs")
     expected.foreach { case (id, (nb, bits)) =>
       val flag = if (bits * tb > ts * nb) 1 else 0
