@@ -330,6 +330,60 @@ object Formats {
       .orderBy("version")
   }
 
+  private val ttSqlRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_timetravel_sql` — SQL-native TIME TRAVEL (`VERSION AS OF`)
+    * through the catalog plugin: the [[timeTravel]] manifest scenario,
+    * but read entirely from SQL TEXT — Spark's own time-travel
+    * resolution calls `GraftCatalog.loadTable(ident, version)`
+    * (sources/GraftCatalog.scala), which pins the returned table to
+    * that version's manifest ([[graft.sources.VersionedLinesV2]]), so a
+    * BI/notebook user gets snapshot reads and version pinning with no
+    * library import — the Delta/Iceberg SQL surface on the manifest
+    * format, closing the statement the `x_catalog_sql` catalog path
+    * and `k_merge_sql` parser path still lacked. The un-travelled
+    * SELECT (version 0 row) proves plain reads resolve the LATEST
+    * manifest; money travels as integer cents (exact decimal scaling,
+    * no FP drift through the TSV data files).
+    *
+    * Scale shape: manifests are metadata-plane (O(files) text); each
+    * part file is one scan partition; a version read touches only its
+    * manifest's files — never a directory listing of the table. */
+  def timeTravelSql(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "ttsql") + "/run" + ttSqlRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+    def writeDir(name: String, df: DataFrame): String = {
+      df.select(concat_ws("\t", col("o_orderkey"), col("cents")).as("value"))
+        .write.mode("overwrite").text(s"$base/data/$name")
+      s"$base/data/$name"
+    }
+    val fA = writeDir("A", o.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeDir("B", o.filter(col("o_orderkey") % 3 === 1))
+    val fC = writeDir("C", o.filter(col("o_orderkey") % 3 =!= 0)) // compaction: B's rows + arrivals
+    def commit(version: Int, files: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/manifest-v$version.txt"),
+        files.mkString("\n").getBytes("UTF-8")): Unit
+    commit(1, Seq(fA, fB))
+    commit(2, Seq(fA, fC))
+    // catalog name encodes the run dir: catalog instances are cached per
+    // session after first resolution, and two runs must not share one
+    val cat = "gtt" + base.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.tt_path", base)
+    s.sql(
+      s"""SELECT 0 AS version, COUNT(*) AS n_rows, SUM(price_cents) AS total_cents
+         |FROM $cat.orders_tt
+         |UNION ALL
+         |SELECT 1 AS version, COUNT(*) AS n_rows, SUM(price_cents) AS total_cents
+         |FROM $cat.orders_tt VERSION AS OF 1
+         |UNION ALL
+         |SELECT 2 AS version, COUNT(*) AS n_rows, SUM(price_cents) AS total_cents
+         |FROM $cat.orders_tt VERSION AS OF 2
+         |ORDER BY version""".stripMargin)
+  }
+
   private val ckptRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val CkptEvery = 3
 
@@ -1348,6 +1402,7 @@ object Formats {
     "k_vacuum_ttl" -> (vacuumTtl _),
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
+    "k_timetravel_sql" -> (timeTravelSql _),
     "k_log_checkpoint" -> (logCheckpoint _),
     "k_log_history" -> (logHistory _),
     "k_expectations" -> (expectations _),
@@ -1543,6 +1598,23 @@ object Formats {
          |UNION ALL
          |SELECT 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")}
          |FROM orders
+         |ORDER BY version""".stripMargin,
+    // version 0 = the un-travelled read (must equal the latest, v2);
+    // v1 = slices A∪B, v2 = A∪C = every order; cents are exact decimal
+    "k_timetravel_sql" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |         CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT) AS c
+         |  FROM orders)
+         |SELECT 0 AS version, COUNT(*) AS n_rows,
+         |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
+         |UNION ALL
+         |SELECT 1 AS version, COUNT(*) AS n_rows,
+         |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
+         |WHERE k % 3 IN (0, 1)
+         |UNION ALL
+         |SELECT 2 AS version, COUNT(*) AS n_rows,
+         |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
          |ORDER BY version""".stripMargin,
     // per column: the same value-count derivation, modal tie order
     // (count desc, value asc), everything stringified

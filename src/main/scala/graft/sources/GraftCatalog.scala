@@ -29,15 +29,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catName: String = _
   private var path: String = _
   private var spjPath: String = _
+  private var ttPath: String = _
   private var spjBuckets: Int = 8
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     path = options.get("path")
     spjPath = options.get("spj_path")
+    ttPath = options.get("tt_path")
     spjBuckets = Option(options.get("spj_buckets")).map(_.toInt).getOrElse(8)
-    require(path != null || spjPath != null,
-      s"catalog $name requires spark.sql.catalog.$name.path or .spj_path")
+    require(path != null || spjPath != null || ttPath != null,
+      s"catalog $name requires spark.sql.catalog.$name.path, .spj_path or .tt_path")
   }
 
   override def name(): String = catName
@@ -51,8 +53,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       "customer_spj" -> (() =>
         new KeyedLinesV2.KeyedTable(s"$p/customer", "c_", spjBuckets): Table)))
       .getOrElse(Map.empty)
-    base ++ spj
+    // a plain (un-travelled) read resolves the LATEST manifest at load
+    // time — snapshot-pinned from there on (the scan carries the version)
+    val tt = Option(ttPath).map(p => "orders_tt" -> (() =>
+      new VersionedLinesV2.TtTable(p, VersionedLinesV2.latestVersion(p)): Table)).toMap
+    base ++ spj ++ tt
   }
+
+  /** SQL `VERSION AS OF n` lands here (Spark's native time-travel
+    * resolution calls the version-taking overload): the table comes
+    * back pinned to that manifest, and a nonexistent version fails at
+    * the manifest — never by silently reading another snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (ident.namespace.isEmpty && ident.name == "orders_tt" && ttPath != null) {
+      val v = try version.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"orders_tt versions are integers, got '$version'")
+      }
+      new VersionedLinesV2.TtTable(ttPath, v)
+    } else throw new NoSuchTableException(ident)
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported on orders_tt; use VERSION AS OF")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
