@@ -384,6 +384,70 @@ object Formats {
          |ORDER BY version""".stripMargin)
   }
 
+  private val mvRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Applies a signed per-key delta to a materialized aggregate: `mv1`
+    * carries (key, n_rows, total_cents), `deltas` carries one row per
+    * changed BASE row with weight −1 (deleted) / +1 (inserted). Keys
+    * whose net row count reaches zero DROP from the view (a group the
+    * base no longer has must not linger at n_rows = 0). Count and sum
+    * are self-maintainable aggregates — the delta is exact, no rescan. */
+  private[operators] def applyMvDelta(
+      mv1: DataFrame, deltas: DataFrame): DataFrame = {
+    val agg = deltas.groupBy(col("o_orderstatus"))
+      .agg(sum(col("w")).as("dn"), sum(col("cents") * col("w")).as("dc"))
+    mv1.join(agg, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("total_cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents"))
+      .filter(col("n_rows") > 0)
+      .orderBy("o_orderstatus")
+  }
+
+  /** `k_mv_refresh` — INCREMENTAL MATERIALIZED-VIEW MAINTENANCE off the
+    * change feed: the aggregate a dashboard reads (per-status row count
+    * + money total) is materialized at table version 1, and when v2
+    * commits (one file rewritten with a price correction, one appended)
+    * the view refreshes by applying the CDF DELTA — the removed files'
+    * rows weighted −1, the added files' rows +1 ([[manifestCdf]]'s
+    * file-set difference made actionable) — NEVER rescanning the
+    * unchanged base. Count/sum are self-maintainable aggregates, so
+    * incremental ≡ full recompute exactly (the oracle recomputes the
+    * v2 state from the slice rules; MvRefreshSpec additionally proves
+    * delta-path ≡ full-path and that a net-zero key drops). The query
+    * REQUIREs the refresh read touched only changed files — at 100 TB
+    * the whole point is that refresh cost ∝ |change|, not |table|.
+    * Money is integer cents (exact decimal scaling) so subtraction in
+    * the delta is exact. */
+  def mvRefresh(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "mvrefresh") + "/run" + mvRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 3 === 1))
+    val fB2 = writeFile("B2", o.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("cents", col("cents") + 500)) // rewrite: +5.00 correction
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 3 === 2)) // append
+    // v1 = A∪B; v2 = A∪B2∪C. The full pass is paid ONCE, at v1:
+    val mv1Path = s"$base/mv1"
+    s.read.parquet(fA, fB).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .write.mode("overwrite").parquet(mv1Path)
+    // CDF v1→v2: removed file B → deletes; added B2, C → inserts
+    val deltas = s.read.parquet(fB)
+      .select(col("o_orderstatus"), col("cents"), lit(-1L).as("w"))
+      .unionByName(s.read.parquet(fB2, fC)
+        .select(col("o_orderstatus"), col("cents"), lit(1L).as("w")))
+    val changed = Seq("/data/B/", "/data/B2/", "/data/C/")
+    require(deltas.inputFiles.nonEmpty &&
+      deltas.inputFiles.forall(f => changed.exists(f.contains)),
+      "refresh delta must read only the changed files, never the base")
+    applyMvDelta(s.read.parquet(mv1Path), deltas)
+  }
+
   private val ckptRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val CkptEvery = 3
 
@@ -1403,6 +1467,7 @@ object Formats {
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
     "k_timetravel_sql" -> (timeTravelSql _),
+    "k_mv_refresh" -> (mvRefresh _),
     "k_log_checkpoint" -> (logCheckpoint _),
     "k_log_history" -> (logHistory _),
     "k_expectations" -> (expectations _),
@@ -1616,6 +1681,18 @@ object Formats {
          |SELECT 2 AS version, COUNT(*) AS n_rows,
          |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
          |ORDER BY version""".stripMargin,
+    // the refreshed view ≡ the v2 table state aggregated from scratch:
+    // all of orders (%3 covers every key) with +5.00 on the rewritten slice
+    "k_mv_refresh" ->
+      s"""WITH base AS (
+         |  SELECT o_orderstatus,
+         |         CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT)
+         |         + CASE WHEN o_orderkey % 3 = 1 THEN 500 ELSE 0 END AS c
+         |  FROM orders)
+         |SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |       CAST(SUM(c) AS BIGINT) AS total_cents
+         |FROM base GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     // per column: the same value-count derivation, modal tie order
     // (count desc, value asc), everything stringified
     "k_profile" -> {
