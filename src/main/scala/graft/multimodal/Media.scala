@@ -690,6 +690,111 @@ object Media {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Image table for the PERCEPTUAL-HASH near-dup family: 18×16 gray
+    * rasters (every channel equal) carried as real PPM bytes. Ids are
+    * the doc_id%4==0 bases; pixel g(i) = ((v² + v) div 64) % 256 with
+    * v = (id·31 + i·17) % 65521 — the quadratic mix DECORRELATES
+    * images (a plain linear ramp gives every image nearly the same
+    * gradient and therefore nearly the same dHash, collapsing the
+    * whole corpus into one near-dup class), and the div-64 keeps g off
+    * the low bits (v² + v mod 256 is a function of v mod 256, which
+    * aliases ids 256 apart into identical images); PLUS a planted
+    * NEAR-DUPLICATE twin for every doc_id%8==1: the previous id's
+    * raster with every byte XOR 1 (±1 gray — survives block averaging
+    * almost everywhere, the re-encoded-thumbnail shape of image dedup
+    * corpora). All arithmetic stays under 2³², so the SQL oracle
+    * reproduces it in BIGINT exactly. */
+  def dhashImageTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 4 === 0 || col("doc_id") % 8 === 1)
+      .as[Long]
+      .map { id =>
+        val b = if (id % 8 == 1) id - 1 else id
+        val x = if (id % 8 == 1) 1 else 0
+        val raster = Array.tabulate(3 * 288) { j =>
+          val v = (b * 31 + (j / 3) * 17) % 65521
+          ((((v * v + v) / 64) % 256).toInt ^ x).toByte
+        }
+        (id, PpmCodec.encode(18, 16, 255, raster))
+      }
+  }
+
+  /** Difference-hash (dHash) bands per image: REAL decode of the PPM
+    * payload, 2×2 block sums down to a 9×8 grid, bit k = r·8+c set iff
+    * sum4(r,c) > sum4(r,c+1) (comparing 4-pixel SUMS — the same order
+    * as means, no division), packed into four 16-bit band keys. Integer
+    * end to end, so the closed-form SQL oracle reproduces every bit. */
+  private[multimodal] def dhashBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dhashImageTable(s, d)
+      .flatMap { case (id, bytes) =>
+        val img = PpmCodec.decode(bytes)
+        require(img.width == 18 && img.height == 16,
+          s"unexpected dims ${img.width}x${img.height} for image $id")
+        val sum4 = Array.ofDim[Int](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            var acc = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                acc += img.raster(3 * ((2 * r + dy) * 18 + (2 * c + dx))) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            sum4(r)(c) = acc
+            c += 1
+          }
+          r += 1
+        }
+        val keys = new Array[Long](4)
+        var k = 0
+        while (k < 64) {
+          if (sum4(k / 8)(k % 8) > sum4(k / 8)(k % 8 + 1)) keys(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        (0 until 4).map(band => (id, band, keys(band)))
+      }
+      .toDF("id", "band", "key")
+  }
+
+  /** `m_dhash_neardup` — IMAGE NEAR-DUP DETECTION by perceptual hash,
+    * the multimodal arm of the dedup family: every image's dHash is
+    * computed from REAL decoded bytes ([[dhashBands]]), candidate pairs
+    * come from BAND-KEY BLOCKING (two images meet only if one of their
+    * four 16-bit bands matches exactly — the SimHash/LSH banding
+    * discipline, never all-pairs), and survivors are kept at Hamming
+    * distance ≤ 8 of 64. The planted XOR-1 twins land well inside the
+    * threshold; unrelated images that collide on a band (expected —
+    * 16-bit keys birthday-collide at corpus scale) are culled by the
+    * exact distance. The whole derivation is integer, so the oracle
+    * recomputes hash bits, banding, and distances closed-form in SQL.
+    *
+    * Scale shape: band blocking bounds the join fan-out exactly like
+    * the MinHash-LSH path (`operators/Dedup.scala`); the distance
+    * check touches only banded candidates. Nothing all-pairs. */
+  def dhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val bands = dhashBands(s, d)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand.join(bands.as("x"), col("id_a") === col("x.id"))
+      .join(bands.as("y"),
+        col("id_b") === col("y.id") && col("x.band") === col("y.band"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(bit_count(col("x.key").bitwiseXOR(col("y.key")))).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Video table with real MJPEG-in-AVI payloads (video-typed ids,
     * doc_id%3==2): nf=(id%4)+2 frames of w=(id%7)+2 × h=(id%5)+2, frame
     * f raster byte j = (id·17 + f·29 + j) % 256 (channel = j%3) — the
@@ -837,6 +942,7 @@ object Media {
     "m_media_features" -> (mediaFeatures _),
     "m_gif_frames" -> (gifFrames _),
     "m_keyframes" -> (keyframes _),
+    "m_dhash_neardup" -> (dhashNeardup _),
     "m_avi_frames" -> (aviFrames _),
     "m_ppm_decode" -> (ppmDecode _),
     "m_patchify" -> (patchify _),
@@ -1087,6 +1193,48 @@ object Media {
         |                 WHEN df.diff * cl.cnt > cl.tot THEN 1 ELSE 0 END AS INT) AS is_key
         |FROM df JOIN cl USING (doc_id)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // dHash recomputed closed-form: pixel g = xor((base·31+i)%256, twin),
+    // 2×2 block sums, bit k = r·8+c from adjacent-sum compare, four
+    // 16-bit band keys, band-blocked candidates, exact Hamming cut
+    "m_dhash_neardup" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
+        |         CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 0 END AS x
+        |  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 8 = 1),
+        |px AS (
+        |  SELECT id, i,
+        |         xor(((((b * 31 + i * 17) % 65521) * ((b * 31 + i * 17) % 65521)
+        |               + ((b * 31 + i * 17) % 65521)) // 64) % 256, x) AS g
+        |  FROM src, LATERAL (SELECT unnest(range(0, 288)) AS i)),
+        |sums AS (
+        |  SELECT id, ((i // 18) // 2) AS r, ((i % 18) // 2) AS c,
+        |         CAST(SUM(g) AS BIGINT) AS s4
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT m1.id, m1.r * 8 + m1.c AS k,
+        |         CASE WHEN m1.s4 > m2.s4 THEN 1 ELSE 0 END AS bit
+        |  FROM sums m1 JOIN sums m2
+        |    ON m1.id = m2.id AND m1.r = m2.r AND m2.c = m1.c + 1
+        |  WHERE m1.c < 8),
+        |bands AS (
+        |  SELECT id, k // 16 AS band,
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(SUM(bit_count(xor(bx.bkey, by.bkey))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands bx ON bx.id = c.id_a
+        |  JOIN bands by ON by.id = c.id_b AND by.band = bx.band
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
     // per-window energy / zero-cross / peak walked from the generator's
     // channel-0 sample formula v(f) = ((id·7 + f·ch·13) % 65536) − 32768;
     // zero-cross needs no window function — the previous sample is the
