@@ -311,8 +311,90 @@ object CorpusClean {
       .orderBy("doc_id")
   }
 
+  // ---- Content-defined chunking (the storage-dedup / exact-substring-
+  // dedup primitive): chunk boundaries come from the CONTENT (a rolling
+  // polynomial hash over an 8-char window hitting a divisor), so an
+  // insertion early in a document shifts only ITS chunk — every later
+  // boundary re-synchronizes, and byte-identical runs across documents
+  // chunk identically regardless of their offsets. Fixed-size chunking
+  // cannot do this (one inserted byte re-frames the whole tail). ----
+  private val CdcWindow = 8
+  private val CdcMask = 64L // expected chunk ≈ 64 chars
+  // 31^7 .. 31^0: h(p) = Σ ascii(text[p+k]) · 31^(7−k) — max 8·255·31^7
+  // ≈ 5.6e13, well inside Long/BIGINT in both engines
+  private val CdcPow: Array[Long] = Array.iterate(1L, CdcWindow)(_ * 31).reverse
+
+  /** The planted boilerplate suffix: appended to every doc_id%5==0
+    * document so the chunk-dedup query has true cross-document shared
+    * content (the ToS/disclaimer shape real corpora carry). Long enough
+    * to contain interior cut points, so chunks re-align inside it. */
+  private[operators] val CdcDisclaimer =
+    "this document is provided for informational purposes only and does " +
+    "not constitute an offer to sell or a solicitation of an offer to buy " +
+    "any security the information herein is subject to change without " +
+    "notice and the publisher assumes no obligation to update it past " +
+    "performance does not guarantee future results and readers should " +
+    "consult a qualified adviser before acting on any statement made here"
+
+  private def cdcInput(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" " + CdcDisclaimer)))
+          .otherwise(col("text")).as("text"))
+
+  /** `t_cdc_chunks` — per-document CDC chunk table: (chunk_idx, start,
+    * len, md5 of the chunk bytes). Cut points are window starts p ≥ 2
+    * with h(p) % 64 == 0; chunks span [cut, next cut). Purely
+    * doc-local, so the whole pass is one narrow flatMap — zero
+    * shuffles at any corpus size — and the per-doc cut list is bounded
+    * by a single document's length (the documented bounded class). The
+    * md5 is computed by the ENGINE's sql md5 over the substring, so
+    * the oracle's md5(substr(...)) pins the exact chunk bytes. */
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cdcInput(s, d).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = text.length
+        val cuts = scala.collection.mutable.ArrayBuffer[Int](1)
+        var p = 2
+        while (p <= n - CdcWindow + 1) {
+          var h = 0L; var k = 0
+          while (k < CdcWindow) { h += text.charAt(p - 1 + k).toLong * CdcPow(k); k += 1 }
+          if (h % CdcMask == 0L) cuts += p
+          p += 1
+        }
+        (cuts :+ (n + 1)).toSeq.sliding(2).zipWithIndex.map { case (w, idx) =>
+          val (st, en) = (w(0), w(1))
+          (id, idx, st, en - st, text.substring(st - 1, en - 1))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start", "len", "chunk")
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** `d_cdc_dedup` — CROSS-DOCUMENT chunk-level dedup over the CDC
+    * table: chunks whose bytes appear in more than one document, with
+    * occurrence and document counts — the exact-substring dedup answer
+    * at chunk granularity (the planted disclaimer's interior chunks
+    * re-align across every doc carrying it, whatever its offset). One
+    * map-side-combined groupBy on the chunk hash — O(distinct chunks)
+    * state, never all-pairs. */
+  def cdcDedup(s: SparkSession, d: String): DataFrame =
+    cdcChunks(s, d)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("len")).as("len"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk_md5")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_line_dedup" -> (lineDedup _),
+    "t_cdc_chunks" -> (cdcChunks _),
+    "d_cdc_dedup" -> (cdcDedup _),
     "t_pii_redact" -> (piiRedact _),
     "t_mixture_sample" -> (mixtureSample _),
     "t_temperature_mixture" -> (temperatureMixture _),
@@ -331,7 +413,47 @@ object CorpusClean {
        |          unnest(range(0, CAST(ceil(len(w)/$LineW.0) AS BIGINT))) AS i
        |        FROM ws))""".stripMargin
 
+  // the rolling window hash, expanded term-by-term (the sqlHex8 pattern):
+  // Σ ascii(text[p+k]) · 31^(7−k), every intermediate inside BIGINT
+  private val sqlCdcHash: String = (0 until CdcWindow).map { k =>
+    s"CAST(ascii(substr(text, p + $k, 1)) AS BIGINT) * CAST(${CdcPow(k)} AS BIGINT)"
+  }.mkString(" + ")
+
+  // shared by t_cdc_chunks and d_cdc_dedup: the CDC chunk derivation —
+  // planted disclaimer, interior cut points, [cut, next cut) spans
+  private val sqlCdcChunks: String =
+    s"""t AS (SELECT doc_id,
+       |        CASE WHEN doc_id % 5 = 0 THEN text || ' $CdcDisclaimer'
+       |             ELSE text END AS text
+       |      FROM documents WHERE length(text) > 0),
+       |pos AS (SELECT doc_id, text, p
+       |        FROM t, LATERAL (SELECT unnest(range(2, length(text) - ${CdcWindow - 2})) AS p)),
+       |cuts AS (SELECT doc_id, text, CAST(p AS INT) AS st FROM pos
+       |         WHERE ($sqlCdcHash) % $CdcMask = 0),
+       |starts AS (SELECT doc_id, text, 1 AS st FROM t
+       |           UNION ALL SELECT doc_id, text, st FROM cuts),
+       |chunks AS (SELECT doc_id, st,
+       |             CAST(COALESCE(LEAD(st) OVER w, length(text) + 1) - st AS INT) AS len,
+       |             CAST(row_number() OVER w - 1 AS INT) AS chunk_idx,
+       |             text
+       |           FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY st))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t_cdc_chunks" ->
+      s"""WITH $sqlCdcChunks
+         |SELECT doc_id, chunk_idx, CAST(st AS INT) AS start, len,
+         |       md5(substr(text, st, len)) AS chunk_md5
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d_cdc_dedup" ->
+      s"""WITH $sqlCdcChunks,
+         |hashed AS (SELECT doc_id, md5(substr(text, st, len)) AS chunk_md5, len
+         |           FROM chunks)
+         |SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |       CAST(MAX(len) AS INT) AS len
+         |FROM hashed GROUP BY chunk_md5
+         |HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY chunk_md5""".stripMargin,
     "t_line_dedup" ->
       s"""WITH $sqlLines,
          |heavy AS (SELECT line FROM (

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The content-defined-chunking contract: chunks tile each document
+  * exactly, boundaries re-synchronize after an insertion (the property
+  * fixed-size chunking lacks), and the planted disclaimer's chunks
+  * re-align across the documents that carry it. */
+class CdcSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("chunks tile every document: contiguous starts, lengths sum to len") {
+    val bad = CorpusClean.cdcChunks(s, sf)
+      .withColumn("next_start",
+        lead(col("start"), 1) over org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("chunk_idx"))
+      .filter(col("next_start").isNotNull &&
+        col("next_start") =!= col("start") + col("len"))
+      .count()
+    assert(bad == 0, s"$bad non-contiguous chunk boundaries")
+    val firsts = CorpusClean.cdcChunks(s, sf)
+      .filter(col("chunk_idx") === 0 && col("start") =!= 1).count()
+    assert(firsts == 0, "every doc's first chunk must start at 1")
+  }
+
+  test("boundaries re-synchronize after a prefix insertion") {
+    import s.implicits._
+    val dir = graft.TempPaths.scratch(s, "cdc_shift")
+    // non-repetitive: a periodic phrase has only period-many distinct
+    // windows and can dodge the cut mask entirely
+    val base = (0 until 160).map(i => "tok" + (i * 7919 % 1000)).mkString(" ")
+    // ids 1 and 2: neither is %5==0, so no disclaimer is appended
+    Seq((1L, base), (2L, "inserted prefix words here " + base))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = CorpusClean.cdcChunks(s, dir).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(4)).toSeq).toMap
+    val shared = chunks(1L).toSet.intersect(chunks(2L).toSet)
+    assert(chunks(1L).size >= 3, s"fixture too short: ${chunks(1L).size} chunks")
+    assert(shared.size >= chunks(1L).size - 2,
+      s"only ${shared.size}/${chunks(1L).size} chunks survived the shift — " +
+        "boundaries failed to re-synchronize")
+  }
+
+  test("the planted disclaimer re-aligns across the docs that carry it") {
+    val nDisc = graft.Tables.documents(s, sf)
+      .filter(col("doc_id") % 5 === 0 && length(col("text")) > 0).count()
+    val top = CorpusClean.cdcDedup(s, sf)
+      .agg(max(col("n_docs"))).collect().head.getLong(0)
+    assert(top >= (nDisc * 8) / 10,
+      s"most-shared chunk spans $top docs; expected ≈ the $nDisc disclaimer docs")
+  }
+}
