@@ -273,7 +273,13 @@ object Similarity {
     * exact path is asserted in SimilaritySpec. Centroids come from the
     * STAGED index (build-once/probe-many) — a probe never re-aggregates
     * the corpus. */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    annIvfWith(s, d, lit(true))
+
+  /** The IVF probe with a candidate predicate applied at the POSTING
+    * level (shared by [[annIvf]] — predicate `true` — and
+    * [[annFiltered]]). */
+  private def annIvfWith(s: SparkSession, d: String, cand: Column): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_label").asc)
     val probed = queriesDf(s, d)
@@ -285,12 +291,54 @@ object Similarity {
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     probed
-      .join(emb(s, d), col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .join(emb(s, d).filter(cand),
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosineF(col("embedding"), col("q_emb")).as("cosine"))
       .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
+  }
+
+  /** `v_ann_filtered` — FILTERED vector search (the predicate+ANN hybrid
+    * every vector store ships: "nearest documents WHERE lang = en"): the
+    * metadata predicate (vec_id ≡ 0 mod 3 here) is applied to the
+    * POSTINGS BEFORE ranking — PRE-filtering, the correct semantics —
+    * so the top-k is the best k among qualifying vectors. The tempting
+    * alternative (post-filtering the unfiltered top-k) silently
+    * UNDER-FILLS k whenever the unfiltered neighborhood is mostly
+    * non-qualifying; this leg pins the pre-filter contract with an
+    * oracle that ranks only qualifying candidates.
+    *
+    * Scale shape: identical to [[annIvf]] — the predicate rides the
+    * posting scan (pushed to parquet when postings are stored with
+    * metadata columns), probe cost still NProbe/k of the index. */
+  def annFiltered(s: SparkSession, d: String): DataFrame =
+    annIvfWith(s, d, pmod(col("vec_id"), lit(3)) === 0)
+
+  /** `v_ann_delete` — DELETES in the ANN index as MERGE-ON-READ
+    * tombstones (the delete-vector discipline of
+    * `operators/Formats.scala` applied to the vector side, closing the
+    * index-maintenance story `v_incremental_ann` opened for inserts):
+    * the erased set (vec_id ≡ 4 mod 10) is anti-joined out of the
+    * STAGED postings at probe time — the index files are NOT
+    * rewritten, and the query REQUIREs the staged postings still
+    * physically contain tombstoned rows before masking them, so a
+    * rebuild masquerading as a delete fails loudly. At 100 TB the
+    * tombstone set is a broadcast bitmap and deletion cost is O(delete
+    * batch), never O(index). */
+  def annDelete(s: SparkSession, d: String): DataFrame = {
+    val (cPath, pPath) = ensureIncAnnStaged(s, d)
+    val staged = s.read.parquet(pPath)
+      .select(col("vec_id"), col("embedding"), col("c_label"))
+    val tombs = emb(s, d).filter(isTombVec).select(col("vec_id"))
+    // bounded probe: one row suffices to witness merge-on-read
+    val stillThere = staged
+      .join(broadcast(tombs), Seq("vec_id"), "left_semi").limit(1).count()
+    require(stillThere > 0,
+      "staged postings no longer contain tombstoned ids — index was rewritten")
+    val live = staged.join(broadcast(tombs), Seq("vec_id"), "left_anti")
+    incAnnProbe(s, d, s.read.parquet(cPath), live)
   }
 
   // ---- LSH-bucketed ANN: signed random projections (SRP / SimHash for
@@ -1398,6 +1446,8 @@ object Similarity {
   // NProbe/k of the index, never all of it. ----
 
   private val isDeltaVec: Column = pmod(col("vec_id"), lit(10)) === lit(7)
+  // the erased slice for v_ann_delete — disjoint from the delta slice
+  private val isTombVec: Column = pmod(col("vec_id"), lit(10)) === lit(4)
 
   private[operators] val incAnnBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -1486,6 +1536,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_incremental_ann" -> (incrementalAnn _),
+    "v_ann_filtered" -> (annFiltered _),
+    "v_ann_delete" -> (annDelete _),
     "v_ann_nsw" -> (annNsw _),
     "v_ann_mrr" -> (annMrr _),
     "v_embed_stats" -> (embedStats _),
@@ -2041,6 +2093,80 @@ object Similarity {
          |scored AS (
          |  SELECT p.q_id, a.vec_id, ${sqlCos("a.embedding", "p.q_emb")} AS cosine
          |  FROM probed p JOIN assigned a ON a.c_label = p.c_label AND a.vec_id <> p.q_id
+         |  WHERE p.pr <= 2),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    // the pre-filter contract: only qualifying vectors are ranked
+    "v_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |expl AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos,
+         |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |           / (COUNT(*) * 1000000.0) AS c
+         |  FROM expl GROUP BY label, pos),
+         |carr AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+         |  FROM cent GROUP BY label),
+         |probed AS (
+         |  SELECT q_id, q_emb, c_label,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY ${sqlCos("q_emb", "centroid")} DESC, c_label ASC) AS pr
+         |  FROM q, carr),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id, ${sqlCos("e.embedding", "p.q_emb")} AS cosine
+         |  FROM probed p JOIN embeddings e
+         |    ON e.label = p.c_label AND e.vec_id <> p.q_id AND e.vec_id % 3 = 0
+         |  WHERE p.pr <= 2),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    // the merge-on-read contract: ranked over the base index minus the
+    // tombstoned slice (the index itself still contains those rows —
+    // the engine REQUIREs that before masking)
+    "v_ann_delete" ->
+      s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+         |expl AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM base),
+         |cent AS (
+         |  SELECT label, pos,
+         |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |           / (COUNT(*) * 1000000.0) AS c
+         |  FROM expl GROUP BY label, pos),
+         |carr AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+         |  FROM cent GROUP BY label),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_label FROM (
+         |    SELECT e.vec_id, e.embedding, carr.c_label,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "carr.centroid")} DESC,
+         |                      carr.c_label ASC) AS ar
+         |    FROM base e, carr) WHERE ar = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |probed AS (
+         |  SELECT q_id, q_emb, c_label,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY ${sqlCos("q_emb", "centroid")} DESC, c_label ASC) AS pr
+         |  FROM q, carr),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id, ${sqlCos("a.embedding", "p.q_emb")} AS cosine
+         |  FROM probed p JOIN assigned a
+         |    ON a.c_label = p.c_label AND a.vec_id <> p.q_id AND a.vec_id % 10 <> 4
          |  WHERE p.pr <= 2),
          |ranked AS (
          |  SELECT q_id, vec_id, cosine,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Filtered search and merge-on-read deletes on the ANN index: the
+  * pre-filter contract (only qualifying vectors ranked, k filled from
+  * the qualifying pool) and the tombstone contract (erased ids absent
+  * from results while still physically present in the staged index). */
+class AnnMaintenanceSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("filtered search returns only qualifying vectors, k of them") {
+    val rows = Similarity.queries("v_ann_filtered")(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 3 == 0, s"non-qualifying vec ${r.getLong(2)} ranked")
+    }
+    val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    perQ.foreach { case (q, n) => assert(n == 5, s"query $q returned $n of 5") }
+  }
+
+  test("pre-filtering differs from post-filtering the unfiltered top-k") {
+    val post = Similarity.queries("v_ann_ivf")(s, sf).collect()
+      .filter(_.getLong(2) % 3 == 0)
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // post-filtering must under-fill k for at least one query on the
+    // fixture — the failure mode the pre-filter leg exists to avoid
+    assert(post.values.exists(_ < 5),
+      s"fixture surprise: post-filter filled k everywhere ($post)")
+  }
+
+  test("deleted ids never surface, yet remain in the staged index") {
+    val rows = Similarity.queries("v_ann_delete")(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 10 != 4, s"tombstoned vec ${r.getLong(2)} surfaced")
+    }
+    // the engine REQUIREs presence before masking; re-check independently
+    val (_, pPath) = Similarity.ensureIncAnnStaged(s, sf)
+    val tombed = s.read.parquet(pPath).filter(pmod(col("vec_id"), lit(10)) === 4).count()
+    assert(tombed > 0, "staged postings must still hold tombstoned rows")
+  }
+}
