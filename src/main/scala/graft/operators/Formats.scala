@@ -384,6 +384,118 @@ object Formats {
          |ORDER BY version""".stripMargin)
   }
 
+  private val cloneRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_clone` — SHALLOW CLONE on the manifest format (Delta's
+    * zero-copy clone): a new TABLE whose first manifest lists the
+    * SOURCE's data files BY PATH — no byte is copied, creation cost is
+    * O(manifest), and the clone diverges independently afterwards
+    * (each table appends its own files; the shared files stay shared).
+    * The query REQUIREs the clone's directory holds no data files
+    * (metadata-only creation witness) and that its manifest points
+    * into the source's data dir; the emitted per-(table, version)
+    * totals prove isolation — the source's post-clone commit is
+    * invisible to the clone and vice versa. The dev/staging workflow
+    * this enables (clone prod, experiment, throw away) only works at
+    * 100 TB because nothing is copied. */
+  def cloneTable(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "clone") + "/run" + cloneRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/src_data/$name"); s"$base/src_data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 4 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 4 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 4 === 2))
+    val fD = writeFile("D", o.filter(col("o_orderkey") % 4 === 3))
+    def commit(table: String, v: Int, files: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/$table/manifest-v$v.txt"),
+        files.mkString("\n").getBytes("UTF-8")): Unit
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/clone"))
+    commit("src", 1, Seq(fA))
+    commit("src", 2, Seq(fA, fB))
+    // SHALLOW CLONE at src v2: copy the MANIFEST CONTENT, not the data
+    val srcV2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/src/manifest-v2.txt")), "UTF-8")
+      .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    commit("clone", 1, srcV2)
+    // divergence: each table appends its own file
+    commit("src", 3, Seq(fA, fB, fC))
+    commit("clone", 2, srcV2 :+ fD)
+    // zero-copy witness: the clone dir carries manifests only, and every
+    // clone manifest line resolves into the SOURCE's data dir
+    val cloneFiles = Option(new java.io.File(s"$base/clone").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq
+    require(cloneFiles.nonEmpty && cloneFiles.forall(_.startsWith("manifest-v")),
+      s"clone dir must hold only manifests, got $cloneFiles")
+    require(srcV2.forall(_.contains("/src_data/")),
+      "clone manifest must reference the source's data files by path")
+    def readVersion(table: String, v: Int): DataFrame = {
+      val files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/$table/manifest-v$v.txt")), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty)
+      s.read.parquet(files: _*)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(table).as("tbl"), lit(v).as("version"),
+          col("n_rows"), col("total_cents"))
+    }
+    Seq(readVersion("src", 2), readVersion("src", 3),
+      readVersion("clone", 1), readVersion("clone", 2))
+      .reduce(_ unionByName _)
+      .orderBy("tbl", "version")
+  }
+
+  private val restoreRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_restore` — RESTORE TABLE TO VERSION as a ROLL-FORWARD commit
+    * (Delta's RESTORE): recovering from a bad commit writes a NEW
+    * version whose manifest is the target version's file list — never
+    * a rollback that erases history, so the bad versions stay
+    * readable for the post-mortem and concurrent readers never see
+    * the log shrink. REQUIREs the restored manifest equals the
+    * target's exactly and that every intermediate manifest survived;
+    * emits all four versions' totals so the oracle pins both the
+    * restore and the preserved history. Metadata-plane only — the
+    * restore commit is O(files) text, no data movement. */
+  def restoreTable(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "restore") + "/run" + restoreRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 4 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 4 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 4 === 2))
+    def commit(v: Int, files: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/manifest-v$v.txt"),
+        files.mkString("\n").getBytes("UTF-8")): Unit
+    def readManifest(v: Int): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/manifest-v$v.txt")), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    commit(1, Seq(fA))
+    commit(2, Seq(fA, fB))
+    commit(3, Seq(fA, fB, fC)) // the "bad" commit being recovered from
+    commit(4, readManifest(1)) // RESTORE TO v1 = roll-forward with v1's list
+    require(readManifest(4) == readManifest(1),
+      "restore must reproduce the target version's file list exactly")
+    (1 to 3).foreach { v =>
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/manifest-v$v.txt")),
+        s"history must survive the restore: manifest-v$v missing")
+    }
+    (1 to 4).map { v =>
+      s.read.parquet(readManifest(v): _*)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
   private val mvRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Applies a signed per-key delta to a materialized aggregate: `mv1`
@@ -1468,6 +1580,8 @@ object Formats {
     "k_timetravel" -> (timeTravel _),
     "k_timetravel_sql" -> (timeTravelSql _),
     "k_mv_refresh" -> (mvRefresh _),
+    "k_clone" -> (cloneTable _),
+    "k_restore" -> (restoreTable _),
     "k_log_checkpoint" -> (logCheckpoint _),
     "k_log_history" -> (logHistory _),
     "k_expectations" -> (expectations _),
@@ -1681,6 +1795,37 @@ object Formats {
          |SELECT 2 AS version, COUNT(*) AS n_rows,
          |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
          |ORDER BY version""".stripMargin,
+    // per-(table, version) totals from the slice rules: src v2 = A∪B,
+    // src v3 = A∪B∪C, clone v1 = A∪B (the zero-copy snapshot),
+    // clone v2 = A∪B∪D — the diverged branches must not see each other
+    "k_clone" -> {
+      def slice(mods: Seq[Int]) =
+        s"""SELECT COUNT(*) AS n_rows,
+           |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT)) AS BIGINT)
+           |         AS total_cents
+           |FROM orders WHERE o_orderkey % 4 IN (${mods.mkString(", ")})""".stripMargin
+      s"""SELECT 'clone' AS tbl, 1 AS version, n_rows, total_cents FROM (${slice(Seq(0, 1))})
+         |UNION ALL
+         |SELECT 'clone', 2, n_rows, total_cents FROM (${slice(Seq(0, 1, 3))})
+         |UNION ALL
+         |SELECT 'src', 2, n_rows, total_cents FROM (${slice(Seq(0, 1))})
+         |UNION ALL
+         |SELECT 'src', 3, n_rows, total_cents FROM (${slice(Seq(0, 1, 2))})
+         |ORDER BY tbl, version""".stripMargin
+    },
+    // v1 = A, v2 = A∪B, v3 = A∪B∪C, v4 (the restore) = A again
+    "k_restore" -> {
+      def slice(mods: Seq[Int]) =
+        s"""SELECT COUNT(*) AS n_rows,
+           |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT)) AS BIGINT)
+           |         AS total_cents
+           |FROM orders WHERE o_orderkey % 4 IN (${mods.mkString(", ")})""".stripMargin
+      s"""SELECT 1 AS version, n_rows, total_cents FROM (${slice(Seq(0))})
+         |UNION ALL SELECT 2, n_rows, total_cents FROM (${slice(Seq(0, 1))})
+         |UNION ALL SELECT 3, n_rows, total_cents FROM (${slice(Seq(0, 1, 2))})
+         |UNION ALL SELECT 4, n_rows, total_cents FROM (${slice(Seq(0))})
+         |ORDER BY version""".stripMargin
+    },
     // the refreshed view ≡ the v2 table state aggregated from scratch:
     // all of orders (%3 covers every key) with +5.00 on the rewritten slice
     "k_mv_refresh" ->
