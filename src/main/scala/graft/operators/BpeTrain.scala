@@ -105,6 +105,68 @@ object BpeTrain {
       .orderBy("step")
   }
 
+  // ---- WordPiece-style GREEDY LONGEST-MATCH tokenization — the OTHER
+  // production tokenizer runtime next to BPE's merge-rank replay: BERT
+  // tokenizes by greedily taking the longest vocab entry at each
+  // position. Vocab here = every single char (implicit) + the top-K
+  // corpus char bigrams + top-K trigrams by occurrence-weighted count
+  // with (count DESC, gram ASC) tie order — a deterministic frequency
+  // rule both engines derive identically, so the greedy walk (unrolled
+  // ≤ MaxWordLen steps in the oracle, the t_bpe_apply pattern) is
+  // hash-checked end to end. ----
+  private val WpK = 64
+
+  /** Occurrence-weighted char n-gram counts over the word table
+    * (overlapping starts count; weight = corpus word frequency). */
+  private def ngramCounts(s: SparkSession, d: String, n: Int): DataFrame =
+    wordCounts(s, d).filter(length(col("w")) >= n)
+      .select(col("cnt"), explode(expr(
+        s"transform(sequence(1, length(w) - ${n - 1}), i -> substr(w, i, $n))")).as("g"))
+      .groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+
+  /** Top-K grams — a bounded vocab sync (≤ [[WpK]] rows), the codebook
+    * pattern. */
+  private def topNgrams(s: SparkSession, d: String, n: Int): Seq[String] =
+    ngramCounts(s, d, n).orderBy(col("n").desc, col("g").asc).limit(WpK)
+      .collect().map(_.getString(0)).toSeq
+
+  /** The greedy walk: longest vocab match at each position (3 beats 2
+    * beats the single-char fallback). ≤ [[MaxWordLen]] steps per word. */
+  private[operators] def wpTokenCount(w: String, v2: Set[String], v3: Set[String]): Int = {
+    var p = 0; var t = 0
+    while (p < w.length) {
+      val step =
+        if (p + 3 <= w.length && v3(w.substring(p, p + 3))) 3
+        else if (p + 2 <= w.length && v2(w.substring(p, p + 2))) 2
+        else 1
+      p += step; t += 1
+    }
+    t
+  }
+
+  /** `t_wordpiece` — per-doc token accounting under greedy longest-match
+    * with the frequency-derived subword vocab. Tokenization runs over
+    * the O(vocab) DISTINCT-word table (never per occurrence — the
+    * t_bpe_apply discipline) with the two gram sets broadcast; per-doc
+    * totals come from the usual word-count join. */
+  def wordpiece(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v2 = topNgrams(s, d, 2).toSet
+    val v3 = topNgrams(s, d, 3).toSet
+    val tokLen = wordCounts(s, d).select(col("w")).as[String]
+      .map(w => (w, wpTokenCount(w, v2, v3))).toDF("w", "tok_len")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxWordLen)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .join(tokLen, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * length(col("w"))).as("n_chars"),
+        sum(col("c") * col("tok_len")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** `t_bpe_apply` — CLOSES THE TRAIN→APPLY LOOP: tokenize the corpus
     * with the vocabulary the engine itself just learned. The merge table
     * from [[trainedMerges]] is applied to the O(vocab) DISTINCT-word
@@ -172,6 +234,7 @@ object BpeTrain {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> (bpeTrain _),
     "t_bpe_apply" -> (bpeApply _),
+    "t_wordpiece" -> (wordpiece _),
     "t_bpe_curve" -> (bpeCurve _),
   )
 
@@ -244,6 +307,57 @@ object BpeTrain {
     },
     // the same unrolled train chain, carrying each word through the four
     // rewrites, then billing every document against the tokenized vocab
+    // the greedy longest-match walk, unrolled MaxWordLen times: each
+    // step consumes the longest vocab gram at the head of the remainder
+    "t_wordpiece" -> {
+      val steps = (1 to MaxWordLen).map { t =>
+        val prev = if (t == 1) "t0" else s"t${t - 1}"
+        s"""t$t AS (
+           |  SELECT w,
+           |    CASE WHEN length(rem) = 0 THEN rem
+           |         WHEN length(rem) >= 3 AND substr(rem, 1, 3) IN (SELECT g FROM v3)
+           |           THEN substr(rem, 4)
+           |         WHEN length(rem) >= 2 AND substr(rem, 1, 2) IN (SELECT g FROM v2)
+           |           THEN substr(rem, 3)
+           |         ELSE substr(rem, 2) END AS rem,
+           |    CASE WHEN length(rem) = 0 THEN tok ELSE tok + 1 END AS tok
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= $MaxWordLen
+         |  GROUP BY w),
+         |g2 AS (
+         |  SELECT substr(w, CAST(i AS INT), 2) AS g, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM w, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+         |  WHERE length(w) >= 2 GROUP BY 1),
+         |v2 AS (SELECT g FROM (
+         |  SELECT g, row_number() OVER (ORDER BY n DESC, g ASC) AS rn FROM g2)
+         |  WHERE rn <= $WpK),
+         |g3 AS (
+         |  SELECT substr(w, CAST(i AS INT), 3) AS g, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM w, LATERAL (SELECT unnest(range(1, length(w) - 1)) AS i)
+         |  WHERE length(w) >= 3 GROUP BY 1),
+         |v3 AS (SELECT g FROM (
+         |  SELECT g, row_number() OVER (ORDER BY n DESC, g ASC) AS rn FROM g3)
+         |  WHERE rn <= $WpK),
+         |t0 AS (SELECT w, w AS rem, 0 AS tok FROM w),
+         |$steps,
+         |vocab AS (SELECT w, CAST(tok AS INT) AS tok_len FROM t$MaxWordLen),
+         |dw AS (
+         |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= $MaxWordLen
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(SUM(c) AS BIGINT) AS n_words,
+         |       CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(c * tok_len) AS BIGINT) AS n_tokens
+         |FROM dw JOIN vocab USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
     "t_bpe_apply" -> {
       val steps = (1 to BpeMerges).map(t => mergeStep(t, if (t == 1) "s0" else s"s${t - 1}",
           carry = "w, cnt"))

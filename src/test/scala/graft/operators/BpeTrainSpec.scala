@@ -112,4 +112,27 @@ class BpeTrainSpec extends AnyFunSuite {
       assert(v2 <= v1 + 1, s"merge $k added ${v2 - v1} symbols")
     }
   }
+
+  test("wordpiece greedy walk: longest match wins, single-char fallback") {
+    val v2 = Set("bc", "lo")
+    val v3 = Set("abc", "hel")
+    // abcabc → abc|abc (3 beats the bc-at-offset-1 2-gram)
+    assert(BpeTrain.wpTokenCount("abcabc", v2, v3) == 2)
+    // hello → hel|lo (3 then 2)
+    assert(BpeTrain.wpTokenCount("hello", v2, v3) == 2)
+    // xyz → x|y|z (nothing matches — all singles)
+    assert(BpeTrain.wpTokenCount("xyz", v2, v3) == 3)
+    // abcd → abc|d (greedy leaves the orphan)
+    assert(BpeTrain.wpTokenCount("abcd", v2, v3) == 2)
+  }
+
+  test("wordpiece compresses the fixture: tokens strictly under chars") {
+    val rows = BpeTrain.wordpiece(s, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val (chars, toks) = rows.foldLeft((0L, 0L)) { case ((c, t), r) =>
+      (c + r.getLong(2), t + r.getLong(3))
+    }
+    assert(toks < chars, s"no compression: $toks tokens vs $chars chars")
+    assert(toks >= chars / 3, "tokens cannot beat the 3-gram floor")
+  }
 }
