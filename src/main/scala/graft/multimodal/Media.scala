@@ -406,6 +406,46 @@ object Media {
       .orderBy("media_id")
   }
 
+  // ---- Framed DCT-II spectral features (the MFCC front half): the
+  // transform is made integer-exact by SCALING THE BASIS, not the
+  // signal — C(k,n) = floor(cos(π(2n+1)k/32)·4096) is computed ONCE in
+  // Scala and EMBEDDED AS LITERALS in the SQL oracle, so both engines
+  // multiply identical integers and the coefficients hash bit-for-bit
+  // (computing cos() independently per engine would drift by an ulp and
+  // flip the floor). ----
+  private val DctN = 16
+  private val DctK = 8
+  private[multimodal] lazy val dctTable: Array[Array[Long]] =
+    Array.tabulate(DctK, DctN)((k, n) =>
+      math.floor(math.cos(math.Pi * (2 * n + 1) * k / (2.0 * DctN)) * 4096.0).toLong)
+
+  /** `m_mfcc` — DCT-II coefficients over 16-sample channel-0 windows of
+    * REAL decoded WAV audio: X[k] = Σₙ x[n]·C(k,n) for k < 8 — the
+    * spectral half of an MFCC pipeline (mel binning and the log are
+    * monotone post-maps; the DCT is where the numerics live). Complete
+    * windows only; all integer. Zero shuffles: a clip's samples arrive
+    * in one record, so windows and coefficients compute inside the
+    * per-record flatMap, output ∝ total windows. */
+  def mfcc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, d)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val a = WavCodec.decode(bytes)
+        val nwin = a.nFrames / DctN
+        for (win <- 0 until nwin; k <- 0 until DctK) yield {
+          var acc = 0L
+          var n = 0
+          while (n < DctN) {
+            acc += a.samples((win * DctN + n) * a.channels).toLong * dctTable(k)(n)
+            n += 1
+          }
+          (id, win, k, acc)
+        }
+      }))
+      .toDF("media_id", "win", "k", "coeff")
+      .orderBy("media_id", "win", "k")
+  }
+
   /** Mean-abs-error budget for the ADPCM round trip on the ramp fixture:
     * generous but finite — slope-overload garbage or a broken state
     * machine blows it immediately (observed mean error is far lower;
@@ -943,6 +983,7 @@ object Media {
     "m_gif_frames" -> (gifFrames _),
     "m_keyframes" -> (keyframes _),
     "m_dhash_neardup" -> (dhashNeardup _),
+    "m_mfcc" -> (mfcc _),
     "m_avi_frames" -> (aviFrames _),
     "m_ppm_decode" -> (ppmDecode _),
     "m_patchify" -> (patchify _),
@@ -1193,6 +1234,29 @@ object Media {
         |                 WHEN df.diff * cl.cnt > cl.tot THEN 1 ELSE 0 END AS INT) AS is_key
         |FROM df JOIN cl USING (doc_id)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // the DCT over the closed-form channel-0 samples, multiplying the
+    // SAME integer basis the engine computed (embedded as literals)
+    "m_mfcc" -> {
+      val basis = (for (k <- 0 until DctK; n <- 0 until DctN)
+        yield s"($k, $n, ${dctTable(k)(n)})").mkString(", ")
+      s"""WITH au AS (
+         |  SELECT doc_id, (doc_id % 50) + 20 AS frames, 1 + (doc_id % 2) AS ch
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |w AS (
+         |  SELECT doc_id, ch, win
+         |  FROM au, LATERAL (SELECT unnest(range(0, frames // $DctN)) AS win)),
+         |sm AS (
+         |  SELECT doc_id, win, nn,
+         |         ((doc_id * 7 + (win * $DctN + nn) * ch * 13) % 65536) - 32768 AS v
+         |  FROM w, LATERAL (SELECT unnest(range(0, $DctN)) AS nn)),
+         |c AS (SELECT * FROM (VALUES $basis) AS t(k, nn, cv)),
+         |x AS (
+         |  SELECT doc_id, win, k, CAST(SUM(v * cv) AS BIGINT) AS coeff
+         |  FROM sm JOIN c USING (nn) GROUP BY 1, 2, 3)
+         |SELECT doc_id AS media_id, CAST(win AS INT) AS win,
+         |       CAST(k AS INT) AS k, coeff
+         |FROM x ORDER BY media_id, win, k""".stripMargin
+    },
     // dHash recomputed closed-form: pixel g = xor((base·31+i)%256, twin),
     // 2×2 block sums, bit k = r·8+c from adjacent-sum compare, four
     // 16-bit band keys, band-blocked candidates, exact Hamming cut
