@@ -384,6 +384,63 @@ object Formats {
          |ORDER BY version""".stripMargin)
   }
 
+  private val rowTrackRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_row_tracking` — STABLE ROW IDENTITY across file rewrites (Delta
+    * row tracking): every row receives a synthetic `row_id` at INGEST
+    * (a salted 64-bit hash minted by the commit — a NARROW MAP, no
+    * global window, because a global rank would serialize the ingest;
+    * uniqueness is REQUIREd rather than assumed), and a rewrite (here:
+    * full compaction + a price correction on one slice) CARRIES the
+    * ids through to the new files. That identity is what file-level
+    * CDF cannot give: diffing v1→v2 by FILE yields only remove-all +
+    * add-all, but joining the two states ON row_id classifies every
+    * row as unchanged or UPDATED with exact before/after — row-level
+    * lineage through a 100% rewrite. REQUIREs the two versions share
+    * NO data files (it really was a full rewrite) and that the row-id
+    * sets are identical (identity survived). Output: per change class,
+    * row count and the exact old/new money totals.
+    *
+    * Scale shape: id minting is shuffle-free; the lineage join is
+    * row_id-equi — shuffled co-partitioned, never all-pairs. */
+  def rowTracking(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "rowtrack") + "/run" + rowTrackRuns.incrementAndGet()
+    val ingest = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+      .withColumn("row_id", xxhash64(lit("ingest1"), col("o_orderkey")))
+    val Array(n, nIds) = ingest
+      .agg(count(lit(1)), countDistinct(col("row_id"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == nIds, s"minted ids must be unique: $nIds ids for $n rows")
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    // v1: two ingest files, ids minted here and never again
+    val fA = writeFile("A", ingest.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeFile("B", ingest.filter(col("o_orderkey") % 3 =!= 0))
+    val v1 = s.read.parquet(fA, fB)
+    // v2: ONE compacted file, %3==1 rows corrected, row_id CARRIED
+    val fAB = writeFile("AB2", v1.withColumn("cents",
+      when(col("o_orderkey") % 3 === 1, col("cents") + 500).otherwise(col("cents"))))
+    val v2 = s.read.parquet(fAB)
+    require(v1.inputFiles.toSet.intersect(v2.inputFiles.toSet).isEmpty,
+      "v2 must be a full rewrite — no shared data files with v1")
+    val onlyV1 = v1.select("row_id").exceptAll(v2.select("row_id")).limit(1).count()
+    val onlyV2 = v2.select("row_id").exceptAll(v1.select("row_id")).limit(1).count()
+    require(onlyV1 == 0 && onlyV2 == 0,
+      "row-id sets must be identical across the rewrite")
+    v1.select(col("row_id"), col("cents").as("old_cents"))
+      .join(v2.select(col("row_id"), col("cents").as("new_cents")), Seq("row_id"))
+      .select(when(col("old_cents") === col("new_cents"), lit("unchanged"))
+          .otherwise(lit("updated")).as("change"),
+        col("old_cents"), col("new_cents"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("old_cents")).as("sum_old_cents"),
+        sum(col("new_cents")).as("sum_new_cents"))
+      .orderBy("change")
+  }
+
   private val cloneRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_clone` — SHALLOW CLONE on the manifest format (Delta's
@@ -1582,6 +1639,7 @@ object Formats {
     "k_mv_refresh" -> (mvRefresh _),
     "k_clone" -> (cloneTable _),
     "k_restore" -> (restoreTable _),
+    "k_row_tracking" -> (rowTracking _),
     "k_log_checkpoint" -> (logCheckpoint _),
     "k_log_history" -> (logHistory _),
     "k_expectations" -> (expectations _),
@@ -1795,6 +1853,23 @@ object Formats {
          |SELECT 2 AS version, COUNT(*) AS n_rows,
          |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
          |ORDER BY version""".stripMargin,
+    // by the slice rules: %3==1 rows updated (+5.00 each), the rest
+    // unchanged — the engine's row_id pairing must land on exactly this
+    "k_row_tracking" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |         CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT) AS c
+         |  FROM orders)
+         |SELECT 'unchanged' AS change, COUNT(*) AS n_rows,
+         |       CAST(SUM(c) AS BIGINT) AS sum_old_cents,
+         |       CAST(SUM(c) AS BIGINT) AS sum_new_cents
+         |FROM base WHERE k % 3 <> 1
+         |UNION ALL
+         |SELECT 'updated', COUNT(*),
+         |       CAST(SUM(c) AS BIGINT),
+         |       CAST(SUM(c + 500) AS BIGINT)
+         |FROM base WHERE k % 3 = 1
+         |ORDER BY change""".stripMargin,
     // per-(table, version) totals from the slice rules: src v2 = A∪B,
     // src v3 = A∪B∪C, clone v1 = A∪B (the zero-copy snapshot),
     // clone v2 = A∪B∪D — the diverged branches must not see each other
