@@ -488,6 +488,59 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  def cusum(s: SparkSession, d: String): DataFrame =
+    cusumOf(s, Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n")))
+
+  /** `e_cusum` — CUSUM level-shift detection over the dense daily grid,
+    * the third anomaly class next to the spike gates ([[rateAnomalyOf]]
+    * window-relative, [[ewmaOf]] smoothed-level-relative): a single
+    * spike barely moves it, but a SUSTAINED shift accumulates —
+    * s_t = max(0, s_{t−1} + (1000·n_t − μ₁₀₀₀ − k₁₀₀₀)) in fixed point,
+    * slack k = μ/4, alarm at s > 2·μ₁₀₀₀ — the textbook one-sided
+    * CUSUM, integer end to end. μ comes from the FIRST [[CusumBaseline]]
+    * grid days (the in-control reference window CUSUM requires — a
+    * whole-series mean is contaminated by the very shift it is trying
+    * to detect and the drift term collapses to zero). The recursion is
+    * inherently sequential per type, so the oracle steps the identical
+    * update through a RECURSIVE CTE (the [[ewmaOf]] contract); per-type
+    * work is O(calendar days) — bounded by time, not corpus. */
+  private val CusumBaseline = 7
+
+  private[operators] def cusumOf(s: SparkSession, daily: DataFrame): DataFrame = {
+    import s.implicits._
+    val b = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1")).head()
+    require(!b.isNullAt(0), "empty daily series — CUSUM needs at least one day")
+    val d0 = b.getDate(0)
+    val nDays = (b.getDate(1).toLocalDate.toEpochDay - d0.toLocalDate.toEpochDay).toInt + 1
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(s.range(nDays).toDF("idx"))
+      .select(col("event_type"), col("idx").cast("int").as("idx"),
+        date_add(lit(d0), col("idx").cast("int")).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("idx"), coalesce(col("n"), lit(0L)).as("n"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tp: String, it: Iterator[(String, Int, Long)]) =>
+        val rows = it.toArray.sortBy(_._2) // O(calendar days) per type
+        val baseline = rows.filter(_._2 < CusumBaseline)
+        val mu1000 = baseline.map(_._3).sum * 1000L / baseline.length
+        val k1000 = mu1000 / 4L
+        val h = 2L * mu1000
+        var sPrev = 0L
+        rows.iterator.map { case (_, idx, n) =>
+          val sCur = math.max(0L, sPrev + (1000L * n - mu1000 - k1000))
+          sPrev = sCur
+          (tp, idx, n, sCur, if (sCur > h) 1 else 0)
+        }
+      }
+      .toDF("event_type", "idx", "n", "cusum_s", "alarm")
+      .withColumn("day", date_add(lit(d0), col("idx")))
+      .select(col("event_type"), col("day"), col("n"), col("cusum_s"), col("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   /** The anomaly gate over an already-aggregated (day, event_type, n)
     * frame — split out so RateAnomalySpec can feed a synthetic calendar
     * WITH a quiet gap: the sf fixtures are gap-free (every calendar day
@@ -867,6 +920,7 @@ object Events {
     "e_growth_accounting" -> (growthAccounting _),
     "e_rate_anomaly" -> (rateAnomaly _),
     "e_ewma" -> (ewma _),
+    "e_cusum" -> (cusum _),
     "e_mad_anomaly" -> (madAnomaly _),
     "e_gapfill" -> (gapfill _),
     "e_interpolate" -> (interpolate _),
@@ -1052,6 +1106,37 @@ object Events {
         |                 THEN 1 ELSE 0 END AS INT) AS spike
         |FROM ew
         |ORDER BY event_type, day""".stripMargin,
+    "e_cusum" ->
+      s"""WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) - MIN(day) AS nd FROM daily),
+        |grid AS (
+        |  SELECT t.event_type, CAST(i AS INT) AS idx, b.d0 + CAST(i AS INT) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) t, b,
+        |       LATERAL (SELECT unnest(generate_series(0, CAST(b.nd AS BIGINT))) AS i)),
+        |serie AS (
+        |  SELECT g.event_type, g.idx, g.day, COALESCE(d.n, 0) AS n
+        |  FROM grid g LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day),
+        |mu AS (
+        |  SELECT event_type, SUM(n) * 1000 // COUNT(*) AS mu1000
+        |  FROM serie WHERE idx < $CusumBaseline GROUP BY event_type),
+        |cu AS (
+        |  SELECT s.event_type, s.idx, s.day, s.n,
+        |         GREATEST(CAST(0 AS BIGINT),
+        |           1000 * s.n - m.mu1000 - m.mu1000 // 4) AS s
+        |  FROM serie s JOIN mu m USING (event_type) WHERE s.idx = 0
+        |  UNION ALL
+        |  SELECT s2.event_type, s2.idx, s2.day, s2.n,
+        |         GREATEST(CAST(0 AS BIGINT),
+        |           c.s + 1000 * s2.n - m.mu1000 - m.mu1000 // 4)
+        |  FROM cu c
+        |  JOIN serie s2 ON s2.event_type = c.event_type AND s2.idx = c.idx + 1
+        |  JOIN mu m ON m.event_type = s2.event_type)
+        |SELECT c.event_type, c.day, c.n, CAST(c.s AS BIGINT) AS cusum_s,
+        |       CAST(CASE WHEN c.s > 2 * m.mu1000 THEN 1 ELSE 0 END AS INT) AS alarm
+        |FROM cu c JOIN mu m USING (event_type)
+        |ORDER BY c.event_type, c.day""".stripMargin,
     "e_mad_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
