@@ -508,7 +508,7 @@ object Events {
     * work is O(calendar days) — bounded by time, not corpus. */
   private val CusumBaseline = 7
 
-  private[operators] def cusumOf(s: SparkSession, daily: DataFrame): DataFrame = {
+  private[graft] def cusumOf(s: SparkSession, daily: DataFrame): DataFrame = {
     import s.implicits._
     val b = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1")).head()
     require(!b.isNullAt(0), "empty daily series — CUSUM needs at least one day")

@@ -1339,6 +1339,143 @@ object Streams {
     }
   }
 
+  // ---- STREAMING CUSUM — the level-shift detector
+  // (operators/Events.scala `e_cusum`) as a long-lived stateful stream,
+  // and the FOURTH state surface of the transformWithState family:
+  // LIST STATE. CUSUM needs an in-control baseline (the first
+  // CusumBaseline days' mean) before it can score ANY day, so the
+  // processor BUFFERS early rows in a ListState until the baseline
+  // window fills, then drains the buffer through the recursion and
+  // scores every later row directly off the O(1) ValueState
+  // (μ, k, s). Per-key state is bounded by the baseline width + three
+  // longs — O(keys), never O(stream). A type whose series is still
+  // inside its baseline window stays pending (an unbounded stream
+  // cannot know a series ended; the batch twin closes it at query
+  // end) — on the dense-grid feed every type clears the window, so
+  // the stream's output hash-equals the batch oracle. ----
+
+  final case class CuEv(event_type: String, idx: Int, day: java.sql.Date, n: Long)
+  final case class CuCore(mu1000: Long, k1000: Long, s: Long)
+  final case class CuOut(event_type: String, day: java.sql.Date, n: Long,
+      cusum_s: Long, alarm: Int)
+
+  private val CuBaseline = 7 // must match operators.Events.CusumBaseline
+
+  class CusumProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, CuEv, CuOut] {
+    @transient private var core: org.apache.spark.sql.streaming.ValueState[CuCore] = _
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[CuEv] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      core = getHandle.getValueState[CuCore]("core",
+        org.apache.spark.sql.Encoders.product[CuCore],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pending = getHandle.getListState[CuEv]("pending",
+        org.apache.spark.sql.Encoders.product[CuEv],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[CuEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CuOut] = {
+      val arrived = rows.toArray.sortBy(_.idx)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CuOut]
+      def step(c: CuCore, ev: CuEv): CuCore = {
+        val sCur = math.max(0L, c.s + (1000L * ev.n - c.mu1000 - c.k1000))
+        out += CuOut(ev.event_type, ev.day, ev.n, sCur,
+          if (sCur > 2L * c.mu1000) 1 else 0)
+        c.copy(s = sCur)
+      }
+      var cur = if (core.exists()) Some(core.get()) else None
+      arrived.foreach { ev =>
+        cur match {
+          case Some(c) => cur = Some(step(c, ev))
+          case None =>
+            pending.appendValue(ev)
+            val buf = pending.get().toArray.sortBy(_.idx)
+            if (buf.length == CuBaseline) {
+              val mu1000 = buf.map(_.n).sum * 1000L / CuBaseline
+              var c = CuCore(mu1000, mu1000 / 4L, 0L)
+              buf.foreach(b => c = step(c, b)) // drain retroactively
+              pending.clear()
+              cur = Some(c)
+            }
+        }
+      }
+      cur.foreach(core.update)
+      out.iterator
+    }
+  }
+
+  /** `e_stream_cusum` — the dense daily grid replayed through the
+    * stateful CUSUM in two micro-batches (the state — baseline buffer,
+    * then the (μ, k, s) core — crosses the batch boundary); output
+    * hash-equals the batch recursion's oracle, the streaming-twin
+    * contract. */
+  def cusumStreamReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the dense grid is feed SCAFFOLDING (at scale the same rows arrive
+    // from an upstream windowed count); rows feed in global day order
+    val daily = graft.Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val b = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1")).head()
+    val d0 = b.getDate(0)
+    val nDays = (b.getDate(1).toLocalDate.toEpochDay - d0.toLocalDate.toEpochDay).toInt + 1
+    val rows = daily.select(col("event_type")).distinct()
+      .crossJoin(s.range(nDays).toDF("idx"))
+      .select(col("event_type"), col("idx").cast("int").as("idx"),
+        date_add(lit(d0), col("idx").cast("int")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("idx"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .as[(String, Int, java.sql.Date, Long)]
+      .collect()
+      .sortBy(r => (r._2, r._1))
+    cusumReplayOf(s, rows.toIndexedSeq, "e_stream_cusum_sink", rows.length / 2)
+  }
+
+  /** The replay half, split out so CusumStreamSpec can feed a synthetic
+    * series with the batch boundary INSIDE a key's baseline window (the
+    * case the sf grid never produces — its baselines fit in batch 1). */
+  private[streaming] def cusumReplayOf(s: SparkSession,
+      rows: Seq[(String, Int, java.sql.Date, Long)], sink: String,
+      splitAt: Int): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[(String, Int, java.sql.Date, Long)]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withReplayShuffle(s) {
+        val q = in.toDS()
+          .map { case (t, i, dy, n) => CuEv(t, i, dy, n) }
+          .groupByKey(_.event_type)
+          .transformWithState(new CusumProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append).start()
+        try {
+          val (b1, b2) = rows.splitAt(splitAt)
+          in.addData(b1.toIndexedSeq); q.processAllAvailable()
+          in.addData(b2.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    s.table(sink)
+      .select(col("event_type"), col("day"), col("n"), col("cusum_s"), col("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   // ---- STREAMING DEBOUNCE with EVENT-TIME TIMERS — the third leg of
   // the transformWithState API after value-state (rate limiter) and
   // state TTL: a burst is OPEN until either a later event closes it
@@ -2003,6 +2140,7 @@ object Streams {
     "e_stream_expectations" -> (streamExpectationsReplay _),
     "e_idempotent_sink" -> (idempotentSinkReplay _),
     "e_rate_limit_stream" -> (rateLimitStreamReplay _),
+    "e_stream_cusum" -> (cusumStreamReplay _),
     "e_debounce_stream" -> (debounceStreamReplay _),
     "e_stream_pipeline" -> (streamPipelineReplay _),
     "e_dead_letter" -> (deadLetterReplay _),
@@ -2034,6 +2172,9 @@ object Streams {
     * fully SQL-expressible: the streaming operator gets a hash-checked
     * oracle, not just rows>0. */
   val oracle: Map[String, String] = Map(
+    // the streaming-twin contract verbatim: the stateful stream must
+    // land on the batch recursion's exact rows
+    "e_stream_cusum" -> graft.operators.Events.oracle("e_cusum"),
     // the batch as-of gate verbatim: DuckDB's native ASOF LEFT JOIN —
     // the streaming state machine must land on the sorted-merge answer
     "e_stream_asof" ->
