@@ -246,6 +246,40 @@ object TextAnalysis {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  private val ShuffleShards = 16
+  private val ShuffleSalt = "epoch1" // the reshuffle dial: new salt = new order
+
+  /** `t_shuffle_shards` — the DETERMINISTIC GLOBAL SHUFFLE + SHARDING
+    * step a pretraining run performs per epoch: every document draws a
+    * shuffle key from a salted content-independent hash (md5 of
+    * salt‖doc_id — reproducible under any partitioning, re-rollable by
+    * changing the salt), shard = key mod [[ShuffleShards]], and each
+    * shard is written in key order. The emitted per-shard row carries
+    * the balance stats (doc/token counts) and an ORDER CHECKSUM —
+    * Σ position·(doc_id+1) mod 2³¹−1 over the key-sorted shard — which
+    * pins the exact within-shard sequence, so "the same epoch shuffle
+    * everywhere, forever" is hash-checked rather than assumed.
+    *
+    * Scale shape: one shuffle on the shard key; the within-shard sort
+    * is the sort the shard writer pays anyway (sortWithinPartitions at
+    * write time); no per-shard collect — the checksum is a windowed
+    * position times an aggregate, state O(1) per row. */
+  def shuffleShards(s: SparkSession, d: String): DataFrame = {
+    val key = conv(substring(md5(
+      concat(lit(ShuffleSalt + "_"), col("doc_id").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("bigint")
+    val w = Window.partitionBy(col("shard")).orderBy(col("key").asc, col("doc_id").asc)
+    docs(s, d)
+      .select(col("doc_id"), size(words).cast("long").as("n_tokens"), key.as("key"))
+      .withColumn("shard", (col("key") % ShuffleShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum((col("pos") * (col("doc_id") + 1)) % 2147483647L).as("order_checksum"))
+      .orderBy("shard")
+  }
+
   /** Deterministic STRATIFIED sample: per-language rates (50% analytics /
     * 20% storage / 10% engine) decided by content-hash bucket, so the
     * sample is reproducible under any partitioning and needs no second
@@ -1342,6 +1376,7 @@ object TextAnalysis {
     "t_pack_write" -> (packWrite _),
     "t_heavy_hitters" -> (heavyHitters _),
     "t_split_assign" -> (splitAssign _),
+    "t_shuffle_shards" -> (shuffleShards _),
     "t_stratified_sample" -> (stratifiedSample _),
     "t_corpus_filter" -> (corpusFilter _),
     "t_token_stats" -> (tokenStats _),
@@ -1887,6 +1922,22 @@ object TextAnalysis {
          |  FROM documents)
          |WHERE bucket < rate
          |ORDER BY doc_id""".stripMargin,
+    // the epoch shuffle rebuilt: salted md5 key, mod-shard, key-ordered
+    // position, positional checksum — the order pin in SQL form
+    "t_shuffle_shards" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${graft.QueryDsl.sqlHex8("md5('epoch1_' || CAST(doc_id AS VARCHAR))", 1)} AS key
+         |  FROM documents),
+         |p AS (
+         |  SELECT CAST(key % 16 AS INT) AS shard, doc_id, n_tokens,
+         |         row_number() OVER (PARTITION BY key % 16
+         |           ORDER BY key ASC, doc_id ASC) AS pos
+         |  FROM k)
+         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM((pos * (doc_id + 1)) % 2147483647) AS BIGINT) AS order_checksum
+         |FROM p GROUP BY shard
+         |ORDER BY shard""".stripMargin,
     "t_split_assign" ->
       s"""SELECT doc_id, bucket,
          |       CASE WHEN bucket < 98 THEN 'train'
