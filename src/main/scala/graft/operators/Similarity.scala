@@ -1525,6 +1525,63 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- The REBALANCE DECISION above incremental maintenance (the
+  // k_sketch_planned_join discipline applied to index ops): appending
+  // against frozen centroids is O(delta) but degrades the quantizer as
+  // the corpus drifts — so a maintenance job decides per batch from
+  // METADATA-PLANE counts (manifest row counts, never a data scan):
+  // ratio ≤ threshold → APPEND; above → REBUILD (retrain the coarse
+  // quantizer on base+delta). Both regimes must be exercised or the
+  // decision is dead code. ----
+  private val RebalanceThresholdPct = 25L
+
+  /** `v_ann_rebalance` — two arriving-batch scenarios decided and
+    * EXECUTED: the small batch (the `v_incremental_ann` delta slice,
+    * 10%) must take the append path WITHOUT retraining (REQUIREd: the
+    * staged build counter does not move), the large batch (two thirds
+    * of the corpus) must take the rebuild path and actually produce a
+    * RETRAINED quantizer (REQUIREd: at least one retrained centroid
+    * differs from the frozen staged one — a rebuild that reuses the old
+    * centroids is a mislabeled append). Output is the decision ledger a
+    * maintenance job logs: counts, ratio, decision, and the executed
+    * index's posting/centroid cardinalities. */
+  def annRebalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cPath, pPath) = ensureIncAnnStaged(s, d)
+    val frozen = s.read.parquet(cPath)
+    def scenario(name: String, isDelta: Column): (String, Long, Long, Long, String, Long, Long) = {
+      val baseN = emb(s, d).filter(!isDelta).count()
+      val deltaN = emb(s, d).filter(isDelta).count()
+      val ratioPct = deltaN * 100L / baseN
+      val decision = if (ratioPct <= RebalanceThresholdPct) "append" else "rebuild"
+      val builds = incAnnBuildCount.get()
+      val (nCentroids, nPostings) =
+        if (decision == "append") {
+          val postings = s.read.parquet(pPath)
+            .select(col("vec_id"), col("embedding"), col("c_label"))
+            .unionByName(assignNearest(emb(s, d).filter(isDelta), frozen))
+          require(incAnnBuildCount.get() == builds,
+            "append path must not rebuild the staged index")
+          (frozen.count(), postings.count())
+        } else {
+          val retrained = centroidArraysOf(emb(s, d)).localCheckpoint()
+          val moved = retrained.as("r")
+            .join(frozen.as("f"), col("r.c_label") === col("f.c_label"))
+            .filter(col("r.centroid") =!= col("f.centroid")).limit(1).count()
+          require(moved > 0,
+            "rebuild must retrain: no centroid moved vs the frozen quantizer")
+          (retrained.count(), assignNearest(emb(s, d), retrained).count())
+        }
+      (name, baseN, deltaN, ratioPct, decision, nCentroids, nPostings)
+    }
+    Seq(
+      scenario("daily_batch", isDeltaVec),
+      scenario("backfill", pmod(col("vec_id"), lit(3)) =!= 0))
+      .toDF("scenario", "base_n", "delta_n", "ratio_pct", "decision",
+        "n_centroids", "n_postings")
+      .orderBy("scenario")
+  }
+
   /** The one-plan full-rebuild formulation — the executable spec of
     * [[incrementalAnn]]'s semantics (IncrementalAnnSpec asserts
     * append ≡ rebuild row-for-row); NOT the production shape: it
@@ -1538,6 +1595,7 @@ object Similarity {
     "v_incremental_ann" -> (incrementalAnn _),
     "v_ann_filtered" -> (annFiltered _),
     "v_ann_delete" -> (annDelete _),
+    "v_ann_rebalance" -> (annRebalance _),
     "v_ann_nsw" -> (annNsw _),
     "v_ann_mrr" -> (annMrr _),
     "v_embed_stats" -> (embedStats _),
@@ -2133,6 +2191,31 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // the decision ledger from closed-form counts: append keeps the
+    // base-trained quantizer (centroids = base labels), rebuild retrains
+    // on everything (centroids = all labels); postings = base + delta
+    "v_ann_rebalance" ->
+      s"""WITH c AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 <> 7) AS b1,
+         |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 7) AS d1,
+         |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0) AS b2,
+         |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0) AS d2,
+         |    (SELECT COUNT(DISTINCT label) FROM embeddings WHERE vec_id % 10 <> 7) AS cl1,
+         |    (SELECT COUNT(DISTINCT label) FROM embeddings) AS cl2,
+         |    (SELECT COUNT(*) FROM embeddings) AS n)
+         |SELECT 'backfill' AS scenario, CAST(b2 AS BIGINT) AS base_n,
+         |       CAST(d2 AS BIGINT) AS delta_n,
+         |       CAST(d2 * 100 // b2 AS BIGINT) AS ratio_pct,
+         |       'rebuild' AS decision, CAST(cl2 AS BIGINT) AS n_centroids,
+         |       CAST(n AS BIGINT) AS n_postings
+         |FROM c
+         |UNION ALL
+         |SELECT 'daily_batch', CAST(b1 AS BIGINT), CAST(d1 AS BIGINT),
+         |       CAST(d1 * 100 // b1 AS BIGINT),
+         |       'append', CAST(cl1 AS BIGINT), CAST(n AS BIGINT)
+         |FROM c
+         |ORDER BY scenario""".stripMargin,
     // the merge-on-read contract: ranked over the base index minus the
     // tombstoned slice (the index itself still contains those rows —
     // the engine REQUIREs that before masking)

@@ -32,6 +32,15 @@ class AnnMaintenanceSpec extends AnyFunSuite {
       s"fixture surprise: post-filter filled k everywhere ($post)")
   }
 
+  test("the rebalance decision exercises both regimes") {
+    val rows = Similarity.queries("v_ann_rebalance")(s, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(rows("daily_batch")._2 == "append" && rows("daily_batch")._1 <= 25,
+      s"small batch must append: ${rows("daily_batch")}")
+    assert(rows("backfill")._2 == "rebuild" && rows("backfill")._1 > 25,
+      s"large batch must rebuild: ${rows("backfill")}")
+  }
+
   test("deleted ids never surface, yet remain in the staged index") {
     val rows = Similarity.queries("v_ann_delete")(s, sf).collect()
     assert(rows.nonEmpty)
