@@ -311,6 +311,51 @@ object CorpusClean {
       .orderBy("doc_id")
   }
 
+  // ---- URL canonicalization + frontier dedup (the crawl-side pass
+  // before any text is fetched twice): the same resource hides behind
+  // case-varied hosts, www prefixes, tracking query params, and
+  // trailing slashes — canonicalize, then keep one fetch per canonical
+  // URL. URLs are SYNTHESIZED deterministically onto the corpus (the
+  // PII-poisoning pattern: the operator is real, the injection makes
+  // its work observable): path collides across docs (mod 40), so true
+  // cross-document duplicates exist by construction. ----
+
+  /** The synthesized crawl URL for a document — four variance axes. */
+  private def crawlUrl: Column = {
+    val scheme = when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https"))
+    val www = when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit(""))
+    val host = when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source"))
+    val slash = when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit(""))
+    val query = when(col("doc_id") % 2 === 0,
+      lit("?utm_source=feed&utm_campaign=crawl")).otherwise(lit(""))
+    concat(scheme, lit("://"), www, host, lit(".example.com/docs/"),
+      (col("doc_id") % 40).cast("string"), slash, query)
+  }
+
+  /** `t_url_canonical` — canonicalization FROM THE URL STRING (the
+    * engine never peeks at the generator): lowercase scheme and host
+    * (path case is preserved — it is significant), strip the `www.`
+    * prefix, drop the query, trim trailing slashes, then dedup the
+    * frontier per canonical URL keeping the smallest doc as the fetch
+    * winner. A pure narrow map plus one map-side-combined groupBy —
+    * nothing corpus-sized crosses a window. */
+  def urlCanonical(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), crawlUrl.as("url"))
+      .withColumn("scheme", lower(substring_index(col("url"), "://", 1)))
+      .withColumn("rest", expr("substring(url, instr(url, '://') + 3)"))
+      .withColumn("host",
+        regexp_replace(lower(substring_index(col("rest"), "/", 1)), "^www\\.", ""))
+      .withColumn("pathq", expr("substring(rest, instr(rest, '/'))"))
+      .select(col("doc_id"),
+        concat(col("scheme"), lit("://"), col("host"),
+          rtrim(substring_index(col("pathq"), "?", 1), "/")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .orderBy("canonical_url")
+
   // ---- Content-defined chunking (the storage-dedup / exact-substring-
   // dedup primitive): chunk boundaries come from the CONTENT (a rolling
   // polynomial hash over an 8-char window hitting a divisor), so an
@@ -395,6 +440,7 @@ object CorpusClean {
     "t_line_dedup" -> (lineDedup _),
     "t_cdc_chunks" -> (cdcChunks _),
     "d_cdc_dedup" -> (cdcDedup _),
+    "t_url_canonical" -> (urlCanonical _),
     "t_pii_redact" -> (piiRedact _),
     "t_mixture_sample" -> (mixtureSample _),
     "t_temperature_mixture" -> (temperatureMixture _),
@@ -439,6 +485,34 @@ object CorpusClean {
        |           FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY st))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same synthesis, same string-level canonicalization: lowered
+    // scheme/host, www stripped, query dropped, trailing slash trimmed
+    "t_url_canonical" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+         |    '.example.com/docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=crawl'
+         |          ELSE '' END) AS url
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lower(split_part(url, '://', 1)) AS scheme,
+         |         substr(url, strpos(url, '://') + 3) AS rest
+         |  FROM u),
+         |c AS (
+         |  SELECT doc_id, scheme || '://' ||
+         |    regexp_replace(lower(split_part(rest, '/', 1)), '^www\\.', '') ||
+         |    rtrim(split_part(substr(rest, strpos(rest, '/')), '?', 1), '/')
+         |      AS canonical_url
+         |  FROM r)
+         |SELECT canonical_url, COUNT(*) AS n_variants,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+         |FROM c GROUP BY canonical_url
+         |ORDER BY canonical_url""".stripMargin,
     "t_cdc_chunks" ->
       s"""WITH $sqlCdcChunks
          |SELECT doc_id, chunk_idx, CAST(st AS INT) AS start, len,
