@@ -617,6 +617,48 @@ object Formats {
     applyMvDelta(s.read.parquet(mv1Path), deltas)
   }
 
+  private val ttTsRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_timetravel_ts` — `TIMESTAMP AS OF` through the catalog: commits
+    * record timestamps (deterministic fixture seconds — production uses
+    * the commit wall clock) and the catalog resolves a queried time to
+    * the LATEST version committed at-or-before it (the Delta/Iceberg
+    * rule; strictly-before-first-commit fails). The two probes land
+    * between-commits (→ v1) and after-both (→ v2); timestamps enter as
+    * `CAST(<epoch seconds> AS TIMESTAMP)` — epoch-based, so the UTC
+    * session makes the literal timezone-proof. Completes the time-travel
+    * SQL surface next to [[timeTravelSql]]'s VERSION AS OF. */
+  def timeTravelTs(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "ttts") + "/run" + ttTsRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+    def writeDir(name: String, df: DataFrame): String = {
+      df.select(concat_ws("\t", col("o_orderkey"), col("cents")).as("value"))
+        .write.mode("overwrite").text(s"$base/data/$name")
+      s"$base/data/$name"
+    }
+    val fA = writeDir("A", o.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeDir("B", o.filter(col("o_orderkey") % 3 === 1))
+    val fC = writeDir("C", o.filter(col("o_orderkey") % 3 =!= 0))
+    def commit(version: Int, files: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/manifest-v$version.txt"),
+        files.mkString("\n").getBytes("UTF-8")): Unit
+    commit(1, Seq(fA, fB))
+    commit(2, Seq(fA, fC))
+    graft.sources.VersionedLinesV2.writeTimestamps(base, Seq(1 -> 1000L, 2 -> 2000L))
+    val cat = "gts" + base.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.tt_path", base)
+    s.sql(
+      s"""SELECT 1 AS pick, COUNT(*) AS n_rows, SUM(price_cents) AS total_cents
+         |FROM $cat.orders_tt TIMESTAMP AS OF CAST(1500 AS TIMESTAMP)
+         |UNION ALL
+         |SELECT 2 AS pick, COUNT(*) AS n_rows, SUM(price_cents) AS total_cents
+         |FROM $cat.orders_tt TIMESTAMP AS OF CAST(2500 AS TIMESTAMP)
+         |ORDER BY pick""".stripMargin)
+  }
+
   private val ckptRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val CkptEvery = 3
 
@@ -1636,6 +1678,7 @@ object Formats {
     "k_dsv2_write" -> (dsv2Write _),
     "k_timetravel" -> (timeTravel _),
     "k_timetravel_sql" -> (timeTravelSql _),
+    "k_timetravel_ts" -> (timeTravelTs _),
     "k_mv_refresh" -> (mvRefresh _),
     "k_clone" -> (cloneTable _),
     "k_restore" -> (restoreTable _),
@@ -1836,6 +1879,19 @@ object Formats {
          |SELECT 2, CAST(COUNT(*) AS BIGINT), ${sqlDsum("o_totalprice")}
          |FROM orders
          |ORDER BY version""".stripMargin,
+    // pick 1 lands between commits → v1 = A∪B; pick 2 after both → all
+    "k_timetravel_ts" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |         CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT) AS c
+         |  FROM orders)
+         |SELECT 1 AS pick, COUNT(*) AS n_rows,
+         |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
+         |WHERE k % 3 IN (0, 1)
+         |UNION ALL
+         |SELECT 2 AS pick, COUNT(*) AS n_rows,
+         |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
+         |ORDER BY pick""".stripMargin,
     // version 0 = the un-travelled read (must equal the latest, v2);
     // v1 = slices A∪B, v2 = A∪C = every order; cents are exact decimal
     "k_timetravel_sql" ->

@@ -74,9 +74,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       new VersionedLinesV2.TtTable(ttPath, v)
     } else throw new NoSuchTableException(ident)
 
+  /** SQL `TIMESTAMP AS OF t` (micros since epoch, UTC session): resolves
+    * to the latest version committed at-or-before t via the table's
+    * recorded commit timestamps; tables without a timestamp record keep
+    * failing loudly toward VERSION AS OF. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported on orders_tt; use VERSION AS OF")
+    if (ident.namespace.isEmpty && ident.name == "orders_tt" && ttPath != null)
+      new VersionedLinesV2.TtTable(ttPath,
+        VersionedLinesV2.resolveTimestamp(ttPath, timestamp))
+    else throw new NoSuchTableException(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)

@@ -36,6 +36,32 @@ object VersionedLinesV2 {
   /** Data dirs named by manifest-v<version>.txt, one line per dir. */
   private def manifestPath(base: String, v: Int) = s"$base/manifest-v$v.txt"
 
+  /** Commit timestamps (seconds since epoch) recorded by the writer —
+    * the metadata TIMESTAMP AS OF resolves through. One tsv, atomic
+    * enough for the metadata plane (written once before reads). */
+  def writeTimestamps(base: String, ts: Seq[(Int, Long)]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/_timestamps.tsv"),
+      ts.map { case (v, sec) => s"$v\t$sec" }.mkString("\n").getBytes("UTF-8")): Unit
+
+  /** `TIMESTAMP AS OF t` = the LATEST version committed at-or-before t
+    * (the Delta/Iceberg rule); strictly before the first commit fails
+    * rather than resolving to an empty table the caller never had. */
+  def resolveTimestamp(base: String, micros: Long): Int = {
+    val f = new File(s"$base/_timestamps.tsv")
+    if (!f.exists()) throw new UnsupportedOperationException(
+      s"no commit timestamps recorded under $base; use VERSION AS OF")
+    val ts = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+        val Array(v, sec) = line.split("\t")
+        (v.toInt, sec.toLong * 1000000L)
+      }
+    val at = ts.filter(_._2 <= micros)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"timestamp $micros us precedes the first commit of $base")
+    at.maxBy(_._2)._1
+  }
+
   def latestVersion(base: String): Int = {
     val vs = Option(new File(base).listFiles()).getOrElse(Array.empty)
       .map(_.getName).collect {

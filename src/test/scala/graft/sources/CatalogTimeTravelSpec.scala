@@ -64,7 +64,7 @@ class CatalogTimeTravelSpec extends AnyFunSuite {
       s"failure must name the missing manifest, got: ${msgs(e)}")
   }
 
-  test("TIMESTAMP AS OF is rejected, not misread") {
+  test("TIMESTAMP AS OF without a timestamp record is rejected, not misread") {
     val e = intercept[Exception] {
       s.sql(s"SELECT * FROM $cat.orders_tt TIMESTAMP AS OF '2026-01-01'").collect()
     }
@@ -72,5 +72,25 @@ class CatalogTimeTravelSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("VERSION AS OF")),
       s"rejection must point at VERSION AS OF, got: ${msgs(e)}")
+  }
+
+  test("TIMESTAMP AS OF: at-or-before rule, boundary inclusive, pre-history fails") {
+    val base = s.conf.getOption(s"spark.sql.catalog.$cat.tt_path").get
+    VersionedLinesV2.writeTimestamps(base, Seq(1 -> 1000L, 2 -> 2000L))
+    try {
+      def keysAt(sec: Long): Seq[Long] =
+        keys(s"SELECT o_orderkey FROM $cat.orders_tt TIMESTAMP AS OF CAST($sec AS TIMESTAMP)")
+      assert(keysAt(1500L) == Seq(1L, 2L, 3L), "between commits → v1")
+      assert(keysAt(1000L) == Seq(1L, 2L, 3L), "boundary is at-or-before (inclusive)")
+      assert(keysAt(2000L) == Seq(1L, 2L, 3L, 4L), "second boundary → v2")
+      val e = intercept[Exception] { keysAt(500L) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("precedes the first commit")),
+        s"pre-history must fail, got: ${msgs(e)}")
+    } finally {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$base/_timestamps.tsv")): Unit
+    }
   }
 }
