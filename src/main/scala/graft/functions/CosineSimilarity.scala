@@ -117,6 +117,10 @@ object GraftFunctions {
       GraftInterop.expression(x), GraftInterop.expression(y),
       GraftInterop.expression(z), bits))
 
+  /** CDC cut positions of a string column (codegen'd; see [[CdcCuts]]). */
+  def cdc_cuts(text: Column): Column =
+    GraftInterop.column(CdcCuts(GraftInterop.expression(text)))
+
   /** Membership probe against a serialized bloom filter (a foldable
     * binary — `lit(bytes)`), over the same `xxhash64` hashing as
     * [[bloom_agg]]. May return false positives, never false negatives:

@@ -363,11 +363,12 @@ object CorpusClean {
   // boundary re-synchronizes, and byte-identical runs across documents
   // chunk identically regardless of their offsets. Fixed-size chunking
   // cannot do this (one inserted byte re-frames the whole tail). ----
-  private val CdcWindow = 8
-  private val CdcMask = 64L // expected chunk ≈ 64 chars
-  // 31^7 .. 31^0: h(p) = Σ ascii(text[p+k]) · 31^(7−k) — max 8·255·31^7
-  // ≈ 5.6e13, well inside Long/BIGINT in both engines
-  private val CdcPow: Array[Long] = Array.iterate(1L, CdcWindow)(_ * 31).reverse
+  // constants live on the native expression (graft.functions.CdcCuts)
+  // so the flatMap kernel, the codegen'd twin, and the oracle cannot
+  // drift apart
+  private val CdcWindow = graft.functions.CdcCuts.Window
+  private val CdcMask = graft.functions.CdcCuts.Mask
+  private val CdcPow: Array[Long] = graft.functions.CdcCuts.Pow
 
   /** The planted boilerplate suffix: appended to every doc_id%5==0
     * document so the chunk-dedup query has true cross-document shared
@@ -420,6 +421,27 @@ object CorpusClean {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** `t_cdc_chunks_gen` — the CATALYST-NATIVE twin of [[cdcChunks]]
+    * (the X2 extract-holdings discipline: one semantics, two execution
+    * forms, one oracle): cut positions come from the codegen'd
+    * [[graft.functions.CdcCuts]] expression and chunk assembly stays in
+    * builtins (arrays_zip + posexplode + substring + md5), so the plan
+    * is a Generate over a whole-stage-codegen'd projection — no typed
+    * MapPartitions, no object serialization boundary. */
+  def cdcChunksGen(s: SparkSession, d: String): DataFrame =
+    cdcInput(s, d)
+      .withColumn("cuts", graft.functions.GraftFunctions.cdc_cuts(col("text")))
+      .withColumn("starts", concat(array(lit(1)), col("cuts")))
+      .withColumn("ends", concat(col("cuts"), array(length(col("text")) + 1)))
+      .select(col("doc_id"), col("text"),
+        posexplode(arrays_zip(col("starts"), col("ends"))).as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("se.starts").as("start"),
+        (col("se.ends") - col("se.starts")).as("len"),
+        md5(expr("substring(text, se.starts, se.ends - se.starts)")
+          .cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** `d_cdc_dedup` — CROSS-DOCUMENT chunk-level dedup over the CDC
     * table: chunks whose bytes appear in more than one document, with
     * occurrence and document counts — the exact-substring dedup answer
@@ -439,6 +461,7 @@ object CorpusClean {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_line_dedup" -> (lineDedup _),
     "t_cdc_chunks" -> (cdcChunks _),
+    "t_cdc_chunks_gen" -> (cdcChunksGen _),
     "d_cdc_dedup" -> (cdcDedup _),
     "t_url_canonical" -> (urlCanonical _),
     "t_pii_redact" -> (piiRedact _),
@@ -484,6 +507,12 @@ object CorpusClean {
        |             text
        |           FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY st))""".stripMargin
 
+  private lazy val cdcChunksOracle: String =
+    s"""WITH $sqlCdcChunks
+       |SELECT doc_id, chunk_idx, CAST(st AS INT) AS start, len,
+       |       md5(substr(text, st, len)) AS chunk_md5
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // same synthesis, same string-level canonicalization: lowered
     // scheme/host, www stripped, query dropped, trailing slash trimmed
@@ -513,11 +542,10 @@ object CorpusClean {
          |       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
          |FROM c GROUP BY canonical_url
          |ORDER BY canonical_url""".stripMargin,
-    "t_cdc_chunks" ->
-      s"""WITH $sqlCdcChunks
-         |SELECT doc_id, chunk_idx, CAST(st AS INT) AS start, len,
-         |       md5(substr(text, st, len)) AS chunk_md5
-         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t_cdc_chunks" -> cdcChunksOracle,
+    // one oracle, two execution forms — flatMap kernel and codegen'd
+    // expression must land on identical rows
+    "t_cdc_chunks_gen" -> cdcChunksOracle,
     "d_cdc_dedup" ->
       s"""WITH $sqlCdcChunks,
          |hashed AS (SELECT doc_id, md5(substr(text, st, len)) AS chunk_md5, len

@@ -46,6 +46,15 @@ class CdcSpec extends AnyFunSuite {
         "boundaries failed to re-synchronize")
   }
 
+  test("the codegen'd expression twin is row-identical, with no object boundary") {
+    val a = CorpusClean.cdcChunks(s, sf).collect().map(_.toString).toSeq
+    val b = CorpusClean.cdcChunksGen(s, sf).collect().map(_.toString).toSeq
+    assert(a == b, "flatMap kernel and CdcCuts expression diverged")
+    val plan = CorpusClean.cdcChunksGen(s, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"),
+      s"the native form must stay in the row domain:\n$plan")
+  }
+
   test("the planted disclaimer re-aligns across the docs that carry it") {
     val nDisc = graft.Tables.documents(s, sf)
       .filter(col("doc_id") % 5 === 0 && length(col("text")) > 0).count()
