@@ -397,7 +397,15 @@ object CorpusClean {
     * by a single document's length (the documented bounded class). The
     * md5 is computed by the ENGINE's sql md5 over the substring, so
     * the oracle's md5(substr(...)) pins the exact chunk bytes. */
-  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunked(s, d)
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The chunk table WITH chunk bytes — shared by the hash view
+    * ([[cdcChunks]]) and the removal pass ([[cdcClean]]). */
+  private def cdcChunked(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     cdcInput(s, d).as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -416,10 +424,42 @@ object CorpusClean {
         }
       }
       .toDF("doc_id", "chunk_idx", "start", "len", "chunk")
-      .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
-        md5(col("chunk").cast("binary")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
   }
+
+  /** `t_cdc_clean` — BOILERPLATE REMOVAL AT CHUNK GRANULARITY (the
+    * [[lineDedup]] pass with content-defined segments instead of fixed
+    * word windows — it catches shared material fixed segmentation
+    * splits differently per document, the disclaimer being the planted
+    * case): chunks whose bytes appear in ≥ [[BoilerplateMinDocs]]
+    * documents drop, survivors reassemble in order. The heavy set is
+    * small by construction (boilerplate = heavy hitters) so it
+    * BROADCASTS back; reassembly groups per doc — bounded by one
+    * document's length, the documented collect class. */
+  def cdcClean(s: SparkSession, d: String): DataFrame = {
+    val chunks = cdcChunked(s, d)
+      .withColumn("chunk_md5", md5(col("chunk").cast("binary")))
+    val heavy = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerplateMinDocs)
+      .select(col("chunk_md5"))
+    val kept = chunks.join(broadcast(heavy), Seq("chunk_md5"), "left_anti")
+    val tot = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // per-doc bounded collect: one document's surviving chunks
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          e => e.getField("chunk")), "").cast("binary")).as("clean_md5"))
+    tot.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_md5"), lit(md5EmptyLit)).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  // md5 of the empty string — a doc whose every chunk was boilerplate
+  private val md5EmptyLit = "d41d8cd98f00b204e9800998ecf8427e"
 
   /** `t_cdc_chunks_gen` — the CATALYST-NATIVE twin of [[cdcChunks]]
     * (the X2 extract-holdings discipline: one semantics, two execution
@@ -462,6 +502,7 @@ object CorpusClean {
     "t_line_dedup" -> (lineDedup _),
     "t_cdc_chunks" -> (cdcChunks _),
     "t_cdc_chunks_gen" -> (cdcChunksGen _),
+    "t_cdc_clean" -> (cdcClean _),
     "d_cdc_dedup" -> (cdcDedup _),
     "t_url_canonical" -> (urlCanonical _),
     "t_pii_redact" -> (piiRedact _),
@@ -546,6 +587,31 @@ object CorpusClean {
     // one oracle, two execution forms — flatMap kernel and codegen'd
     // expression must land on identical rows
     "t_cdc_chunks_gen" -> cdcChunksOracle,
+    // heavy set by distinct-doc count over chunk bytes; survivors
+    // reassemble in chunk order; all-boilerplate docs pin md5('')
+    "t_cdc_clean" ->
+      s"""WITH $sqlCdcChunks,
+         |hashed AS (SELECT doc_id, chunk_idx,
+         |                  substr(text, st, len) AS chunk,
+         |                  md5(substr(text, st, len)) AS chunk_md5
+         |           FROM chunks),
+         |heavy AS (SELECT chunk_md5 FROM (
+         |    SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
+         |    FROM hashed GROUP BY chunk_md5)
+         |  WHERE nd >= $BoilerplateMinDocs),
+         |kept AS (SELECT doc_id, chunk_idx, chunk FROM hashed
+         |         WHERE chunk_md5 NOT IN (SELECT chunk_md5 FROM heavy)),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |               md5(string_agg(chunk, '' ORDER BY chunk_idx)) AS clean_md5
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+         |        FROM hashed GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_chunks,
+         |       COALESCE(a.n_kept, 0) AS n_kept,
+         |       t.n_chunks - COALESCE(a.n_kept, 0) AS n_dropped,
+         |       COALESCE(a.clean_md5, md5('')) AS clean_md5
+         |FROM tot t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "d_cdc_dedup" ->
       s"""WITH $sqlCdcChunks,
          |hashed AS (SELECT doc_id, md5(substr(text, st, len)) AS chunk_md5, len

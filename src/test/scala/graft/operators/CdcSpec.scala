@@ -55,6 +55,29 @@ class CdcSpec extends AnyFunSuite {
       s"the native form must stay in the row domain:\n$plan")
   }
 
+  test("chunk-level clean drops shared chunks and tiles intact docs exactly") {
+    val rows = CorpusClean.cdcClean(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nc, nk, nd, _) =>
+      assert(nk + nd == nc, s"doc $id: $nk kept + $nd dropped != $nc chunks")
+    }
+    assert(rows.exists(_._4 > 0), "the planted disclaimer must drop somewhere")
+    // an untouched doc's reassembly is its exact input text
+    val texts = graft.Tables.documents(s, sf)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val intact = rows.filter(r => r._4 == 0 && texts.contains(r._1))
+    assert(intact.nonEmpty, "fixture must contain untouched docs")
+    intact.foreach { case (id, _, _, _, cm) =>
+      val input = if (id % 5 == 0) texts(id) + " " + CorpusClean.CdcDisclaimer else texts(id)
+      assert(cm == md5hex(input), s"doc $id reassembly diverged from its input")
+    }
+  }
+
   test("the planted disclaimer re-aligns across the docs that carry it") {
     val nDisc = graft.Tables.documents(s, sf)
       .filter(col("doc_id") % 5 === 0 && length(col("text")) > 0).count()
