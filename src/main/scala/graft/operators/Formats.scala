@@ -384,6 +384,102 @@ object Formats {
          |ORDER BY version""".stripMargin)
   }
 
+  private val txnRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_multi_table_txn` — ATOMIC MULTI-TABLE COMMITS through a
+    * transaction log, the coordination single-table formats
+    * (Delta/Iceberg included) famously lack: a pipeline that publishes
+    * a fact table and its dimension together must never expose fact v2
+    * joined against dim v1 (the torn read every dashboard hits when
+    * two tables commit independently). The pair here is the classic
+    * fact + SUMMARY publish (a detail table and its aggregate): both
+    * tables' manifests write FIRST (invisible — nothing references
+    * them), then ONE txn record (`txn-v<N>.txt`, the only commit
+    * point) maps the transaction to its (table → version) vector;
+    * readers resolve EVERY table through a single txn record, so the
+    * snapshot is consistent by construction. The functional invariant
+    * — aggregating the fact MUST reproduce the summary exactly — is
+    * REQUIREd at every txn (a torn read joins fact v2 against summary
+    * v1 and trips it; MultiTableTxnSpec constructs exactly that torn
+    * resolution and proves it trips).
+    *
+    * Scale shape: the txn record is O(tables) metadata text; data files
+    * and per-table manifests are exactly the single-table discipline —
+    * the only new artifact is the one-line commit point. */
+  def multiTableTxn(s: SparkSession, d: String): DataFrame =
+    multiTableTxnBuild(s, d)._2
+
+  private[operators] def multiTableTxnBuild(
+      s: SparkSession, d: String): (String, DataFrame) = {
+    val base = graft.TempPaths.scratch(s, "txn") + "/run" + txnRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+    def factSlice(n: Int): DataFrame =
+      if (n == 1) o.filter(col("o_orderkey") % 2 === 0) else o
+    def summaryOf(fact: DataFrame): DataFrame = fact
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("s_rows"), sum(col("cents")).as("s_cents"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    def commitTable(table: String, v: Int, files: Seq[String]): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/$table"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/$table/manifest-v$v.txt"),
+        files.mkString("\n").getBytes("UTF-8")): Unit
+    }
+    def commitTxn(n: Int, vector: Seq[(String, Int)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/txn-v$n.txt"),
+        vector.map { case (t, v) => s"$t\t$v" }.mkString("\n").getBytes("UTF-8")): Unit
+    val f1 = writeFile("fact1", factSlice(1))
+    val s1 = writeFile("sum1", summaryOf(factSlice(1)))
+    commitTable("fact", 1, Seq(f1)); commitTable("summary", 1, Seq(s1))
+    commitTxn(1, Seq("fact" -> 1, "summary" -> 1))
+    val f2 = writeFile("fact2", o.filter(col("o_orderkey") % 2 === 1)) // append
+    val s2 = writeFile("sum2", summaryOf(factSlice(2)))                 // rewrite
+    commitTable("fact", 2, Seq(f1, f2)); commitTable("summary", 2, Seq(s2))
+    commitTxn(2, Seq("fact" -> 2, "summary" -> 2))
+    (1 to 2).map { n =>
+      val (fact, summary) = readTxnSnapshot(s, base, n)
+      val joined = fact.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("f_rows"), sum(col("cents")).as("f_cents"))
+        .join(summary, Seq("o_orderstatus"), "full_outer")
+      val torn = joined.filter(
+        col("f_rows").isNull || col("s_rows").isNull ||
+          col("f_rows") =!= col("s_rows") || col("f_cents") =!= col("s_cents"))
+        .limit(1).count()
+      require(torn == 0,
+        s"torn read at txn $n: the fact aggregate diverges from the summary")
+      joined.agg(count(lit(1)).as("n_groups"),
+          sum(col("f_rows")).as("n_rows"), sum(col("f_cents")).as("total_cents"))
+        .select(lit(n).as("txn"), col("n_groups"), col("n_rows"), col("total_cents"))
+    }.reduce(_ unionByName _).orderBy("txn") match {
+      case df => (base, df)
+    }
+  }
+
+  /** Resolve a consistent (fact, summary) snapshot through one txn
+    * record — shared with MultiTableTxnSpec, whose torn twin resolves
+    * the two tables through DIFFERENT txn records to prove the
+    * invariant trips. */
+  private[operators] def readTxnSnapshot(
+      s: SparkSession, base: String, n: Int,
+      tornSummaryTxn: Option[Int] = None): (DataFrame, DataFrame) = {
+    def vector(txn: Int): Map[String, Int] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/txn-v$txn.txt")), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty)
+        .map { line => val Array(t, v) = line.split("\t"); (t, v.toInt) }.toMap
+    def tableAt(t: String, txn: Int) = {
+      val files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/$t/manifest-v${vector(txn)(t)}.txt")), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty)
+      s.read.parquet(files: _*)
+    }
+    (tableAt("fact", n), tableAt("summary", tornSummaryTxn.getOrElse(n)))
+  }
+
   private val rowTrackRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_row_tracking` — STABLE ROW IDENTITY across file rewrites (Delta
@@ -1683,6 +1779,7 @@ object Formats {
     "k_clone" -> (cloneTable _),
     "k_restore" -> (restoreTable _),
     "k_row_tracking" -> (rowTracking _),
+    "k_multi_table_txn" -> (multiTableTxn _),
     "k_log_checkpoint" -> (logCheckpoint _),
     "k_log_history" -> (logHistory _),
     "k_expectations" -> (expectations _),
@@ -1909,6 +2006,23 @@ object Formats {
          |SELECT 2 AS version, COUNT(*) AS n_rows,
          |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
          |ORDER BY version""".stripMargin,
+    // per txn, the committed slice's group/row/money totals — only a
+    // consistent (fact, summary) resolution reproduces them
+    "k_multi_table_txn" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st,
+         |         CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT) AS c
+         |  FROM orders)
+         |SELECT 1 AS txn,
+         |       (SELECT COUNT(DISTINCT st) FROM base WHERE k % 2 = 0) AS n_groups,
+         |       (SELECT COUNT(*) FROM base WHERE k % 2 = 0) AS n_rows,
+         |       (SELECT CAST(SUM(c) AS BIGINT) FROM base WHERE k % 2 = 0) AS total_cents
+         |UNION ALL
+         |SELECT 2,
+         |       (SELECT COUNT(DISTINCT st) FROM base),
+         |       (SELECT COUNT(*) FROM base),
+         |       (SELECT CAST(SUM(c) AS BIGINT) FROM base)
+         |ORDER BY txn""".stripMargin,
     // by the slice rules: %3==1 rows updated (+5.00 each), the rest
     // unchanged — the engine's row_id pairing must land on exactly this
     "k_row_tracking" ->
