@@ -384,6 +384,64 @@ object Formats {
          |ORDER BY version""".stripMargin)
   }
 
+  private val dynOvwRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_dynamic_overwrite` — DYNAMIC PARTITION OVERWRITE: an overwrite
+    * batch replaces ONLY the partitions it carries rows for (Spark's
+    * `partitionOverwriteMode=dynamic`, driven here through the native
+    * parquet writer) — the daily-restate shape: re-publishing one day
+    * must never truncate the table (STATIC overwrite's failure mode) or
+    * append duplicates. The fixture writes a status-partitioned table,
+    * then restates exactly one status with corrected money (+9.00);
+    * REQUIREs the untouched partitions' FILES are byte-identical
+    * (same paths, same sizes — the restate never rewrote them) and the
+    * table still holds every partition. Output: per-status totals after
+    * the restate.
+    *
+    * Scale shape: the overwrite touches only the restated partition's
+    * directory — commit cost ∝ restated data, never table size. */
+  def dynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "dynovw") + "/run" + dynOvwRuns.incrementAndGet()
+    val path = s"$base/table"
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    val restated = o.agg(min(col("o_orderstatus"))).head().getString(0)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(path))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val before = files()
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      o.filter(col("o_orderstatus") === restated)
+        .withColumn("cents", col("cents") + 900) // the correction
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    } finally {
+      prevMode match {
+        case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val after = files()
+    val untouched = before.filter(!_._1.contains(s"o_orderstatus=$restated"))
+    untouched.foreach { case (p, sz) =>
+      require(after.get(p).contains(sz),
+        s"dynamic overwrite must not touch other partitions: $p changed")
+    }
+    require(after.keys.exists(_.contains(s"o_orderstatus=$restated")),
+      "the restated partition must still exist")
+    s.read.parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   private val txnRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_multi_table_txn` — ATOMIC MULTI-TABLE COMMITS through a
@@ -1780,6 +1838,7 @@ object Formats {
     "k_restore" -> (restoreTable _),
     "k_row_tracking" -> (rowTracking _),
     "k_multi_table_txn" -> (multiTableTxn _),
+    "k_dynamic_overwrite" -> (dynamicOverwrite _),
     "k_log_checkpoint" -> (logCheckpoint _),
     "k_log_history" -> (logHistory _),
     "k_expectations" -> (expectations _),
@@ -2006,6 +2065,19 @@ object Formats {
          |SELECT 2 AS version, COUNT(*) AS n_rows,
          |       CAST(SUM(c) AS BIGINT) AS total_cents FROM base
          |ORDER BY version""".stripMargin,
+    // post-restate state by rule: the MIN status gets +9.00 per row,
+    // every other partition reads its original rows
+    "k_dynamic_overwrite" ->
+      s"""WITH base AS (
+         |  SELECT o_orderstatus AS st,
+         |         CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT) AS c
+         |  FROM orders),
+         |m AS (SELECT MIN(st) AS restated FROM base)
+         |SELECT st AS o_orderstatus, COUNT(*) AS n_rows,
+         |       CAST(SUM(c + CASE WHEN st = m.restated THEN 900 ELSE 0 END)
+         |            AS BIGINT) AS total_cents
+         |FROM base, m GROUP BY st, m.restated
+         |ORDER BY o_orderstatus""".stripMargin,
     // per txn, the committed slice's group/row/money totals — only a
     // consistent (fact, summary) resolution reproduces them
     "k_multi_table_txn" ->
