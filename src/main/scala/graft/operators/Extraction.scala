@@ -162,6 +162,8 @@ object Extraction {
     "x_filing_index_v2" -> (filingIndexV2 _),
     "x_catalog_sql" ->
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.catalogSql(s, d)),
+    "x_catalog_show" ->
+      ((s: SparkSession, d: String) => graft.sources.FilingIndex.catalogShow(s, d)),
     "x_filing_index_v2_topn" ->
       ((s: SparkSession, d: String) => graft.sources.FilingIndex.filingIndexV2TopN(s, d)),
     "x_filing_index_v2_columnar" ->
@@ -201,6 +203,10 @@ object Extraction {
         |  FROM orders)
         |SELECT cik, accession_number, form_type
         |FROM idx ORDER BY cik, accession_number LIMIT 25""".stripMargin,
+    // the catalog's static inventory: one batch table, nothing temporary
+    "x_catalog_show" ->
+      """SELECT '' AS namespace, 'filing_index' AS tableName,
+        |       false AS isTemporary""".stripMargin,
     // per-form counts over the same orders derivation the staged JSON
     // encodes — the catalog is a naming layer, not a data change
     "x_catalog_sql" ->

@@ -195,6 +195,21 @@ object FilingIndex {
          |ORDER BY form_type""".stripMargin)
   }
 
+  /** `x_catalog_show` — the catalog's DISCOVERY surface: `SHOW TABLES`
+    * resolves through `GraftCatalog.listTables`, the first statement a
+    * BI tool or notebook issues against a new catalog (a table it
+    * cannot list is a table its users cannot find). Hash-checked
+    * against the catalog's static inventory. */
+  def catalogShow(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureStaged(s, d)
+    val cat = "graft_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    s.sql(s"SHOW TABLES IN $cat")
+      .select(col("namespace"), col("tableName"), col("isTemporary"))
+      .orderBy("tableName")
+  }
+
   /** `x_filing_index_v2_columnar` — the connector's VECTORIZED read
     * path: the same scan planned COLUMNAR (`option("columnar", true)`),
     * so the source hands the engine ColumnarBatches of on-heap vectors
