@@ -92,7 +92,43 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** `t_pipeline_ledger` — the PER-STAGE DROP LEDGER from ONE pass: an
+    * `observe` node after every gate makes each stage's row count a
+    * side product of the single run (the [[e2ePackObserved]] argument,
+    * per stage) — at 100 TB a per-stage recount is N extra full scans,
+    * so production pipelines bill their funnel dashboard exactly this
+    * way. Stages: length gate → language gate → exact dedup (first-id
+    * winner per content digest). The ledger itself is the oracle-checked
+    * output: (stage, rows_in, rows_out, dropped). */
+  def pipelineLedger(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Observation
+    val Seq(o0, o1, o2, o3) = Seq.fill(4)(Observation())
+    val input = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .observe(o0, count(lit(1)).as("n"))
+    val g1 = input.filter(length(col("text")) >= 100)
+      .observe(o1, count(lit(1)).as("n"))
+    val g2 = g1.filter(col("lang").isin("analytics", "storage"))
+      .observe(o2, count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dig")).orderBy(col("doc_id"))
+    val g3 = g2.withColumn("dig", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .observe(o3, count(lit(1)).as("n"))
+    g3.write.format("noop").mode("overwrite").save() // the ONE pass
+    def n(o: Observation): Long = o.get("n").asInstanceOf[Long]
+    Seq(
+      ("1_length_gate", n(o0), n(o1)),
+      ("2_lang_gate", n(o1), n(o2)),
+      ("3_exact_dedup", n(o2), n(o3)))
+      .toDF("stage", "rows_in", "rows_out")
+      .withColumn("dropped", col("rows_in") - col("rows_out"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_pipeline_ledger" -> (pipelineLedger _),
     "t_pipeline_e2e" -> (e2ePack _),
   )
 
@@ -100,6 +136,22 @@ object Pipeline {
   private def hex8(m: String, p: Int): String = graft.QueryDsl.sqlHex8(m, p)
 
   val oracle: Map[String, String] = Map(
+    // the funnel recomputed per stage: the one-pass observed counts
+    // must equal the stage-by-stage recount
+    "t_pipeline_ledger" ->
+      """WITH s1 AS (SELECT * FROM documents WHERE length(text) >= 100),
+        |s2 AS (SELECT * FROM s1 WHERE lang IN ('analytics', 'storage')),
+        |c0 AS (SELECT COUNT(*) AS n FROM documents),
+        |c1 AS (SELECT COUNT(*) AS n FROM s1),
+        |c2 AS (SELECT COUNT(*) AS n FROM s2),
+        |c3 AS (SELECT COUNT(DISTINCT md5(text)) AS n FROM s2)
+        |SELECT '1_length_gate' AS stage, c0.n AS rows_in, c1.n AS rows_out,
+        |       c0.n - c1.n AS dropped FROM c0, c1
+        |UNION ALL
+        |SELECT '2_lang_gate', c1.n, c2.n, c1.n - c2.n FROM c1, c2
+        |UNION ALL
+        |SELECT '3_exact_dedup', c2.n, c3.n, c2.n - c3.n FROM c2, c3
+        |ORDER BY stage""".stripMargin,
     // recomputes all six stages: sig/cand (shared sigCte), dup set,
     // content-hash split buckets, quality score, 5-gram contamination,
     // line cleaning over survivors, md5-order packing of cleaned text

@@ -12,6 +12,24 @@ class ObservabilitySpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private lazy val sf = TestSpark.sf
 
+  test("the stage ledger funnels monotonically and matches a recount") {
+    val rows = Pipeline.pipelineLedger(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("1_length_gate", "2_lang_gate", "3_exact_dedup"))
+    rows.foreach { case (st, in, out, dropped) =>
+      assert(out <= in && dropped == in - out, s"$st: $in -> $out, dropped $dropped")
+    }
+    // stages chain: each stage's rows_in is the previous stage's rows_out
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._3, s"${b._1} rows_in != ${a._1} rows_out")
+    }
+    val recount = graft.Tables.documents(s, sf)
+      .filter(length(col("text")) >= 100 && col("lang").isin("analytics", "storage"))
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    assert(rows.last._3 == recount, "final stage diverges from the recount")
+  }
+
   test("observed pipeline reports exact survivor metrics without changing output") {
     val (out, obs) = Pipeline.e2ePackObserved(s, sf)
     val observedRows = out.collect().toSeq
