@@ -351,6 +351,36 @@ object Dedup {
   private[operators] def stagedDupClusters(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensureClustersStaged(s, d))
 
+  /** `d_split_leakage` — LEAKAGE-SAFE SPLIT ASSIGNMENT: train/val/test
+    * is decided per DUP CLUSTER, not per document, so a document and
+    * its near-duplicates can never straddle splits — the
+    * decontamination-BY-CONSTRUCTION move (a random doc-keyed split
+    * leaks near-identical text from train into the eval set; the eval
+    * then measures memorization, not generalization —
+    * SplitLeakageSpec demonstrates the doc-keyed trap on this very
+    * corpus). Singletons key on their own id; members inherit the
+    * cluster label from the STAGED cluster table (built once per
+    * corpus); the 80/10/10 bucket is a salted md5 of the LABEL.
+    *
+    * Scale shape: one broadcast-or-shuffle equi-join of docs against
+    * the O(dup-involved docs) cluster table; the split decision is a
+    * narrow map. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val members = stagedDupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val label = coalesce(col("cluster_id"), col("doc_id"))
+    val bucket = conv(substring(md5(
+        concat(lit("gsplit_"), label.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    docs(s, d).select(col("doc_id"))
+      .join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"), label.as("cluster_id"), bucket.as("bucket"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-document selection: for each duplicate cluster, KEEP the
     * highest-quality member (tie → lowest doc_id) instead of the naive
     * min-id representative — the resolution step an LLM corpus pipeline
@@ -1210,6 +1240,7 @@ object Dedup {
     "d_incremental_dedup" -> (incrementalDedup _),
     "d_span_dedup" -> (spanDedup _),
     "d_dup_clusters" -> (dupClusters _),
+    "d_split_leakage" -> (splitLeakage _),
     "d_dup_clusters_star" -> (dupClustersStar _),
     "d_cluster_canonical" -> (clusterCanonical _),
     "d_ngram_jaccard" -> (ngramJaccard _),
@@ -1634,6 +1665,23 @@ object Dedup {
     // label-propagation and the two-phase large/small-star resolution
     "d_dup_clusters" -> clustersOracle,
     "d_dup_clusters_star" -> clustersOracle,
+    // cluster labels from the same transitive closure; the split bucket
+    // is a salted md5 of the LABEL, so members can never straddle
+    "d_split_leakage" ->
+      (closureCte +
+        s""",
+           |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+           |lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+           |        FROM documents d LEFT JOIN cl USING (doc_id)),
+           |b AS (SELECT doc_id, cluster_id,
+           |        ${graft.QueryDsl.sqlHex8("md5('gsplit_' || CAST(cluster_id AS VARCHAR))", 1)} % 100
+           |          AS bucket
+           |      FROM lab)
+           |SELECT doc_id, cluster_id,
+           |       CASE WHEN bucket < 80 THEN 'train'
+           |            WHEN bucket < 90 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin),
     "d_cluster_canonical" -> canonicalOracle,
     "d_ngram_jaccard" ->
       (sigCte +
