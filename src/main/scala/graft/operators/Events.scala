@@ -506,7 +506,7 @@ object Events {
     * inherently sequential per type, so the oracle steps the identical
     * update through a RECURSIVE CTE (the [[ewmaOf]] contract); per-type
     * work is O(calendar days) — bounded by time, not corpus. */
-  private val CusumBaseline = 7
+  private[graft] val CusumBaseline = 7
 
   private[graft] def cusumOf(s: SparkSession, daily: DataFrame): DataFrame = {
     import s.implicits._

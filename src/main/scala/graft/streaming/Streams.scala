@@ -1359,7 +1359,8 @@ object Streams {
   final case class CuOut(event_type: String, day: java.sql.Date, n: Long,
       cusum_s: Long, alarm: Int)
 
-  private val CuBaseline = 7 // must match operators.Events.CusumBaseline
+  // the batch detector's constant, shared so the twins cannot drift
+  private val CuBaseline = graft.operators.Events.CusumBaseline
 
   class CusumProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, CuEv, CuOut] {
