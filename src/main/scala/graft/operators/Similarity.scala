@@ -1525,6 +1525,61 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // gate at 3x the expected same-distribution noise: E||Δc||² ≈
+  // σ²d·(1/n_a + 1/n_b) with σ²d ≈ E||v||² ≈ 1 for this unit-scale
+  // corpus — the threshold SCALES with slice sizes, so the gate holds
+  // at every sf (a fixed cutoff drowns in noise on small slices and
+  // goes blind on huge ones)
+  private val DriftNoiseMult = 3.0
+
+  /** `v_embed_drift` — EMBEDDING-DISTRIBUTION DRIFT GATE between two
+    * ingest slices (the health check an embedding pipeline runs when
+    * the encoder version, preprocessing, or upstream corpus changes):
+    * per-slice centroids from EXACT integer sums (the
+    * [[centroidArraysOf]] quantization), compared by SQUARED L2
+    * DISTANCE — cosine is the wrong statistic here: the corpus is
+    * zero-centered, so half-vs-half centroids are pure noise and their
+    * angle carries no signal, while ||Δcentroid||² concentrates near
+    * σ²d·(1/n_a + 1/n_b) for same-distribution halves and jumps by
+    * the shift² for a planted encoder change. Drift fires above
+    * [[DriftNoiseMult]]× that expectation. Two scenarios keep both
+    * regimes
+    * honest: the raw halves of one corpus must NOT drift, and a
+    * planted encoder shift (+0.5 on dimension 0 of one slice —
+    * op-for-op reproduced by the oracle, floor-exact) MUST. One
+    * aggregation pass per slice — O(dim) state, nothing corpus-sized
+    * on the driver. */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    def centRow(vecs: DataFrame, shiftDim0: Boolean): DataFrame = {
+      val sums = (0 until Dim).map { i =>
+        val base = col("embedding").getItem(i).cast("double")
+        val v = if (i == 0 && shiftDim0) base + lit(0.5) else base
+        sum(floor(v * lit(CentroidScale))).as(s"s$i")
+      }
+      vecs.agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("n"), array((0 until Dim).map(i =>
+          col(s"s$i").cast("double") / (col("n").cast("double") * lit(CentroidScale))): _*)
+          .as("cv"))
+    }
+    def scenario(name: String, shifted: Boolean): DataFrame = {
+      val a = centRow(emb(s, d).filter(col("vec_id") % 2 === 0), shiftDim0 = false)
+        .select(col("n").as("n_a"), col("cv").as("ca"))
+      val b = centRow(emb(s, d).filter(col("vec_id") % 2 === 1), shiftDim0 = shifted)
+        .select(col("n").as("n_b"), col("cv").as("cb"))
+      a.crossJoin(b) // 1 row × 1 row
+        .select(lit(name).as("scenario"), col("n_a"), col("n_b"),
+          aggregate(zip_with(col("ca"), col("cb"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v).as("centroid_dist2"))
+        .withColumn("drifted",
+          (col("centroid_dist2") >
+            lit(DriftNoiseMult) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+            .cast("int"))
+    }
+    scenario("same", shifted = false)
+      .unionByName(scenario("shifted", shifted = true))
+      .orderBy("scenario")
+  }
+
   // ---- The REBALANCE DECISION above incremental maintenance (the
   // k_sketch_planned_join discipline applied to index ops): appending
   // against frozen centroids is O(delta) but degrades the quantizer as
@@ -1596,6 +1651,7 @@ object Similarity {
     "v_ann_filtered" -> (annFiltered _),
     "v_ann_delete" -> (annDelete _),
     "v_ann_rebalance" -> (annRebalance _),
+    "v_embed_drift" -> (embedDrift _),
     "v_ann_nsw" -> (annNsw _),
     "v_ann_mrr" -> (annMrr _),
     "v_embed_stats" -> (embedStats _),
@@ -2191,6 +2247,41 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // per-slice integer-sum centroids, op-for-op (incl. the planted
+    // +0.5 dim-0 shift, floor-exact), compared by the shared cosine fold
+    "v_embed_drift" -> {
+      def dist2(a: String, b: String) =
+        s"""list_reduce(list_transform(range(0, 64),
+           |  i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), (x,y) -> x+y)""".stripMargin
+      val cosExpr = dist2("ca.cv", "cb.cv")
+      val cosExprS = dist2("ca.cv", "cbs.cv")
+      s"""WITH expl AS (
+         |  SELECT vec_id % 2 AS half, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM embeddings),
+         |sums AS (
+         |  SELECT half, pos,
+         |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) AS sv,
+         |    CAST(SUM(CAST(FLOOR((CAST(v AS DOUBLE) + 0.5) * 1000000) AS BIGINT)) AS DOUBLE) AS svs,
+         |    COUNT(*) AS cnt
+         |  FROM expl GROUP BY half, pos),
+         |ca AS (SELECT list(sv / (cnt * 1000000.0) ORDER BY pos) AS cv, MAX(cnt) AS n
+         |       FROM sums WHERE half = 0),
+         |cb AS (SELECT list(sv / (cnt * 1000000.0) ORDER BY pos) AS cv, MAX(cnt) AS n
+         |       FROM sums WHERE half = 1),
+         |cbs AS (SELECT list((CASE WHEN pos = 0 THEN svs ELSE sv END) / (cnt * 1000000.0)
+         |                    ORDER BY pos) AS cv, MAX(cnt) AS n
+         |        FROM sums WHERE half = 1)
+         |SELECT 'same' AS scenario, ca.n AS n_a, cb.n AS n_b,
+         |       $cosExpr AS centroid_dist2,
+         |       CAST($cosExpr > $DriftNoiseMult * (1.0 / ca.n + 1.0 / cb.n) AS INT) AS drifted
+         |FROM ca, cb
+         |UNION ALL
+         |SELECT 'shifted', ca.n, cbs.n,
+         |       $cosExprS, CAST($cosExprS > $DriftNoiseMult * (1.0 / ca.n + 1.0 / cbs.n) AS INT)
+         |FROM ca, cbs
+         |ORDER BY scenario""".stripMargin
+    },
     // the decision ledger from closed-form counts: append keeps the
     // base-trained quantizer (centroids = base labels), rebuild retrains
     // on everything (centroids = all labels); postings = base + delta
