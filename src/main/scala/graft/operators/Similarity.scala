@@ -1368,6 +1368,27 @@ object Similarity {
     val (e0Path, e1Path) = ensureNswStaged(s, d)
     val edges0 = s.read.parquet(e0Path).select(col("src"), col("dst"), col("sv_d"))
     val edges1 = s.read.parquet(e1Path).select(col("src"), col("dst"), col("sv_d"))
+    val entry = emb(s, d).filter(col("vec_id") % NswLayerMod === 0)
+      .agg(min(col("vec_id"))).head().getLong(0) // 1 value — the fixed entry
+    // step 1's frontier is {entry} ∪ out(entry) for EVERY query — a fixed
+    // ≤ M+1 node set, read once (bounded) and exploded as literals so the
+    // probe plan never joins on a constant (which would fold to a
+    // degenerate nested-loop cross); scoring it is the probe's ONLY
+    // pre-rank corpus touch
+    val entryFront = entry +: s.read.parquet(e1Path)
+      .filter(col("src") === entry).select(col("dst"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    nswProbe(s, d, edges0, edges1, entryFront)
+  }
+
+  /** The beam probe over the given edge layers and entry frontier —
+    * shared by the build-once graph ([[annNsw]]) and the incrementally
+    * extended graph ([[incrementalNsw]]): the traversal does not care
+    * whether an edge row came from the staged build or an appended
+    * insert batch, which is exactly the property that makes the
+    * append-only insert cheap. */
+  private def nswProbe(s: SparkSession, d: String,
+      edges0: DataFrame, edges1: DataFrame, entryFront: Seq[Long]): DataFrame = {
     val sv = emb(s, d).select(col("vec_id").as("node"), scaledCol(col("embedding")).as("sv"))
     val qv = queriesDf(s, d).select(col("q_id"), scaledCol(col("q_emb")).as("qv"))
     // beam rows carry (q_id, node, d2); expansion scores candidates from
@@ -1387,16 +1408,6 @@ object Similarity {
     }
     def beamStep(beam: DataFrame, edges: DataFrame, width: Int): DataFrame =
       topW(beam.unionByName(expandScore(beam, edges)), width)
-    val entry = emb(s, d).filter(col("vec_id") % NswLayerMod === 0)
-      .agg(min(col("vec_id"))).head().getLong(0) // 1 value — the fixed entry
-    // step 1's frontier is {entry} ∪ out(entry) for EVERY query — a fixed
-    // ≤ M+1 node set, read once (bounded) and exploded as literals so the
-    // probe plan never joins on a constant (which would fold to a
-    // degenerate nested-loop cross); scoring it is the probe's ONLY
-    // pre-rank corpus touch
-    val entryFront = entry +: s.read.parquet(e1Path)
-      .filter(col("src") === entry).select(col("dst"))
-      .collect().map(_.getLong(0)).toSeq.sorted
     val initScored = sv
       .join(broadcast(qv.select(col("q_id"))
         .withColumn("node", explode(array(entryFront.map(lit): _*)))), Seq("node"))
@@ -1422,6 +1433,103 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
+  }
+
+  // ---- Incremental NSW maintenance: the graph-index counterpart of
+  // the IVF delta-ingest below. A build-once graph forces a full
+  // rebuild per arriving batch; instead the BASE GRAPH IS FROZEN and an
+  // arriving vector INSERTS by (a) finding its M nearest base nodes
+  // through the staged band index — which carries each base vector as
+  // PAYLOAD, so candidate scoring touches only the index and the delta,
+  // never a base-vector scan — and (b) APPENDING forward (delta→base)
+  // and back (base→delta) edge rows: new rows in new files, no existing
+  // edge rewritten (base out-degrees may exceed M — the documented
+  // append-only trade; a later rebalance re-ranks, the v_ann_rebalance
+  // decision). The probe is the SAME beam traversal; back-links are
+  // what make inserted vectors retrievable. ----
+
+  private[operators] val incNswBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // p1 = payload schema v1 (bands carry scaled base vectors)
+  def incNswStageDir(sfDir: String): String =
+    s"/tmp/graft_stage/incnsw_m${NswM}_l${NswLayerMod}_p1_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Stages the BASE half: the band index WITH vector payload plus the
+    * base-only edge layers (the [[ensureNswStaged]] build restricted to
+    * non-delta vectors). Built once per corpus fingerprint. */
+  def ensureIncNswStaged(s: SparkSession, d: String): (String, String, String) = {
+    val dir = incNswStageDir(d)
+    val bandsP = dir + "/bands"
+    val e0P = dir + "/edges0"
+    val e1P = dir + "/edges1"
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      incNswBuildCount.incrementAndGet()
+      val base = emb(s, d).filter(!isDeltaVec)
+      base.select(col("vec_id"), scaledCol(col("embedding")).as("sv"),
+          posexplode(lshBandKeysNative(col("embedding"))).as(Seq("band", "bkey")))
+        .write.mode("overwrite").parquet(bandsP)
+      val svb = base.select(col("vec_id"), scaledCol(col("embedding")).as("sv"))
+      val svS = svb.select(col("vec_id").as("src"), col("sv").as("sv_s"))
+      val svD = svb.select(col("vec_id").as("dst"), col("sv").as("sv_d"))
+      val wSrc = Window.partitionBy(col("src")).orderBy(col("d2").asc, col("dst").asc)
+      def topM(pairs: DataFrame): DataFrame =
+        pairs.join(svS, "src").join(svD, "dst")
+          .select(col("src"), col("dst"),
+            intD2(col("sv_s"), col("sv_d")).as("d2"), col("sv_d"))
+          .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= NswM)
+          .select("src", "dst", "d2", "sv_d")
+      val bands = s.read.parquet(bandsP).select(col("vec_id"), col("band"), col("bkey"))
+      topM(bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst")).distinct())
+        .write.mode("overwrite").parquet(e0P)
+      val coarse = svb.filter(col("vec_id") % NswLayerMod === 0)
+      topM(coarse.select(col("vec_id").as("src"))
+        .join(coarse.select(col("vec_id").as("dst")), col("src") =!= col("dst")))
+        .write.mode("overwrite").parquet(e1P)
+    }: Unit
+    (bandsP, e0P, e1P)
+  }
+
+  /** `v_incremental_nsw` — probe over the INCREMENTALLY MAINTAINED
+    * graph: the delta batch band-hashes (one narrow pass over the
+    * delta), candidates come from the staged payload-carrying band
+    * index, the top-M per delta vector append as forward + back edge
+    * rows, and the shared beam probe runs over base ∪ appended edges.
+    * REQUIREs the staged graph was not rebuilt by the insert. The
+    * oracle rebuilds the same base graph + insert edges from scratch in
+    * SQL — append ≡ rebuild-with-frozen-base, hash-checked. */
+  def incrementalNsw(s: SparkSession, d: String): DataFrame = {
+    val (bandsP, e0P, e1P) = ensureIncNswStaged(s, d)
+    val builds = incNswBuildCount.get()
+    val baseBands = s.read.parquet(bandsP)
+      .select(col("vec_id").as("dst"), col("sv").as("sv_d"), col("band"), col("bkey"))
+    val delta = emb(s, d).filter(isDeltaVec)
+      .select(col("vec_id").as("src"), scaledCol(col("embedding")).as("sv_s"),
+        posexplode(lshBandKeysNative(col("embedding"))).as(Seq("band", "bkey")))
+    val wSrc = Window.partitionBy(col("src")).orderBy(col("d2").asc, col("dst").asc)
+    val dEdges = delta.join(baseBands, Seq("band", "bkey"))
+      .select(col("src"), col("sv_s"), col("dst"), col("sv_d")).distinct()
+      .select(col("src"), col("dst"),
+        intD2(col("sv_s"), col("sv_d")).as("d2"), col("sv_d"), col("sv_s"))
+      .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= NswM)
+    require(incNswBuildCount.get() == builds,
+      "the insert must not rebuild the staged base graph")
+    val edges0 = s.read.parquet(e0P).select(col("src"), col("dst"), col("sv_d"))
+      .unionByName(dEdges.select(col("src"), col("dst"), col("sv_d")))
+      .unionByName(dEdges.select(col("dst").as("src"),
+        col("src").as("dst"), col("sv_s").as("sv_d"))) // back-links
+    val edges1 = s.read.parquet(e1P).select(col("src"), col("dst"), col("sv_d"))
+    val entry = emb(s, d)
+      .filter(!isDeltaVec && col("vec_id") % NswLayerMod === 0)
+      .agg(min(col("vec_id"))).head().getLong(0)
+    val entryFront = entry +: s.read.parquet(e1P)
+      .filter(col("src") === entry).select(col("dst"))
+      .collect().map(_.getLong(0)).toSeq.sorted // bounded ≤ M+1
+    nswProbe(s, d, edges0, edges1, entryFront)
   }
 
   // ---- Incremental ANN maintenance: the delta-ingest shape on the
@@ -1652,6 +1760,7 @@ object Similarity {
     "v_ann_delete" -> (annDelete _),
     "v_ann_rebalance" -> (annRebalance _),
     "v_embed_drift" -> (embedDrift _),
+    "v_incremental_nsw" -> (incrementalNsw _),
     "v_ann_nsw" -> (annNsw _),
     "v_ann_mrr" -> (annMrr _),
     "v_embed_stats" -> (embedStats _),
@@ -1792,6 +1901,80 @@ object Similarity {
          |         ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
          |${edgeCte("e0", "p0")},
          |cn AS (SELECT vec_id FROM embeddings WHERE vec_id % $NswLayerMod = 0),
+         |p1 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |       FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+         |${edgeCte("e1", "p1")},
+         |bent AS (SELECT q_id, (SELECT MIN(vec_id) FROM cn) AS node FROM q),
+         |$l1Steps,
+         |$l0Steps,
+         |vis AS (${(1 to NswSteps).map(t => s"SELECT q_id, node FROM ug$t")
+          .mkString("\n       UNION\n       ")}),
+         |rr AS (SELECT v.q_id, v.node AS vec_id,
+         |         ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+         |       FROM vis v JOIN embeddings e ON e.vec_id = v.node
+         |            JOIN q ON q.q_id = v.q_id
+         |       WHERE v.node <> v.q_id),
+         |rankedn AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, vec_id, cosine FROM rankedn WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // the incremental graph rebuilt from scratch: base-only band blocking
+  // for the frozen layers, the delta's band-blocked top-M as forward +
+  // back edges, the SAME unrolled beam walk over the union
+  private lazy val incNswOracle: String = {
+    def edgeCte(name: String, pairs: String): String =
+      s"""${name}d AS (
+         |  SELECT p.src, p.dst, SUM((a.e - b.e) * (a.e - b.e)) AS d2
+         |  FROM $pairs p JOIN sv a ON a.vec_id = p.src
+         |       JOIN sv b ON b.vec_id = p.dst AND b.dim = a.dim
+         |  GROUP BY p.src, p.dst),
+         |$name AS (SELECT src, dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |             ORDER BY d2 ASC, dst ASC) AS rn
+         |    FROM ${name}d) t WHERE rn <= $NswM)""".stripMargin
+    def step(t: String, prev: String, edges: String, width: Int): String =
+      s"""u$t AS (SELECT q_id, node FROM $prev
+         |        UNION
+         |        SELECT p.q_id, e.dst AS node
+         |        FROM $prev p JOIN $edges e ON e.src = p.node),
+         |s$t AS (SELECT u.q_id, u.node, SUM((qe.e - ne.e) * (qe.e - ne.e)) AS d2
+         |        FROM u$t u JOIN sv qe ON qe.vec_id = u.q_id
+         |             JOIN sv ne ON ne.vec_id = u.node AND ne.dim = qe.dim
+         |        GROUP BY u.q_id, u.node),
+         |b$t AS (SELECT q_id, node FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY d2 ASC, node ASC) AS rn
+         |    FROM s$t) t WHERE rn <= $width)""".stripMargin
+    val l1Steps = (1 to NswSteps1).map(t =>
+      step(s"l$t", if (t == 1) "bent" else s"bl${t - 1}", "e1", NswBeam1W)).mkString(",\n")
+    val l0Steps = (1 to NswSteps).map(t =>
+      step(s"g$t", if (t == 1) s"bl$NswSteps1" else s"bg${t - 1}", "e0a", NswBeamW))
+      .mkString(",\n")
+    lshBandsCte +
+      s""",
+         |sv AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e
+         |       FROM embeddings),
+         |p0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |       FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id <> y.vec_id
+         |       WHERE x.vec_id % 10 <> 7 AND y.vec_id % 10 <> 7),
+         |${edgeCte("e0", "p0")},
+         |pd AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |       FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.bkey = y.bkey
+         |       WHERE x.vec_id % 10 = 7 AND y.vec_id % 10 <> 7),
+         |${edgeCte("ed", "pd")},
+         |e0a AS (SELECT src, dst FROM e0
+         |        UNION ALL SELECT src, dst FROM ed
+         |        UNION ALL SELECT dst AS src, src AS dst FROM ed),
+         |cn AS (SELECT vec_id FROM embeddings
+         |       WHERE vec_id % $NswLayerMod = 0 AND vec_id % 10 <> 7),
          |p1 AS (SELECT a.vec_id AS src, b.vec_id AS dst
          |       FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
          |${edgeCte("e1", "p1")},
@@ -2371,6 +2554,7 @@ object Similarity {
     "v_ann_lsh" -> annLshOracle,
     // the staged two-layer graph and the fixed-beam descent unrolled
     "v_ann_nsw" -> annNswOracle,
+    "v_incremental_nsw" -> incNswOracle,
     // MRR overlay: each method's own gate SQL embedded verbatim, first
     // true-neighbor rank + integer reciprocal per (method, query)
     "v_ann_mrr" -> {
