@@ -659,6 +659,63 @@ object Formats {
       .orderBy("tbl", "version")
   }
 
+  private val deepCloneRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_deep_clone` — DEEP CLONE, the physical-copy complement of
+    * [[cloneTable]]: data files byte-copy to the clone's own storage
+    * and the clone manifest references ONLY the copies, so the clone
+    * survives anything that happens to the source — the query DELETES
+    * the source's data outright (the vacuum that breaks shallow clones,
+    * CloneRestoreSpec's documented hazard), REQUIREs the source is
+    * really gone, and still reads the clone exactly. The cost trade is
+    * the point: shallow = O(manifest) creation but shared-fate files;
+    * deep = O(data) creation and full isolation — DR replicas and
+    * cross-environment promotion pay for deep. */
+  def deepClone(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "deepclone") + "/run" + deepCloneRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/src_data/$name"); s"$base/src_data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 2 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 2 === 1))
+    def commit(table: String, v: Int, files: Seq[String]): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/$table"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/$table/manifest-v$v.txt"),
+        files.mkString("\n").getBytes("UTF-8")): Unit
+    }
+    commit("src", 1, Seq(fA, fB))
+    // the deep copy: byte-for-byte file copies into the clone's storage
+    def copyDir(from: String, name: String): String = {
+      val toDir = java.nio.file.Paths.get(s"$base/clone_data/$name")
+      java.nio.file.Files.createDirectories(toDir)
+      val src = java.nio.file.Paths.get(from)
+      val st = java.nio.file.Files.list(src)
+      try {
+        st.iterator().forEachRemaining { p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            java.nio.file.Files.copy(p, toDir.resolve(p.getFileName.toString)): Unit
+        }
+      } finally st.close()
+      toDir.toString
+    }
+    val cA = copyDir(fA, "A")
+    val cB = copyDir(fB, "B")
+    commit("clone", 1, Seq(cA, cB))
+    require(Seq(cA, cB).forall(_.contains("/clone_data/")),
+      "deep clone must reference its own copies, never the source")
+    // the source-side catastrophe the clone must survive
+    deleteRecursively(new java.io.File(s"$base/src_data"))
+    require(scala.util.Try(s.read.parquet(fA).count()).isFailure,
+      "fixture error: the source data must really be gone")
+    s.read.parquet(cA, cB)
+      .groupBy((col("o_orderkey") % 2).cast("int").as("slice"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .orderBy("slice")
+  }
+
   private val restoreRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_restore` — RESTORE TABLE TO VERSION as a ROLL-FORWARD commit
@@ -1835,6 +1892,7 @@ object Formats {
     "k_timetravel_ts" -> (timeTravelTs _),
     "k_mv_refresh" -> (mvRefresh _),
     "k_clone" -> (cloneTable _),
+    "k_deep_clone" -> (deepClone _),
     "k_restore" -> (restoreTable _),
     "k_row_tracking" -> (rowTracking _),
     "k_multi_table_txn" -> (multiTableTxn _),
@@ -2112,6 +2170,14 @@ object Formats {
          |       CAST(SUM(c + 500) AS BIGINT)
          |FROM base WHERE k % 3 = 1
          |ORDER BY change""".stripMargin,
+    // per-parity totals of the full table — readable ONLY through the
+    // physical copies once the source is deleted
+    "k_deep_clone" ->
+      s"""SELECT CAST(o_orderkey % 2 AS INT) AS slice, COUNT(*) AS n_rows,
+         |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 100 AS BIGINT))
+         |            AS BIGINT) AS total_cents
+         |FROM orders GROUP BY 1
+         |ORDER BY slice""".stripMargin,
     // per-(table, version) totals from the slice rules: src v2 = A∪B,
     // src v3 = A∪B∪C, clone v1 = A∪B (the zero-copy snapshot),
     // clone v2 = A∪B∪D — the diverged branches must not see each other

@@ -18,6 +18,10 @@ class CloneRestoreSpec extends AnyFunSuite {
       df.collect().map(_.toString).toSeq
     assert(rows(Formats.cloneTable(s, sf)) == rows(Formats.cloneTable(s, sf)))
     assert(rows(Formats.restoreTable(s, sf)) == rows(Formats.restoreTable(s, sf)))
+    // the deep clone reads exactly even though its query DELETED the
+    // source outright — the isolation shallow clones cannot give
+    assert(rows(Formats.queries("k_deep_clone")(s, sf)) ==
+      rows(Formats.queries("k_deep_clone")(s, sf)))
   }
 
   test("a source vacuum that ignores clones breaks the clone (the ownership rule)") {
