@@ -231,10 +231,27 @@ object BpeTrain {
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
 
+  /** `t_tokenizer_eval` — the TOKENIZER BAKE-OFF: corpus-level
+    * compression (chars per token, fixed-point) for the two runtimes
+    * the engine trains — BPE merge replay vs WordPiece greedy
+    * longest-match — from each runtime's own per-doc accounting. The
+    * number a tokenizer choice is actually made on: lower fertility =
+    * fewer tokens per corpus = cheaper training at the same data. */
+  def tokenizerEval(s: SparkSession, d: String): DataFrame = {
+    def tot(df: DataFrame, tokCol: String, name: String): DataFrame =
+      df.agg(sum(col("n_chars")).as("n_chars"), sum(col(tokCol)).as("n_tokens"))
+        .select(lit(name).as("tokenizer"), col("n_chars"), col("n_tokens"),
+          expr("n_chars * 1000 DIV n_tokens").as("chars_per_token_x1000"))
+    tot(bpeApply(s, d), "n_trained_tokens", "bpe")
+      .unionByName(tot(wordpiece(s, d), "n_tokens", "wordpiece"))
+      .orderBy("tokenizer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> (bpeTrain _),
     "t_bpe_apply" -> (bpeApply _),
     "t_wordpiece" -> (wordpiece _),
+    "t_tokenizer_eval" -> (tokenizerEval _),
     "t_bpe_curve" -> (bpeCurve _),
   )
 
@@ -260,7 +277,7 @@ object BpeTrain {
     if (withRewrite) pairs + ",\n" + rewrite else pairs
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     // the same loop unrolled: word counts -> symbol strings -> per step
     // (adjacent-pair count, argmax with the same tie order, two-pass
     // literal rewrite) -- the d_pagerank / v_kmeans_train pattern
@@ -305,8 +322,6 @@ object BpeTrain {
          |$points
          |ORDER BY n_merges""".stripMargin
     },
-    // the same unrolled train chain, carrying each word through the four
-    // rewrites, then billing every document against the tokenized vocab
     // the greedy longest-match walk, unrolled MaxWordLen times: each
     // step consumes the longest vocab gram at the head of the remainder
     "t_wordpiece" -> {
@@ -386,4 +401,23 @@ object BpeTrain {
          |ORDER BY doc_id""".stripMargin
     },
   )
+
+  // the bake-off aggregates each runtime's own oracle chain — one
+  // derivation per tokenizer, no third re-derivation to drift
+  val oracle: Map[String, String] = oracleBase + ("t_tokenizer_eval" ->
+    s"""WITH b AS (${oracleBase("t_bpe_apply")}),
+       |wp AS (${oracleBase("t_wordpiece")})
+       |SELECT 'bpe' AS tokenizer,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(SUM(n_trained_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(n_chars) * 1000 // SUM(n_trained_tokens) AS BIGINT)
+       |         AS chars_per_token_x1000
+       |FROM b
+       |UNION ALL
+       |SELECT 'wordpiece',
+       |       CAST(SUM(n_chars) AS BIGINT),
+       |       CAST(SUM(n_tokens) AS BIGINT),
+       |       CAST(SUM(n_chars) * 1000 // SUM(n_tokens) AS BIGINT)
+       |FROM wp
+       |ORDER BY tokenizer""".stripMargin)
 }
