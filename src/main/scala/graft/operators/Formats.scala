@@ -1243,6 +1243,61 @@ object Formats {
         col("v1_rows"), col("final_rows"), col("final_total"))
   }
 
+  private val occCompRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_occ_compaction` — COMPACTION UNDER A CONCURRENT APPEND, the
+    * conflict pair [[timeTravelOcc]]'s two-appender race does not
+    * cover: a background OPTIMIZE (remove the small files A,B; add the
+    * compacted C) and an ingest append (add NEW) both pin the v1
+    * snapshot, race the v2 publish, and the loser REBASES — the
+    * file-set conflict rule (Delta's): an append never invalidates
+    * anything, and the compactor's read set {A,B} stays live when the
+    * winner only added, so BOTH orders land the same final state
+    * {C, NEW} with exactly one retry. A compactor whose inputs had
+    * been removed would abort instead (the read-set validation in
+    * [[ManifestLog.commit]]). REQUIREd: 3 versions, 1 conflict, the
+    * exact final file set, and v1 still readable unchanged — every
+    * output column symmetric in which writer won, so the race is
+    * hash-checkable. This is what lets OPTIMIZE run continuously under
+    * live ingest at 100 TB instead of in a maintenance window. */
+  def occCompaction(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "occ_comp") + "/run" + occCompRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 3 === 1))
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 3 <= 1)) // A∪B compacted
+    val fNew = writeFile("NEW", o.filter(col("o_orderkey") % 3 === 2)) // the arriving batch
+    require(ManifestLog.publish(base, 1, Seq(fA, fB)), s"v1 already exists under $base")
+    val v1Before = ManifestLog.read(base, 1)
+    val ready = new java.util.concurrent.CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, CommitResult]()
+    def writer(name: String, remove: Set[String], add: Seq[String]) = new Thread(() => {
+      val snap = ManifestLog.latest(base)
+      ready.countDown(); ready.await()
+      results.put(name, ManifestLog.commit(base, remove, add, Some(snap))): Unit
+    }, s"occcomp-$name")
+    val ts = Seq(
+      writer("append", Set.empty, Seq(fNew)),
+      writer("compact", Set(fA, fB), Seq(fC)))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val (lastV, finalFiles) = ManifestLog.latest(base)
+    require(lastV == 3, s"expected 3 versions, got $lastV")
+    require(finalFiles.toSet == Set(fC, fNew),
+      s"final state must be {compacted, appended}, got $finalFiles")
+    require(ManifestLog.read(base, 1) == v1Before, "v1 mutated — snapshot isolation broken")
+    val conflicts = results.values().stream().mapToInt(_.attempts).sum() - results.size()
+    require(conflicts == 1, s"exactly one rebase expected, got $conflicts")
+    s.read.parquet(finalFiles: _*)
+      .agg(count(lit(1)).as("final_rows"), dsum(col("o_totalprice")).as("final_total"))
+      .crossJoin(s.read.parquet(ManifestLog.read(base, 1): _*)
+        .agg(count(lit(1)).as("v1_rows")))
+      .select(lit(lastV).as("n_versions"), lit(conflicts).as("n_conflicts"),
+        col("v1_rows"), col("final_rows"), col("final_total"))
+  }
+
   private val pevRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_partition_evolution` — PARTITION-SPEC EVOLUTION on the manifest
@@ -1903,6 +1958,7 @@ object Formats {
     "k_profile" -> (profile _),
     "k_csv_quoting" -> (csvQuoting _),
     "k_timetravel_occ" -> (timeTravelOcc _),
+    "k_occ_compaction" -> (occCompaction _),
     "k_manifest_cdf" -> (manifestCdf _),
     "k_fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
     "k_partition_evolution" -> (partitionEvolution _),
@@ -2082,6 +2138,14 @@ object Formats {
     "k_timetravel_occ" ->
       s"""SELECT CAST(3 AS INT) AS n_versions, CAST(1 AS INT) AS n_conflicts,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 3 = 0) AS v1_rows,
+         |       CAST(COUNT(*) AS BIGINT) AS final_rows,
+         |       ${sqlDsum("o_totalprice")} AS final_total
+         |FROM orders""".stripMargin,
+    // whatever the interleave: 3 versions, 1 rebase, v1 = A∪B, final
+    // state = the compacted pair plus the appended batch = every order
+    "k_occ_compaction" ->
+      s"""SELECT CAST(3 AS INT) AS n_versions, CAST(1 AS INT) AS n_conflicts,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 3 IN (0, 1)) AS v1_rows,
          |       CAST(COUNT(*) AS BIGINT) AS final_rows,
          |       ${sqlDsum("o_totalprice")} AS final_total
          |FROM orders""".stripMargin,

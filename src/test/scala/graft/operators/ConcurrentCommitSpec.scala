@@ -26,6 +26,22 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(ManifestLog.read(dir, 2) == Seq("base", "x"), "loser must not clobber the winner")
   }
 
+  test("compactor vs append rebases; compactor vs compactor aborts") {
+    // append wins first: the compactor's read set {a, b} stays live in
+    // v2, so its rebase lands — the k_occ_compaction happy path
+    val dir = freshLog("a", "b")
+    assert(ManifestLog.commit(dir, Set.empty, Seq("new")).version == 2)
+    val r = ManifestLog.commit(dir, Set("a", "b"), Seq("c"), Some((1, Seq("a", "b"))))
+    assert(r.version == 3 && r.attempts == 2, s"expected one rebase, got $r")
+    assert(ManifestLog.latest(dir)._2.toSet == Set("new", "c"))
+    // a SECOND compactor of the same inputs must abort — its read set
+    // was invalidated by the first (double compaction = duplicated rows)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestLog.commit(dir, Set("a", "b"), Seq("c2"), Some((1, Seq("a", "b"))))
+    }
+    assert(e.getMessage.contains("no longer live"))
+  }
+
   test("latched append race: one winner, one clean rebase retry, no lost update") {
     val dir = freshLog("base")
     val ready = new java.util.concurrent.CountDownLatch(2)
