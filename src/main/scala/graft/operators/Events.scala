@@ -89,6 +89,38 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  private val AsofFwdTolUs = 3600L * 1000000L // 1 event-time hour
+
+  /** `e_asof_forward` — the FORWARD as-of join ([[asofJoin]] reversed):
+    * each click matches the NEXT purchase at-or-after it (in (ts,
+    * event_id) order) within a one-hour tolerance — the
+    * time-to-conversion primitive, where the backward form answers
+    * attribution. Same single user_id shuffle; the carry flips to a
+    * (currentRow, unboundedFollowing) frame with `first` — no range
+    * cross-join at any scale. Clicks with no purchase inside the
+    * tolerance emit NULLs (they are the interesting rows — the
+    * non-converting majority a funnel report counts). Oracle = an
+    * independent correlated-subquery formulation, not a window
+    * mirror. */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val inTol = col("nxt").isNotNull &&
+      col("nxt.p_us") - col("us") <= AsofFwdTolUs
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", first(when(col("event_type") === "purchase",
+        struct(col("us").as("p_us"), col("event_id").as("p_id"))),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"),
+        when(inTol, col("nxt.p_id")).as("next_purchase_id"),
+        when(inTol, col("nxt.p_us") - col("us")).as("wait_us"))
+      .orderBy("user_id", "click_id")
+  }
+
   /** Session funnel: per (user, session), click/purchase counts and
     * whether a purchase follows the session's first click — the
     * composition layer over sessionization (conversion analytics). All
@@ -921,6 +953,7 @@ object Events {
     "e_rate_anomaly" -> (rateAnomaly _),
     "e_ewma" -> (ewma _),
     "e_cusum" -> (cusum _),
+    "e_asof_forward" -> (asofForward _),
     "e_mad_anomaly" -> (madAnomaly _),
     "e_gapfill" -> (gapfill _),
     "e_interpolate" -> (interpolate _),
@@ -1288,6 +1321,24 @@ object Events {
           |                      AND us >= first_click_us THEN 1 ELSE 0 END) AS INT) AS converted
           |FROM wc GROUP BY user_id, session_id
           |ORDER BY user_id, session_id""".stripMargin),
+    // an INDEPENDENT formulation: per click, the correlated minimum
+    // purchase in (us, event_id) order within tolerance — not a window
+    "e_asof_forward" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  epoch_ns(ts) // 1000 AS us FROM events),
+         |c AS (SELECT * FROM e WHERE event_type = 'click'),
+         |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+         |SELECT c.user_id, c.event_id AS click_id, c.us AS click_us,
+         |  (SELECT p.event_id FROM p WHERE p.user_id = c.user_id
+         |     AND (p.us > c.us OR (p.us = c.us AND p.event_id > c.event_id))
+         |     AND p.us - c.us <= ${AsofFwdTolUs}
+         |   ORDER BY p.us, p.event_id LIMIT 1) AS next_purchase_id,
+         |  (SELECT p.us - c.us FROM p WHERE p.user_id = c.user_id
+         |     AND (p.us > c.us OR (p.us = c.us AND p.event_id > c.event_id))
+         |     AND p.us - c.us <= ${AsofFwdTolUs}
+         |   ORDER BY p.us, p.event_id LIMIT 1) AS wait_us
+         |FROM c
+         |ORDER BY user_id, click_id""".stripMargin,
     "e_asof_join" ->
       """WITH carried AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
