@@ -48,4 +48,24 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "set-sim join must never plan a cartesian")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "set-sim join must never plan a BNLJ")
   }
+
+  test("ranked shingle table is staged build-once and shared with the containment join") {
+    Dedup.ensureRankedStaged(s, sf)
+    val builds = Dedup.rankedBuildCount.get()
+    // both consumers probe the same staged artifact — neither rebuilds
+    Dedup.setSimJoin(s, sf).count()
+    Dedup.containmentJoin(s, sf).count()
+    Dedup.ensureRankedStaged(s, sf)
+    assert(Dedup.rankedBuildCount.get() == builds,
+      "a consumer of the ranked shingle table rebuilt it")
+    // the staged table is bit-identical to the inline derivation
+    val staged = Dedup.stagedRankedShingles(s, sf)
+    val inline = Dedup.rankedShinglesOver(Tables.documents(s, sf))
+    assert(staged.exceptAll(inline).unionAll(inline.exceptAll(staged)).count() == 0,
+      "staged ranked shingles diverge from the inline pipeline")
+    // consumer plans read parquet, not the raw documents corpus
+    val plan = Dedup.setSimJoin(s, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "setSimJoin must probe the staged ranked table, not re-shingle the corpus")
+  }
 }
