@@ -54,7 +54,14 @@ object Similarity {
 
   /** Exact cosine top-k per query: broadcast queries, one corpus scan,
     * two-phase windowed top-k. */
-  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+  def cosineTopK(s: SparkSession, d: String): DataFrame =
+    cosineTopKAt(s, d, K)
+
+  /** [[cosineTopK]] at an arbitrary depth k — the k = [[K]] instance is
+    * the `v_cosine_topk` query; the deeper instance feeds the staged
+    * ground-truth table so recall overlays can grade at K > the serving
+    * depth. */
+  private[operators] def cosineTopKAt(s: SparkSession, d: String, k: Int): DataFrame = {
     val scored = emb(s, d)
       .crossJoin(broadcast(queriesDf(s, d)))
       .filter(col("vec_id") =!= col("q_id"))
@@ -65,8 +72,8 @@ object Similarity {
     val w2 = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored
-      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= K)
-      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= K)
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }
@@ -84,20 +91,34 @@ object Similarity {
 
   private[operators] val annTruthBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The staged truth is built DEEPER than the serving depth [[K]]: the
+    * recall-at-K sweep grades the fixed depth-K result lists against the
+    * true top-1/5/25, and the deeper prefix costs nothing extra in the
+    * stager (same scored set, one window). Serving-depth consumers read
+    * through [[stagedExactTopK]], which truncates back to rank ≤ K —
+    * row_number prefixes agree at every depth, so their inputs are
+    * bit-identical to a depth-K build. */
+  private[operators] val AnnTruthDepth = 25
+
+  // k25 = truth-depth constant baked into the dir name (stage-dir discipline)
   def annTruthStageDir(sfDir: String): String =
-    "/tmp/graft_stage/anntruth_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft_stage/anntruth_k${AnnTruthDepth}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   def ensureAnnTruthStaged(s: SparkSession, d: String): String = {
     val dir = annTruthStageDir(d)
     graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
       annTruthBuildCount.incrementAndGet()
-      cosineTopK(s, d).write.mode("overwrite").parquet(dir + "/topk")
+      cosineTopKAt(s, d, AnnTruthDepth).write.mode("overwrite").parquet(dir + "/topk")
     }: Unit
     dir + "/topk"
   }
 
-  private[operators] def stagedExactTopK(s: SparkSession, d: String): DataFrame =
+  /** The full depth-[[AnnTruthDepth]] truth table (q_id, rank, vec_id, cosine). */
+  private[operators] def stagedExactTopKDeep(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensureAnnTruthStaged(s, d))
+
+  private[operators] def stagedExactTopK(s: SparkSession, d: String): DataFrame =
+    stagedExactTopKDeep(s, d).filter(col("rank") <= K)
 
   // The per-METHOD result tables are pure corpus functions too: an eval
   // harness runs each ANN method once and grades the stored results —
@@ -1281,6 +1302,62 @@ object Similarity {
       .orderBy("method", "q_id")
   }
 
+  /** Truth depths for the recall/MRR sweep: below, at, and far above the
+    * serving depth [[K]] — K=1 is the RAG-one-context regime, K=[[K]] the
+    * serving contract, K=25 coverage of a truth set 5× deeper than the
+    * system returns (recall@25 of a 5-result system is bounded by 5/25 =
+    * 0.2 — the sweep makes that visible instead of letting "recall 1.0 at
+    * the only K we measured" stand). */
+  private val RecallKs = Seq(1, K, 25)
+
+  /** `v_ann_recall_k` — recall-at-K SWEEP: the staged depth-[[K]] result
+    * lists graded against the true top-k for k ∈ [[RecallKs]]. One union
+    * leg per k over the SAME two staged tables ([[stagedExactTopKDeep]],
+    * [[stagedEvalResults]]) — the sweep multiplies overlay rows, not
+    * corpus work; nothing here touches an embedding. */
+  def annRecallAtK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = stagedExactTopKDeep(s, d)
+      .select(col("q_id"), col("vec_id"), col("rank").as("trank"))
+    val res = stagedEvalResults(s, d).select(col("method"), col("q_id"), col("vec_id"))
+    val qs = ex.select(col("q_id")).distinct()
+    RecallKs.map { k =>
+      val hits = res.join(ex.filter(col("trank") <= k), Seq("q_id", "vec_id"))
+        .groupBy(col("method"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+      evalMethods.toDF("method").crossJoin(qs)
+        .join(hits, Seq("method", "q_id"), "left")
+        .select(lit(k).as("k"), col("method"), col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / lit(k.toDouble))
+    }.reduce(_ unionByName _)
+      .orderBy("k", "method", "q_id")
+  }
+
+  /** `v_ann_mrr_k` — the MRR overlay swept over the same truth depths:
+    * per (k, method, query), the minimum RESULT-list rank holding a true
+    * top-k neighbor (0 = miss) and its integer reciprocal. Same staged
+    * inputs, same one-leg-per-k economics as [[annRecallAtK]]. */
+  def annMrrAtK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = stagedExactTopKDeep(s, d)
+      .select(col("q_id"), col("vec_id"), col("rank").as("trank"))
+    val res = stagedEvalResults(s, d)
+      .select(col("method"), col("q_id"), col("vec_id"), col("rank"))
+    val qs = ex.select(col("q_id")).distinct()
+    RecallKs.map { k =>
+      val first = res.join(ex.filter(col("trank") <= k), Seq("q_id", "vec_id"))
+        .groupBy(col("method"), col("q_id")).agg(min(col("rank")).as("fr"))
+      evalMethods.toDF("method").crossJoin(qs)
+        .join(first, Seq("method", "q_id"), "left")
+        .select(lit(k).as("k"), col("method"), col("q_id"),
+          coalesce(col("fr"), lit(0)).cast("int").as("first_hit_rank"))
+        .withColumn("rr_milli",
+          when(col("first_hit_rank") > 0,
+            expr("1000 div first_hit_rank")).otherwise(lit(0L)))
+    }.reduce(_ unionByName _)
+      .orderBy("k", "method", "q_id")
+  }
+
   // ---- Graph ANN: a two-layer navigable-small-world (NSW) — the graph
   // family (HNSW/NSW) that is today's default single-node ANN, re-shaped
   // for a distributed engine. The graph is STAGED (build-once, probe
@@ -1413,11 +1490,18 @@ object Similarity {
         .withColumn("node", explode(array(entryFront.map(lit): _*)))), Seq("node"))
       .join(broadcast(qv), Seq("q_id"))
       .select(col("q_id"), col("node"), intD2(col("qv"), col("sv")).as("d2"))
-    var beam = topW(initScored, NswBeam1W)
-    for (_ <- 2 to NswSteps1) beam = beamStep(beam, edges1, NswBeam1W)
+    // Each beam round is PINNED (localCheckpoint of the O(q×beam×M)
+    // frontier — always tiny) so round k's plan starts from round k−1's
+    // materialized rows instead of replaying the whole unrolled descent:
+    // without the pin, round k re-derives rounds 1..k−1 AND the final
+    // re-rank re-derives all of them again — the probe was quadratic in
+    // rounds over a chain that should be O(rounds). Purely physical:
+    // the unrolled-SQL oracle is unchanged.
+    var beam = topW(initScored, NswBeam1W).localCheckpoint()
+    for (_ <- 2 to NswSteps1) beam = beamStep(beam, edges1, NswBeam1W).localCheckpoint()
     var visited = beam.select("q_id", "node")
     for (_ <- 1 to NswSteps) {
-      val uni = beam.unionByName(expandScore(beam, edges0))
+      val uni = beam.unionByName(expandScore(beam, edges0)).localCheckpoint()
       visited = visited.unionByName(uni.select("q_id", "node")).distinct()
       beam = topW(uni, NswBeamW)
     }
@@ -1511,11 +1595,19 @@ object Similarity {
       .select(col("vec_id").as("src"), scaledCol(col("embedding")).as("sv_s"),
         posexplode(lshBandKeysNative(col("embedding"))).as(Seq("band", "bkey")))
     val wSrc = Window.partitionBy(col("src")).orderBy(col("d2").asc, col("dst").asc)
+    // pinned: the O(delta×M) insert-edge batch feeds THREE union legs of
+    // an edge table the probe scans once per beam round — unpinned, the
+    // band join + window would re-execute per scan
     val dEdges = delta.join(baseBands, Seq("band", "bkey"))
-      .select(col("src"), col("sv_s"), col("dst"), col("sv_d")).distinct()
+      .select(col("src"), col("sv_s"), col("dst"), col("sv_d"))
+      // dedupe shared-band repeats on the KEY PAIR only: the payload
+      // vectors are functions of src/dst, and hashing the long arrays
+      // through a 4-column distinct would shuffle the payload twice
+      .dropDuplicates("src", "dst")
       .select(col("src"), col("dst"),
         intD2(col("sv_s"), col("sv_d")).as("d2"), col("sv_d"), col("sv_s"))
       .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= NswM)
+      .localCheckpoint()
     require(incNswBuildCount.get() == builds,
       "the insert must not rebuild the staged base graph")
     val edges0 = s.read.parquet(e0P).select(col("src"), col("dst"), col("sv_d"))
@@ -1763,6 +1855,8 @@ object Similarity {
     "v_incremental_nsw" -> (incrementalNsw _),
     "v_ann_nsw" -> (annNsw _),
     "v_ann_mrr" -> (annMrr _),
+    "v_ann_mrr_k" -> (annMrrAtK _),
+    "v_ann_recall_k" -> (annRecallAtK _),
     "v_embed_stats" -> (embedStats _),
     "v_kmeans_train" -> (kmeansTrain _),
     "v_ann_ivf_trained" -> (annIvfTrained _),
@@ -1833,7 +1927,7 @@ object Similarity {
 
   /** The exact and approximate top-k oracles as standalone vals so the
     * recall harness can embed each as a parenthesized subquery. */
-  private lazy val cosineTopkOracle: String =
+  private def cosineTopkOracleAt(k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
        |scored AS (
        |  SELECT q.q_id, e.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
@@ -1843,8 +1937,20 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY q_id
        |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
        |  FROM scored)
-       |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+       |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+
+  private lazy val cosineTopkOracle: String = cosineTopkOracleAt(K)
+
+  /** Every method's gate SQL as one labelled (method, q_id, rank, vec_id)
+    * union — the oracle image of [[stagedEvalResults]], embedded by the
+    * recall/MRR sweep oracles. */
+  private lazy val annResultsUnionOracle: String =
+    Seq("ivf" -> annIvfOracle, "ivf_kmeans" -> annIvfTrainedOracle,
+      "lsh" -> annLshOracle, "nsw" -> annNswOracle, "pq" -> annPqOracle,
+      "pq_kmeans" -> annPqTrainedOracle, "quant" -> annQuantizedOracle)
+      .map { case (n, o) => s"SELECT '$n' AS method, q_id, rank, vec_id FROM ($o) t" }
+      .mkString("\nUNION ALL\n")
 
   private lazy val annLshOracle: String =
     lshScoredCte +
@@ -2580,6 +2686,52 @@ object Similarity {
          |SELECT method, q_id, first_hit_rank, rr_milli FROM (
          |$unions) u
          |ORDER BY method, q_id""".stripMargin
+    },
+    // the sweep twins: one deep exact-truth CTE (depth AnnTruthDepth),
+    // each method's gate SQL embedded once into a single result union,
+    // then one leg per truth depth k filtering trank <= k
+    "v_ann_recall_k" -> {
+      val legs = RecallKs.map { k =>
+        s"""SELECT $k AS k, m.method, qs.q_id,
+           |       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit,
+           |       CAST(COALESCE(h.n, 0) AS DOUBLE) / $k.0 AS recall
+           |FROM mth m CROSS JOIN qs
+           |LEFT JOIN (SELECT method, q_id, COUNT(*) AS n
+           |           FROM res JOIN ex USING (q_id, vec_id)
+           |           WHERE ex.trank <= $k GROUP BY method, q_id) h
+           |  ON h.method = m.method AND h.q_id = qs.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS (SELECT q_id, vec_id, rank AS trank
+         |            FROM (${cosineTopkOracleAt(AnnTruthDepth)}) t),
+         |qs AS (SELECT DISTINCT q_id FROM ex),
+         |mth AS (${evalMethods.map(m => s"SELECT '$m' AS method").mkString(" UNION ALL ")}),
+         |res AS (
+         |$annResultsUnionOracle)
+         |SELECT k, method, q_id, n_hit, recall FROM (
+         |$legs) u
+         |ORDER BY k, method, q_id""".stripMargin
+    },
+    "v_ann_mrr_k" -> {
+      val legs = RecallKs.map { k =>
+        s"""SELECT $k AS k, m.method, qs.q_id,
+           |       CAST(COALESCE(h.fr, 0) AS INT) AS first_hit_rank,
+           |       CAST(CASE WHEN COALESCE(h.fr, 0) > 0
+           |                 THEN 1000 // h.fr ELSE 0 END AS BIGINT) AS rr_milli
+           |FROM mth m CROSS JOIN qs
+           |LEFT JOIN (SELECT method, q_id, MIN(rank) AS fr
+           |           FROM res JOIN ex USING (q_id, vec_id)
+           |           WHERE ex.trank <= $k GROUP BY method, q_id) h
+           |  ON h.method = m.method AND h.q_id = qs.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS (SELECT q_id, vec_id, rank AS trank
+         |            FROM (${cosineTopkOracleAt(AnnTruthDepth)}) t),
+         |qs AS (SELECT DISTINCT q_id FROM ex),
+         |mth AS (${evalMethods.map(m => s"SELECT '$m' AS method").mkString(" UNION ALL ")}),
+         |res AS (
+         |$annResultsUnionOracle)
+         |SELECT k, method, q_id, first_hit_rank, rr_milli FROM (
+         |$legs) u
+         |ORDER BY k, method, q_id""".stripMargin
     },
     // hybrid retrieval + the rebuilt pair table + the diversify
     // anti-join + the prefix-budget pack, all as one CTE chain
