@@ -239,10 +239,10 @@ object CorpusClean {
     * no randomness crosses engines. On this corpus the rule keeps ~88%
     * of target-language docs and ~20% of the rest (spec-pinned).
     *
-    * Scale shape: two map-side-combined passes build the O(B)=1024-row
-    * distributions (broadcast); per-doc bucket counts are one shuffle of
-    * O(docs × ≤B) rows; scoring is an equi-join against the broadcast
-    * distribution table and a per-doc aggregate; the corpus totals are a
+    * Scale shape: ONE corpus explode feeds everything — the pinned
+    * per-doc bucket counts (one shuffle of O(docs × ≤B) rows) are
+    * re-aggregated into both O(B)=1024-row distributions (broadcast)
+    * and consumed directly by the scoring join; the corpus totals are a
     * 1-row broadcast — nothing corpus-sized crosses the wire twice, and
     * B is the constant that keeps the distribution tables driver-free at
     * any corpus size. */
@@ -251,14 +251,24 @@ object CorpusClean {
         sequence(lit(0), size(words) - 2),
         i => array_join(slice(words, i + lit(1), lit(2)), "_")))
       .otherwise(array().cast("array<string>"))
-    val toks = docs(s, d)
+    // ONE corpus explode: the (doc, lang, bucket) counts are computed
+    // once and PINNED, then both distributions DERIVE from the compact
+    // per-doc table by re-aggregation (Σ over docs ≡ counting the raw
+    // token stream — the same c1-from-c2 identity the LM stage uses) and
+    // the per-doc scoring consumes it directly. Unpinned, the three
+    // consumers each replayed the corpus explode + md5 — 3× the single
+    // most expensive stage in the query. The pinned table is
+    // O(docs × ≤1024) rows, far below the token stream it summarizes.
+    val perDocCounts = docs(s, d)
       .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
       .withColumn("b",
         pmod(conv(substring(md5(concat(lit("g_"), col("g")).cast("binary")), 1, 8), 16, 10)
           .cast("long"), lit(DsirBuckets)))
-    val target = toks.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("np"))
-    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("nq"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val target = perDocCounts.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("c")).as("np"))
+    val raw = perDocCounts.groupBy(col("b")).agg(sum(col("c")).as("nq"))
     val dom = s.range(DsirBuckets).select(col("id").as("b"))
     val dist = dom.join(target, Seq("b"), "left").join(raw, Seq("b"), "left")
       .select(col("b"),
@@ -269,7 +279,7 @@ object CorpusClean {
       .select(col("b"),
         expr(s"p * $DsirFx div tp").as("pfx"),
         expr(s"q * $DsirFx div tq").as("qfx"))
-    val perDoc = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val perDoc = perDocCounts
       .join(broadcast(fx), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),

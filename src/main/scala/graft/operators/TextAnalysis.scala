@@ -911,19 +911,24 @@ object TextAnalysis {
     * CORPUS-SIZED train dictionary, where the honest 100 TB shape is a
     * shuffle equi-join on the bigram — no broadcast exists that holds the
     * train set. Left-anti join counts each val doc's unseen distinct
-    * bigrams; the ratio is one integer-over-integer division. */
+    * bigrams; the ratio is one integer-over-integer division.
+    *
+    * The dictionary is the STAGED bigram-LM count table's key set
+    * ([[ensureLmStaged]] — train split `doc_id % 10 < 8`, the engine's
+    * canonical LM split shared with `t_lm_bigram`/`t_lm_surprisal`):
+    * distinct train bigrams ≡ the group keys of the staged (w1, w2, c2)
+    * counts, so the probe re-aggregates NOTHING corpus-sized — the only
+    * corpus touch is the val slice's own explode (10% of docs). */
   def bigramNovelty(s: SparkSession, d: String): DataFrame = {
     val bigrams =
       when(size(words) >= 2, array_distinct(transform(
         sequence(lit(0), size(words) - 2),
         i => array_join(slice(words, i + lit(1), lit(2)), " "))))
         .otherwise(array().cast("array<string>"))
-    val withSplit = docs(s, d)
-      .join(splitAssign(s, d).select(col("doc_id"), col("split")), "doc_id")
-      .select(col("doc_id"), col("split"), bigrams.as("bgs"))
-    val trainBigrams = withSplit.filter(col("split") === "train")
-      .select(explode(col("bgs")).as("bg")).distinct()
-    val v = withSplit.filter(col("split") === "val")
+    val trainBigrams = s.read.parquet(ensureLmStaged(s, d))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bg"))
+    val v = docs(s, d).filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id"), bigrams.as("bgs"))
       .select(col("doc_id"), col("bgs"), size(col("bgs")).as("n_bigrams"))
     val novel = v.select(col("doc_id"), explode(col("bgs")).as("bg"))
       .join(trainBigrams, Seq("bg"), "left_anti")
@@ -1565,21 +1570,15 @@ object TextAnalysis {
         |WHERE n_chars < lo OR n_chars > hi
         |ORDER BY doc_id""".stripMargin,
     "t_bigram_novelty" ->
-      s"""WITH sp AS (SELECT doc_id,
-         |                   ${graft.QueryDsl.sqlHex8("md5(text)", 1)} % 100 AS bucket
-         |            FROM documents),
-         |s2 AS (SELECT doc_id, CASE WHEN bucket < 98 THEN 'train'
-         |                           WHEN bucket = 98 THEN 'val'
-         |                           ELSE 'test' END AS split FROM sp),
-         |bg AS (
-         |  SELECT d.doc_id, s2.split,
+      s"""WITH bg AS (
+         |  SELECT doc_id,
          |         CASE WHEN len($sqlWords) >= 2
          |              THEN list_distinct(list_transform(range(0, len($sqlWords) - 1),
          |                     i -> array_to_string(($sqlWords)[i+1:i+2], ' ')))
          |              ELSE [] END AS bgs
-         |  FROM documents d JOIN s2 USING (doc_id)),
-         |train AS (SELECT DISTINCT unnest(bgs) AS bgr FROM bg WHERE split = 'train'),
-         |v AS (SELECT doc_id, bgs, len(bgs) AS n_bigrams FROM bg WHERE split = 'val'),
+         |  FROM documents),
+         |train AS (SELECT DISTINCT unnest(bgs) AS bgr FROM bg WHERE doc_id % 10 < 8),
+         |v AS (SELECT doc_id, bgs, len(bgs) AS n_bigrams FROM bg WHERE doc_id % 10 = 8),
          |ex AS (SELECT doc_id, unnest(bgs) AS bgr FROM v),
          |nov AS (SELECT doc_id, COUNT(*) AS n_novel
          |        FROM ex WHERE bgr NOT IN (SELECT bgr FROM train) GROUP BY doc_id)
