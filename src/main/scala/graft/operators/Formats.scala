@@ -1298,6 +1298,76 @@ object Formats {
         col("v1_rows"), col("final_rows"), col("final_total"))
   }
 
+  private val occGdprRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `k_occ_gdpr_abort` — the ABORT path of the OCC conflict rule, proven
+    * on the erasure workflow ([[occCompaction]] proves the rebase path):
+    * a GDPR delete rewrites every bucket holding the subject's rows
+    * (remove {A, B}, add {A′, B′}) while a compactor is mid-flight with
+    * the SAME read set {A, B} pinned at v1. Erasure publishes first —
+    * legally it cannot yield — so the compactor's read-set validation
+    * finds its inputs no longer live and must THROW, not rebase: silently
+    * rebasing would resurrect the erased rows from its stale inputs (the
+    * compacted file C was built from pre-erasure A∪B — re-adding it IS
+    * the data-protection bug this rule exists to stop). The aborted
+    * compactor then RE-PLANS against the live snapshot ({A′, B′} → C′)
+    * and lands v3 — erasure wins, compaction still happens, nothing
+    * erased comes back. REQUIREd: the abort is a
+    * ConcurrentModificationException on the first attempt, 3 versions,
+    * v1 immutable; hash-checked columns: version/abort/replan counts,
+    * subject rows present in v1 and ZERO in the final state, and the
+    * final aggregate = A∪B minus the subject — all deterministic, so the
+    * whole workflow is a correctness row, not a log line. */
+  def occGdprAbort(s: SparkSession, d: String): DataFrame = {
+    val base = graft.TempPaths.scratch(s, "occ_gdpr") + "/run" + occGdprRuns.incrementAndGet()
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val isSubject = col("o_custkey") % 7 === 3 // the erasure subject's rows
+    def writeFile(name: String, df: DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/data/$name"); s"$base/data/$name"
+    }
+    val fA = writeFile("A", o.filter(col("o_orderkey") % 3 === 0))
+    val fB = writeFile("B", o.filter(col("o_orderkey") % 3 === 1))
+    // the compactor's output, planned against v1 — STALE: contains the
+    // subject's rows, and must never reach the log
+    val fC = writeFile("C", o.filter(col("o_orderkey") % 3 <= 1))
+    require(ManifestLog.publish(base, 1, Seq(fA, fB)), s"v1 already exists under $base")
+    val v1Before = ManifestLog.read(base, 1)
+    // compactor pins its snapshot BEFORE erasure lands (it is mid-flight)
+    val compactorSnap = ManifestLog.latest(base)
+    // GDPR erasure: rewrite every file holding subject rows, publish v2
+    val fA2 = writeFile("A_erased", o.filter(col("o_orderkey") % 3 === 0 && !isSubject))
+    val fB2 = writeFile("B_erased", o.filter(col("o_orderkey") % 3 === 1 && !isSubject))
+    require(ManifestLog.commit(base, Set(fA, fB), Seq(fA2, fB2)).version == 2,
+      "erasure must land v2")
+    // the stale compactor commits against its v1 snapshot: MUST abort
+    val aborted =
+      try { ManifestLog.commit(base, Set(fA, fB), Seq(fC), Some(compactorSnap)); 0 }
+      catch { case _: java.util.ConcurrentModificationException => 1 }
+    require(aborted == 1, "stale compactor must abort, not rebase over an erasure")
+    val (liveV, liveFiles) = ManifestLog.latest(base)
+    require(liveV == 2 && liveFiles.toSet == Set(fA2, fB2),
+      "failed commit must leave the erased state untouched")
+    // re-plan against the live snapshot and compact the erased files
+    val fC2 = writeFile("C_replanned",
+      o.filter(col("o_orderkey") % 3 <= 1 && !isSubject))
+    val replanned = ManifestLog.commit(base, Set(fA2, fB2), Seq(fC2))
+    require(replanned.version == 3 && replanned.attempts == 1,
+      "re-planned compaction must land v3 cleanly")
+    require(ManifestLog.read(base, 1) == v1Before, "v1 mutated — snapshot isolation broken")
+    val (lastV, finalFiles) = ManifestLog.latest(base)
+    require(finalFiles == Seq(fC2), s"final state must be the re-planned compact, got $finalFiles")
+    s.read.parquet(finalFiles: _*)
+      .agg(count(lit(1)).as("final_rows"),
+        sum((col("o_custkey") % 7 === 3).cast("long")).as("subject_rows_final"),
+        dsum(col("o_totalprice")).as("final_total"))
+      .crossJoin(s.read.parquet(ManifestLog.read(base, 1): _*)
+        .agg(count(lit(1)).as("v1_rows"),
+          sum((col("o_custkey") % 7 === 3).cast("long")).as("subject_rows_v1")))
+      .select(lit(lastV).as("n_versions"), lit(aborted).as("n_aborts"),
+        lit(1).as("n_replans"), col("v1_rows"), col("subject_rows_v1"),
+        col("final_rows"), col("subject_rows_final"), col("final_total"))
+  }
+
   private val pevRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `k_partition_evolution` — PARTITION-SPEC EVOLUTION on the manifest
@@ -1959,6 +2029,7 @@ object Formats {
     "k_csv_quoting" -> (csvQuoting _),
     "k_timetravel_occ" -> (timeTravelOcc _),
     "k_occ_compaction" -> (occCompaction _),
+    "k_occ_gdpr_abort" -> (occGdprAbort _),
     "k_manifest_cdf" -> (manifestCdf _),
     "k_fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
     "k_partition_evolution" -> (partitionEvolution _),
@@ -2149,6 +2220,19 @@ object Formats {
          |       CAST(COUNT(*) AS BIGINT) AS final_rows,
          |       ${sqlDsum("o_totalprice")} AS final_total
          |FROM orders""".stripMargin,
+    // deterministic by construction (erasure wins, stale compactor
+    // aborts, re-plan lands v3): v1 = A∪B with the subject present,
+    // final = A∪B minus the subject, zero subject rows survive
+    "k_occ_gdpr_abort" ->
+      s"""SELECT CAST(3 AS INT) AS n_versions, CAST(1 AS INT) AS n_aborts,
+         |       CAST(1 AS INT) AS n_replans,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 3 IN (0, 1)) AS v1_rows,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         |        WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 = 3) AS subject_rows_v1,
+         |       CAST(COUNT(*) AS BIGINT) AS final_rows,
+         |       CAST(0 AS BIGINT) AS subject_rows_final,
+         |       ${sqlDsum("o_totalprice")} AS final_total
+         |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 3""".stripMargin,
     "k_timetravel" ->
       s"""SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |       ${sqlDsum("o_totalprice")} AS total

@@ -98,6 +98,24 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_conflicts") == 1)
     assert(r.getAs[Long]("final_rows") > r.getAs[Long]("v1_rows"))
   }
+
+  test("compactor vs GDPR delete: read-set overlap aborts the compactor, erasure sticks") {
+    // the operator REQUIREs the abort (ConcurrentModificationException on
+    // the stale commit), the untouched erased state after the failed
+    // commit, and the clean re-planned v3 — reaching a row at all proves
+    // the protocol path; the row proves the data-plane outcome
+    val df = Formats.occGdprAbort(TestSpark.spark, TestSpark.sf)
+    val r = df.collect().head
+    assert(r.getAs[Int]("n_versions") == 3)
+    assert(r.getAs[Int]("n_aborts") == 1, "the stale compactor must have aborted")
+    assert(r.getAs[Long]("subject_rows_v1") > 0,
+      "fixture must contain the erasure subject's rows in v1")
+    assert(r.getAs[Long]("subject_rows_final") == 0,
+      "erased rows resurfaced after the re-planned compaction")
+    assert(r.getAs[Long]("final_rows") ==
+      r.getAs[Long]("v1_rows") - r.getAs[Long]("subject_rows_v1"),
+      "final state must be exactly v1 minus the subject")
+  }
 }
 
 /** Change-feed contract: the row-level CDF between two manifest versions
