@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.io.File
+import java.net.InetSocketAddress
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import graft.TestSpark
+import graft.extract.NportKernel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S2 online-mode contract, proven with NO egress: a loopback fixture
+  * server serves the staged one-file-per-doc corpus; the executor-side
+  * `mapPartitions` fetch + NportKernel extraction must be row-identical
+  * to the offline `x_doc_source` scan of the same files, and poisoned
+  * URLs (404s, refused connections) must degrade to null-body ROWS —
+  * never task failures — matching the reference's per-filing
+  * error-to-None behavior (ETFQuarterlyHoldingsExtractor.py:61-63). */
+class HttpFetchSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private val outCols = Seq("reporting_date", "issuer", "shares", "value_usd", "pct_net_assets")
+
+  /** Serves GET /<filename> from the staged doc dir; anything else 404s. */
+  private def withFixtureServer[A](dir: String)(f: Int => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val name = ex.getRequestURI.getPath.stripPrefix("/")
+        val file = new File(dir, name)
+        if (name.contains("/") || !file.isFile) {
+          ex.sendResponseHeaders(404, -1)
+        } else {
+          val bytes = Files.readAllBytes(file.toPath)
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    try f(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  test("fetch+extract over loopback HTTP ≡ the offline doc-source rows") {
+    import s.implicits._
+    val dir = DocStage.ensureStaged(s, sf)
+    val files = Option(new File(dir).listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("doc_")).map(_.getName).sorted.toSeq
+    assert(files.nonEmpty, "staged corpus must exist")
+    withFixtureServer(dir) { port =>
+      val urls = files.zipWithIndex.map { case (name, i) =>
+        (i.toLong, s"http://127.0.0.1:$port/$name")
+      }
+      val fetched = HttpFetch.fetch(s.createDataset(urls).repartition(4))
+      val got = fetched
+        .filter(col("status") === 200)
+        .select(col("body").as[String])
+        .flatMap(NportKernel.extractRows _)
+        .toDF()
+        .select(outCols.map(col): _*)
+        .orderBy(outCols.map(col): _*)
+        .collect()
+        .toSeq
+      val want = graft.operators.Extraction.docSourceHoldings(s, sf).collect().toSeq
+      assert(got == want,
+        s"HTTP fetch+extract diverged from the offline scan: got ${got.size} rows, want ${want.size}")
+      assert(got.nonEmpty, "fixture corpus must yield holdings")
+    }
+  }
+
+  test("non-200 and transport failures degrade to null-body rows, never task failures") {
+    import s.implicits._
+    val dir = DocStage.ensureStaged(s, sf)
+    val files = Option(new File(dir).listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("doc_")).map(_.getName).sorted.toSeq
+    withFixtureServer(dir) { port =>
+      val good = (1L, s"http://127.0.0.1:$port/${files.head}")
+      val missing = (2L, s"http://127.0.0.1:$port/no_such_doc.html")
+      // a port nothing listens on: transport-level failure, not a status
+      val refused = (3L, "http://127.0.0.1:1/doc.html")
+      val rows = HttpFetch.fetch(s.createDataset(Seq(good, missing, refused)))
+        .collect().sortBy(_.doc_id)
+      assert(rows.length == 3, "every input row must yield exactly one output row")
+      assert(rows(0).status == 200 && rows(0).body != null)
+      assert(rows(1).status == 404 && rows(1).body == null)
+      assert(rows(2).status == -1 && rows(2).body == null)
+    }
+  }
+}
