@@ -62,7 +62,13 @@ object Bench {
     final case class Replayed(df: org.apache.spark.sql.DataFrame, sec: Double)
     def replayAll(dir: String): (java.util.concurrent.ConcurrentHashMap[String, Replayed], Double) = {
       val out = new java.util.concurrent.ConcurrentHashMap[String, Replayed]()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      // Pool width follows the box (SPARK_GRAFT_CPUS, the same dial that
+      // sizes the session): replay cost is per-query single-threaded
+      // micro-batch planning, so on a 32-CPU bench box 8 threads is pure
+      // queueing contention. Floor of 2 keeps tiny-CPU runs overlapped.
+      val poolWidth = math.max(2, scala.util.Try(cpus.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors()))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolWidth)
       val t0 = System.nanoTime()
       streamingNames.toSeq.sorted.foreach { name =>
         pool.execute(() => {

@@ -18,7 +18,12 @@ object Verify {
     val spark = GraftSession.local(cpus, "graft-verify")
     deleteRecursively(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration dial (never set by the driver): regex over query
+    // names to dump a subset against tools/check.py while developing.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.r)
+    def selected(name: String): Boolean =
+      only.forall(_.findFirstIn(name).isDefined)
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -37,10 +42,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val keys = SparkEntry.queries.keys.toSeq.sorted
+    val keys = SparkEntry.queries.keys.toSeq.filter(selected).sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), keys)
     spark.stop()
