@@ -957,6 +957,147 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- IVF-PQ with RESIDUAL encoding — the production composite index
+  // (the FAISS IndexIVFPQ shape; Jégou et al., "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011, §IV): the coarse lists
+  // prune the corpus, and PQ encodes each vector's RESIDUAL (v − its
+  // list centroid) instead of the raw vector — residuals concentrate
+  // near the origin, so the same codebook budget quantizes them with
+  // far less error than raw vectors, which is why every production
+  // big-ANN deployment composes the two instead of running either
+  // alone. Integer-exact cross-engine throughout:
+  //   - coarse = the staged label-averaged IVF quantizer;
+  //   - residual r = CAST(v AS DOUBLE) − c componentwise — the same
+  //     IEEE double both engines produce;
+  //   - the residual CODEBOOK groups vectors by the deterministic
+  //     rb_label = vec_id % IvfPqRb and accumulates FLOOR(r·1e6) longs
+  //     (the proven centroid mapping applied to residuals);
+  //   - encode and LUT distances are the PQ subL2 fixed left fold, the
+  //     ADC sum is decimal-exact, all ties break on ids.
+  // Probe: NProbe lists by centroid cosine; the QUERY residual is taken
+  // PER PROBED LIST (q − that list's centroid — the per-list LUT that
+  // makes residual PQ work); ADC ranks only the probed lists' codes —
+  // the staged code table is PARTITIONED BY list and the probe filters
+  // on the collected ≤nlist probed labels, so partition pruning drops
+  // the other lists before the scan; the top-IvfPqCand survivors
+  // re-rank exact, and only that bounded set ever loads raw vectors.
+  // At 100 TB: index build is one corpus pass (amortized, staged), a
+  // probe reads nprobe/nlist of a 1-byte-per-subspace code table plus
+  // ≤cand raw vectors — the minimal-IO shape this family exists for. ----
+
+  private val IvfPqRb = 8L
+
+  private[operators] val ivfPqBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // rb/cand constants baked into the dir name (stage-dir discipline)
+  def ivfPqStageDir(sfDir: String): String =
+    s"/tmp/graft_stage/ivfpq_m${PqSub}_rb${IvfPqRb}_v1_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Residuals of every vector against its OWN list centroid:
+    * (vec_id, c_label = the list, r = v − centroid, componentwise). */
+  private def residualsOf(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("embedding").isNotNull)
+      .join(broadcast(stagedCentroids(s, d)), col("label") === col("c_label"))
+      .select(col("vec_id"), col("c_label"),
+        zip_with(col("embedding"), col("centroid"),
+          (v, c) => v.cast("double") - c).as("r"))
+
+  /** The residual codebook: per rb_label, the integer-exact mean
+    * residual ([[centroidArraysOf]]'s accumulate-floor-longs scheme on
+    * residual components — order-independent, cross-engine exact). */
+  private def residualCodebook(resid: DataFrame): DataFrame = {
+    val sums = (0 until Dim).map(i =>
+      sum(floor(col("r").getItem(i) * lit(CentroidScale))).as(s"s$i"))
+    resid
+      .groupBy(pmod(col("vec_id"), lit(IvfPqRb)).as("rb_label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("rb_label"),
+        array((0 until Dim).map(i =>
+          col(s"s$i").cast("double") / (col("n").cast("double") * lit(CentroidScale))): _*)
+          .as("rcent"))
+  }
+
+  /** [[subDists]] over an explicit (vector, codeword) column pair. */
+  private def subDistsOn(v: Column, cw: Column): Column =
+    explode(array((0 until PqSub).map(m =>
+      struct(lit(m).as("m"), subL2(m, v, cw).as("dist"))): _*))
+
+  /** Stage the residual codebook + the per-list code table (codes
+    * partitioned by list label so probes prune to nprobe/nlist
+    * directories). Built once per corpus fingerprint. */
+  def ensureIvfPqStaged(s: SparkSession, d: String): (String, String) = {
+    val dir = ivfPqStageDir(d)
+    val rbPath = dir + "/rcodebook"
+    val codesPath = dir + "/codes"
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      ivfPqBuildCount.incrementAndGet()
+      val resid = residualsOf(s, d)
+      residualCodebook(resid).write.mode("overwrite").parquet(rbPath)
+      val rb = s.read.parquet(rbPath)
+      val codeW = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist").asc, col("rb_label").asc)
+      resid.crossJoin(broadcast(rb))
+        .select(col("vec_id"), col("c_label"), col("rb_label"),
+          subDistsOn(col("r"), col("rcent")).as("sd"))
+        .select(col("vec_id"), col("c_label"), col("rb_label"),
+          col("sd.m").as("m"), col("sd.dist").as("dist"))
+        .withColumn("rn", row_number().over(codeW)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("rb_label").as("code"), col("c_label"))
+        .write.mode("overwrite").partitionBy("c_label").parquet(codesPath)
+    }: Unit
+    (rbPath, codesPath)
+  }
+
+  /** `v_ann_ivfpq` — the residual IVF-PQ probe: coarse probe → per-list
+    * query residual → ADC over the probed lists' staged codes →
+    * bounded exact re-rank. Oracle rebuilds the identical pipeline in
+    * SQL; recall vs the exact path is asserted in IvfPqSpec. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (rbPath, codesPath) = ensureIvfPqStaged(s, d)
+    val rb = s.read.parquet(rbPath)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_label").asc)
+    val probed = queriesDf(s, d)
+      .crossJoin(broadcast(stagedCentroids(s, d)))
+      .select(col("q_id"), col("q_emb"), col("c_label"), col("centroid"),
+        cosine(col("q_emb"), col("centroid")).as("c_cos"))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("c_label"),
+        zip_with(col("q_emb"), col("centroid"),
+          (v, c) => v.cast("double") - c).as("qr"))
+    // bounded sync (≤ nlist labels): the probed-list set as literals, so
+    // the list-partitioned code table PRUNES DIRECTORIES before the scan
+    val probedLabels = probed.select(col("c_label")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val lut = probed.crossJoin(broadcast(rb))
+      .select(col("q_id"), col("c_label"), col("rb_label").as("code"),
+        subDistsOn(col("qr"), col("rcent")).as("sd"))
+      .select(col("q_id"), col("c_label"), col("code"),
+        col("sd.m").as("m"), col("sd.dist").as("lut_d"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d").asc, col("vec_id").asc)
+    val cand = s.read.parquet(codesPath)
+      .filter(col("c_label").isin(probedLabels: _*))
+      .join(broadcast(lut), Seq("c_label", "m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(graft.QueryDsl.dsum(col("lut_d")).as("approx_d"))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= PqRefineCand)
+      .select(col("q_id"), col("vec_id"))
+    val rankW2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .join(emb(s, d), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW2)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- TRAINED coarse quantizer: sampled iterative Lloyd's k-means in
   // EXACT integer arithmetic, the asterisk-remover on the IVF/PQ story —
   // a real 100 TB index trains its codebook rather than borrowing a
@@ -1463,53 +1604,73 @@ object Similarity {
     * extended graph ([[incrementalNsw]]): the traversal does not care
     * whether an edge row came from the staged build or an appended
     * insert batch, which is exactly the property that makes the
-    * append-only insert cheap. */
+    * append-only insert cheap.
+    *
+    * The beam frontier is O(queries × beam width × M) — bounded by the
+    * probe CONSTANTS, independent of corpus size — so each descent round
+    * SYNCS the frontier through the driver (the same ≤k-row discipline
+    * as the IVF codebook and BPE argmax syncs) and the cluster runs
+    * exactly ONE bounded job per round: scan the edge table pruned to
+    * the frontier's out-edges (`isin` → a pushed IN filter on `src`),
+    * score the candidates from the EDGE PAYLOAD (dst's staged scaled
+    * vector) against the broadcast query set, collect the O(q×beam×M)
+    * scored rows. Top-W selection and the visited set are driver
+    * arithmetic over those rows with the same (d2 asc, node asc)
+    * tie-break the windowed form used — bit-identical beams. The
+    * previous shape chained the rounds as 32-partition window shuffles
+    * (later localCheckpoint-pinned): at bench scale the probe was pure
+    * scheduling overhead, and at 100 TB the per-round work is the same
+    * pruned postings scan either way. The corpus is touched exactly
+    * twice: the seed scoring (entry frontier only, pushed IN filter)
+    * and the final exact-cosine re-rank of the visited set. */
   private def nswProbe(s: SparkSession, d: String,
       edges0: DataFrame, edges1: DataFrame, entryFront: Seq[Long]): DataFrame = {
-    val sv = emb(s, d).select(col("vec_id").as("node"), scaledCol(col("embedding")).as("sv"))
-    val qv = queriesDf(s, d).select(col("q_id"), scaledCol(col("q_emb")).as("qv"))
-    // beam rows carry (q_id, node, d2); expansion scores candidates from
-    // the EDGE PAYLOAD (dst's staged scaled vector), so beam steps never
-    // touch the corpus — the frontier is O(q×beam×M), always broadcast
-    def expandScore(beam: DataFrame, edges: DataFrame): DataFrame =
-      edges.join(broadcast(beam.select(col("node").as("src"),
-          col("q_id")).distinct()), Seq("src"))
-        .join(broadcast(qv), Seq("q_id"))
+    import s.implicits._
+    // the scaled query vectors, synced once: O(queries) rows, bounded
+    val qRows: Seq[(Long, Seq[Long])] = queriesDf(s, d)
+      .select(col("q_id"), scaledCol(col("q_emb")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val qvDf = qRows.toDF("q_id", "qv")
+    // one bounded job: score `pairs` (q_id → frontier nodes) from the
+    // edge payload, collect the scored candidate rows
+    def expandScore(pairs: Seq[(Long, Long)], edges: DataFrame): Seq[(Long, Long, Long)] = {
+      val nodes = pairs.map(_._2).distinct
+      edges.filter(col("src").isin(nodes: _*))
+        .join(broadcast(pairs.toDF("q_id", "src")), Seq("src"))
+        .join(broadcast(qvDf), Seq("q_id"))
         .select(col("q_id"), col("dst").as("node"),
           intD2(col("qv"), col("sv_d")).as("d2"))
-    def topW(scoredUni: DataFrame, width: Int): DataFrame = {
-      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("node").asc)
-      scoredUni.distinct()
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= width)
-        .select("q_id", "node", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     }
-    def beamStep(beam: DataFrame, edges: DataFrame, width: Int): DataFrame =
-      topW(beam.unionByName(expandScore(beam, edges)), width)
-    val initScored = sv
-      .join(broadcast(qv.select(col("q_id"))
-        .withColumn("node", explode(array(entryFront.map(lit): _*)))), Seq("node"))
-      .join(broadcast(qv), Seq("q_id"))
+    // driver top-W: distinct rows, (d2 asc, node asc) per query — the
+    // exact windowed-row_number order of the unrolled-SQL oracle
+    def topW(rows: Seq[(Long, Long, Long)], width: Int): Seq[(Long, Long, Long)] =
+      rows.distinct.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(t => (t._3, t._2)).take(width)
+      }
+    // seed: the fixed entry frontier scored against the CORPUS vectors
+    // (pushed IN filter — the probe's first of two corpus touches)
+    val seed: Seq[(Long, Long, Long)] = emb(s, d)
+      .filter(col("vec_id").isin(entryFront: _*))
+      .select(col("vec_id").as("node"), scaledCol(col("embedding")).as("sv"))
+      .crossJoin(broadcast(qvDf))
       .select(col("q_id"), col("node"), intD2(col("qv"), col("sv")).as("d2"))
-    // Each beam round is PINNED (localCheckpoint of the O(q×beam×M)
-    // frontier — always tiny) so round k's plan starts from round k−1's
-    // materialized rows instead of replaying the whole unrolled descent:
-    // without the pin, round k re-derives rounds 1..k−1 AND the final
-    // re-rank re-derives all of them again — the probe was quadratic in
-    // rounds over a chain that should be O(rounds). Purely physical:
-    // the unrolled-SQL oracle is unchanged.
-    var beam = topW(initScored, NswBeam1W).localCheckpoint()
-    for (_ <- 2 to NswSteps1) beam = beamStep(beam, edges1, NswBeam1W).localCheckpoint()
-    var visited = beam.select("q_id", "node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    var beam = topW(seed, NswBeam1W)
+    for (_ <- 2 to NswSteps1)
+      beam = topW(beam ++ expandScore(beam.map(t => (t._1, t._2)), edges1), NswBeam1W)
+    var visited: Set[(Long, Long)] = beam.map(t => (t._1, t._2)).toSet
     for (_ <- 1 to NswSteps) {
-      val uni = beam.unionByName(expandScore(beam, edges0)).localCheckpoint()
-      visited = visited.unionByName(uni.select("q_id", "node")).distinct()
+      val uni = beam ++ expandScore(beam.map(t => (t._1, t._2)), edges0)
+      visited ++= uni.map(t => (t._1, t._2))
       beam = topW(uni, NswBeamW)
     }
+    // second corpus touch: exact float re-rank of the visited set
+    val visitedDf = visited.toSeq.sorted.toDF("q_id", "vec_id")
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     emb(s, d).select(col("vec_id"), col("embedding"))
-      .join(broadcast(visited.select(col("q_id"), col("node").as("vec_id")).distinct()),
-        Seq("vec_id"))
+      .join(broadcast(visitedDf), Seq("vec_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(queriesDf(s, d)), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -1863,6 +2024,7 @@ object Similarity {
     "v_pq_train" -> (pqKmeansTrain _),
     "v_ann_pq_trained" -> (annPqTrained _),
     "v_ann_pq" -> (annPq _),
+    "v_ann_ivfpq" -> (annIvfPq _),
     "v_ann_pq_refine" -> (annPqRefine _),
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
@@ -2187,6 +2349,88 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cosine FROM ranked2 WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
+
+  // rebuilds the residual IVF-PQ pipeline end-to-end: the label
+  // centroids, per-vector residuals (CAST AS DOUBLE subtraction — the
+  // identical IEEE double), the rb_label residual codebook via the same
+  // accumulate-floor-longs mean, per-subspace encode with (dist,
+  // rb_label) tie order, the per-probed-list query-residual LUT, the
+  // decimal-exact ADC restricted to probed lists, and the bounded exact
+  // re-rank — every stage bit-identical cross-engine by the same
+  // arguments as the IVF and PQ oracles.
+  private lazy val annIvfPqOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+       |expl AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+       |         unnest(embedding) AS v
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, pos,
+       |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+       |           / (COUNT(*) * 1000000.0) AS c
+       |  FROM expl GROUP BY label, pos),
+       |carr AS (
+       |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+       |  FROM cent GROUP BY label),
+       |rexpl AS (
+       |  SELECT e.vec_id, e.label, e.pos, CAST(e.v AS DOUBLE) - c.c AS r
+       |  FROM expl e JOIN cent c ON c.label = e.label AND c.pos = e.pos),
+       |rcb AS (
+       |  SELECT vec_id % $IvfPqRb AS rb_label, pos,
+       |         CAST(SUM(CAST(FLOOR(r * 1000000) AS BIGINT)) AS DOUBLE)
+       |           / (COUNT(*) * 1000000.0) AS c
+       |  FROM rexpl GROUP BY rb_label, pos),
+       |rarr AS (SELECT rb_label, list(c ORDER BY pos) AS rcent FROM rcb GROUP BY rb_label),
+       |rres AS (SELECT vec_id, label, list(r ORDER BY pos) AS r
+       |         FROM rexpl GROUP BY vec_id, label),
+       |ms AS (SELECT unnest(range(0, $PqSub)) AS m),
+       |cd AS (
+       |  SELECT x.vec_id, x.label, rc.rb_label, ms.m,
+       |         ${sqlSubL2("x.r", "rc.rcent")} AS dist
+       |  FROM rres x, rarr rc, ms),
+       |codes AS (
+       |  SELECT vec_id, label, m, rb_label AS code FROM (
+       |    SELECT vec_id, label, m, rb_label,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |             ORDER BY dist ASC, rb_label ASC) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |probed AS (
+       |  SELECT q_id, q_emb, c_label, centroid,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY ${sqlCos("q_emb", "centroid")} DESC, c_label ASC) AS pr
+       |  FROM q, carr),
+       |qres AS (
+       |  SELECT q_id, c_label,
+       |         list_transform(range(0, $Dim),
+       |           i -> CAST(q_emb[i+1] AS DOUBLE) - centroid[i+1]) AS qr
+       |  FROM probed WHERE pr <= $NProbe),
+       |lut AS (
+       |  SELECT p.q_id, p.c_label, rc.rb_label AS code, ms.m,
+       |         ${sqlSubL2("p.qr", "rc.rcent")} AS lut_d
+       |  FROM qres p, rarr rc, ms),
+       |adc AS (
+       |  SELECT l.q_id, k.vec_id,
+       |         CAST(SUM(CAST(l.lut_d AS DECIMAL(28,4))) AS DOUBLE) AS approx_d
+       |  FROM codes k JOIN lut l ON l.c_label = k.label AND l.m = k.m AND l.code = k.code
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY l.q_id, k.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY approx_d ASC, vec_id ASC) AS rank
+       |    FROM adc) t WHERE rank <= $PqRefineCand),
+       |scored AS (
+       |  SELECT c.q_id, e.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS cosine
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |              JOIN q ON q.q_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
 
   // The unrolled Lloyd's chain (the d_pagerank pattern): scaled sample,
   // deterministic init, KmIterations × (exact-integer argmin assignment,
@@ -2643,6 +2887,7 @@ object Similarity {
     "v_pq_train" -> pqKmeansTrainOracle,
     "v_ann_pq_trained" -> annPqTrainedOracle,
     "v_ann_pq" -> annPqOracle,
+    "v_ann_ivfpq" -> annIvfPqOracle,
     "v_ann_pq_refine" -> annPqRefineOracle,
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
     // floor to 127 levels): quantized components are exact integers, so
