@@ -131,10 +131,11 @@ object Similarity {
   private[operators] val annEvalBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[operators] val evalMethods = Seq(
-    "ivf", "ivf_kmeans", "lsh", "nsw", "pq", "pq_kmeans", "quant")
+    "ivf", "ivf_kmeans", "ivfpq", "lsh", "nsw", "pq", "pq_kmeans", "quant")
 
+  // v2 = ivfpq joined the method set (the dir version IS the method set)
   def annEvalStageDir(sfDir: String): String =
-    "/tmp/graft_stage/anneval_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/anneval_v2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   def ensureAnnEvalStaged(s: SparkSession, d: String): String = {
     val dir = annEvalStageDir(d)
@@ -142,6 +143,7 @@ object Similarity {
       annEvalBuildCount.incrementAndGet()
       val legs = Map[String, DataFrame](
         "ivf" -> annIvf(s, d), "ivf_kmeans" -> annIvfTrained(s, d),
+        "ivfpq" -> annIvfPq(s, d),
         "lsh" -> annLsh(s, d), "nsw" -> annNsw(s, d), "pq" -> annPq(s, d),
         "pq_kmeans" -> annPqTrained(s, d), "quant" -> annQuantized(s, d))
       evalMethods.map(m => legs(m)
@@ -2109,6 +2111,7 @@ object Similarity {
     * recall/MRR sweep oracles. */
   private lazy val annResultsUnionOracle: String =
     Seq("ivf" -> annIvfOracle, "ivf_kmeans" -> annIvfTrainedOracle,
+      "ivfpq" -> annIvfPqOracle,
       "lsh" -> annLshOracle, "nsw" -> annNswOracle, "pq" -> annPqOracle,
       "pq_kmeans" -> annPqTrainedOracle, "quant" -> annQuantizedOracle)
       .map { case (n, o) => s"SELECT '$n' AS method, q_id, rank, vec_id FROM ($o) t" }
@@ -2911,6 +2914,7 @@ object Similarity {
     "v_ann_mrr" -> {
       val methods = Seq(
         "ivf" -> annIvfOracle, "ivf_kmeans" -> annIvfTrainedOracle,
+        "ivfpq" -> annIvfPqOracle,
         "lsh" -> annLshOracle, "nsw" -> annNswOracle,
         "pq" -> annPqOracle, "pq_kmeans" -> annPqTrainedOracle,
         "quant" -> annQuantizedOracle)
@@ -3107,6 +3111,7 @@ object Similarity {
          |qs AS (SELECT DISTINCT q_id FROM exr),
          |ivfr AS (SELECT q_id, vec_id FROM ($annIvfOracle) t),
          |tkr AS (SELECT q_id, vec_id FROM ($annIvfTrainedOracle) t),
+         |ipqr AS (SELECT q_id, vec_id FROM ($annIvfPqOracle) t),
          |lshr AS (SELECT q_id, vec_id FROM ($annLshOracle) t),
          |nswr AS (SELECT q_id, vec_id FROM ($annNswOracle) t),
          |pqr AS (SELECT q_id, vec_id FROM ($annPqOracle) t),
@@ -3115,6 +3120,8 @@ object Similarity {
          |ih AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN ivfr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |th AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN tkr USING (q_id, vec_id)
+         |       GROUP BY q_id),
+         |iph AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN ipqr USING (q_id, vec_id)
          |       GROUP BY q_id),
          |lh AS (SELECT q_id, COUNT(*) AS n FROM exr JOIN lshr USING (q_id, vec_id)
          |       GROUP BY q_id),
@@ -3132,6 +3139,9 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'ivf_kmeans' AS method, qs.q_id, CAST(COALESCE(th.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN th USING (q_id)
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, qs.q_id, CAST(COALESCE(iph.n, 0) AS BIGINT) AS n_hit
+         |  FROM qs LEFT JOIN iph USING (q_id)
          |  UNION ALL
          |  SELECT 'lsh' AS method, qs.q_id, CAST(COALESCE(lh.n, 0) AS BIGINT) AS n_hit
          |  FROM qs LEFT JOIN lh USING (q_id)

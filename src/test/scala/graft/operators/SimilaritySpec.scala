@@ -243,13 +243,14 @@ class SimilaritySpec extends AnyFunSuite {
     val approx = Map(
       "ivf" -> sets(Similarity.annIvf(s, sf)),
       "ivf_kmeans" -> sets(Similarity.annIvfTrained(s, sf)),
+      "ivfpq" -> sets(Similarity.annIvfPq(s, sf)),
       "lsh" -> sets(Similarity.annLsh(s, sf)),
       "nsw" -> sets(Similarity.annNsw(s, sf)),
       "pq" -> sets(Similarity.annPq(s, sf)),
       "pq_kmeans" -> sets(Similarity.annPqTrained(s, sf)),
       "quant" -> sets(Similarity.annQuantized(s, sf)))
     val out = Similarity.annRecall(s, sf).collect()
-    assert(out.length == 7 * exact.size, "one row per (method, query)")
+    assert(out.length == 8 * exact.size, "one row per (method, query)")
     out.foreach { r =>
       val (m, q) = (r.getString(0), r.getLong(1))
       val nHit = r.getLong(2)
