@@ -1000,8 +1000,14 @@ object Similarity {
   /** Residuals of every vector against its OWN list centroid:
     * (vec_id, c_label = the list, r = v − centroid, componentwise). */
   private def residualsOf(s: SparkSession, d: String): DataFrame =
-    emb(s, d).filter(col("embedding").isNotNull)
-      .join(broadcast(stagedCentroids(s, d)), col("label") === col("c_label"))
+    residualsOver(emb(s, d), stagedCentroids(s, d))
+
+  /** The residual frame over explicit (vectors, centroids) inputs —
+    * shared by the build-once index and the incremental ingest (which
+    * takes residuals of the DELTA against the FROZEN base centroids). */
+  private def residualsOver(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.filter(col("embedding").isNotNull)
+      .join(broadcast(cents), col("label") === col("c_label"))
       .select(col("vec_id"), col("c_label"),
         zip_with(col("embedding"), col("centroid"),
           (v, c) => v.cast("double") - c).as("r"))
@@ -1026,6 +1032,21 @@ object Similarity {
     explode(array((0 until PqSub).map(m =>
       struct(lit(m).as("m"), subL2(m, v, cw).as("dist"))): _*))
 
+  /** Per-(vector, subspace) argmin encode of residuals against a
+    * residual codebook — shared by the staged build and the delta
+    * ingest. Ties on rb_label asc. */
+  private def encodeResiduals(resid: DataFrame, rb: DataFrame): DataFrame = {
+    val codeW = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("rb_label").asc)
+    resid.crossJoin(broadcast(rb))
+      .select(col("vec_id"), col("c_label"), col("rb_label"),
+        subDistsOn(col("r"), col("rcent")).as("sd"))
+      .select(col("vec_id"), col("c_label"), col("rb_label"),
+        col("sd.m").as("m"), col("sd.dist").as("dist"))
+      .withColumn("rn", row_number().over(codeW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("rb_label").as("code"), col("c_label"))
+  }
+
   /** Stage the residual codebook + the per-list code table (codes
     * partitioned by list label so probes prune to nprobe/nlist
     * directories). Built once per corpus fingerprint. */
@@ -1037,40 +1058,30 @@ object Similarity {
       ivfPqBuildCount.incrementAndGet()
       val resid = residualsOf(s, d)
       residualCodebook(resid).write.mode("overwrite").parquet(rbPath)
-      val rb = s.read.parquet(rbPath)
-      val codeW = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("dist").asc, col("rb_label").asc)
-      resid.crossJoin(broadcast(rb))
-        .select(col("vec_id"), col("c_label"), col("rb_label"),
-          subDistsOn(col("r"), col("rcent")).as("sd"))
-        .select(col("vec_id"), col("c_label"), col("rb_label"),
-          col("sd.m").as("m"), col("sd.dist").as("dist"))
-        .withColumn("rn", row_number().over(codeW)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("rb_label").as("code"), col("c_label"))
+      encodeResiduals(resid, s.read.parquet(rbPath))
         .write.mode("overwrite").partitionBy("c_label").parquet(codesPath)
     }: Unit
     (rbPath, codesPath)
   }
 
-  /** `v_ann_ivfpq` — the residual IVF-PQ probe: coarse probe → per-list
-    * query residual → ADC over the probed lists' staged codes →
-    * bounded exact re-rank. Oracle rebuilds the identical pipeline in
-    * SQL; recall vs the exact path is asserted in IvfPqSpec. */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
-    val (rbPath, codesPath) = ensureIvfPqStaged(s, d)
-    val rb = s.read.parquet(rbPath)
+  /** The shared IVF-PQ probe over explicit (centroids, residual
+    * codebook, codes) inputs: coarse probe → per-probed-list query
+    * residual → broadcast LUT → ADC over the probed lists' codes →
+    * bounded exact re-rank. The probed-list set is a bounded driver
+    * sync (≤ nlist labels) applied as a LITERAL filter, so a
+    * list-partitioned code table prunes directories before the scan. */
+  private def ivfPqProbe(s: SparkSession, d: String, cents: DataFrame,
+      rb: DataFrame, codes: DataFrame): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_label").asc)
     val probed = queriesDf(s, d)
-      .crossJoin(broadcast(stagedCentroids(s, d)))
+      .crossJoin(broadcast(cents))
       .select(col("q_id"), col("q_emb"), col("c_label"), col("centroid"),
         cosine(col("q_emb"), col("centroid")).as("c_cos"))
       .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= NProbe)
       .select(col("q_id"), col("c_label"),
         zip_with(col("q_emb"), col("centroid"),
           (v, c) => v.cast("double") - c).as("qr"))
-    // bounded sync (≤ nlist labels): the probed-list set as literals, so
-    // the list-partitioned code table PRUNES DIRECTORIES before the scan
     val probedLabels = probed.select(col("c_label")).distinct()
       .collect().map(_.get(0)).toSeq
     val lut = probed.crossJoin(broadcast(rb))
@@ -1080,7 +1091,7 @@ object Similarity {
         col("sd.m").as("m"), col("sd.dist").as("lut_d"))
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_d").asc, col("vec_id").asc)
-    val cand = s.read.parquet(codesPath)
+    val cand = codes
       .filter(col("c_label").isin(probedLabels: _*))
       .join(broadcast(lut), Seq("c_label", "m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1098,6 +1109,81 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW2)).filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
+  }
+
+  /** `v_ann_ivfpq` — the residual IVF-PQ probe: coarse probe → per-list
+    * query residual → ADC over the probed lists' staged codes →
+    * bounded exact re-rank. Oracle rebuilds the identical pipeline in
+    * SQL; recall vs the exact path is asserted in IvfPqSpec. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (rbPath, codesPath) = ensureIvfPqStaged(s, d)
+    ivfPqProbe(s, d, stagedCentroids(s, d),
+      s.read.parquet(rbPath), s.read.parquet(codesPath))
+  }
+
+  // ---- Incremental IVF-PQ maintenance: the delta-ingest discipline
+  // applied to the composite index. The BASE index is frozen at build
+  // time — coarse centroids from base vectors only, residual codebook
+  // from base residuals only, base codes staged — and an arriving batch
+  // pays only its OWN work: residuals against the frozen centroids, an
+  // argmin encode against the frozen codebook, and an APPEND of its
+  // code rows. No base vector is re-read, no codebook retrained,
+  // base-vs-base work never appears in the plan. Because encode is a
+  // deterministic function of (vector, frozen codebooks),
+  // probe-after-append ≡ probe-after-full-rebuild-with-the-same-books —
+  // the oracle rebuilds everything from scratch in SQL (cent/rcb CTEs
+  // filtered to the base slice) and the hashes must agree. Probe q_id 7
+  // IS a freshly-ingested vector (the incremental-ann convention). ----
+
+  private[operators] val incIvfPqBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def incIvfPqStageDir(sfDir: String): String =
+    s"/tmp/graft_stage/incivfpq_m${PqSub}_rb${IvfPqRb}_v1_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Stages the BASE half: base-only coarse centroids, base-only
+    * residual codebook, base code table (list-partitioned). Built once
+    * per corpus fingerprint. */
+  def ensureIncIvfPqStaged(s: SparkSession, d: String): (String, String, String) = {
+    val dir = incIvfPqStageDir(d)
+    val centsPath = dir + "/centroids"
+    val rbPath = dir + "/rcodebook"
+    val codesPath = dir + "/codes"
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      incIvfPqBuildCount.incrementAndGet()
+      val base = emb(s, d).filter(!isDeltaVec)
+      centroidArraysOf(base).write.mode("overwrite").parquet(centsPath)
+      val resid = residualsOver(base, s.read.parquet(centsPath))
+      residualCodebook(resid).write.mode("overwrite").parquet(rbPath)
+      encodeResiduals(resid, s.read.parquet(rbPath))
+        .write.mode("overwrite").partitionBy("c_label").parquet(codesPath)
+    }: Unit
+    (centsPath, rbPath, codesPath)
+  }
+
+  /** `v_incremental_ivfpq` — probe over the incrementally maintained
+    * composite: the delta batch takes residuals against the FROZEN base
+    * centroids, argmin-encodes against the FROZEN base codebook (one
+    * bounded pass over the delta — REQUIREd not to rebuild the staged
+    * base), and its code rows APPEND to the staged base codes; the
+    * shared probe runs over the union. */
+  def incrementalIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (centsPath, rbPath, codesPath) = ensureIncIvfPqStaged(s, d)
+    val builds = incIvfPqBuildCount.get()
+    val cents = s.read.parquet(centsPath)
+    val rb = s.read.parquet(rbPath)
+    // the ingest: delta-only residual + encode, pinned (it feeds a code
+    // table the probe scans once per ADC join leg)
+    val dCodes = encodeResiduals(
+        residualsOver(emb(s, d).filter(isDeltaVec), cents), rb)
+      .localCheckpoint()
+    require(incIvfPqBuildCount.get() == builds,
+      "the ingest must not rebuild the staged base index")
+    val codes = s.read.parquet(codesPath)
+      .select(col("vec_id"), col("m"), col("code"), col("c_label"))
+      .unionByName(dCodes.select(col("vec_id"), col("m"), col("code"), col("c_label")))
+    ivfPqProbe(s, d, cents, rb, codes)
   }
 
   // ---- TRAINED coarse quantizer: sampled iterative Lloyd's k-means in
@@ -2027,6 +2113,7 @@ object Similarity {
     "v_ann_pq_trained" -> (annPqTrained _),
     "v_ann_pq" -> (annPq _),
     "v_ann_ivfpq" -> (annIvfPq _),
+    "v_incremental_ivfpq" -> (incrementalIvfPq _),
     "v_ann_pq_refine" -> (annPqRefine _),
     "v_cosine_topk" -> (cosineTopK _),
     "v_ann_ivf" -> (annIvf _),
@@ -2361,7 +2448,14 @@ object Similarity {
   // decimal-exact ADC restricted to probed lists, and the bounded exact
   // re-rank — every stage bit-identical cross-engine by the same
   // arguments as the IVF and PQ oracles.
-  private lazy val annIvfPqOracle: String =
+  private lazy val annIvfPqOracle: String = ivfPqOracle(baseOnlyBooks = false)
+
+  /** [[annIvfPqOracle]] with the codebook-training CTEs optionally
+    * filtered to the base slice (vec_id % 10 <> 7) — the incremental
+    * variant's frozen-books rebuild. Encode/probe stages always cover
+    * ALL vectors: append ≡ rebuild-with-frozen-books. */
+  private def ivfPqOracle(baseOnlyBooks: Boolean): String = {
+    val baseW = if (baseOnlyBooks) " WHERE vec_id % 10 <> 7" else ""
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
        |expl AS (
        |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -2371,7 +2465,7 @@ object Similarity {
        |  SELECT label, pos,
        |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
        |           / (COUNT(*) * 1000000.0) AS c
-       |  FROM expl GROUP BY label, pos),
+       |  FROM expl$baseW GROUP BY label, pos),
        |carr AS (
        |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
        |  FROM cent GROUP BY label),
@@ -2382,7 +2476,7 @@ object Similarity {
        |  SELECT vec_id % $IvfPqRb AS rb_label, pos,
        |         CAST(SUM(CAST(FLOOR(r * 1000000) AS BIGINT)) AS DOUBLE)
        |           / (COUNT(*) * 1000000.0) AS c
-       |  FROM rexpl GROUP BY rb_label, pos),
+       |  FROM rexpl$baseW GROUP BY rb_label, pos),
        |rarr AS (SELECT rb_label, list(c ORDER BY pos) AS rcent FROM rcb GROUP BY rb_label),
        |rres AS (SELECT vec_id, label, list(r ORDER BY pos) AS r
        |         FROM rexpl GROUP BY vec_id, label),
@@ -2434,6 +2528,9 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  private lazy val incIvfPqOracle: String = ivfPqOracle(baseOnlyBooks = true)
 
   // The unrolled Lloyd's chain (the d_pagerank pattern): scaled sample,
   // deterministic init, KmIterations × (exact-integer argmin assignment,
@@ -2891,6 +2988,7 @@ object Similarity {
     "v_ann_pq_trained" -> annPqTrainedOracle,
     "v_ann_pq" -> annPqOracle,
     "v_ann_ivfpq" -> annIvfPqOracle,
+    "v_incremental_ivfpq" -> incIvfPqOracle,
     "v_ann_pq_refine" -> annPqRefineOracle,
     // rebuilds the identical int8 quantization (per-vector max-abs scale,
     // floor to 127 levels): quantized components are exact integers, so

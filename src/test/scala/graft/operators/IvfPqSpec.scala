@@ -90,6 +90,26 @@ class IvfPqSpec extends AnyFunSuite {
       s"ADC pool lost most of the reachable recall: $rIvfPq vs ceiling $rIvf")
   }
 
+  test("incremental ingest reuses the frozen base index and covers every vector") {
+    val (_, _, codesPath) = Similarity.ensureIncIvfPqStaged(s, sf)
+    // staged base codes cover exactly the non-delta vectors
+    val base = graft.Tables.embeddings(s, sf)
+      .filter(col("embedding").isNotNull)
+    val nBase = base.filter(pmod(col("vec_id"), lit(10)) =!= 7).count()
+    val staged = s.read.parquet(codesPath)
+    assert(staged.select("vec_id").distinct().count() == nBase,
+      "staged base codes must cover exactly the base slice")
+    assert(staged.filter(pmod(col("vec_id"), lit(10)) === 7).count() == 0,
+      "a delta vector leaked into the staged base codes")
+    val builds = Similarity.incIvfPqBuildCount.get()
+    val first = Similarity.incrementalIvfPq(s, sf).collect().map(_.toString).toSeq
+    val second = Similarity.incrementalIvfPq(s, sf).collect().map(_.toString).toSeq
+    assert(Similarity.incIvfPqBuildCount.get() == builds,
+      "probe-after-ingest must reuse the staged base index")
+    assert(first == second, "probe must be deterministic")
+    assert(first.nonEmpty)
+  }
+
   test("staged codes are the argmin encode of the residuals (brute-force recompute)") {
     // Recompute every (vector, subspace, codeword) distance from scratch
     // — residuals against the label centroids, the rb_label residual
