@@ -239,33 +239,52 @@ object CorpusClean {
     * no randomness crosses engines. On this corpus the rule keeps ~88%
     * of target-language docs and ~20% of the rest (spec-pinned).
     *
-    * Scale shape: ONE corpus explode feeds everything — the pinned
-    * per-doc bucket counts (one shuffle of O(docs × ≤B) rows) are
+    * Scale shape: ONE corpus explode feeds everything — the STAGED
+    * per-doc bucket counts (one shuffle of O(docs × ≤B) rows, a pure
+    * corpus function built once per fingerprint like the LM tables) are
     * re-aggregated into both O(B)=1024-row distributions (broadcast)
     * and consumed directly by the scoring join; the corpus totals are a
     * 1-row broadcast — nothing corpus-sized crosses the wire twice, and
     * B is the constant that keeps the distribution tables driver-free at
     * any corpus size. */
+  private[operators] val dsirStageBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Bigram features + bucket hash are baked into the dir version. */
+  def dsirStageDir(sfDir: String): String =
+    s"/tmp/graft_stage/dsir_b${DsirBuckets}_v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The (doc_id, lang, bucket, count) featurization — the single
+    * corpus-explode+hash pass everything in DSIR derives from, staged
+    * build-once per corpus fingerprint (it is a pure corpus function;
+    * before staging, every probe re-ran the explode + md5 of the whole
+    * bigram stream — the query's only corpus-sized stage). */
+  def ensureDsirStaged(s: SparkSession, d: String): String = {
+    val dir = dsirStageDir(d)
+    val path = dir + "/counts"
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      dsirStageBuildCount.incrementAndGet()
+      val bigrams = when(size(words) >= 2, transform(
+          sequence(lit(0), size(words) - 2),
+          i => array_join(slice(words, i + lit(1), lit(2)), "_")))
+        .otherwise(array().cast("array<string>"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
+        .withColumn("b",
+          pmod(conv(substring(md5(concat(lit("g_"), col("g")).cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(DsirBuckets)))
+        .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(path)
+    }: Unit
+    path
+  }
+
   def dsir(s: SparkSession, d: String): DataFrame = {
-    val bigrams = when(size(words) >= 2, transform(
-        sequence(lit(0), size(words) - 2),
-        i => array_join(slice(words, i + lit(1), lit(2)), "_")))
-      .otherwise(array().cast("array<string>"))
-    // ONE corpus explode: the (doc, lang, bucket) counts are computed
-    // once and PINNED, then both distributions DERIVE from the compact
-    // per-doc table by re-aggregation (Σ over docs ≡ counting the raw
-    // token stream — the same c1-from-c2 identity the LM stage uses) and
-    // the per-doc scoring consumes it directly. Unpinned, the three
-    // consumers each replayed the corpus explode + md5 — 3× the single
-    // most expensive stage in the query. The pinned table is
-    // O(docs × ≤1024) rows, far below the token stream it summarizes.
-    val perDocCounts = docs(s, d)
-      .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
-      .withColumn("b",
-        pmod(conv(substring(md5(concat(lit("g_"), col("g")).cast("binary")), 1, 8), 16, 10)
-          .cast("long"), lit(DsirBuckets)))
-      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // both distributions DERIVE from the compact staged table by
+    // re-aggregation (Σ over docs ≡ counting the raw token stream — the
+    // same c1-from-c2 identity the LM stage uses) and the per-doc
+    // scoring consumes it directly; the probe never touches documents
+    val perDocCounts = s.read.parquet(ensureDsirStaged(s, d))
     val target = perDocCounts.filter(col("lang") === "en")
       .groupBy(col("b")).agg(sum(col("c")).as("np"))
     val raw = perDocCounts.groupBy(col("b")).agg(sum(col("c")).as("nq"))

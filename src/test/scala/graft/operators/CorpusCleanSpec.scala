@@ -144,4 +144,17 @@ class CorpusCleanSpec extends AnyFunSuite {
       assert(keepRate(l) < 0.4, s"$l keep rate ${keepRate(l)} not low")
     }
   }
+
+  test("dsir featurization is staged build-once; the probe never re-explodes the corpus") {
+    CorpusClean.ensureDsirStaged(s, sf)
+    val builds = CorpusClean.dsirStageBuildCount.get()
+    val df = CorpusClean.dsir(s, sf)
+    df.collect()
+    assert(CorpusClean.dsirStageBuildCount.get() == builds,
+      "a dsir probe rebuilt the staged featurization")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dsir_b"), s"probe does not read the staged counts:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"probe re-explodes the corpus:\n$plan")
+  }
 }
