@@ -11,6 +11,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class RecordLinkageSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
 
+  test("blocking index is staged build-once and probes read it back verbatim") {
+    val sf = TestSpark.sf
+    val (vaP, _) = Relational.ensureLinkageStaged(s, sf)
+    val builds = Relational.linkageStageBuildCount.get()
+    Relational.recordLinkage(s, sf).count()
+    Relational.ensureLinkageStaged(s, sf)
+    assert(Relational.linkageStageBuildCount.get() == builds,
+      "a linkage run rebuilt the staged blocking index")
+    // staged table ≡ the inline derivation (A side; B is the same code path)
+    val a = graft.Tables.customer(s, sf)
+      .select(org.apache.spark.sql.functions.col("c_custkey").as("key"),
+        org.apache.spark.sql.functions.col("c_name").as("name"))
+    val inline = Relational.linkageVariantsOver(a)
+    val staged = s.read.parquet(vaP)
+    assert(staged.exceptAll(inline).unionAll(inline.exceptAll(staged)).count() == 0,
+      "staged blocking index diverges from the inline derivation")
+  }
+
   test("match precision is high and true-pair recall near-complete") {
     val rows = Relational.recordLinkage(s, TestSpark.sf).collect()
     val matches = rows.filter(_.getAs[String]("decision") == "match")
