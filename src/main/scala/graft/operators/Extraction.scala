@@ -133,11 +133,33 @@ object Extraction {
     * (commas-in-numbers quoting, null vs value). Explicit read schema
     * keeps the recovered partition column a STRING (type inference would
     * make it DATE). */
+  private[operators] val holdingsStageBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def holdingsStageDir(sfDir: String): String =
+    "/tmp/graft_stage/holdings_v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The extracted holdings table, staged build-once per corpus
+    * fingerprint (a pure function of the orders-derived filings): the
+    * SINK demonstrations consume it so they measure the sink, not a
+    * re-run of the render+parse kernel — which stays live, measured,
+    * and oracle-checked in `x_extract_holdings`/`x_extract_holdings_gen`. */
+  def ensureHoldingsStaged(s: SparkSession, d: String): String = {
+    val dir = holdingsStageDir(d)
+    val path = dir + "/holdings"
+    graft.Staging.ensure(dir, Seq(s"$d/orders.parquet")) {
+      holdingsStageBuildCount.incrementAndGet()
+      extractedHoldings(s, d).write.mode("overwrite").parquet(path)
+    }: Unit
+    path
+  }
+
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint: real + decoys both read the extraction, and without
-    // it the render+parse kernel (the most expensive stage in the repo)
-    // would execute twice in the sink job
-    val holdings = extractedHoldings(s, d).localCheckpoint()
+    // real + decoys both read the STAGED extraction (two cheap parquet
+    // scans; before staging this re-ran the render+parse kernel — the
+    // most expensive stage in the repo — inside the sink job)
+    val holdings = s.read.parquet(ensureHoldingsStaged(s, d))
+      .select(outCols.map(col): _*)
     val real = holdings.withColumn("filing_seq", lit(2L))
     val decoys = holdings
       .withColumn("issuer", lit("SUPERSEDED"))
