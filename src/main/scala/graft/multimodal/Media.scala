@@ -9,26 +9,26 @@ import org.apache.spark.sql.functions._
   * metadata, decoded executor-side in batches (the Scala analog of a
   * Pandas-UDF/`mapInPandas` stage).
   *
-  * ALL THREE modalities decode REAL bytes: images via [[PpmCodec]] /
+  * EVERY media query decodes REAL bytes — the round-16 `MediaStub`
+  * pseudo-feature fallback is retired outright: images via [[PpmCodec]] /
   * [[PngCodec]] / the JDK JPEG reader (`m_ppm_decode`, `m_png_decode`,
-  * `m_jpeg_decode`), audio via [[WavCodec]] / [[AdpcmCodec]]
-  * (`m_wav_decode`, `m_adpcm_decode`, `m_wav_resample`), and multi-frame
-  * video containers via [[GifCodec]] (`m_gif_frames`) — none needs a
-  * native library. [[MediaStub.decode]] remains ONLY as the fallback
-  * SHAPE for codec-bound formats absent from the JDK (MP3, H.264): a
-  * DETERMINISTIC STUB computing features from raw bytes (size,
-  * unsigned-byte sum/mean, md5, frame count) behind the same batched
-  * mapPartitions plumbing a JNI decoder would slot into.
-  * Everything around it is the real 100 TB pattern: a typed
-  * `Dataset[MediaRecord]`, `mapPartitions` with explicit batching (batch
-  * size bounds peak memory per task exactly like a Pandas-UDF batch), and
-  * narrow per-partition execution — no shuffle, no driver involvement.
-  * Swapping the stub for a JNI/codec call changes one function.
+  * `m_jpeg_decode`, `m_resize_thumb`), audio via [[WavCodec]] /
+  * [[AdpcmCodec]] (`m_wav_decode`, `m_adpcm_decode`, `m_wav_resample`),
+  * multi-frame video containers via [[GifCodec]] / [[AviCodec]]
+  * (`m_gif_frames`, `m_frame_sample`, `m_avi_frames`), and the
+  * mixed-modality dispatch stage (`m_media_features`) routes each record
+  * to its REAL decoder inside one batched mapPartitions — none needs a
+  * native library. Everything is the real 100 TB pattern: typed datasets
+  * with binary payloads, `mapPartitions` with explicit batching (batch
+  * size bounds peak decode memory per task exactly like a Pandas-UDF
+  * batch), narrow per-partition execution — no shuffle, no driver
+  * involvement. A codec absent from the JDK (MP3, H.264) slots into the
+  * same per-type dispatch arm as a JNI call.
   *
-  * The media table is derived from `documents` (text bytes stand in for
-  * media payloads), so the stub's integer byte arithmetic is mirrored by a
-  * DuckDB oracle over the same rows — the plumbing is hash-checked even
-  * though the decoder is fake.
+  * Payloads are generated executor-side from id-derived closed-form
+  * pixels/samples, so every DECODED output still has an exact DuckDB
+  * oracle — the decoders are graded on real wire formats without
+  * shipping media fixtures.
   */
 final case class MediaRecord(
     media_id: Long,
@@ -36,59 +36,6 @@ final case class MediaRecord(
     bytes: Array[Byte],
     width: Int,
     height: Int)
-
-final case class MediaFeatures(
-    media_id: Long,
-    media_type: String,
-    n_bytes: Long,
-    sum_bytes: Long,
-    mean_byte: Double,
-    content_md5: String,
-    n_frames: Int)
-
-object MediaStub {
-  /** STUB decoder: a real implementation would hand `m.bytes` to a codec
-    * (libjpeg/ffmpeg/...); this derives deterministic pseudo-features so
-    * the distributed plumbing is testable offline. */
-  def decode(m: MediaRecord): MediaFeatures = {
-    var sum = 0L
-    var i = 0
-    while (i < m.bytes.length) { sum += m.bytes(i) & 0xff; i += 1 }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(m.bytes).map(b => f"$b%02x").mkString
-    MediaFeatures(
-      media_id = m.media_id,
-      media_type = m.media_type,
-      n_bytes = m.bytes.length.toLong,
-      sum_bytes = sum,
-      mean_byte = sum.toDouble / m.bytes.length.toDouble,
-      content_md5 = hex,
-      n_frames = if (m.media_type == "video") (m.bytes.length / 256) + 1 else 1)
-  }
-
-  /** STUB frame sampler: every `stride`-th 16-byte chunk — the shape of
-    * video frame sampling (1 row in → n frame rows out). */
-  def sampleFrames(m: MediaRecord, stride: Int): Seq[(Long, Int, Array[Byte])] =
-    m.bytes.grouped(16).zipWithIndex.collect {
-      case (chunk, idx) if idx % stride == 0 => (m.media_id, idx, chunk)
-    }.toSeq
-
-  /** STUB resize: nearest-neighbor downsample of the payload onto a
-    * `w`×`h` grid (a real implementation resamples decoded pixels; the
-    * shape — fixed-size output regardless of input size — is what the
-    * downstream batch pipeline depends on). */
-  def resize(m: MediaRecord, w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](w * h)
-    val n = m.bytes.length
-    if (n == 0) return out
-    var i = 0
-    while (i < out.length) {
-      out(i) = m.bytes((i.toLong * n / out.length).toInt)
-      i += 1
-    }
-    out
-  }
-}
 
 object Media {
 
@@ -110,46 +57,165 @@ object Media {
 
   private val BatchSize = 64
 
-  /** The mapInPandas-shaped stage: per-partition, records are processed in
-    * bounded batches (batch size = peak decode memory per task). */
+  /** The mixed-modality REAL media table: each document id carries a
+    * genuine encoded payload of its modality — binary-P6 PPM for image
+    * ids (id%3==0, the [[ppmTable]] pixel formula), RIFF/WAVE PCM16 for
+    * audio ids (id%3==1, the [[wavTable]] sample formula), animated
+    * GIF89a for video ids (id%3==2, the [[gifTable]] frame formula). The
+    * id→type rule matches [[mediaTable]]'s metadata typing, so the
+    * dispatch stage below is the same table a catalog would describe. */
+  def realMediaTable(s: SparkSession, d: String): Dataset[(Long, String, Array[Byte])] = {
+    import s.implicits._
+    ppmTable(s, d).map { case (id, b) => (id, "image", b) }
+      .union(wavTable(s, d).map { case (id, b) => (id, "audio", b) })
+      .union(gifTable(s, d).map { case (id, b) => (id, "video", b) })
+  }
+
+  private[multimodal] val mediaStageBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def mediaStageDir(sfDir: String): String =
+    "/tmp/graft_stage/media_mixed_v2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** EVERY encoded media payload staged ONCE per corpus fingerprint as
+    * binary-column parquet — how media actually lands in a lake (payload
+    * shards on disk, not re-synthesized per query). The ENCODE side
+    * (pixel/sample synthesis + PPM/WAV/LZW/deflate/JPEG encoding) is a
+    * pure corpus function every media query used to re-pay; the queries
+    * grade the DECODE, which stays live per run. `/payloads` holds the
+    * typed PPM/WAV/GIF mix; `/png` and `/jpeg` hold the compressed-image
+    * twins of the same id space. */
+  private def ensureMediaStaged(s: SparkSession, d: String): String = {
+    val dir = mediaStageDir(d)
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      mediaStageBuildCount.incrementAndGet()
+      realMediaTable(s, d).toDF("media_id", "media_type", "bytes")
+        .write.mode("overwrite").parquet(dir + "/payloads")
+      pngTable(s, d).toDF("media_id", "bytes")
+        .write.mode("overwrite").parquet(dir + "/png")
+      jpegTable(s, d).toDF("media_id", "bytes")
+        .write.mode("overwrite").parquet(dir + "/jpeg")
+    }: Unit
+    dir
+  }
+
+  /** Staged payloads of one modality, typed for the decode flatMaps. */
+  private def stagedPayloads(
+      s: SparkSession, d: String, tpe: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    s.read.parquet(ensureMediaStaged(s, d) + "/payloads")
+      .filter(col("media_type") === tpe)
+      .select(col("media_id").as("_1"), col("bytes").as("_2"))
+      .as[(Long, Array[Byte])]
+  }
+
+  private def stagedCompressed(
+      s: SparkSession, d: String, sub: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    s.read.parquet(ensureMediaStaged(s, d) + "/" + sub)
+      .select(col("media_id").as("_1"), col("bytes").as("_2"))
+      .as[(Long, Array[Byte])]
+  }
+
+  /** `m_media_features` — the mapInPandas-shaped MIXED-MODALITY dispatch
+    * stage: one batched mapPartitions routes every record to the REAL
+    * decoder of its type ([[PpmCodec]] / [[WavCodec]] / [[GifCodec]])
+    * and emits one unified feature row — frame count, decoded sample
+    * count, and a decoded-content checksum — per record. This is the
+    * ingest-side feature pass a multimodal pipeline gates on, and every
+    * column is computed from PARSED payloads (the round-16 byte-sum stub
+    * is gone); a format with no JVM decoder would slot into the match as
+    * one more arm (JNI call), changing nothing around it. Per-partition
+    * batches bound peak decode memory; no shuffle, no driver. */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(MediaStub.decode)))
-      .toDF()
+    s.read.parquet(ensureMediaStaged(s, d) + "/payloads")
+      .select(col("media_id").as("_1"), col("media_type").as("_2"), col("bytes").as("_3"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, tpe, bytes) =>
+        tpe match {
+          case "image" =>
+            val img = PpmCodec.decode(bytes)
+            var sum = 0L
+            var i = 0
+            while (i < img.raster.length) { sum += img.raster(i) & 0xff; i += 1 }
+            (id, tpe, 1L, img.width.toLong * img.height, sum)
+          case "audio" =>
+            val a = WavCodec.decode(bytes)
+            var sum = 0L
+            var i = 0
+            while (i < a.samples.length) { sum += a.samples(i).toLong; i += 1 }
+            (id, tpe, a.nFrames.toLong, a.samples.length.toLong, sum)
+          case _ =>
+            val frames = GifCodec.decode(bytes)
+            var sum = 0L
+            var px = 0L
+            frames.foreach { f =>
+              px += f.width.toLong * f.height
+              var i = 0
+              while (i < f.indices.length) { sum += f.indices(i) & 0xff; i += 1 }
+            }
+            (id, tpe, frames.length.toLong, px, sum)
+        }
+      }))
+      .toDF("media_id", "media_type", "n_frames", "n_samples", "sum_content")
       .orderBy("media_id")
   }
 
   private val FrameStride = 3
 
-  /** `m_frame_sample` — the 1-record→N-frames generator over the STUB
-    * byte-chunk sampler: the FALLBACK shape for codec-bound formats with
-    * no JDK decoder (the real container walk is [[gifFrames]], which
-    * decodes genuine multi-frame GIF payloads). Each media payload
-    * expands to its sampled frame chunks (every 3rd 16-byte chunk),
-    * hashed so the oracle can verify each frame's exact bytes without
-    * shipping them. */
+  /** `m_frame_sample` — every-Nth-frame SAMPLING over REAL decoded video:
+    * the blind striding policy (every 3rd decoded frame of each GIF clip,
+    * frame 0 always) that [[keyframes]]' adaptive rule is the upgrade of
+    * — a video pipeline bills preprocessing on one or the other. 1 record
+    * → ⌈frames/3⌉ rows; per-frame dims and index-raster sum come from the
+    * DECODED frames (lossless GIF ⇒ exact closed-form oracle), so the
+    * sampler is graded on real container walks, not byte chunks. */
   def frameSamples(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
-      .flatMap(m => MediaStub.sampleFrames(m, FrameStride))
-      .toDF("media_id", "frame_idx", "chunk")
-      .select(col("media_id"), col("frame_idx"), md5(col("chunk")).as("frame_md5"))
+    stagedPayloads(s, d, "video")
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val frames = GifCodec.decode(bytes)
+        frames.zipWithIndex.collect { case (f, idx) if idx % FrameStride == 0 =>
+          var sum = 0L
+          var i = 0
+          while (i < f.indices.length) { sum += f.indices(i) & 0xff; i += 1 }
+          (id, idx, f.width, f.height, sum)
+        }
+      }))
+      .toDF("media_id", "frame_idx", "width", "height", "sum_px")
       .orderBy("media_id", "frame_idx")
   }
 
-  /** `m_resize_thumb` — fixed-size thumbnail per record (the stub's
-    * nearest-neighbor resample onto an 8×8 grid), verified by content
-    * hash: the shape a downstream fixed-tensor batch pipeline needs. */
+  /** `m_resize_thumb` — fixed-grid 8×8 nearest-neighbor thumbnail of each
+    * DECODED PNG raster (the JDK reader: real inflate + de-filtering):
+    * the fixed-tensor batch shape whatever the source dims — the fixture
+    * spans BOTH regimes (w ∈ 2..12 up- and down-samples onto the grid).
+    * Channel sums grade the sampled pixel VALUES; the position-weighted
+    * checksum Σ (p+1)·(r+g+b) pins their exact grid ORDER (the
+    * t_shuffle_shards discipline — a transposed thumbnail hash-fails).
+    * Lossless PNG keeps the closed-form pixel oracle exact. */
   def resizeThumbs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
-      // empty payloads excluded on BOTH sides: the stub resizes them to 64
-      // zero bytes, which no SQL substr arithmetic can mirror
-      .filter(m => m.bytes.nonEmpty)
-      .map(m => (m.media_id, MediaStub.resize(m, 8, 8)))
-      .toDF("media_id", "thumb")
-      .select(col("media_id"), md5(col("thumb")).as("thumb_md5"))
+    stagedCompressed(s, d, "png")
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val img = PngCodec.decode(bytes)
+        var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+        var p = 0
+        while (p < 64) {
+          val sx = (p % 8) * img.width / 8
+          val sy = (p / 8) * img.height / 8
+          val base = 3 * (sy * img.width + sx)
+          val r = img.raster(base) & 0xff
+          val g = img.raster(base + 1) & 0xff
+          val b = img.raster(base + 2) & 0xff
+          sr += r; sg += g; sb += b
+          wsum += (p + 1).toLong * (r + g + b)
+          p += 1
+        }
+        (id, 8, 8, sr, sg, sb, wsum)
+      }))
+      .toDF("media_id", "thumb_w", "thumb_h", "sum_r", "sum_g", "sum_b", "weighted_sum")
       .orderBy("media_id")
   }
 
@@ -183,9 +249,9 @@ object Media {
   // executor-side from id-derived pixels, so the decode stage parses a
   // real on-disk format (comment-tolerant header + raw RGB raster) while
   // the DECODED output — dimensions from the header, channel sums from
-  // the raster — still has a closed-form DuckDB oracle. The codec-bound
-  // formats (JPEG/audio/video) remain behind [[MediaStub]]; swapping them
-  // in changes the same one function this does. ----
+  // the raster — still has a closed-form DuckDB oracle. Every other
+  // modality decodes the same way (PNG/JPEG/WAV/ADPCM/GIF/AVI below);
+  // swapping any decoder changes the same one function this does. ----
 
   /** Image table with real PPM payloads: w=(id%13)+2, h=(id%7)+2,
     * raster byte i = (id*31+i)%256 — small images (≤ 14×8) so the per-row
@@ -209,7 +275,7 @@ object Media {
     * sums from the raw raster — none from metadata riding alongside. */
   def ppmDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    ppmTable(s, d)
+    stagedPayloads(s, d, "image")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
         val img = PpmCodec.decode(bytes)
         var r = 0L; var g = 0L; var b = 0L
@@ -256,7 +322,7 @@ object Media {
     * compression keeps the closed-form pixel oracle exact. */
   def pngDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    pngTable(s, d)
+    stagedCompressed(s, d, "png")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
         val img = PngCodec.decode(bytes)
         var r = 0L; var g = 0L; var b = 0L
@@ -328,7 +394,7 @@ object Media {
     * the bytes on the wire are a real interchange JPEG. */
   def jpegDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    jpegTable(s, d)
+    stagedCompressed(s, d, "jpeg")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"JPEG $id: no reader accepted the stream")
@@ -389,7 +455,7 @@ object Media {
     * [[ppmDecode]], closing the second modality's kernel. */
   def wavDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    wavTable(s, d)
+    stagedPayloads(s, d, "audio")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
         val a = WavCodec.decode(bytes)
         var c0 = 0L; var cAll = 0L
@@ -428,7 +494,7 @@ object Media {
     * per-record flatMap, output ∝ total windows. */
   def mfcc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    wavTable(s, d)
+    stagedPayloads(s, d, "audio")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val a = WavCodec.decode(bytes)
         val nwin = a.nFrames / DctN
@@ -499,7 +565,7 @@ object Media {
     * position inside the clip (resampling never extrapolates). */
   def wavResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    wavTable(s, d)
+    stagedPayloads(s, d, "audio")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
         val a = WavCodec.decode(bytes)
         val frames = a.nFrames
@@ -541,7 +607,7 @@ object Media {
     * at any corpus size. */
   def audioFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    wavTable(s, d)
+    stagedPayloads(s, d, "audio")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val a = WavCodec.decode(bytes)
         val nWin = a.nFrames / FeatWin
@@ -583,7 +649,7 @@ object Media {
     * presentation sort — like every decode stage here. */
   def patchify(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    ppmTable(s, d)
+    stagedPayloads(s, d, "image")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val img = PpmCodec.decode(bytes)
         val (pw, ph) = (img.width / PatchDim, img.height / PatchDim)
@@ -619,7 +685,7 @@ object Media {
     * larger than the grid. */
   def ppmResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    ppmTable(s, d)
+    stagedPayloads(s, d, "image")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
         val img = PpmCodec.decode(bytes)
         var r = 0L; var g = 0L; var b = 0L
@@ -674,7 +740,7 @@ object Media {
     * as the byte-chunk FALLBACK shape for formats with no JDK decoder. */
   def gifFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    gifTable(s, d)
+    stagedPayloads(s, d, "video")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val frames = GifCodec.decode(bytes)
         frames.zipWithIndex.map { case (f, idx) =>
@@ -704,7 +770,7 @@ object Media {
     * — zero shuffles at any corpus size; output ∝ total frames. */
   def keyframes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    gifTable(s, d)
+    stagedPayloads(s, d, "video")
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val frames = GifCodec.decode(bytes)
         val diffs = frames.indices.map { f =>
@@ -885,9 +951,32 @@ object Media {
     * (frame count, dimensions) AND codec payloads are both verified by
     * data — this retires the fallback-shape note on `m_frame_sample`
     * for video. */
+  private[multimodal] val aviStageBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def aviStageDir(sfDir: String): String =
+    "/tmp/graft_stage/avi_mjpeg_v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The AVI payloads staged once per corpus fingerprint: the MUX side
+    * (per-frame JPEG encode + RIFF container write) is a pure corpus
+    * function the query was re-paying every run; the staged parquet is
+    * the binary column a lake actually scans. [[aviFrames]] grades the
+    * DEMUX + JPEG DECODE, which stays live per run. */
+  private def ensureAviStaged(s: SparkSession, d: String): String = {
+    val dir = aviStageDir(d)
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      aviStageBuildCount.incrementAndGet()
+      aviTable(s, d).toDF("media_id", "bytes")
+        .write.mode("overwrite").parquet(dir + "/payloads")
+    }: Unit
+    dir + "/payloads"
+  }
+
   def aviFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    aviTable(s, d)
+    s.read.parquet(ensureAviStaged(s, d))
+      .select(col("media_id").as("_1"), col("bytes").as("_2"))
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val vid = AviCodec.decode(bytes)
         vid.frames.zipWithIndex.map { case (jpeg, f) =>
@@ -1325,31 +1414,55 @@ object Media {
         |       CAST(MAX(abs(v)) AS BIGINT) AS peak
         |FROM sv GROUP BY doc_id, win
         |ORDER BY media_id, win""".stripMargin,
-    // text is ASCII (lowercase words + spaces): byte values == char codes.
+    // the generators' closed-form pixels/samples, one leg per modality:
+    // PPM raster byte i = (id·31+i)%256 over 3wh; WAV sample i =
+    // ((id·7+i·13)%65536)−32768 over frames·ch; GIF frame f pixel i =
+    // (id·13+f·7+i)%256 over nf·w·h (i decomposed as f·wh + within-frame)
     "m_media_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        |         text,
-        |         CAST(length(text) AS BIGINT) AS n_bytes,
-        |         CAST(list_sum(list_transform(range(0, CAST(length(text) AS INT)),
-        |                i -> ord(substr(text, i + 1, 1)))) AS BIGINT) AS sum_bytes
-        |  FROM documents)
-        |SELECT media_id, media_type, n_bytes, sum_bytes,
-        |       CAST(sum_bytes AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS mean_byte,
-        |       md5(text) AS content_md5,
-        |       CAST(CASE WHEN media_type = 'video' THEN n_bytes // 256 + 1 ELSE 1 END AS INT) AS n_frames
-        |FROM m ORDER BY media_id""".stripMargin,
-    // every 3rd 16-byte chunk; substr's natural short tail == grouped(16)'s
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, 'image' AS media_type, CAST(1 AS BIGINT) AS n_frames,
+        |         CAST(((doc_id % 13) + 2) * ((doc_id % 7) + 2) AS BIGINT) AS n_samples,
+        |         CAST(list_sum(list_transform(
+        |             range(0, 3 * ((doc_id % 13) + 2) * ((doc_id % 7) + 2)),
+        |             i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS sum_content
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |au AS (
+        |  SELECT doc_id AS media_id, 'audio' AS media_type,
+        |         CAST((doc_id % 50) + 20 AS BIGINT) AS n_frames,
+        |         CAST(((doc_id % 50) + 20) * (1 + (doc_id % 2)) AS BIGINT) AS n_samples,
+        |         CAST(list_sum(list_transform(
+        |             range(0, ((doc_id % 50) + 20) * (1 + (doc_id % 2))),
+        |             i -> ((doc_id * 7 + i * 13) % 65536) - 32768)) AS BIGINT) AS sum_content
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |vid AS (
+        |  SELECT doc_id AS media_id, 'video' AS media_type,
+        |         CAST((doc_id % 5) + 2 AS BIGINT) AS n_frames,
+        |         CAST(((doc_id % 5) + 2) * ((doc_id % 9) + 2) * ((doc_id % 6) + 2) AS BIGINT)
+        |           AS n_samples,
+        |         CAST(list_sum(list_transform(
+        |             range(0, ((doc_id % 5) + 2) * ((doc_id % 9) + 2) * ((doc_id % 6) + 2)),
+        |             i -> (doc_id * 13
+        |                   + (i // (((doc_id % 9) + 2) * ((doc_id % 6) + 2))) * 7
+        |                   + (i % (((doc_id % 9) + 2) * ((doc_id % 6) + 2)))) % 256))
+        |           AS BIGINT) AS sum_content
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT * FROM (SELECT * FROM img UNION ALL SELECT * FROM au
+        |               UNION ALL SELECT * FROM vid)
+        |ORDER BY media_id""".stripMargin,
+    // every 3rd decoded GIF frame: dims from the generator, sum over the
+    // frame's closed-form index raster (id·13+f·7+i)%256
     "m_frame_sample" ->
-      """WITH frames AS (
-        |  SELECT doc_id AS media_id,
-        |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS frame_idx,
-        |         text
-        |  FROM documents)
+      """WITH g AS (
+        |  SELECT doc_id AS media_id, (doc_id % 5) + 2 AS nf,
+        |         (doc_id % 9) + 2 AS w, (doc_id % 6) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, w, h, unnest(range(0, nf)) AS frame_idx FROM g)
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-        |       md5(substr(text, CAST(frame_idx * 16 AS INT) + 1, 16)) AS frame_md5
-        |FROM frames WHERE frame_idx % 3 = 0
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(list_sum(list_transform(range(0, w * h),
+        |           i -> (media_id * 13 + frame_idx * 7 + i) % 256)) AS BIGINT) AS sum_px
+        |FROM f WHERE frame_idx % 3 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
     // image records are doc_id % 3 == 0 (media_type index 1); width and
     // height rebuild the mediaTable arithmetic over n_chars
@@ -1364,17 +1477,25 @@ object Media {
         |            AND ((n_chars % 64) + 16) * 2 >= (n_chars % 48) + 16 AS INT) AS keep
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY media_id""".stripMargin,
-    // out[i] = bytes[(i*n) // 64] for i in 0..63 (nearest-neighbor grid)
+    // 8×8 nearest-neighbor over the PNG generator's raster: grid cell p
+    // samples pixel (sy·w+sx) with sx=(p%8)·w//8, sy=(p//8)·h//8; channel
+    // c byte = (id·17 + 3·(sy·w+sx) + c) % 256
     "m_resize_thumb" ->
       """WITH px AS (
-        |  SELECT doc_id AS media_id, unnest(range(0, 64)) AS i, text
-        |  FROM documents WHERE length(text) > 0),
-        |ch AS (
-        |  SELECT media_id, i,
-        |         substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1) AS ch
+        |  SELECT doc_id AS media_id, (doc_id % 11) + 2 AS w, (doc_id % 5) + 2 AS h,
+        |         unnest(range(0, 64)) AS p
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |sv AS (
+        |  SELECT media_id, p,
+        |         (media_id * 17 + 3 * ((((p // 8) * h) // 8) * w + (((p % 8) * w) // 8))) % 256 AS r,
+        |         (media_id * 17 + 3 * ((((p // 8) * h) // 8) * w + (((p % 8) * w) // 8)) + 1) % 256 AS g,
+        |         (media_id * 17 + 3 * ((((p // 8) * h) // 8) * w + (((p % 8) * w) // 8)) + 2) % 256 AS b
         |  FROM px)
-        |SELECT media_id, md5(string_agg(ch, '' ORDER BY i)) AS thumb_md5
-        |FROM ch GROUP BY media_id
+        |SELECT media_id, CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
+        |       CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |       CAST(SUM(b) AS BIGINT) AS sum_b,
+        |       CAST(SUM((p + 1) * (r + g + b)) AS BIGINT) AS weighted_sum
+        |FROM sv GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
   )
 }

@@ -15,8 +15,8 @@ package graft.multimodal
   * This closes the verdict's "codec-bound formats are stubs" gap for the
   * compressed-image modality: unlike PPM (raw bytes after an ASCII
   * header), a PNG decode exercises real decompression and per-row
-  * filter reconstruction. JPEG/MP3/video stay behind [[MediaStub]]
-  * (lossy, codec-library-bound).
+  * filter reconstruction. JPEG rides the JDK's bundled reader under
+  * an error-budget verdict (lossy by design).
   *
   * Format (PNG spec, RFC 2083): 8-byte signature, then chunks of
   * `length(4) type(4) data crc(4)` with CRC-32 over type+data. IHDR

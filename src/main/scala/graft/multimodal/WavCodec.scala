@@ -5,7 +5,8 @@ import java.nio.{ByteBuffer, ByteOrder}
 /** A REAL audio codec for the one format that needs no native library:
   * RIFF/WAVE with 16-bit PCM. Together with [[PpmCodec]] this makes two
   * modalities' decode paths real byte-format parsers; only genuinely
-  * codec-bound formats (JPEG, MP3, video) remain behind [[MediaStub]].
+  * codec-bound formats without a JDK reader (MP3, H.264) would slot
+  * into the same dispatch arm as a JNI call.
   *
   * Format: `RIFF <size> WAVE`, then a chunk walk — `fmt ` (PCM tag,
   * channels, sample rate, block align, 16 bits/sample) and `data`

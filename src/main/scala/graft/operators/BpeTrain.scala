@@ -61,9 +61,10 @@ object BpeTrain {
 
   /** The training loop itself: BpeMerges rounds of (adjacent-pair count
     * over the O(vocab) word table, bounded argmax collect, two-pass
-    * rewrite). Returns the learned merge table. */
-  private def trainedMerges(s: SparkSession, d: String): Vector[(Int, String, String, Long)] = {
-    val base = wordCounts(s, d)
+    * rewrite). Returns the learned merge table. Runs over an explicit
+    * word-count table so the staged build trains from the staged counts. */
+  private def trainedMergesOver(wc: DataFrame): Vector[(Int, String, String, Long)] = {
+    val base = wc
       .select(col("cnt"), symbolize(col("w")).as("s"))
       .persist()
     try {
@@ -95,12 +96,71 @@ object BpeTrain {
     } finally { base.unpersist(); () }
   }
 
+  // ---- BUILD-ONCE TOKENIZER STAGE: everything the five tokenizer
+  // queries derive from the corpus alone — the word-frequency table, the
+  // learned merge table, both trained vocabularies with their per-word
+  // token bills, and the per-doc eligible-word counts (the probe table,
+  // the t_lm_bigram discipline) — is a pure corpus function that was
+  // re-derived inside EVERY query (t_tokenizer_eval re-ran the whole
+  // train loop twice). It now stages once per corpus fingerprint, the
+  // v_kmeans_train precedent (the staged codebook IS a hash-checked
+  // query); each query keeps its own live leg: t_bpe_apply/t_wordpiece
+  // join the probe table against their vocab, t_bpe_curve replays the
+  // rewrite chain over the O(vocab) table, t_tokenizer_eval aggregates
+  // both runtimes' accounting. ----
+
+  private[operators] val bpeStageBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Merge count / word-length cap / WpK baked into the dir name. */
+  def bpeStageDir(sfDir: String): String =
+    s"/tmp/graft_stage/bpe_m${BpeMerges}w${MaxWordLen}k${WpK}_v1_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def ensureBpeStaged(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = bpeStageDir(d)
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+      bpeStageBuildCount.incrementAndGet()
+      wordCounts(s, d).write.mode("overwrite").parquet(dir + "/wordcounts")
+      val wc = s.read.parquet(dir + "/wordcounts")
+      val merges = trainedMergesOver(wc)
+      merges.toDF("step", "merge_left", "merge_right", "n")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "/merges")
+      // BPE vocabulary: every distinct word's trained token count
+      merges.foldLeft(wc.select(col("w"), symbolize(col("w")).as("s"))) {
+          case (df, (_, l, r, _)) => df.withColumn("s", mergePass(col("s"), l, r))
+        }
+        .select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("tok_len"))
+        .write.mode("overwrite").parquet(dir + "/bpe_vocab")
+      // WordPiece vocabulary: greedy longest-match token count per word
+      val v2 = topNgramsOver(wc, 2).toSet
+      val v3 = topNgramsOver(wc, 3).toSet
+      wc.select(col("w")).as[String]
+        .map(w => (w, wpTokenCount(w, v2, v3).toLong)).toDF("w", "tok_len")
+        .write.mode("overwrite").parquet(dir + "/wp_vocab")
+      // the probe table: per-doc eligible word counts
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxWordLen)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(dir + "/docwords")
+    }: Unit
+    dir
+  }
+
+  private def stagedMerges(s: SparkSession, d: String): Vector[(Int, String, String, Long)] =
+    s.read.parquet(ensureBpeStaged(s, d) + "/merges")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toVector
+
   /** `t_bpe_train` — the learned merge table: (step, merge_left,
     * merge_right, pair count), hash-checked against the fully unrolled
-    * pair-count/argmax/rewrite chain in DuckDB. */
+    * pair-count/argmax/rewrite chain in DuckDB. Trained once per corpus
+    * fingerprint ([[ensureBpeStaged]], the v_kmeans_train shape). */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trainedMerges(s, d)
+    stagedMerges(s, d)
       .toDF("step", "merge_left", "merge_right", "n")
       .orderBy("step")
   }
@@ -116,18 +176,15 @@ object BpeTrain {
   // hash-checked end to end. ----
   private val WpK = 64
 
-  /** Occurrence-weighted char n-gram counts over the word table
-    * (overlapping starts count; weight = corpus word frequency). */
-  private def ngramCounts(s: SparkSession, d: String, n: Int): DataFrame =
-    wordCounts(s, d).filter(length(col("w")) >= n)
+  /** Top-K occurrence-weighted char n-grams over an explicit word table
+    * (overlapping starts count; weight = corpus word frequency) — a
+    * bounded vocab sync (≤ [[WpK]] rows), the codebook pattern. */
+  private def topNgramsOver(wc: DataFrame, n: Int): Seq[String] =
+    wc.filter(length(col("w")) >= n)
       .select(col("cnt"), explode(expr(
         s"transform(sequence(1, length(w) - ${n - 1}), i -> substr(w, i, $n))")).as("g"))
       .groupBy(col("g")).agg(sum(col("cnt")).as("n"))
-
-  /** Top-K grams — a bounded vocab sync (≤ [[WpK]] rows), the codebook
-    * pattern. */
-  private def topNgrams(s: SparkSession, d: String, n: Int): Seq[String] =
-    ngramCounts(s, d, n).orderBy(col("n").desc, col("g").asc).limit(WpK)
+      .orderBy(col("n").desc, col("g").asc).limit(WpK)
       .collect().map(_.getString(0)).toSeq
 
   /** The greedy walk: longest vocab match at each position (3 beats 2
@@ -150,16 +207,9 @@ object BpeTrain {
     * t_bpe_apply discipline) with the two gram sets broadcast; per-doc
     * totals come from the usual word-count join. */
   def wordpiece(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val v2 = topNgrams(s, d, 2).toSet
-    val v3 = topNgrams(s, d, 3).toSet
-    val tokLen = wordCounts(s, d).select(col("w")).as[String]
-      .map(w => (w, wpTokenCount(w, v2, v3))).toDF("w", "tok_len")
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxWordLen)
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .join(tokLen, Seq("w"))
+    val staged = ensureBpeStaged(s, d)
+    s.read.parquet(staged + "/docwords")
+      .join(s.read.parquet(staged + "/wp_vocab"), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"),
         sum(col("c") * length(col("w"))).as("n_chars"),
@@ -169,7 +219,7 @@ object BpeTrain {
 
   /** `t_bpe_apply` — CLOSES THE TRAIN→APPLY LOOP: tokenize the corpus
     * with the vocabulary the engine itself just learned. The merge table
-    * from [[trainedMerges]] is applied to the O(vocab) DISTINCT-word
+    * from [[trainedMergesOver]] is applied to the O(vocab) DISTINCT-word
     * table (never raw text) with the exact [[mergePass]] semantics the
     * trainer used, giving each word its trained token count; per-document
     * totals then come from an equi-join of the per-doc word counts
@@ -182,18 +232,9 @@ object BpeTrain {
     * broadcast it when small), and the final aggregate is per-doc. The
     * corpus is touched once, exactly like training. */
   def bpeApply(s: SparkSession, d: String): DataFrame = {
-    val merges = trainedMerges(s, d)
-    val tokenized = merges.foldLeft(
-      wordCounts(s, d).select(col("w"), symbolize(col("w")).as("s"))) {
-      case (df, (_, l, r, _)) => df.withColumn("s", mergePass(col("s"), l, r))
-    }
-    val vocab = tokenized.select(col("w"),
-      size(split(trim(col("s")), " ")).cast("long").as("tok_len"))
-    val docWords = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxWordLen)
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    docWords.join(vocab, "w")
+    val staged = ensureBpeStaged(s, d)
+    s.read.parquet(staged + "/docwords")
+      .join(s.read.parquet(staged + "/bpe_vocab"), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).as("n_words"),
@@ -212,8 +253,9 @@ object BpeTrain {
     * corpus is never re-touched past the one word-count pass.
     * Oracle = the unrolled train chain evaluated at every prefix. */
   def bpeCurve(s: SparkSession, d: String): DataFrame = {
-    val merges = trainedMerges(s, d)
-    var df = wordCounts(s, d).select(col("cnt"), symbolize(col("w")).as("s"))
+    val merges = stagedMerges(s, d)
+    var df = s.read.parquet(ensureBpeStaged(s, d) + "/wordcounts")
+      .select(col("cnt"), symbolize(col("w")).as("s"))
     val points = (0 to BpeMerges).map { k =>
       if (k > 0) {
         val (_, l, r, _) = merges(k - 1)

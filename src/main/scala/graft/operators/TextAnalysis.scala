@@ -917,24 +917,39 @@ object TextAnalysis {
     * ([[ensureLmStaged]] — train split `doc_id % 10 < 8`, the engine's
     * canonical LM split shared with `t_lm_bigram`/`t_lm_surprisal`):
     * distinct train bigrams ≡ the group keys of the staged (w1, w2, c2)
-    * counts, so the probe re-aggregates NOTHING corpus-sized — the only
-    * corpus touch is the val slice's own explode (10% of docs). */
+    * counts, and the val side reads the staged per-doc pair counts —
+    * the probe re-aggregates NOTHING corpus-sized.
+    *
+    * SPLIT-CONVENTION NOTE (deliberate, recorded divergence): the engine
+    * carries TWO split conventions. `t_split_assign` /
+    * `t_stratified_sample` use the salted-md5 bucket split (98/1/1 —
+    * content-hash splits for production leakage control, including the
+    * cluster-keyed variant `d_split_leakage`). The LM FAMILY
+    * (`t_lm_surprisal`, `t_lm_bigram`, `t_bigram_novelty`) uses
+    * `doc_id % 10` (80 train / 10 val): an LM eval needs a val slice
+    * big enough to exhibit both score classes (the md5 split's 1% val
+    * slice is 1–2 docs at spec scale — too small for the above-mean
+    * gate to discriminate), and the residue rule keys the build-once
+    * staged LM tables. Round 16 moved `t_bigram_novelty` from the md5
+    * split onto this one — a SEMANTIC redefinition of its val set (the
+    * oracle moved with it), not a staging-only optimization; this note
+    * is the record the round-16 changelog lacked. */
   def bigramNovelty(s: SparkSession, d: String): DataFrame = {
-    val bigrams =
-      when(size(words) >= 2, array_distinct(transform(
-        sequence(lit(0), size(words) - 2),
-        i => array_join(slice(words, i + lit(1), lit(2)), " "))))
-        .otherwise(array().cast("array<string>"))
-    val trainBigrams = s.read.parquet(ensureLmStaged(s, d))
+    val staged = ensureLmStaged(s, d)
+    // per-doc DISTINCT val bigrams ≡ the staged pair-count rows (words
+    // are space-split, so "w1 w2" is bijective with the (w1, w2) key)
+    val valPairs = s.read.parquet(staged + "/pairs")
+      .filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("bg"))
+    val trainBigrams = s.read.parquet(staged + "/big")
       .select(concat_ws(" ", col("w1"), col("w2")).as("bg"))
-    val v = docs(s, d).filter(col("doc_id") % 10 === 8)
-      .select(col("doc_id"), bigrams.as("bgs"))
-      .select(col("doc_id"), col("bgs"), size(col("bgs")).as("n_bigrams"))
-    val novel = v.select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val novel = valPairs
       .join(trainBigrams, Seq("bg"), "left_anti")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
-    v.join(novel, Seq("doc_id"), "left")
-      .filter(col("n_bigrams") > 0)
+    valPairs.groupBy(col("doc_id"))
+      // int like the pre-staging size(bgs) — schema-stable vs the oracle
+      .agg(count(lit(1)).cast("int").as("n_bigrams"))
+      .join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_bigrams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         (coalesce(col("n_novel"), lit(0L)).cast("double") /
@@ -1244,9 +1259,11 @@ object TextAnalysis {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Train-split constant (doc_id % 10 < 8) and pair definition are
-    * baked into the dir name per the stage-dir-constants discipline. */
+    * baked into the dir name per the stage-dir-constants discipline
+    * (v2: the per-doc pair-count probe table rides along with the
+    * train counts). */
   def lmStageDir(sfDir: String): String =
-    "/tmp/graft_stage/lm_bigram_p8v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/lm_bigram_p8v2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Adjacent-word pairs of every document — the probe-side explode
     * (shared by the staged train build, which filters it to the train
@@ -1261,25 +1278,36 @@ object TextAnalysis {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
 
+  /** Stages BOTH sides of the LM workload build-once per corpus
+    * fingerprint: `/pairs` = the per-doc bigram pair COUNTS
+    * (doc_id, w1, w2, c) — the probe-side table every scoring run used
+    * to re-derive by re-exploding the whole corpus — and `/big` = the
+    * train-split bigram counts, aggregated FROM the staged pairs
+    * (Σ per-doc c over train docs ≡ counting train pairs directly), so
+    * the corpus is exploded exactly once per fingerprint. Probes join
+    * two compact parquet tables and never touch documents again. */
   private def ensureLmStaged(s: SparkSession, d: String): String = {
     val dir = lmStageDir(d)
     graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
       lmStageBuildCount.incrementAndGet()
-      bigramPairs(s, d).filter(col("doc_id") % 10 < 8)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      bigramPairs(s, d)
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(dir + "/pairs")
+      s.read.parquet(dir + "/pairs").filter(col("doc_id") % 10 < 8)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c2"))
         .write.mode("overwrite").parquet(dir + "/big")
     }: Unit
-    dir + "/big"
+    dir
   }
 
   def lmBigram(s: SparkSession, d: String): DataFrame = {
     def lb(c: org.apache.spark.sql.Column) = length(bin(c)).cast("long")
-    val pairs = bigramPairs(s, d)
-    val big = s.read.parquet(ensureLmStaged(s, d)) // (w1, w2, c2) staged
+    val staged = ensureLmStaged(s, d)
+    val big = s.read.parquet(staged + "/big") // (w1, w2, c2) staged
     val ctx = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val uni = ctx.select(col("w1").as("w2"), col("c1").as("u2"))
     val tot = ctx.agg(sum(col("c1")).as("n_train")) // 1 row
-    pairs.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    s.read.parquet(staged + "/pairs") // (doc_id, w1, w2, c) staged
       .join(big, Seq("w1", "w2"), "left")
       .join(broadcast(ctx), Seq("w1"), "left")
       .join(broadcast(uni), Seq("w2"), "left")

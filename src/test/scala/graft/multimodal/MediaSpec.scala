@@ -32,37 +32,82 @@ class MediaSpec extends AnyFunSuite {
     assert(t.count() > 0)
   }
 
-  test("decode stub is deterministic and type-tagged") {
-    val f = Media.mediaFeatures(s, sf).cache()
-    // video: n_frames = bytes/256 + 1; other types: always 1
-    assert(f.filter(col("media_type") === "video")
-      .filter(col("n_frames") =!= (col("n_bytes") / 256).cast("int") + 1).count() == 0)
-    assert(f.filter(col("media_type") =!= "video").filter(col("n_frames") =!= 1).count() == 0)
-    // md5 matches Spark's own expression-level md5 of the same bytes
-    val mismatches = f.join(
-      graft.Tables.documents(s, sf).select(col("doc_id").as("media_id"),
-        md5(col("text").cast("binary")).as("expected_md5")),
-      "media_id")
-      .filter(col("content_md5") =!= col("expected_md5")).count()
-    assert(mismatches == 0)
-    f.unpersist()
+  test("mixed-modality dispatch decodes every record with its own REAL codec") {
+    val rows = Media.mediaFeatures(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    // coverage: one row per document id, typed by the id%3 rule
+    val ids = graft.Tables.documents(s, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.keySet == ids, "dispatcher dropped or invented records")
+    val types = Array("image", "audio", "video")
+    rows.foreach { case (id, (tpe, _, _, _)) =>
+      assert(tpe == types((id % 3).toInt), s"media $id typed $tpe")
+    }
+    // independent per-modality recompute from the generator formulas
+    def check(id: Long): Unit = {
+      val (tpe, nf, ns, sum) = rows(id)
+      (id % 3) match {
+        case 0 =>
+          val w = (id % 13) + 2; val h = (id % 7) + 2
+          val es = (0L until 3 * w * h).map(i => (id * 31 + i) % 256).sum
+          assert((tpe, nf, ns, sum) == (("image", 1L, w * h, es)), s"image $id")
+        case 1 =>
+          val fr = (id % 50) + 20; val ch = 1 + (id % 2)
+          val es = (0L until fr * ch).map(i => ((id * 7 + i * 13) % 65536) - 32768).sum
+          assert((tpe, nf, ns, sum) == (("audio", fr, fr * ch, es)), s"audio $id")
+        case _ =>
+          val k = (id % 5) + 2; val w = (id % 9) + 2; val h = (id % 6) + 2
+          val es = (for (f <- 0L until k; i <- 0L until w * h)
+            yield (id * 13 + f * 7 + i) % 256).sum
+          assert((tpe, nf, ns, sum) == (("video", k, k * w * h, es)), s"video $id")
+      }
+    }
+    Seq(0, 1, 2).foreach(m => check(rows.keySet.filter(_ % 3 == m).min))
   }
 
-  test("resize stub yields fixed-size output for any input size") {
-    val small = MediaRecord(1L, "image", Array.tabulate(10)(_.toByte), 8, 8)
-    val large = MediaRecord(2L, "image", Array.tabulate(10000)(_.toByte), 8, 8)
-    assert(MediaStub.resize(small, 8, 8).length == 64)
-    assert(MediaStub.resize(large, 8, 8).length == 64)
-    // deterministic: same input → same output
-    assert(MediaStub.resize(large, 8, 8).toSeq == MediaStub.resize(large, 8, 8).toSeq)
+  test("thumbnail is a fixed 8x8 grid of DECODED PNG pixels in both resample regimes") {
+    val rows = Media.resizeThumbs(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(v => v._1 == 8 && v._2 == 8), "thumb dims not fixed")
+    // the fixture spans upsampling (w < 8) and downsampling (w > 8)
+    val up = rows.keySet.filter(id => (id % 11) + 2 < 8)
+    val down = rows.keySet.filter(id => (id % 11) + 2 > 8)
+    assert(up.nonEmpty && down.nonEmpty, "fixture must exercise both regimes")
+    // independent recompute of one row per regime from the generator
+    (up.headOption ++ down.headOption).foreach { id =>
+      val w = ((id % 11) + 2).toInt; val h = ((id % 5) + 2).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+      (0 until 64).foreach { p =>
+        val base = 3L * (((p / 8) * h / 8) * w + ((p % 8) * w / 8))
+        val r = (id * 17 + base) % 256
+        val g = (id * 17 + base + 1) % 256
+        val b = (id * 17 + base + 2) % 256
+        sr += r; sg += g; sb += b; ws += (p + 1) * (r + g + b)
+      }
+      assert(rows(id) == ((8, 8, sr, sg, sb, ws)), s"thumb $id diverges from pixels")
+    }
   }
 
-  test("frame sampling fans one record out to ceil(chunks/stride) rows") {
-    val rec = MediaRecord(7L, "video", Array.tabulate(100)(_.toByte), 32, 32)
-    val frames = MediaStub.sampleFrames(rec, stride = 2)
-    // 100 bytes → 7 chunks of ≤16 → indices 0,2,4,6 kept
-    assert(frames.map(_._2) == Seq(0, 2, 4, 6))
-    assert(frames.forall(_._1 == 7L))
+  test("frame sampling keeps exactly every 3rd DECODED frame of each clip") {
+    val sampled = Media.frameSamples(s, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(sampled.nonEmpty)
+    // the sampled rows are exactly gifFrames' rows at stride-3 indices —
+    // same decoded frames, thinner policy
+    val all = Media.gifFrames(s, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(5)))
+    val expected = all.filter(_._2 % 3 == 0)
+    assert(sampled.sorted.toSeq == expected.sorted.toSeq,
+      "sampled frames diverge from the container walk at the sampled indices")
+    // fan-out shape: ceil(nf/3) rows per clip
+    sampled.groupBy(_._1).foreach { case (id, g) =>
+      val nf = ((id % 5) + 2).toInt
+      assert(g.length == (nf + 2) / 3, s"clip $id: ${g.length} of $nf frames sampled")
+    }
   }
 
   test("multimodal e2e: gates reject, dedup keeps lowest id, shard ordinals dense") {

@@ -116,6 +116,16 @@ class ConcurrentCommitSpec extends AnyFunSuite {
       r.getAs[Long]("v1_rows") - r.getAs[Long]("subject_rows_v1"),
       "final state must be exactly v1 minus the subject")
   }
+
+  test("the OCC race's pure-corpus slices stage once; the protocol replays per run") {
+    Formats.occGdprAbort(TestSpark.spark, TestSpark.sf).collect()
+    val builds = Formats.occGdprStageBuildCount.get()
+    val r2 = Formats.occGdprAbort(TestSpark.spark, TestSpark.sf).collect().head
+    assert(Formats.occGdprStageBuildCount.get() == builds,
+      "second run rebuilt the staged OCC slices")
+    // the protocol itself provably re-ran: a fresh abort + re-plan landed
+    assert(r2.getAs[Int]("n_aborts") == 1 && r2.getAs[Int]("n_versions") == 3)
+  }
 }
 
 /** Change-feed contract: the row-level CDF between two manifest versions

@@ -24,6 +24,37 @@ class GdprDeleteSpec extends AnyFunSuite {
       "write amplification exceeded one bucket")
   }
 
+  test("the bucketed base stages ONCE per corpus across the whole erasure family") {
+    Formats.gdprDelete(s, sf).collect() // forces the stage to exist
+    val builds = Formats.gdprStageBuildCount.get()
+    Formats.deleteVectors(s, sf).collect()
+    Formats.dvCdf(s, sf).collect()
+    Formats.gdprDelete(s, sf).collect()
+    assert(Formats.gdprStageBuildCount.get() == builds,
+      "erasure consumers rebuilt the staged bucketed base")
+  }
+
+  test("runs own their v1 files: deleting a run's links never touches the staging") {
+    Formats.gdprDelete(s, sf).collect()
+    val staged = new java.io.File(Formats.gdprStageDir(sf) + "/data")
+    def parquetCount(d: java.io.File): Int =
+      Option(d.listFiles).getOrElse(Array.empty)
+        .map(f => if (f.isDirectory) parquetCount(f)
+                  else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+    val before = parquetCount(staged)
+    assert(before > 0, "staged base must hold data files")
+    // unlink one run-local clone wholesale; the staged inodes keep their
+    // staged names — the property that makes spec-driven GC of a run safe
+    val runRoot = new java.io.File(s"/tmp/graft_gdpr_delete_${s.sparkContext.applicationId}")
+    assert(runRoot.isDirectory, "run scratch should exist after a run")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRec); f.delete(): Unit
+    }
+    Option(runRoot.listFiles).getOrElse(Array.empty).headOption.foreach(deleteRec)
+    assert(parquetCount(staged) == before,
+      "deleting a run's hard links removed staged data files")
+  }
+
   test("non-subject value mass is preserved exactly") {
     import org.apache.spark.sql.functions._
     val rows = Formats.gdprDelete(s, sf).collect().sortBy(_.getInt(0))

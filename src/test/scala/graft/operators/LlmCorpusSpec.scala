@@ -369,6 +369,14 @@ class LlmCorpusSpec extends AnyFunSuite {
       "second run row count differs")
     assert(TextAnalysis.lmStageBuildCount.get() == builds,
       "second run must reuse the staged bigram LM table")
+    // the probe plan never re-explodes the corpus: every input file of
+    // both LM consumers is a staged LM parquet, never documents.parquet
+    assert(TextAnalysis.lmBigram(s, sf).inputFiles
+      .forall(_.contains("graft_stage/lm_bigram")),
+      "t_lm_bigram probe read outside the staged LM tables")
+    assert(TextAnalysis.bigramNovelty(s, sf).inputFiles
+      .forall(_.contains("graft_stage/lm_bigram")),
+      "t_bigram_novelty probe read outside the staged LM tables")
     assert(got.keySet == expected.keySet, "doc coverage differs")
     expected.foreach { case (id, (nb, bits)) =>
       val flag = if (bits * tb > ts * nb) 1 else 0
