@@ -62,12 +62,19 @@ object Bench {
     final case class Replayed(df: org.apache.spark.sql.DataFrame, sec: Double)
     def replayAll(dir: String): (java.util.concurrent.ConcurrentHashMap[String, Replayed], Double) = {
       val out = new java.util.concurrent.ConcurrentHashMap[String, Replayed]()
-      // Pool width follows the box (SPARK_GRAFT_CPUS, the same dial that
-      // sizes the session): replay cost is per-query single-threaded
-      // micro-batch planning, so on a 32-CPU bench box 8 threads is pure
-      // queueing contention. Floor of 2 keeps tiny-CPU runs overlapped.
-      val poolWidth = math.max(2, scala.util.Try(cpus.toInt)
-        .getOrElse(Runtime.getRuntime.availableProcessors()))
+      // Pool width: HALF the box (floor 2, capped at the replay count).
+      // A replay is not pure driver-side planning — each micro-batch also
+      // runs jobs on the shared local[N] scheduler and its 2-partition
+      // shuffles through the one shuffle service, so N concurrent replays
+      // on an N-CPU box oversubscribe both (r16 board: pool=cpus=32 gave
+      // replay_total 30.5 s; half-width keeps every core busy with a
+      // planner thread + its executor work instead of 64 runnable threads
+      // fighting). SPARK_GRAFT_REPLAY_POOL overrides for measurement.
+      val poolWidth = sys.env.get("SPARK_GRAFT_REPLAY_POOL").map(_.toInt).getOrElse {
+        val c = scala.util.Try(cpus.toInt)
+          .getOrElse(Runtime.getRuntime.availableProcessors())
+        math.min(math.max(2, c / 2), streamingNames.size)
+      }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(poolWidth)
       val t0 = System.nanoTime()
       streamingNames.toSeq.sorted.foreach { name =>
@@ -169,7 +176,20 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
 
+    // SELF-PARSING stdout: the driver's capture window truncates one huge
+    // line (r15/r16 both recorded "parsed": null — only the line's tail
+    // survived). The headline object now prints COMPLETE on its own line
+    // both BEFORE the per-query dict (head-capture safe) and AFTER it
+    // (tail-capture safe — the capture keeps the END of stdout, so the
+    // last line always survives whole); both copies are byte-identical,
+    // so any parse strategy resolves to the same object. The big
+    // per-query line stays for human greps; BENCH_DETAIL.json remains
+    // the authoritative full board.
+    val headline =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${primary.size},"replay_total":${fmt(primaryReplayWall)}$flagsJson,"detail":"BENCH_DETAIL.json"}"""
+    println(headline)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-write, steady-state; replay harness isolated in replay_total (detail: BENCH_DETAIL.json)","queries":${toJson(primary.map(r => r.name -> r.sec))},"sf":"$sfDir","replay_total":${fmt(primaryReplayWall)}$flagsJson}""")
+    println(headline)
     spark.stop()
   }
 }

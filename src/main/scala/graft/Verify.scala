@@ -20,7 +20,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration dial (never set by the driver): regex over query
     // names to dump a subset against tools/check.py while developing.
-    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.r)
+    // GUARDED: a leaked GRAFT_VERIFY_ONLY in a certification run would
+    // silently shrink the "N/N oracle-checked" gate (queries.json and
+    // oracle_sql.json are filtered too, so nothing downstream could
+    // tell) — the filter therefore refuses to run unless the explicit
+    // dev flag is ALSO set, and announces itself on stderr.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map { pat =>
+      require(sys.env.get("GRAFT_VERIFY_DEV").contains("1"),
+        "GRAFT_VERIFY_ONLY is set but GRAFT_VERIFY_DEV=1 is not — refusing " +
+          "to emit a silently-filtered verification artifact")
+      System.err.println(s"[verify] DEV FILTER ACTIVE: only queries matching /$pat/")
+      pat.r
+    }
     def selected(name: String): Boolean =
       only.forall(_.findFirstIn(name).isDefined)
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
