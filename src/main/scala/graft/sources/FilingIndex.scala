@@ -107,13 +107,13 @@ object FilingIndex {
         StructField("form", ArrayType(StringType)),
         StructField("primaryDocument", ArrayType(StringType))))))))))
 
-  /** The reference's §3.2 "relational path" as one lazy plan: read →
-    * nested projection (P1) → arrays_zip+explode (P2) → Form Type filter
-    * (F1) → URL build (E1/E2). */
-  def filingIndex(s: SparkSession, d: String): DataFrame = {
-    val dir = ensureStaged(s, d)
+  /** The shared parsed-JSON → rows plan: nested projection (P1) →
+    * arrays_zip+explode (P2) → Form Type filter (F1) → URL build
+    * (E1/E2). `parsed` carries (cik, filings) in [[schema]]'s shape —
+    * from the offline JSON scan or from fetched online bodies. */
+  private def zipExplode(parsed: DataFrame): DataFrame = {
     val recent = col("filings.recent") // P1 nested descent
-    s.read.schema(schema).json(dir)
+    parsed
       .select(
         col("cik"),
         explode(arrays_zip(
@@ -130,6 +130,27 @@ object FilingIndex {
       .filter(col("form_type") === "NPORT-P")
       .withColumn("doc_url", docUrl)
   }
+
+  /** The reference's §3.2 "relational path" as one lazy plan over the
+    * offline staged JSON lines. */
+  def filingIndex(s: SparkSession, d: String): DataFrame =
+    zipExplode(s.read.schema(schema).json(ensureStaged(s, d)))
+
+  /** S1 ONLINE MODE — the submissions-INDEX leg of the live pipeline
+    * ([[HttpFetch]] provides the per-doc S2 leg): fetched JSON bodies
+    * parse with the same explicit [[schema]] (`from_json`, no inference)
+    * and run the SAME zip/explode/filter/url plan as the offline scan. A
+    * failed fetch (non-200/transport/bad-URL → null body) contributes NO
+    * index rows and never a job failure — the reference's whole-fund
+    * degradation (`fetch_submission_data` → None → the fund is skipped,
+    * ETFQuarterlyHoldingsExtractor.py:36-38,150-151). Proven ≡ offline
+    * over a loopback server in HttpFetchSpec. */
+  def fromFetched(fetched: org.apache.spark.sql.Dataset[Fetched]): DataFrame =
+    zipExplode(
+      fetched.toDF()
+        .filter(col("status") === 200 && col("body").isNotNull)
+        .select(from_json(col("body"), schema).as("j"))
+        .select(col("j.cik").as("cik"), col("j.filings").as("filings")))
 
   /** E1 concat + E2 translate (ref :58): null primary_document ⇒ null URL. */
   private def docUrl =

@@ -62,10 +62,16 @@ object HttpFetch {
           if (resp.statusCode() == 200) Fetched(id, 200, resp.body())
           else Fetched(id, resp.statusCode(), null)
         } catch {
-          // transport-level failure (refused, DNS, timeout): same
-          // degradation as a bad status — a null-body row, not an error
-          case _: java.io.IOException => Fetched(id, -1, null)
+          // per-row failures are DATA, whatever the failure plane:
+          // transport (refused, DNS, timeout → IOException) and
+          // REQUEST-BUILD failures (a malformed URL in the fetch list —
+          // URI.create/newBuilder throw IllegalArgumentException) both
+          // degrade to a null-body row. One poisoned row must never
+          // fail the task ("output cardinality ≡ input" above); only
+          // interruption (cancellation) stays fatal.
           case e: InterruptedException => throw e
+          case _: java.io.IOException | _: IllegalArgumentException |
+               _: SecurityException => Fetched(id, -1, null)
         }
       }
     }

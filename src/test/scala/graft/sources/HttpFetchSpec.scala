@@ -74,6 +74,46 @@ class HttpFetchSpec extends AnyFunSuite {
     }
   }
 
+  test("S1 online: index fetch + parse ≡ the offline filing-index rows; dead funds vanish") {
+    import s.implicits._
+    val dir = FilingIndex.ensureStaged(s, sf)
+    // re-serve the staged JSON-lines fixture the way EDGAR serves it: one
+    // JSON document per fund at CIK{cik}.json
+    val perFund = Files.createTempDirectory("s1_online").toFile
+    val cikRe = """"cik":(\d+)""".r
+    val ciks = Option(new File(dir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
+      .flatMap(f => Files.readAllLines(f.toPath).toArray(Array.empty[String]))
+      .map { line =>
+        val cik = cikRe.findFirstMatchIn(line).get.group(1).toLong
+        Files.write(new File(perFund, s"CIK$cik.json").toPath, line.getBytes("UTF-8"))
+        cik
+      }.toSeq
+    assert(ciks.nonEmpty, "staged index fixture must exist")
+    val ordered = Seq("cik", "accession_number", "filing_date", "form_type",
+      "primary_document", "doc_url")
+    withFixtureServer(perFund.getPath) { port =>
+      // every live fund, plus a dead one (404) and a refused port: the
+      // dead funds must contribute zero rows, not failures (ref :36-38)
+      val urls = ciks.map(c => (c, s"http://127.0.0.1:$port/CIK$c.json")) ++
+        Seq((-1L, s"http://127.0.0.1:$port/CIK_no_such_fund.json"),
+          (-2L, "http://127.0.0.1:1/CIK0.json"))
+      val got = FilingIndex.fromFetched(
+          HttpFetch.fetch(s.createDataset(urls).repartition(4)))
+        .select(ordered.map(col): _*).orderBy(ordered.map(col): _*).collect().toSeq
+      val want = FilingIndex.filingIndex(s, sf)
+        .select(ordered.map(col): _*).orderBy(ordered.map(col): _*).collect().toSeq
+      assert(got == want,
+        s"online index diverged from offline: got ${got.size} rows, want ${want.size}")
+      assert(got.nonEmpty, "fixture must yield NPORT-P filings")
+    }
+    // every fund unreachable (refused port + malformed URL): an EMPTY
+    // index, not a job failure
+    val empty = FilingIndex.fromFetched(HttpFetch.fetch(s.createDataset(
+      Seq((1L, "http://127.0.0.1:1/CIK1.json"), (2L, "not a url at all")))))
+    assert(empty.count() == 0, "unreachable funds must yield an empty index")
+  }
+
   test("non-200 and transport failures degrade to null-body rows, never task failures") {
     import s.implicits._
     val dir = DocStage.ensureStaged(s, sf)
