@@ -157,8 +157,8 @@ object Similarity {
   private[operators] def stagedEvalResults(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensureAnnEvalStaged(s, d))
 
-  private val Dim = 64
-  private val CentroidScale = 1e6
+  private[operators] val Dim = 64
+  private[operators] val CentroidScale = 1e6
 
   /** Per-label centroids via exact integer accumulation: each component
     * maps to `floor(v * 1e6)` (a long), longs SUM exactly and
@@ -868,8 +868,8 @@ object Similarity {
   // left-to-right order and the ADC sum is decimal-exact (dsum), so
   // ranks are bit-identical cross-engine. ----
 
-  private val PqSub = 8
-  private val PqSubDim = Dim / PqSub
+  private[operators] val PqSub = 8
+  private[operators] val PqSubDim = Dim / PqSub
 
   /** Σ over subspace `m` of (a_i − b_i)², fixed left-to-right fold. */
   private def subL2(m: Int, a: Column, b: Column): Column =
@@ -987,7 +987,7 @@ object Similarity {
   // probe reads nprobe/nlist of a 1-byte-per-subspace code table plus
   // ≤cand raw vectors — the minimal-IO shape this family exists for. ----
 
-  private val IvfPqRb = 8L
+  private[operators] val IvfPqRb = 8L
 
   private[operators] val ivfPqBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1082,9 +1082,15 @@ object Similarity {
       .select(col("q_id"), col("c_label"),
         zip_with(col("q_emb"), col("centroid"),
           (v, c) => v.cast("double") - c).as("qr"))
-    val probedLabels = probed.select(col("c_label")).distinct()
-      .collect().map(_.get(0)).toSeq
-    val lut = probed.crossJoin(broadcast(rb))
+    // ONE bounded driver sync (queries × NProbe rows, residual arrays
+    // included) feeds BOTH consumers — the literal label filter below
+    // and the LUT build — instead of executing the probed subplan
+    // (queries × centroids scoring + window) twice
+    val probedRows = probed.collect()
+    val probedLabels = probedRows.map(_.getAs[Any]("c_label")).distinct.toSeq
+    val probedDf = s.createDataFrame(
+      s.sparkContext.parallelize(probedRows.toIndexedSeq, 1), probed.schema)
+    val lut = probedDf.crossJoin(broadcast(rb))
       .select(col("q_id"), col("c_label"), col("rb_label").as("code"),
         subDistsOn(col("qr"), col("rcent")).as("sd"))
       .select(col("q_id"), col("c_label"), col("code"),

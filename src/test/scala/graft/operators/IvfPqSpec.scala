@@ -34,7 +34,7 @@ class IvfPqSpec extends AnyFunSuite {
     val nVec = base.count()
     val perVec = codes.groupBy("vec_id").count().collect()
     assert(perVec.length == nVec, "a vector is missing from the code table")
-    assert(perVec.forall(_.getLong(1) == 8L), "ragged code widths")
+    assert(perVec.forall(_.getLong(1) == Similarity.PqSub.toLong), "ragged code widths")
     // the list label on the codes is the vector's own label (the coarse
     // assignment this composite prunes by)
     val mismatched = codes.select(col("vec_id"), col("c_label")).distinct()
@@ -121,9 +121,13 @@ class IvfPqSpec extends AnyFunSuite {
     // translation and buys nothing — on clustered real data it is the
     // point of the composite. The structural contract is what is
     // testable on this data.)
-    val dim = 64
-    val sub = 8
-    val subDim = dim / sub
+    // the engine's own constants — a change in Similarity re-scopes this
+    // recompute instead of leaving it asserting stale literals
+    val dim = Similarity.Dim
+    val sub = Similarity.PqSub
+    val subDim = Similarity.PqSubDim
+    val scale = Similarity.CentroidScale
+    val rbMod = Similarity.IvfPqRb
     def subL2(m: Int, a: Column, b: Column): Column =
       (0 until subDim).map { i =>
         val j = m * subDim + i
@@ -137,12 +141,12 @@ class IvfPqSpec extends AnyFunSuite {
       .select(col("vec_id"),
         zip_with(col("embedding"), col("centroid"), (v, c) => v.cast("double") - c).as("r"))
     val rbook = resid
-      .groupBy(pmod(col("vec_id"), lit(8)).as("rb_label"))
+      .groupBy(pmod(col("vec_id"), lit(rbMod)).as("rb_label"))
       .agg(count(lit(1)).as("n"),
-        (0 until dim).map(i => sum(floor(col("r").getItem(i) * lit(1e6))).as(s"s$i")): _*)
+        (0 until dim).map(i => sum(floor(col("r").getItem(i) * lit(scale))).as(s"s$i")): _*)
       .select(col("rb_label"),
         array((0 until dim).map(i =>
-          col(s"s$i").cast("double") / (col("n").cast("double") * lit(1e6))): _*).as("rcent"))
+          col(s"s$i").cast("double") / (col("n").cast("double") * lit(scale))): _*).as("rcent"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist").asc, col("rb_label").asc)
