@@ -71,7 +71,7 @@ object Media {
       .union(gifTable(s, d).map { case (id, b) => (id, "video", b) })
   }
 
-  private[multimodal] val mediaStageBuildCount =
+  private[graft] val mediaStageBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def mediaStageDir(sfDir: String): String =
@@ -951,7 +951,7 @@ object Media {
     * (frame count, dimensions) AND codec payloads are both verified by
     * data — this retires the fallback-shape note on `m_frame_sample`
     * for video. */
-  private[multimodal] val aviStageBuildCount =
+  private[graft] val aviStageBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def aviStageDir(sfDir: String): String =
