@@ -70,11 +70,13 @@ object Bench {
       // replay_total 30.5 s; half-width keeps every core busy with a
       // planner thread + its executor work instead of 64 runnable threads
       // fighting). SPARK_GRAFT_REPLAY_POOL overrides for measurement.
-      val poolWidth = sys.env.get("SPARK_GRAFT_REPLAY_POOL").map(_.toInt).getOrElse {
-        val c = scala.util.Try(cpus.toInt)
-          .getOrElse(Runtime.getRuntime.availableProcessors())
-        math.min(math.max(2, c / 2), streamingNames.size)
-      }
+      val poolWidth = sys.env.get("SPARK_GRAFT_REPLAY_POOL")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1)
+        .getOrElse {
+          val c = scala.util.Try(cpus.toInt)
+            .getOrElse(Runtime.getRuntime.availableProcessors())
+          math.min(math.max(2, c / 2), streamingNames.size)
+        }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(poolWidth)
       val t0 = System.nanoTime()
       streamingNames.toSeq.sorted.foreach { name =>
@@ -186,7 +188,7 @@ object Bench {
     // per-query line stays for human greps; BENCH_DETAIL.json remains
     // the authoritative full board.
     val headline =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${primary.size},"replay_total":${fmt(primaryReplayWall)}$flagsJson,"detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${primary.size},"replay_total":${fmt(primaryReplayWall)}$flagsJson,"detail":"$detailPath"}"""
     println(headline)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-write, steady-state; replay harness isolated in replay_total (detail: BENCH_DETAIL.json)","queries":${toJson(primary.map(r => r.name -> r.sec))},"sf":"$sfDir","replay_total":${fmt(primaryReplayWall)}$flagsJson}""")
     println(headline)

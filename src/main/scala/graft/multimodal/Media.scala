@@ -75,7 +75,7 @@ object Media {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def mediaStageDir(sfDir: String): String =
-    "/tmp/graft_stage/media_mixed_v2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/media_mixed_v3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** EVERY encoded media payload staged ONCE per corpus fingerprint as
     * binary-column parquet — how media actually lands in a lake (payload
@@ -89,8 +89,11 @@ object Media {
     val dir = mediaStageDir(d)
     graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
       mediaStageBuildCount.incrementAndGet()
+      // partitioned by modality: a single-modality decode query prunes
+      // to its own directory instead of filtering the three-way union
+      // (the IVF-PQ code-table discipline at the payload layer)
       realMediaTable(s, d).toDF("media_id", "media_type", "bytes")
-        .write.mode("overwrite").parquet(dir + "/payloads")
+        .write.partitionBy("media_type").mode("overwrite").parquet(dir + "/payloads")
       pngTable(s, d).toDF("media_id", "bytes")
         .write.mode("overwrite").parquet(dir + "/png")
       jpegTable(s, d).toDF("media_id", "bytes")
@@ -146,7 +149,7 @@ object Media {
             var i = 0
             while (i < a.samples.length) { sum += a.samples(i).toLong; i += 1 }
             (id, tpe, a.nFrames.toLong, a.samples.length.toLong, sum)
-          case _ =>
+          case "video" =>
             val frames = GifCodec.decode(bytes)
             var sum = 0L
             var px = 0L
@@ -156,6 +159,10 @@ object Media {
               while (i < f.indices.length) { sum += f.indices(i) & 0xff; i += 1 }
             }
             (id, tpe, frames.length.toLong, px, sum)
+          // a modality with no JVM decoder (MP3, H.264) slots in here as
+          // one more arm; anything UNKNOWN must fail loudly, not fall
+          // into whichever decoder happens to be last
+          case other => sys.error(s"media $id: unknown media_type '$other'")
         }
       }))
       .toDF("media_id", "media_type", "n_frames", "n_samples", "sum_content")

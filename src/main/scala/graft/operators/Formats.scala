@@ -579,12 +579,12 @@ object Formats {
     *
     * Scale shape: id minting is shuffle-free; the lineage join is
     * row_id-equi — shuffled co-partitioned, never all-pairs. */
-  private[operators] val rowTrackStageBuildCount =
-    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] def rowTrackStageBuildCount =
+    sliceStageBuildCounts.computeIfAbsent("rowtrack_i1k3v1",
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
 
   /** Mint salt + slice/correction rules baked into the dir name. */
-  def rowTrackStageDir(sfDir: String): String =
-    "/tmp/graft_stage/rowtrack_i1k3v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+  def rowTrackStageDir(sfDir: String): String = sliceStageDir("rowtrack_i1k3v1", sfDir)
 
   /** Build-once staged versions for [[rowTracking]]: the v1 ingest (ids
     * minted EXACTLY once — the row-tracking premise — and their
@@ -593,10 +593,8 @@ object Formats {
     * functions the query re-wrote every run. The query keeps the
     * LINEAGE contract live: disjoint file sets, identical id sets, and
     * the classification join. */
-  private def ensureRowTrackStaged(s: SparkSession, d: String): String = {
-    val dir = rowTrackStageDir(d)
-    graft.Staging.ensure(dir, Seq(s"$d/orders.parquet")) {
-      rowTrackStageBuildCount.incrementAndGet()
+  private def ensureRowTrackStaged(s: SparkSession, d: String): String =
+    ensureSliceStage(s, d, "rowtrack_i1k3v1", "orders.parquet") { dataDir =>
       val ingest = Tables.orders(s, d).select(col("o_orderkey"),
           (col("o_totalprice").cast("decimal(28,4)") * 100).cast("long").as("cents"))
         .withColumn("row_id", xxhash64(lit("ingest1"), col("o_orderkey")))
@@ -606,17 +604,15 @@ object Formats {
       require(n == nIds, s"minted ids must be unique: $nIds ids for $n rows")
       // v1: two ingest files, ids minted here and never again
       ingest.filter(col("o_orderkey") % 3 === 0)
-        .write.mode("overwrite").parquet(s"$dir/data/A")
+        .write.mode("overwrite").parquet(s"$dataDir/A")
       ingest.filter(col("o_orderkey") % 3 =!= 0)
-        .write.mode("overwrite").parquet(s"$dir/data/B")
+        .write.mode("overwrite").parquet(s"$dataDir/B")
       // v2: ONE compacted file, %3==1 rows corrected, row_id CARRIED
-      s.read.parquet(s"$dir/data/A", s"$dir/data/B")
+      s.read.parquet(s"$dataDir/A", s"$dataDir/B")
         .withColumn("cents",
           when(col("o_orderkey") % 3 === 1, col("cents") + 500).otherwise(col("cents")))
-        .write.mode("overwrite").parquet(s"$dir/data/AB2")
-    }: Unit
-    dir
-  }
+        .write.mode("overwrite").parquet(s"$dataDir/AB2")
+    }
 
   def rowTracking(s: SparkSession, d: String): DataFrame = {
     val staged = ensureRowTrackStaged(s, d)
@@ -1343,13 +1339,13 @@ object Formats {
 
   private val occGdprRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private[operators] val occGdprStageBuildCount =
-    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] def occGdprStageBuildCount =
+    sliceStageBuildCounts.computeIfAbsent("occ_gdpr_k3s7v1",
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
 
   /** Slice rules (orderkey%3 split, custkey%7===3 subject) baked into
     * the dir name per the stage-dir-constants discipline. */
-  def occGdprStageDir(sfDir: String): String =
-    "/tmp/graft_stage/occ_gdpr_k3s7v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+  def occGdprStageDir(sfDir: String): String = sliceStageDir("occ_gdpr_k3s7v1", sfDir)
 
   /** Build-once staged slices for [[occGdprAbort]]: all six file sets the
     * OCC race manipulates (A/B/C and their erased twins) are pure
@@ -1358,24 +1354,20 @@ object Formats {
     * EVERY query). What the query exercises is the TRANSACTION PROTOCOL
     * (manifest commits, read-set validation, abort, re-plan), and that
     * still runs live per run over run-owned hard links. */
-  private def ensureOccGdprStaged(s: SparkSession, d: String): String = {
-    val dir = occGdprStageDir(d)
-    graft.Staging.ensure(dir, Seq(s"$d/orders.parquet")) {
-      occGdprStageBuildCount.incrementAndGet()
+  private def ensureOccGdprStaged(s: SparkSession, d: String): String =
+    ensureSliceStage(s, d, "occ_gdpr_k3s7v1", "orders.parquet") { dataDir =>
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val isSubject = col("o_custkey") % 7 === 3
       def w(name: String, df: DataFrame): Unit =
-        df.write.mode("overwrite").parquet(s"$dir/data/$name")
+        df.write.mode("overwrite").parquet(s"$dataDir/$name")
       w("A", o.filter(col("o_orderkey") % 3 === 0))
       w("B", o.filter(col("o_orderkey") % 3 === 1))
       w("C", o.filter(col("o_orderkey") % 3 <= 1))
       w("A_erased", o.filter(col("o_orderkey") % 3 === 0 && !isSubject))
       w("B_erased", o.filter(col("o_orderkey") % 3 === 1 && !isSubject))
       w("C_replanned", o.filter(col("o_orderkey") % 3 <= 1 && !isSubject))
-    }: Unit
-    dir
-  }
+    }
 
   /** `k_occ_gdpr_abort` — the ABORT path of the OCC conflict rule, proven
     * on the erasure workflow ([[occCompaction]] proves the rebase path):
@@ -1811,13 +1803,13 @@ object Formats {
   private val gdprRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val GdprBuckets = 8
 
-  private[operators] val gdprStageBuildCount =
-    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] def gdprStageBuildCount =
+    sliceStageBuildCounts.computeIfAbsent("gdpr_base_b8v1",
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
 
   /** Bucket count is baked into the dir name per the stage-dir-constants
     * discipline (a config change can never reuse a stale staged base). */
-  def gdprStageDir(sfDir: String): String =
-    "/tmp/graft_stage/gdpr_base_b8v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+  def gdprStageDir(sfDir: String): String = sliceStageDir("gdpr_base_b8v1", sfDir)
 
   /** Build-once staged base for the EVENTS side of the erasure family
     * (`k_gdpr_delete`, `k_delete_vectors`, `k_dv_cdf`): the user_id%8
@@ -1834,31 +1826,27 @@ object Formats {
     * run's scratch so the run owns its v1 outright — a vacuum/GC driven
     * over a run (the DeleteVectorsSpec compaction leg's shape) can only
     * ever unlink run-local names, never the shared staging. */
-  private def ensureGdprStaged(s: SparkSession, d: String): String = {
-    val dir = gdprStageDir(d)
-    graft.Staging.ensure(dir, Seq(s"$d/events.parquet")) {
-      gdprStageBuildCount.incrementAndGet()
+  private def ensureGdprStaged(s: SparkSession, d: String): String =
+    ensureSliceStage(s, d, "gdpr_base_b8v1", "events.parquet") { dataDir =>
       Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
         .withColumn("b", pmod(col("user_id"), lit(GdprBuckets)))
         .repartition(GdprBuckets, col("b"))
-        .write.partitionBy("b").mode("overwrite").parquet(dir + "/data")
+        .write.partitionBy("b").mode("overwrite").parquet(dataDir)
       // a bucket the corpus never hits still needs a schema'd (empty)
       // dir — partitionBy only materializes populated partitions
       (0 until GdprBuckets).foreach { b =>
-        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$dir/data/b=$b")))
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$dataDir/b=$b")))
           Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
             .filter(pmod(col("user_id"), lit(GdprBuckets)) === b)
-            .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/b=$b")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/b=$b")
       }
-      val subjects = s.read.parquet(dir + "/data")
+      val subjects = s.read.parquet(dataDir)
         .select(col("user_id")).distinct().orderBy("user_id").limit(2)
         .collect().map(_.getLong(0)) // 2 rows — the erasure queue, bounded
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir + "/subjects.txt"),
+        java.nio.file.Paths.get(dataDir).getParent.resolve("subjects.txt"),
         subjects.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    }: Unit
-    dir
-  }
+    }
 
   /** The staged sidecar: the two smallest user ids (erasure queue). */
   private def stagedSubjects(dir: String): Seq[Long] = {
