@@ -62,6 +62,31 @@ class SliceStageSpec extends AnyFunSuite {
       "the TTL vacuum reached the shared staged files")
   }
 
+  test("linkDir mirrors a tree by hard links; unlinking the clone leaves the source") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("linksrc")
+    Files.write(src.resolve("a.parquet"), Array[Byte](1, 2, 3))
+    Files.createDirectories(src.resolve("part=1"))
+    Files.write(src.resolve("part=1").resolve("b.parquet"), Array[Byte](4, 5))
+    Files.write(src.resolve("_SUCCESS"), Array.empty[Byte])
+    Files.write(src.resolve(".hidden.crc"), Array[Byte](9))
+    val dst = src.resolveSibling(src.getFileName.toString + "_clone").toString
+    Formats.linkDir(src.toString, dst)
+    // visible files mirrored with identical bytes, tree structure kept
+    assert(Files.readAllBytes(Paths.get(dst, "a.parquet")).toSeq == Seq[Byte](1, 2, 3))
+    assert(Files.readAllBytes(Paths.get(dst, "part=1", "b.parquet")).toSeq == Seq[Byte](4, 5))
+    // markers and hidden files are not part of the clone
+    assert(!Files.exists(Paths.get(dst, "_SUCCESS")))
+    assert(!Files.exists(Paths.get(dst, ".hidden.crc")))
+    // deleting the clone wholesale never touches the source's names
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rec); f.delete(): Unit
+    }
+    rec(new java.io.File(dst))
+    assert(Files.readAllBytes(src.resolve("a.parquet")).toSeq == Seq[Byte](1, 2, 3))
+    assert(Files.readAllBytes(src.resolve("part=1").resolve("b.parquet")).toSeq == Seq[Byte](4, 5))
+  }
+
   test("tokenizer and media stages build once across their consumers") {
     graft.operators.BpeTrain.bpeTrain(s, sf).collect()
     val bpe0 = graft.operators.BpeTrain.bpeStageBuildCount.get()
