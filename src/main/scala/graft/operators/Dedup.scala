@@ -408,6 +408,69 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** `d_policy_e2e` — the COMPOSED DEDUP DECISION pass, the dedup
+    * family's flagship next to `t_pipeline_e2e` (text), `m_pipeline_e2e`
+    * (vision), and `v_rag_e2e` (serving): one lazy plan that turns the
+    * staged dedup artifacts into the per-document KEEP / DROP / REVIEW
+    * ledger a corpus release actually ships. Every signal reuses a
+    * standalone operator's exact semantics:
+    *
+    *  1. MEMBERSHIP: cluster label from the STAGED cluster table
+    *     (singletons label themselves — the `d_split_leakage` rule);
+    *  2. CANONICAL: per-cluster best-quality member, tie → lowest id
+    *     (the `d_cluster_canonical` argmax through the bounded-heap
+    *     top-k operator, here over the FULL corpus incl. singletons);
+    *  3. GRAPH EVIDENCE: per-doc dup-graph degree and a cross-source
+    *     flag from the STAGED pair table (11th consumer) joined to each
+    *     side's source — the `d_cross_source` syndication signal at doc
+    *     grain;
+    *  4. VERDICT (all integer/string logic, hash-exact): the canonical
+    *     member of every cluster is KEPT (singletons trivially); a
+    *     non-canonical copy with cross-source evidence is DROPPED (the
+    *     mirror/scrape class nothing is lost by removing); a
+    *     same-source-only near-dup goes to REVIEW (revision chains —
+    *     the class a blanket drop would over-delete).
+    *
+    * Scale shape: the corpus is touched twice (doc list + the shared
+    * quality scan); staged tables are ∝ duplicate volume; the canonical
+    * argmax is the O(clusters)-memory bounded heap; degree/cross-source
+    * aggregate the pair endpoints map-side. Nothing corpus-sized crosses
+    * an unpartitioned window. */
+  def policyE2e(s: SparkSession, d: String): DataFrame = {
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    val members = stagedDupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val lab = docs(s, d).select(col("doc_id"))
+      .join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val scored = lab.join(
+      TextAnalysis.quality(s, d).select(col("doc_id"), col("quality_score")), "doc_id")
+    val can = graft.plans.TopK.perKey(scored,
+        keys = Seq(col("cluster_id")),
+        order = Seq(col("quality_score").desc, col("doc_id").asc),
+        k = 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+    val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    val pairs = stagedNeardupPairs(s, d)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(col("a"), col("b"), (col("sa") =!= col("sb")).cast("int").as("x"))
+    val ends = pairs.select(col("a").as("doc_id"), col("x"))
+      .unionByName(pairs.select(col("b").as("doc_id"), col("x")))
+    val evidence = ends.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("degree"), max(col("x")).as("cross_src"))
+    lab.join(sizes, "cluster_id")
+      .join(can, "cluster_id")
+      .join(evidence, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("cross_src"), lit(0)).as("cross_src"),
+        col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), "keep")
+          .when(coalesce(col("cross_src"), lit(0)) === 1, "drop")
+          .otherwise("review").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard verification over LSH candidates only. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = withSig(s, d).select(col("doc_id"), col("shingles"))
@@ -1282,6 +1345,7 @@ object Dedup {
     "d_split_leakage" -> (splitLeakage _),
     "d_dup_clusters_star" -> (dupClustersStar _),
     "d_cluster_canonical" -> (clusterCanonical _),
+    "d_policy_e2e" -> (policyE2e _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "d_simhash" -> (simhash _),
     "d_embed_neardup" -> (embedNeardup _),
@@ -1722,6 +1786,53 @@ object Dedup {
            |            ELSE 'test' END AS split
            |FROM b ORDER BY doc_id""".stripMargin),
     "d_cluster_canonical" -> canonicalOracle,
+    // the composed decision pass: the closure's clusters over ALL docs
+    // (singletons self-labelled), the canonical argmax with the same
+    // (quality DESC, id ASC) order, per-doc degree + cross-source
+    // evidence from the SAME nd pair set, then the integer verdict rule
+    "d_policy_e2e" ->
+      (closureCte +
+        """,
+          |nd2 AS (
+          |  SELECT c.a, c.b
+          |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          |  WHERE CAST(list_sum(list_transform(range(0, 16),
+          |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+          |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+          |lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+          |        FROM documents d LEFT JOIN cl USING (doc_id)),
+          |qual AS (
+          |  SELECT doc_id,
+          |         0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+          |           + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS DOUBLE)
+          |                          / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          |           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          |                          / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0, 1.0) AS quality_score
+          |  FROM documents),
+          |m AS (SELECT l.cluster_id, l.doc_id, q.quality_score,
+          |             row_number() OVER (PARTITION BY l.cluster_id
+          |                                ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn,
+          |             COUNT(*) OVER (PARTITION BY l.cluster_id) AS nm
+          |      FROM lab l JOIN qual q USING (doc_id)),
+          |can AS (SELECT cluster_id, doc_id AS canonical_id FROM m WHERE rn = 1),
+          |px AS (SELECT n.a, n.b,
+          |              CASE WHEN da.source <> db.source THEN 1 ELSE 0 END AS x
+          |       FROM nd2 n JOIN documents da ON da.doc_id = n.a
+          |                  JOIN documents db ON db.doc_id = n.b),
+          |ev AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree,
+          |              CAST(MAX(x) AS INT) AS cross_src
+          |       FROM (SELECT a AS doc_id, x FROM px UNION ALL SELECT b, x FROM px)
+          |       GROUP BY doc_id)
+          |SELECT m.doc_id, m.cluster_id, CAST(m.nm AS BIGINT) AS n_members,
+          |       COALESCE(ev.degree, 0) AS degree,
+          |       COALESCE(ev.cross_src, 0) AS cross_src,
+          |       can.canonical_id,
+          |       CASE WHEN m.doc_id = can.canonical_id THEN 'keep'
+          |            WHEN COALESCE(ev.cross_src, 0) = 1 THEN 'drop'
+          |            ELSE 'review' END AS verdict
+          |FROM m JOIN can USING (cluster_id)
+          |LEFT JOIN ev ON ev.doc_id = m.doc_id
+          |ORDER BY m.doc_id""".stripMargin),
     "d_ngram_jaccard" ->
       (sigCte +
         """

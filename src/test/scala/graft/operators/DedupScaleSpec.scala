@@ -110,6 +110,40 @@ class DedupScaleSpec extends AnyFunSuite {
       s"span dedup still explodes grams at query time:\n$plan")
   }
 
+  test("policy pass: one keep per cluster = the canonical; drops carry cross-source evidence") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.policyE2e(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5), r.getString(6)))
+    // the ledger covers every document exactly once
+    assert(rows.length == graft.Tables.documents(s, sf).count())
+    // every verdict class is exercised on this corpus
+    val byVerdict = rows.groupBy(_._7)
+    assert(byVerdict.keySet == Set("keep", "drop", "review"),
+      s"degenerate fixture: only ${byVerdict.keySet} present")
+    // per cluster: exactly one keep, and it is the canonical member
+    rows.groupBy(_._2).foreach { case (cid, g) =>
+      val keeps = g.filter(_._7 == "keep")
+      assert(keeps.length == 1, s"cluster $cid kept ${keeps.length} docs")
+      assert(keeps.head._1 == keeps.head._6, s"cluster $cid kept a non-canonical doc")
+      assert(g.forall(_._6 == keeps.head._1), s"cluster $cid canonical disagrees")
+      assert(g.forall(_._3 == g.length.toLong), s"cluster $cid n_members wrong")
+    }
+    // drops are non-canonical copies WITH cross-source evidence; reviews
+    // are non-canonical copies WITHOUT it; singletons always keep
+    rows.foreach { case (id, _, nm, deg, xs, can, v) =>
+      if (v == "drop") assert(id != can && xs == 1, s"doc $id dropped without evidence")
+      if (v == "review") assert(id != can && xs == 0, s"doc $id reviewed with evidence")
+      if (nm == 1L) assert(v == "keep" && deg == 0L, s"singleton $id not kept")
+    }
+    // the canonical choice matches d_cluster_canonical on shared clusters
+    val canon = Dedup.clusterCanonical(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => canon.contains(r._2)).foreach { r =>
+      assert(r._6 == canon(r._2), s"cluster ${r._2}: policy canonical diverges")
+    }
+  }
+
   test("cluster-canonical selection consumes the staged clusters, never re-runs LSH") {
     val df = Dedup.clusterCanonical(s, sf)
     assert(df.inputFiles.exists(_.contains(Dedup.clusterStageDir(sf))),
