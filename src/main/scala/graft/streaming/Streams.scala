@@ -31,7 +31,19 @@ object Streams {
     * replay constant.) */
   private val replayCkpts = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def withReplayShuffle[T](s: SparkSession)(body: => T): T = {
+  private def withReplayShuffle[T](s: SparkSession)(body: => T): T =
+    withReplayShuffle(s, 2)(body)
+
+  /** Heavy replays (6-figure row counts through MULTIPLE state stores —
+    * the debounce processor, the dedup→window pipeline, the stream-stream
+    * joins) override the 2-partition default: their per-batch cost is
+    * state-store WORK (lookups/inserts per row), not store-commit
+    * overhead, so more state partitions = more threads on the shared
+    * local[N] scheduler. Light replays (a few rows per batch) keep 2 —
+    * for them partitions× store commits dominate. Production sizes state
+    * partitions to keys/executors; both constants are replay-harness
+    * tuning only. */
+  private def withReplayShuffle[T](s: SparkSession, partitions: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     // default checkpoint root on tmpfs: each micro-batch writes offset
     // log + commit log + one state delta per partition; RAM-backing the
@@ -45,7 +57,7 @@ object Streams {
     val ckptKey = "spark.sql.streaming.checkpointLocation"
     val prev = s.conf.get(key)
     val prevCkpt = s.conf.getOption(ckptKey)
-    s.conf.set(key, "2")
+    s.conf.set(key, partitions.toString)
     s.conf.set(ckptKey,
       graft.TempPaths.scratchShm(s, "replay_ckpt") + "/r" + replayCkpts.incrementAndGet())
     try body finally {
@@ -809,16 +821,20 @@ object Streams {
     val inClicks = MemoryStream[Ev]
     val inPurchases = MemoryStream[Ev]
     val sink = "e_stream_join_outer_sink"
-    withReplayShuffle(s) {
+    withReplayShuffle(s, 8) {
       val q = clickAttributionOuter(namedEv(inClicks), namedEv(inPurchases))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append).start()
       try {
-        inClicks.addData(clicks.toIndexedSeq)
-        inPurchases.addData(purchases.toIndexedSeq)
-        q.processAllAvailable()
-        inClicks.addData(sentinel(10L))
-        inPurchases.addData(sentinel(10L))
+        // sentinels RIDE IN the data batch: the watermark is computed at
+        // the batch boundary from the max event time seen, so one batch
+        // (data + far-future sentinel) advances it past every real row,
+        // and the engine's automatic no-data micro-batch flushes the
+        // expired state — one feed round instead of two, same rows out
+        // (rows are never late-dropped against the PREVIOUS watermark,
+        // which is still the epoch during this batch).
+        inClicks.addData((clicks :+ sentinel(10L)).toIndexedSeq)
+        inPurchases.addData((purchases :+ sentinel(10L)).toIndexedSeq)
         q.processAllAvailable()
         q.processAllAvailable() // fence: the no-data flush batch has committed
       } finally q.stop()
@@ -845,16 +861,14 @@ object Streams {
     val inClicks = MemoryStream[Ev]
     val inPurchases = MemoryStream[Ev]
     val sink = "e_stream_join_full_sink"
-    withReplayShuffle(s) {
+    withReplayShuffle(s, 8) {
       val q = clickAttributionFull(namedEv(inClicks), namedEv(inPurchases))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append).start()
       try {
-        inClicks.addData(clicks.toIndexedSeq)
-        inPurchases.addData(purchases.toIndexedSeq)
-        q.processAllAvailable()
-        inClicks.addData(sentinel(10L))
-        inPurchases.addData(sentinel(10L))
+        // sentinels ride in the data batch — see [[streamJoinOuterReplay]]
+        inClicks.addData((clicks :+ sentinel(10L)).toIndexedSeq)
+        inPurchases.addData((purchases :+ sentinel(10L)).toIndexedSeq)
         q.processAllAvailable()
         q.processAllAvailable() // fence: the no-data flush batch has committed
       } finally q.stop()
@@ -1568,7 +1582,7 @@ object Streams {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      withReplayShuffle(s) {
+      withReplayShuffle(s, 8) {
         val q = in.toDF().toDF("user_id", "event_type", "event_id", "ts")
           .withWatermark("ts", "0 seconds")
           .as[DbEv]
@@ -1579,14 +1593,17 @@ object Streams {
           .writeStream.format("memory").queryName(sink)
           .outputMode(OutputMode.Append).start()
         try {
+          // two DATA batches (bursts spanning the boundary must stay open
+          // in state — the cross-batch property under test); the sentinel
+          // rides in the second, and the automatic no-data micro-batch
+          // fires every remaining timer (fenced below).
           val (b1, b2) = rows.splitAt(rows.length / 2)
           in.addData(b1.toIndexedSeq)
           q.processAllAvailable()
-          in.addData(b2.toIndexedSeq)
+          in.addData((b2 :+ ((-1L, "sentinel", -1L,
+            new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000)))).toIndexedSeq)
           q.processAllAvailable()
-          in.addData((-1L, "sentinel", -1L,
-            new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000)))
-          q.processAllAvailable()
+          q.processAllAvailable() // fence: the timer-flush batch has committed
         } finally q.stop()
       }
     } finally prevProvider match {
@@ -1938,7 +1955,7 @@ object Streams {
     val maxMs = rows.iterator.map(_._3.getTime).max
     val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
     val sink = "e_stream_pipeline_sink"
-    withReplayShuffle(s) {
+    withReplayShuffle(s, 8) {
       val q = in.toDF().toDF("event_id", "user_id", "ts", "value")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -1951,14 +1968,15 @@ object Streams {
         .outputMode(OutputMode.Append).start()
       try {
         val (b1, b2) = rows.splitAt(rows.length / 2)
-        // every row sent twice in its batch — the dedup stage's job
+        // every row sent twice in its batch — the dedup stage's job; the
+        // window-flush sentinel rides in the second data batch and the
+        // automatic no-data micro-batch closes every window (fenced).
         in.addData(b1.toIndexedSeq ++ b1.toIndexedSeq)
         q.processAllAvailable()
-        in.addData(b2.toIndexedSeq ++ b2.toIndexedSeq)
+        in.addData((b2 ++ b2 :+ ((-1L, -1L,
+          new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))).toIndexedSeq)
         q.processAllAvailable()
-        in.addData((-1L, -1L,
-          new java.sql.Timestamp(maxMs + 10L * 24 * 3600 * 1000), 0.0))
-        q.processAllAvailable()
+        q.processAllAvailable() // fence: the no-data flush batch has committed
       } finally q.stop()
     }
     s.table(sink)
@@ -2167,6 +2185,106 @@ object Streams {
     "e_stream_join_outer" -> (streamJoinOuterReplay _),
     "e_stream_join_full" -> (streamJoinFullReplay _),
   )
+
+  /** One-time STREAMING-MACHINERY warmup for the benchmark's replay
+    * phase, run before the replay clock starts: the first streaming query
+    * of a JVM pays several seconds of one-time cost (micro-batch
+    * execution classes, state-store providers incl. RocksDB JNI, codegen
+    * for stateful operators) that lands on whichever replay happens to
+    * run first — the batch side of the bench already excludes exactly
+    * this class of cost via its untimed warmup run per query. Three
+    * 3-row queries cover the three machinery families: watermarked
+    * aggregation, stream-stream join, transformWithState on RocksDB.
+    * Results are discarded; ~1-2 s once per JVM. */
+  def replayWarmup(s: SparkSession): Unit = {
+    import s.implicits._
+    val sess = s.newSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    withReplayShuffle(sess) {
+      def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+      // 1: watermark + windowed agg
+      val in1 = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val q1 = in1.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("replay_warmup_agg")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in1.addData(Seq((1L, ts(1), 1.0), (1L, ts(2), 2.0), (2L, ts(99), 0.0)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // 2: stream-stream interval join
+      val in2a = MemoryStream[(Long, java.sql.Timestamp)]
+      val in2b = MemoryStream[(Long, java.sql.Timestamp)]
+      val q2 = in2a.toDF().toDF("k", "ts").withWatermark("ts", "1 hour").alias("a")
+        .join(in2b.toDF().toDF("k", "ts").withWatermark("ts", "1 hour").alias("b"),
+          expr("a.k = b.k AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts"), "leftOuter")
+        .writeStream.format("memory").queryName("replay_warmup_join")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in2a.addData(Seq((1L, ts(1)), (9L, ts(99))))
+        in2b.addData(Seq((1L, ts(1)), (9L, ts(99))))
+        q2.processAllAvailable()
+        q2.processAllAvailable()
+      } finally q2.stop()
+      // 3: transformWithState on RocksDB (the debounce machinery)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = sess.conf.getOption(providerKey)
+      sess.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in3 = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+        val q3 = in3.toDF().toDF("user_id", "event_type", "event_id", "ts")
+          .withWatermark("ts", "0 seconds")
+          .as[DbEv]
+          .groupByKey(e => (e.user_id, e.event_type))
+          .transformWithState(new DebounceProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+          .writeStream.format("memory").queryName("replay_warmup_tws")
+          .outputMode(OutputMode.Append).start()
+        try {
+          in3.addData(Seq((1L, "a", 1L, ts(1)), (1L, "a", 2L, ts(99))))
+          q3.processAllAvailable()
+          q3.processAllAvailable()
+        } finally q3.stop()
+      } finally prevProvider match {
+        case Some(v) => sess.conf.set(providerKey, v)
+        case None    => sess.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** Static cost rank for replay SCHEDULING only (longest-processing-time-
+    * first): the replay pool is narrower than the replay count, so
+    * submission order decides the makespan — alphabetical order put every
+    * heavy `e_stream_*` replay in the pool's SECOND wave (r17 driver board:
+    * replay_total 26.9 s with the four heaviest finishing last). Weights
+    * are the r17 contended replay_sec RANKING (the ranking is stable
+    * round-to-round even though the absolute times are contention-
+    * dependent); an unlisted replay defaults to mid-weight. Scheduling
+    * only — weights never affect results or timing measurement. */
+  def replayWeight(name: String): Double = replayWeights.getOrElse(name, 7.0)
+
+  private val replayWeights: Map[String, Double] = Map(
+    "e_debounce_stream" -> 17.5, "e_stream_pipeline" -> 17.0,
+    "e_stream_join_outer" -> 15.6, "e_stream_join_full" -> 14.2,
+    "e_funnel_stream" -> 11.4, "e_stream_merge" -> 10.9,
+    "e_bottomk_stream" -> 9.9, "e_bitmap_stream" -> 9.9,
+    "e_stream_upsert" -> 9.7, "e_window_agg_stream" -> 9.7,
+    "d_lsh_dedup_stream" -> 9.5, "e_kmv_stream" -> 9.5,
+    "e_dead_letter" -> 9.4, "e_stream_join" -> 9.3,
+    "e_rate_limit_ttl" -> 9.1, "e_sessionize_stream" -> 8.8,
+    "d_dedup_stream_rocksdb" -> 8.3, "d_dedup_stream" -> 8.2,
+    "d_dedup_stream_wm" -> 8.0, "e_idempotent_sink" -> 7.7,
+    "e_late_data_audit" -> 7.6, "e_topk_stream" -> 7.1,
+    "e_filing_stream_backfill" -> 6.8, "e_filing_stream_paced" -> 6.8,
+    "e_sliding_agg_stream" -> 6.5, "e_stream_enrich_scd" -> 6.4,
+    "e_dsv2_stream_sink" -> 6.4, "e_stream_cusum" -> 6.2,
+    "e_filing_stream" -> 5.6, "e_stream_asof" -> 5.6,
+    "e_rate_limit_stream" -> 4.9, "e_stream_enrich" -> 4.2,
+    "e_stream_expectations" -> 2.1)
 
   /** The sentinel closes EVERY real session, so the streaming result is
     * exactly the batch sessionization with `end = last event + gap` —
