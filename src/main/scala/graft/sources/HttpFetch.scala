@@ -33,16 +33,39 @@ final case class Fetched(doc_id: Long, status: Int, body: String)
   */
 object HttpFetch {
 
+  /** Fires once per executor JVM when a [[SecurityException]] is absorbed:
+    * a JVM policy denial null-bodies EVERY row of the job — an
+    * environment misconfiguration, not a poisoned row — so it must be
+    * visible in the logs, not silently absorbed as an empty index. The
+    * row still degrades (one row must never fail the task), but the
+    * first occurrence is loud. */
+  private val securityWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Fetch every (doc_id, url) row, executor-side. Returns one row per
     * input row — fetch failures are DATA (null body + status), so the
     * output cardinality is exactly the input's and downstream joins
-    * against the fetch list stay key-complete. */
+    * against the fetch list stay key-complete.
+    *
+    * TRANSIENT failures retry with bounded exponential backoff before
+    * degrading: a 5xx response or transport IOException (refused,
+    * timeout, reset) gets up to `maxRetries` re-attempts, sleeping
+    * `backoffBaseMs * 2^attempt` between tries — the shape a polite
+    * crawler owes a flapping origin (the reference silently drops every
+    * failure first try, ETFQuarterlyHoldingsExtractor.py:61-63; retry is
+    * a generalization). PERMANENT failures never retry: 4xx (the origin
+    * answered; asking again is impolite and futile) and malformed URLs
+    * (IllegalArgumentException from URI.create). The politeness budget
+    * holds across retries — `perRequestDelayMs` is paid before EVERY
+    * attempt, so the per-partition request rate cap is unchanged by
+    * retry traffic. */
   def fetch(
       urls: Dataset[(Long, String)],
       connectTimeoutMs: Int = 5000,
       readTimeoutMs: Int = 30000,
       perRequestDelayMs: Long = 0L,
-      userAgent: String = "graft-engine/1.0"): Dataset[Fetched] = {
+      userAgent: String = "graft-engine/1.0",
+      maxRetries: Int = 2,
+      backoffBaseMs: Long = 100L): Dataset[Fetched] = {
     import urls.sparkSession.implicits._
     urls.mapPartitions { it =>
       // one client per partition: pooled keep-alive connections across
@@ -52,27 +75,53 @@ object HttpFetch {
         .followRedirects(HttpClient.Redirect.NORMAL)
         .build()
       it.map { case (id, url) =>
-        if (perRequestDelayMs > 0) Thread.sleep(perRequestDelayMs)
-        try {
-          val req = HttpRequest.newBuilder(URI.create(url))
-            .timeout(Duration.ofMillis(readTimeoutMs.toLong))
-            .header("User-Agent", userAgent)
-            .GET().build()
-          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-          if (resp.statusCode() == 200) Fetched(id, 200, resp.body())
-          else Fetched(id, resp.statusCode(), null)
-        } catch {
-          // per-row failures are DATA, whatever the failure plane:
-          // transport (refused, DNS, timeout → IOException) and
-          // REQUEST-BUILD failures (a malformed URL in the fetch list —
-          // URI.create/newBuilder throw IllegalArgumentException) both
-          // degrade to a null-body row. One poisoned row must never
-          // fail the task ("output cardinality ≡ input" above); only
-          // interruption (cancellation) stays fatal.
-          case e: InterruptedException => throw e
-          case _: java.io.IOException | _: IllegalArgumentException |
-               _: SecurityException => Fetched(id, -1, null)
+        var attempt = 0
+        var result: Fetched = null
+        while (result == null) {
+          // politeness before every attempt, retries included
+          if (perRequestDelayMs > 0) Thread.sleep(perRequestDelayMs)
+          val retryable = attempt < maxRetries
+          try {
+            val req = HttpRequest.newBuilder(URI.create(url))
+              .timeout(Duration.ofMillis(readTimeoutMs.toLong))
+              .header("User-Agent", userAgent)
+              .GET().build()
+            val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+            val code = resp.statusCode()
+            if (code == 200) result = Fetched(id, 200, resp.body())
+            else if (code >= 500 && retryable) () // transient: retry below
+            else result = Fetched(id, code, null) // 4xx / exhausted: data
+          } catch {
+            // per-row failures are DATA, whatever the failure plane:
+            // transport (refused, DNS, timeout → IOException, retried)
+            // and REQUEST-BUILD failures (a malformed URL in the fetch
+            // list — URI.create/newBuilder throw
+            // IllegalArgumentException, never retried) both degrade to
+            // a null-body row after retries are exhausted. One poisoned
+            // row must never fail the task ("output cardinality ≡
+            // input" above); only interruption (cancellation) stays
+            // fatal. SecurityException is an ENVIRONMENT failure
+            // (policy denial would null-body the whole job) — it still
+            // degrades row-granular, but the first one logs loudly so
+            // a misconfiguration can't masquerade as an empty corpus.
+            case e: InterruptedException => throw e
+            case _: java.io.IOException if retryable => // retry below
+            case e: SecurityException =>
+              if (securityWarned.compareAndSet(false, true))
+                System.err.println(
+                  "[graft] WARN HttpFetch: SecurityException during fetch — " +
+                    "likely a JVM policy/environment denial that will null-body " +
+                    s"every row, not a poisoned row: $e")
+              result = Fetched(id, -1, null)
+            case _: java.io.IOException | _: IllegalArgumentException =>
+              result = Fetched(id, -1, null)
+          }
+          if (result == null) {
+            attempt += 1
+            Thread.sleep(backoffBaseMs << (attempt - 1)) // 1x, 2x, 4x, ...
+          }
         }
+        result
       }
     }
   }

@@ -114,6 +114,55 @@ class HttpFetchSpec extends AnyFunSuite {
     assert(empty.count() == 0, "unreachable funds must yield an empty index")
   }
 
+  test("transient 5xx recovers via bounded backoff; permanent failures still degrade per-row") {
+    import s.implicits._
+    // counts per path, so the retry discipline is observable: how many
+    // times did the fetcher actually ask?
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    def hit(path: String): Int =
+      hits.computeIfAbsent(path, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        .incrementAndGet()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        val n = hit(path)
+        path match {
+          case "/flaky" if n <= 2 => ex.sendResponseHeaders(503, -1) // then 200
+          case "/flaky" =>
+            val b = "recovered".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b)
+          case "/always500" => ex.sendResponseHeaders(500, -1)
+          case _ => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val rows = HttpFetch.fetch(
+        s.createDataset(Seq(
+          (1L, s"http://127.0.0.1:$port/flaky"),
+          (2L, s"http://127.0.0.1:$port/always500"),
+          (3L, s"http://127.0.0.1:$port/gone"))),
+        maxRetries = 2, backoffBaseMs = 10L)
+        .collect().sortBy(_.doc_id)
+      assert(rows.length == 3, "every input row must yield exactly one output row")
+      // flaky: 503, 503, 200 — the transient failure RECOVERED
+      assert(rows(0).status == 200 && rows(0).body == "recovered",
+        s"flaky endpoint must recover via retry, got ${rows(0)}")
+      assert(hits.get("/flaky").get() == 3, "flaky: 2 failed attempts + 1 success")
+      // permanent 5xx: retries exhausted, degrades to data
+      assert(rows(1).status == 500 && rows(1).body == null)
+      assert(hits.get("/always500").get() == 3, "permanent 5xx retried exactly maxRetries times")
+      // 404 is PERMANENT: the origin answered — never re-asked
+      assert(rows(2).status == 404 && rows(2).body == null)
+      assert(hits.get("/gone").get() == 1, "4xx must not be retried")
+    } finally server.stop(0)
+  }
+
   test("non-200 and transport failures degrade to null-body rows, never task failures") {
     import s.implicits._
     val dir = DocStage.ensureStaged(s, sf)
