@@ -1833,12 +1833,16 @@ object Formats {
         .repartition(GdprBuckets, col("b"))
         .write.partitionBy("b").mode("overwrite").parquet(dataDir)
       // a bucket the corpus never hits still needs a schema'd (empty)
-      // dir — partitionBy only materializes populated partitions
+      // dir — partitionBy only materializes populated partitions. A
+      // bucket proven empty needs only the SCHEMA: limit(0) writes the
+      // empty parquet footer without another corpus scan (the previous
+      // scan-and-filter per missing bucket cost up to 8 extra corpus
+      // scans on sparse fixtures).
+      lazy val emptyBucket = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value")).limit(0)
       (0 until GdprBuckets).foreach { b =>
         if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$dataDir/b=$b")))
-          Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
-            .filter(pmod(col("user_id"), lit(GdprBuckets)) === b)
-            .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/b=$b")
+          emptyBucket.coalesce(1).write.mode("overwrite").parquet(s"$dataDir/b=$b")
       }
       val subjects = s.read.parquet(dataDir)
         .select(col("user_id")).distinct().orderBy("user_id").limit(2)
@@ -1855,11 +1859,20 @@ object Formats {
       .asScala.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
   }
 
+  /** Fires once per JVM when [[linkDir]] degrades from hard link to byte
+    * copy: the zero-copy guarantee is load-bearing for stage-clone cost,
+    * so losing it (cross-device staging/scratch placement, an FS without
+    * link support, or a genuine I/O error) must be visible in the logs
+    * rather than silently absorbed. */
+  private val linkFallbackWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Hard-link (copy when the filesystem refuses links) every visible
     * regular file of `src` into `dst`, recursing into subdirectories
     * (partitioned layouts) — O(file count) metadata ops, zero data bytes
     * moved, and unlinking a run-local name never touches the shared
-    * staged inode's other names. */
+    * staged inode's other names. The first link→copy degradation logs
+    * loudly (see [[linkFallbackWarned]]); correctness is unaffected
+    * either way. */
   private[operators] def linkDir(src: String, dst: String): String = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
@@ -1875,7 +1888,11 @@ object Formats {
           if (java.nio.file.Files.isDirectory(p)) linkDir(p.toString, t.toString)
           else if (java.nio.file.Files.isRegularFile(p)) {
             try java.nio.file.Files.createLink(t, p)
-            catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            catch { case e @ (_: UnsupportedOperationException | _: java.io.IOException) =>
+              if (linkFallbackWarned.compareAndSet(false, true))
+                System.err.println(
+                  s"[graft] WARN linkDir: hard link failed ($p -> $t), " +
+                    s"degrading to byte copy for this and any further files: $e")
               java.nio.file.Files.copy(p, t,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit }
           }
