@@ -133,9 +133,11 @@ object Similarity {
   private[operators] val evalMethods = Seq(
     "ivf", "ivf_kmeans", "ivfpq", "lsh", "nsw", "pq", "pq_kmeans", "quant")
 
-  // v2 = ivfpq joined the method set (the dir version IS the method set)
+  // v2 = ivfpq joined the method set; v3 = the nsw probe gained its
+  // layer-2 entry (staged rows are a function of each method's probe
+  // DEFINITION, so a probe change must version the dir)
   def annEvalStageDir(sfDir: String): String =
-    "/tmp/graft_stage/anneval_v2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/anneval_v3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   def ensureAnnEvalStaged(s: SparkSession, d: String): String = {
     val dir = annEvalStageDir(d)
@@ -1082,14 +1084,16 @@ object Similarity {
       .select(col("q_id"), col("c_label"),
         zip_with(col("q_emb"), col("centroid"),
           (v, c) => v.cast("double") - c).as("qr"))
-    // ONE bounded driver sync (queries × NProbe rows, residual arrays
-    // included) feeds BOTH consumers — the literal label filter below
-    // and the LUT build — instead of executing the probed subplan
-    // (queries × centroids scoring + window) twice
-    val probedRows = probed.collect()
-    val probedLabels = probedRows.map(_.getAs[Any]("c_label")).distinct.toSeq
-    val probedDf = s.createDataFrame(
-      s.sparkContext.parallelize(probedRows.toIndexedSeq, 1), probed.schema)
+    // The probed subplan (queries × centroids scoring + window) feeds
+    // BOTH consumers — the literal label filter below and the LUT build.
+    // persist() computes it once and keeps it cluster-side (queries ×
+    // NProbe rows — tiny, but the residual arrays should not transit
+    // the driver); the ONE driver sync is the LABEL LIST only (≤ nlist
+    // values), which must be a literal so the list-partitioned code
+    // table prunes directories before the scan.
+    val probedDf = probed.persist()
+    val probedLabels = probedDf.select(col("c_label")).distinct()
+      .collect().map(_.get(0)).toSeq
     val lut = probedDf.crossJoin(broadcast(rb))
       .select(col("q_id"), col("c_label"), col("rb_label").as("code"),
         subDistsOn(col("qr"), col("rcent")).as("sd"))
@@ -1607,18 +1611,39 @@ object Similarity {
   //    IVF-centroid analogue, a fixed fraction chosen so the layer stays
   //    effectively constant-sized; its all-pairs top-M build is bounded
   //    by construction the way k-means' k×k is.
-  //  * Probe: greedy beam descent — NswSteps1 beam rounds on layer 1
-  //    from a fixed entry node to localize, then NswSteps rounds on
-  //    layer 0; every VISITED node is a candidate, re-ranked by exact
-  //    float cosine like every other ANN leg. Probe cost is
+  //  * Layer 2 (the HNSW-style ENTRY layer, r18): ids ≡ 0
+  //    (mod NswLayerMod2) — a constant-bounded top layer scored
+  //    EXHAUSTIVELY per query in ONE bounded job instead of walked
+  //    greedily. This is the Spark-first re-expression of HNSW's upper
+  //    layers: in this execution model the scarce resource is
+  //    driver-sync ROUNDS (each beam hop is a cluster job), so a single
+  //    |L2|×queries scoring job — the exact shape of the IVF coarse
+  //    probe, |L2| playing the codebook role — beats the O(log N)
+  //    one-hop-per-round greedy descent it replaces. At larger corpora
+  //    the layer stays bounded the way IVF's k does (raise the mod /
+  //    add a coarser layer); the per-query ENTRY it yields is what lets
+  //    the lower layers run fewer rounds.
+  //  * Probe: layer-2 exhaustive entry (1 job) → NswSteps1 beam rounds
+  //    on layer 1 to localize → NswSteps rounds on layer 0; every
+  //    layer-0 VISITED node is a candidate, re-ranked by exact float
+  //    cosine like every other ANN leg. Probe cost is
   //    O(steps × beam × M) edge lookups — independent of corpus size,
-  //    which is the property that makes graph ANN the default. ----
+  //    which is the property that makes graph ANN the default. The
+  //    per-query entry cut the round budget from 5 jobs (fixed-entry
+  //    seed + 2×L1 + 3×L0) to 4 (L2 entry + 1×L1 + 2×L0), asserted in
+  //    IncrementalNswSpec. ----
   private val NswM = 8
   private val NswLayerMod = 16L
+  private[operators] val NswLayerMod2 = 256L
   private val NswBeamW = 8
-  private val NswSteps = 3
+  private[operators] val NswSteps = 2
   private val NswBeam1W = 3
-  private val NswSteps1 = 2
+  private[operators] val NswSteps1 = 1
+
+  /** Bounded-job counter for the NSW probe (seed + every beam
+    * expansion increments once) — lets specs assert the round budget
+    * instead of trusting the comment above. */
+  private[operators] val nswProbeJobs = new java.util.concurrent.atomic.AtomicInteger(0)
 
   // p1 = edge-payload schema v1 (dst's scaled vector carried on the edge)
   def nswStageDir(sfDir: String): String =
@@ -1680,17 +1705,9 @@ object Similarity {
     val (e0Path, e1Path) = ensureNswStaged(s, d)
     val edges0 = s.read.parquet(e0Path).select(col("src"), col("dst"), col("sv_d"))
     val edges1 = s.read.parquet(e1Path).select(col("src"), col("dst"), col("sv_d"))
-    val entry = emb(s, d).filter(col("vec_id") % NswLayerMod === 0)
-      .agg(min(col("vec_id"))).head().getLong(0) // 1 value — the fixed entry
-    // step 1's frontier is {entry} ∪ out(entry) for EVERY query — a fixed
-    // ≤ M+1 node set, read once (bounded) and exploded as literals so the
-    // probe plan never joins on a constant (which would fold to a
-    // degenerate nested-loop cross); scoring it is the probe's ONLY
-    // pre-rank corpus touch
-    val entryFront = entry +: s.read.parquet(e1Path)
-      .filter(col("src") === entry).select(col("dst"))
-      .collect().map(_.getLong(0)).toSeq.sorted
-    nswProbe(s, d, edges0, edges1, entryFront)
+    // the entry layer is an arithmetic predicate — pushed to the scan,
+    // no literal list, no pre-probe collect
+    nswProbe(s, d, edges0, edges1, col("vec_id") % NswLayerMod2 === 0)
   }
 
   /** The beam probe over the given edge layers and entry frontier —
@@ -1715,10 +1732,13 @@ object Similarity {
     * (later localCheckpoint-pinned): at bench scale the probe was pure
     * scheduling overhead, and at 100 TB the per-round work is the same
     * pruned postings scan either way. The corpus is touched exactly
-    * twice: the seed scoring (entry frontier only, pushed IN filter)
-    * and the final exact-cosine re-rank of the visited set. */
+    * twice: the ENTRY-LAYER scoring (layer-2 predicate pushed to the
+    * scan — HNSW's upper-layer descent collapsed into one bounded job,
+    * see the family comment) and the final exact-cosine re-rank of the
+    * visited set. `l2Filter` selects the entry layer (an arithmetic
+    * predicate — base-only for the incremental graph). */
   private def nswProbe(s: SparkSession, d: String,
-      edges0: DataFrame, edges1: DataFrame, entryFront: Seq[Long]): DataFrame = {
+      edges0: DataFrame, edges1: DataFrame, l2Filter: Column): DataFrame = {
     import s.implicits._
     // the scaled query vectors, synced once: O(queries) rows, bounded
     val qRows: Seq[(Long, Seq[Long])] = queriesDf(s, d)
@@ -1728,6 +1748,7 @@ object Similarity {
     // one bounded job: score `pairs` (q_id → frontier nodes) from the
     // edge payload, collect the scored candidate rows
     def expandScore(pairs: Seq[(Long, Long)], edges: DataFrame): Seq[(Long, Long, Long)] = {
+      nswProbeJobs.incrementAndGet(): Unit
       val nodes = pairs.map(_._2).distinct
       edges.filter(col("src").isin(nodes: _*))
         .join(broadcast(pairs.toDF("q_id", "src")), Seq("src"))
@@ -1742,16 +1763,19 @@ object Similarity {
       rows.distinct.groupBy(_._1).toSeq.flatMap { case (_, g) =>
         g.sortBy(t => (t._3, t._2)).take(width)
       }
-    // seed: the fixed entry frontier scored against the CORPUS vectors
-    // (pushed IN filter — the probe's first of two corpus touches)
+    // entry: the constant-bounded TOP LAYER scored exhaustively per
+    // query — one bounded job (|L2| × queries rows), predicate pushed
+    // to the scan; the probe's first of two corpus touches. The top-W
+    // of this scoring IS the per-query entry beam.
+    nswProbeJobs.incrementAndGet(): Unit
     val seed: Seq[(Long, Long, Long)] = emb(s, d)
-      .filter(col("vec_id").isin(entryFront: _*))
+      .filter(l2Filter)
       .select(col("vec_id").as("node"), scaledCol(col("embedding")).as("sv"))
       .crossJoin(broadcast(qvDf))
       .select(col("q_id"), col("node"), intD2(col("qv"), col("sv")).as("d2"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     var beam = topW(seed, NswBeam1W)
-    for (_ <- 2 to NswSteps1)
+    for (_ <- 1 to NswSteps1)
       beam = topW(beam ++ expandScore(beam.map(t => (t._1, t._2)), edges1), NswBeam1W)
     var visited: Set[(Long, Long)] = beam.map(t => (t._1, t._2)).toSet
     for (_ <- 1 to NswSteps) {
@@ -1870,13 +1894,10 @@ object Similarity {
       .unionByName(dEdges.select(col("dst").as("src"),
         col("src").as("dst"), col("sv_s").as("sv_d"))) // back-links
     val edges1 = s.read.parquet(e1P).select(col("src"), col("dst"), col("sv_d"))
-    val entry = emb(s, d)
-      .filter(!isDeltaVec && col("vec_id") % NswLayerMod === 0)
-      .agg(min(col("vec_id"))).head().getLong(0)
-    val entryFront = entry +: s.read.parquet(e1P)
-      .filter(col("src") === entry).select(col("dst"))
-      .collect().map(_.getLong(0)).toSeq.sorted // bounded ≤ M+1
-    nswProbe(s, d, edges0, edges1, entryFront)
+    // entry layer = BASE-only layer-2 nodes (the frozen graph owns the
+    // entry structure; inserts reach the beam via back-links)
+    nswProbe(s, d, edges0, edges1,
+      !isDeltaVec && col("vec_id") % NswLayerMod2 === 0)
   }
 
   // ---- Incremental ANN maintenance: the delta-ingest shape on the
@@ -2251,7 +2272,7 @@ object Similarity {
          |             ORDER BY d2 ASC, node ASC) AS rn
          |    FROM s$t) t WHERE rn <= $width)""".stripMargin
     val l1Steps = (1 to NswSteps1).map(t =>
-      step(s"l$t", if (t == 1) "bent" else s"bl${t - 1}", "e1", NswBeam1W)).mkString(",\n")
+      step(s"l$t", if (t == 1) "b0" else s"bl${t - 1}", "e1", NswBeam1W)).mkString(",\n")
     val l0Steps = (1 to NswSteps).map(t =>
       step(s"g$t", if (t == 1) s"bl$NswSteps1" else s"bg${t - 1}", "e0", NswBeamW))
       .mkString(",\n")
@@ -2268,7 +2289,16 @@ object Similarity {
          |p1 AS (SELECT a.vec_id AS src, b.vec_id AS dst
          |       FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
          |${edgeCte("e1", "p1")},
-         |bent AS (SELECT q_id, (SELECT MIN(vec_id) FROM cn) AS node FROM q),
+         |cn2 AS (SELECT vec_id FROM embeddings WHERE vec_id % $NswLayerMod2 = 0),
+         |s0 AS (SELECT u.q_id, u.node, SUM((qe.e - ne.e) * (qe.e - ne.e)) AS d2
+         |       FROM (SELECT q.q_id, c.vec_id AS node FROM q, cn2 c) u
+         |       JOIN sv qe ON qe.vec_id = u.q_id
+         |            JOIN sv ne ON ne.vec_id = u.node AND ne.dim = qe.dim
+         |       GROUP BY u.q_id, u.node),
+         |b0 AS (SELECT q_id, node FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY d2 ASC, node ASC) AS rn
+         |    FROM s0) t WHERE rn <= $NswBeam1W),
          |$l1Steps,
          |$l0Steps,
          |vis AS (${(1 to NswSteps).map(t => s"SELECT q_id, node FROM ug$t")
@@ -2315,7 +2345,7 @@ object Similarity {
          |             ORDER BY d2 ASC, node ASC) AS rn
          |    FROM s$t) t WHERE rn <= $width)""".stripMargin
     val l1Steps = (1 to NswSteps1).map(t =>
-      step(s"l$t", if (t == 1) "bent" else s"bl${t - 1}", "e1", NswBeam1W)).mkString(",\n")
+      step(s"l$t", if (t == 1) "b0" else s"bl${t - 1}", "e1", NswBeam1W)).mkString(",\n")
     val l0Steps = (1 to NswSteps).map(t =>
       step(s"g$t", if (t == 1) s"bl$NswSteps1" else s"bg${t - 1}", "e0a", NswBeamW))
       .mkString(",\n")
@@ -2342,7 +2372,17 @@ object Similarity {
          |p1 AS (SELECT a.vec_id AS src, b.vec_id AS dst
          |       FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
          |${edgeCte("e1", "p1")},
-         |bent AS (SELECT q_id, (SELECT MIN(vec_id) FROM cn) AS node FROM q),
+         |cn2 AS (SELECT vec_id FROM embeddings
+         |        WHERE vec_id % $NswLayerMod2 = 0 AND vec_id % 10 <> 7),
+         |s0 AS (SELECT u.q_id, u.node, SUM((qe.e - ne.e) * (qe.e - ne.e)) AS d2
+         |       FROM (SELECT q.q_id, c.vec_id AS node FROM q, cn2 c) u
+         |       JOIN sv qe ON qe.vec_id = u.q_id
+         |            JOIN sv ne ON ne.vec_id = u.node AND ne.dim = qe.dim
+         |       GROUP BY u.q_id, u.node),
+         |b0 AS (SELECT q_id, node FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY d2 ASC, node ASC) AS rn
+         |    FROM s0) t WHERE rn <= $NswBeam1W),
          |$l1Steps,
          |$l0Steps,
          |vis AS (${(1 to NswSteps).map(t => s"SELECT q_id, node FROM ug$t")

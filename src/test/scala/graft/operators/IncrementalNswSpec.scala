@@ -29,4 +29,20 @@ class IncrementalNswSpec extends AnyFunSuite {
     assert(rows.exists(_ % 10 == 7),
       "no inserted vector surfaced — the back-link append is not load-bearing")
   }
+
+  test("entry-layer probe runs the reduced round budget (4 bounded jobs)") {
+    // the r18 HNSW-style entry layer cut the probe from 5 driver-sync
+    // jobs (fixed-entry seed + 2×L1 + 3×L0) to 4 (L2 entry + 1×L1 +
+    // 2×L0) — pin it so a regression in round count is loud, for both
+    // the staged and the incrementally-extended graph
+    val expected = 1 + Similarity.NswSteps1 + Similarity.NswSteps
+    assert(expected == 4, s"probe constants drifted: $expected rounds")
+    for (name <- Seq("v_ann_nsw", "v_incremental_nsw")) {
+      val before = Similarity.nswProbeJobs.get()
+      Similarity.queries(name)(s, sf).collect(): Unit
+      val rounds = Similarity.nswProbeJobs.get() - before
+      assert(rounds == expected,
+        s"$name probe ran $rounds bounded jobs, expected $expected")
+    }
+  }
 }
