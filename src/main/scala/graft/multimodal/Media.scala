@@ -745,6 +745,8 @@ object Media {
     * — the container structure (frame count, per-frame dimensions) and
     * the LZW payload are both verified by data. [[frameSamples]] remains
     * as the byte-chunk FALLBACK shape for formats with no JDK decoder. */
+  // slope pin: ~5 at 10x input, drifting toward 10 (LZW decode is linear
+  // in total frames) — see SLOPES.md
   def gifFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     stagedPayloads(s, d, "video")

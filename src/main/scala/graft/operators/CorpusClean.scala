@@ -124,6 +124,8 @@ object CorpusClean {
     * (fixed application order — email first, so an address's dotted host
     * can't half-match the IP pattern later) and count each kind. A pure
     * narrow map: at 100 TB this is exactly one pass over the scan. */
+  // slope pin: ~5 at 10x input, drifting toward 10 (regex scan is linear
+  // in corpus bytes; sf0.01 leg is overhead-dominated) — see SLOPES.md
   def piiRedact(s: SparkSession, d: String): DataFrame = {
     val t = poisonedText
     docs(s, d)

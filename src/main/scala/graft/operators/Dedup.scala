@@ -129,6 +129,8 @@ object Dedup {
   }
 
   /** MinHash signatures, exploded to (doc_id, perm, minhash). */
+  // slope pin: ~5 at 10x input, drifting toward 10 (shingles x perms is
+  // linear in corpus bytes) — see SLOPES.md
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     withSig(s, d)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))

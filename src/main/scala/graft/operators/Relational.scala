@@ -203,6 +203,8 @@ object Relational {
     * feature stores and plotting layers consume. The wide input is an
     * aggregation here, so the unpivot itself is a narrow 1-row→3-rows
     * expansion after the shuffle. */
+  // slope pin: ~4 at 10x input, drifting toward 10 (stack() emits a
+  // constant multiple of input rows) — see SLOPES.md
   def unpivotMeasures(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
