@@ -100,14 +100,21 @@ object Extraction {
       .orderBy(outCols.map(col): _*)
   }
 
-  private val holdingsOracle: String =
+  private def holdingsOracleFor(pred: String): String =
     s"""SELECT * FROM (
        |  SELECT ${FilingDocs.oracleFields.linesIterator.mkString(" ")}
-       |  FROM orders WHERE o_custkey % 50 <> 0)
+       |  FROM orders WHERE $pred)
        |WHERE issuer IS NOT NULL OR shares IS NOT NULL
        |   OR value_usd IS NOT NULL OR pct_net_assets IS NOT NULL
        |ORDER BY reporting_date, issuer NULLS FIRST, shares NULLS FIRST,
        |         value_usd NULLS FIRST, pct_net_assets NULLS FIRST""".stripMargin
+
+  private val holdingsOracle: String = holdingsOracleFor("o_custkey % 50 <> 0")
+
+  // the doc-source LAYOUT demo extracts the staged half-slice corpus
+  // (DocStage.DocSliceMod) — same kernel, slice predicate mirrored here
+  private val docSourceOracle: String = holdingsOracleFor(
+    s"o_custkey % 50 <> 0 AND o_custkey % ${graft.sources.DocStage.DocSliceMod} = 0")
 
   /** S1+P2+F1+E1/E2 — the reference's "relational path" (§3.2) over the
     * staged submissions-index JSON: parallel arrays zipped to rows (with
@@ -203,8 +210,8 @@ object Extraction {
   val oracle: Map[String, String] = Map(
     "x_extract_holdings" -> holdingsOracle,
     "x_extract_holdings_gen" -> holdingsOracle,
-    "x_doc_source" -> holdingsOracle,
-    "x_doc_source_compacted" -> holdingsOracle,
+    "x_doc_source" -> docSourceOracle,
+    "x_doc_source_compacted" -> docSourceOracle,
     "x_csv_roundtrip" -> holdingsOracle,
     "x_reporting_date" ->
       """SELECT DISTINCT o_custkey AS doc_id,
