@@ -3,6 +3,7 @@ package graft.operators
 import graft.extract.NportKernel
 import graft.sources.{DocStage, FilingDocs, FilingIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The extraction kernel wired into distributed pipelines — SURVEY.md §2
@@ -181,7 +182,96 @@ object Extraction {
       .orderBy(outCols.map(col): _*)
   }
 
+  private val PackCap = 50
+
+  /** `x_pipeline_e2e` — THE FLAGSHIP: the reference's whole pipeline
+    * (index → fetch → extract → keyed sink,
+    * ETFQuarterlyHoldingsExtractor.py:30-45,58-63,80-135) generalized
+    * end-to-end with the engine's training-data stages, in ONE query:
+    *
+    *  1. S1 — the staged submissions index names WHICH funds to fetch
+    *     (the reference's fetch list): distinct NPORT-P ciks, broadcast.
+    *  2. S2 — the staged doc corpus stands in for the per-doc HTTP
+    *     fetch (HttpFetchSpec proves fetch+extract over loopback HTTP ≡
+    *     this corpus scan row-for-row); doc identity parses from the
+    *     file name and the fetch list applies as a broadcast semi-join —
+    *     the fetch frontier never transits the driver.
+    *  3. X1+X2 — the NPORT kernel, doc linkage kept.
+    *  4. DEDUP POLICY — the feed carries crawler RETRY traffic (every
+    *     doc effectively fetched twice); exact dedup folds the copies
+    *     and LEDGERS the fold (skip this stage and the pack
+    *     double-counts — the bug the stage exists to stop, hash-fatal
+    *     against the oracle).
+    *  5. QUALITY GATE — per-row field-completeness score (1-4 non-null
+    *     fields); rows below 2 drop into the per-date ledger, the
+    *     t_quality discipline applied to extracted records.
+    *  6. PACK — kept rows pack into capacity-[[PackCap]] chunks per
+    *     reporting date (deterministic order), the t_pack shape; output
+    *     is one row per chunk with the per-date ledger attached.
+    *
+    * Every stage is SQL-expressible, so the WHOLE chain is one
+    * hash-checked oracle. Scale shape: broadcast semi-join on the fetch
+    * list, one kernel pass, one exact-dedup shuffle on the natural key,
+    * one window per date — no driver data, no corpus re-scan. */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val dir = DocStage.ensureStaged(s, d)
+    val docs = s.read.option("wholetext", "true").text(dir)
+      .select(
+        regexp_extract(col("_metadata.file_name"), "doc_(\\d+)\\.html$", 1)
+          .cast("long").as("doc_id"),
+        col("value"))
+    pipelineE2eFromDocs(s, d, docs)
+  }
+
+  /** Stages 1 + 3-6 of [[pipelineE2e]] over an explicit (doc_id, value)
+    * document set — the seam HttpFetchSpec uses to prove the ONLINE form
+    * (loopback HTTP fetch feeding the same chain) is row-identical to
+    * the offline corpus scan. */
+  private[graft] def pipelineE2eFromDocs(
+      s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val nportCiks = FilingIndex.filingIndex(s, d)
+      .select(col("cik").cast("long").as("doc_id")).distinct()
+    val fetched = docs.join(broadcast(nportCiks), Seq("doc_id"), "leftsemi")
+    val extracted = fetched.as[(Long, String)]
+      .flatMap { case (id, doc) =>
+        NportKernel.extractRows(doc).map(h =>
+          (id, h.reporting_date, h.issuer, h.shares, h.value_usd, h.pct_net_assets))
+      }
+      .toDF("doc_id", "reporting_date", "issuer", "shares", "value_usd", "pct_net_assets")
+    val keyCols = Seq("doc_id", "reporting_date", "issuer", "shares",
+      "value_usd", "pct_net_assets")
+    // retry traffic in, exact dedup out — n_copies is the fold ledger
+    val deduped = extracted.unionByName(extracted)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_copies"))
+      .withColumn("quality",
+        Seq("issuer", "shares", "value_usd", "pct_net_assets")
+          .map(c => when(col(c).isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+    val ledger = deduped.groupBy(col("reporting_date")).agg(
+      sum(col("n_copies")).as("n_source_rows"),
+      sum(col("n_copies") - 1).as("n_dup_folded"),
+      sum(when(col("quality") < 2, 1L).otherwise(0L)).as("n_lowq_dropped"))
+    val packW = Window.partitionBy(col("reporting_date"))
+      .orderBy(col("issuer").asc_nulls_first, col("shares").asc_nulls_first,
+        col("value_usd").asc_nulls_first, col("pct_net_assets").asc_nulls_first,
+        col("doc_id").asc)
+    deduped.filter(col("quality") >= 2)
+      .withColumn("rn", row_number().over(packW))
+      // floor, not `/`: Column./ is fractional divide on any input type
+      .withColumn("chunk_id", floor((col("rn") - 1) / PackCap).cast("long"))
+      .groupBy(col("reporting_date"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_holdings"), sum(col("quality")).as("sum_quality"))
+      .join(ledger, Seq("reporting_date"))
+      .select(col("reporting_date"), col("chunk_id"), col("n_holdings"),
+        col("sum_quality"), col("n_source_rows"), col("n_dup_folded"),
+        col("n_lowq_dropped"))
+      .orderBy("reporting_date", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pipeline_e2e" -> (pipelineE2e _),
     "x_extract_holdings" -> (extractHoldings _),
     "x_extract_holdings_gen" -> (extractHoldingsGen _),
     "x_reporting_date" -> (reportingDates _),
@@ -207,7 +297,56 @@ object Extraction {
     "x_csv_roundtrip" -> (csvRoundtrip _),
   )
 
+  // the flagship chain rebuilt relationally: index fetch-list ∩ staged
+  // slice → rendered fields → retry-doubled exact dedup → quality gate →
+  // capacity-packed chunks + per-date ledger. Every count CAST to BIGINT
+  // (DuckDB HUGEINT sums reach pandas as float64 otherwise).
+  private val pipelineE2eOracle: String =
+    s"""WITH nport AS (SELECT DISTINCT o_custkey AS doc_id
+       |               FROM orders WHERE o_orderkey % 3 = 0),
+       |rows0 AS (
+       |  SELECT o_custkey AS doc_id,
+       |         ${FilingDocs.oracleFields.linesIterator.mkString(" ")}
+       |  FROM orders
+       |  WHERE o_custkey % 50 <> 0
+       |    AND o_custkey % ${graft.sources.DocStage.DocSliceMod} = 0
+       |    AND o_custkey IN (SELECT doc_id FROM nport)),
+       |rows1 AS (SELECT * FROM rows0
+       |          WHERE issuer IS NOT NULL OR shares IS NOT NULL
+       |             OR value_usd IS NOT NULL OR pct_net_assets IS NOT NULL),
+       |ded AS (
+       |  SELECT doc_id, reporting_date, issuer, shares, value_usd, pct_net_assets,
+       |         2 * COUNT(*) AS n_copies,
+       |         (CASE WHEN issuer IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN shares IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN value_usd IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN pct_net_assets IS NOT NULL THEN 1 ELSE 0 END) AS quality
+       |  FROM rows1
+       |  GROUP BY doc_id, reporting_date, issuer, shares, value_usd, pct_net_assets),
+       |led AS (
+       |  SELECT reporting_date,
+       |         CAST(SUM(n_copies) AS BIGINT) AS n_source_rows,
+       |         CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_folded,
+       |         CAST(SUM(CASE WHEN quality < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq_dropped
+       |  FROM ded GROUP BY reporting_date),
+       |packed AS (
+       |  SELECT *, row_number() OVER (PARTITION BY reporting_date
+       |           ORDER BY issuer NULLS FIRST, shares NULLS FIRST,
+       |                    value_usd NULLS FIRST, pct_net_assets NULLS FIRST,
+       |                    doc_id) AS rn
+       |  FROM ded WHERE quality >= 2),
+       |chunks AS (
+       |  SELECT reporting_date, CAST((rn - 1) // $PackCap AS BIGINT) AS chunk_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_holdings,
+       |         CAST(SUM(quality) AS BIGINT) AS sum_quality
+       |  FROM packed GROUP BY 1, 2)
+       |SELECT c.reporting_date, c.chunk_id, c.n_holdings, c.sum_quality,
+       |       l.n_source_rows, l.n_dup_folded, l.n_lowq_dropped
+       |FROM chunks c JOIN led l USING (reporting_date)
+       |ORDER BY c.reporting_date, c.chunk_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x_pipeline_e2e" -> pipelineE2eOracle,
     "x_extract_holdings" -> holdingsOracle,
     "x_extract_holdings_gen" -> holdingsOracle,
     "x_doc_source" -> docSourceOracle,

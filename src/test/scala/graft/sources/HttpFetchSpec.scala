@@ -114,6 +114,31 @@ class HttpFetchSpec extends AnyFunSuite {
     assert(empty.count() == 0, "unreachable funds must yield an empty index")
   }
 
+  test("flagship pipeline over loopback HTTP ≡ the offline corpus scan") {
+    import s.implicits._
+    val dir = DocStage.ensureStaged(s, sf)
+    val files = Option(new File(dir).listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("doc_")).map(_.getName).sorted.toSeq
+    assert(files.nonEmpty, "staged corpus must exist")
+    withFixtureServer(dir) { port =>
+      val idRe = """doc_(\d+)\.html""".r
+      val urls = files.map { name =>
+        val idRe(id) = name: @unchecked
+        (id.toLong, s"http://127.0.0.1:$port/$name")
+      }
+      val docs = HttpFetch.fetch(s.createDataset(urls).repartition(4))
+        .filter(col("status") === 200)
+        .select(col("doc_id"), col("body").as("value"))
+      val online = graft.operators.Extraction
+        .pipelineE2eFromDocs(s, sf, docs).collect().toSeq
+      val offline = graft.operators.Extraction
+        .queries("x_pipeline_e2e")(s, sf).collect().toSeq
+      assert(online == offline,
+        s"online flagship diverged: ${online.size} vs ${offline.size} rows")
+      assert(online.nonEmpty, "flagship must produce chunks")
+    }
+  }
+
   test("transient 5xx recovers via bounded backoff; permanent failures still degrade per-row") {
     import s.implicits._
     // counts per path, so the retry discipline is observable: how many
