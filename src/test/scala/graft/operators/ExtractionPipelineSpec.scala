@@ -32,9 +32,19 @@ class ExtractionPipelineSpec extends AnyFunSuite {
   }
 
   test("wholetext doc source yields exactly the in-plan corpus result") {
-    val a = Extraction.extractHoldings(s, sf).collect().toSeq
+    import s.implicits._
+    // the staged layout demo is a deterministic half-slice of the corpus
+    // (DocStage.DocSliceMod); the in-plan reference applies the same slice
+    val cols = Seq("reporting_date", "issuer", "shares", "value_usd", "pct_net_assets")
+    val a = graft.sources.FilingDocs.docs(s, sf)
+      .filter(_._1 % graft.sources.DocStage.DocSliceMod == 0)
+      .flatMap { case (_, doc) => graft.extract.NportKernel.extractRows(doc) }
+      .toDF()
+      .select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*)
+      .collect().toSeq
     val b = Extraction.docSourceHoldings(s, sf).collect().toSeq
-    assert(a == b)
+    assert(a.nonEmpty && a == b)
   }
 
   test("Generator form plans a Generate node and matches the flatMap form row-for-row") {
