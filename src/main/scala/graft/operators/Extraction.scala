@@ -214,13 +214,14 @@ object Extraction {
     * list, one kernel pass, one exact-dedup shuffle on the natural key,
     * one window per date — no driver data, no corpus re-scan. */
   def pipelineE2e(s: SparkSession, d: String): DataFrame = {
-    val dir = DocStage.ensureStaged(s, d)
-    val docs = s.read.option("wholetext", "true").text(dir)
-      .select(
-        regexp_extract(col("_metadata.file_name"), "doc_(\\d+)\\.html$", 1)
-          .cast("long").as("doc_id"),
-        col("value"))
-    pipelineE2eFromDocs(s, d, docs)
+    // the pipeline COMPOSES the layout fix: it reads the compacted
+    // corpus (4 parquet files, doc_id carried as a column), not the
+    // one-file-per-doc layout whose tax x_doc_source exists to
+    // demonstrate — production never leaves a crawl in per-doc small
+    // files before a full-corpus pass
+    val path = DocStage.ensureCompacted(s, d)
+    pipelineE2eFromDocs(s, d,
+      s.read.parquet(path).select(col("doc_id"), col("value")))
   }
 
   /** Stages 1 + 3-6 of [[pipelineE2e]] over an explicit (doc_id, value)

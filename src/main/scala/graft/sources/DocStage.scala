@@ -63,8 +63,12 @@ object DocStage {
     dir
   }
 
+  // h2i = half-slice corpus, id-carrying schema (doc_id, value) — the
+  // flagship pipeline joins the fetch list against doc identity, so the
+  // compacted form keeps it as a column (the filename carried it in the
+  // per-doc layout)
   def compactDir(sfDir: String): String =
-    "/tmp/graft_stage/docs_compact_h2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_stage/docs_compact_h2i_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** The COMPACTED twin of the one-file-per-doc corpus: the same document
     * bodies packed into a handful of parquet files — the `k_compaction`
@@ -84,7 +88,12 @@ object DocStage {
     val dir = compactDir(sfDir)
     val path = dir + "/docs"
     graft.Staging.ensure(dir, Seq(s"$sfDir/orders.parquet")) {
+      import org.apache.spark.sql.functions._
       s.read.option("wholetext", "true").text(src)
+        .select(
+          regexp_extract(col("_metadata.file_name"), "doc_(\\d+)\\.html$", 1)
+            .cast("long").as("doc_id"),
+          col("value"))
         .repartition(CompactFiles)
         .write.mode("overwrite").parquet(path)
     }: Unit
