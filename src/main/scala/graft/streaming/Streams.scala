@@ -2261,30 +2261,30 @@ object Streams {
     * submission order decides the makespan — alphabetical order put every
     * heavy `e_stream_*` replay in the pool's SECOND wave (r17 driver board:
     * replay_total 26.9 s with the four heaviest finishing last). Weights
-    * are the r17 contended replay_sec RANKING (the ranking is stable
+    * are the r18 contended replay_sec RANKING (the ranking is stable
     * round-to-round even though the absolute times are contention-
     * dependent); an unlisted replay defaults to mid-weight. Scheduling
     * only — weights never affect results or timing measurement. */
   def replayWeight(name: String): Double = replayWeights.getOrElse(name, 7.0)
 
-  private val replayWeights: Map[String, Double] = Map(
-    "e_debounce_stream" -> 17.5, "e_stream_pipeline" -> 17.0,
-    "e_stream_join_outer" -> 15.6, "e_stream_join_full" -> 14.2,
-    "e_funnel_stream" -> 11.4, "e_stream_merge" -> 10.9,
-    "e_bottomk_stream" -> 9.9, "e_bitmap_stream" -> 9.9,
-    "e_stream_upsert" -> 9.7, "e_window_agg_stream" -> 9.7,
-    "d_lsh_dedup_stream" -> 9.5, "e_kmv_stream" -> 9.5,
-    "e_dead_letter" -> 9.4, "e_stream_join" -> 9.3,
-    "e_rate_limit_ttl" -> 9.1, "e_sessionize_stream" -> 8.8,
-    "d_dedup_stream_rocksdb" -> 8.3, "d_dedup_stream" -> 8.2,
-    "d_dedup_stream_wm" -> 8.0, "e_idempotent_sink" -> 7.7,
-    "e_late_data_audit" -> 7.6, "e_topk_stream" -> 7.1,
-    "e_filing_stream_backfill" -> 6.8, "e_filing_stream_paced" -> 6.8,
-    "e_sliding_agg_stream" -> 6.5, "e_stream_enrich_scd" -> 6.4,
-    "e_dsv2_stream_sink" -> 6.4, "e_stream_cusum" -> 6.2,
-    "e_filing_stream" -> 5.6, "e_stream_asof" -> 5.6,
-    "e_rate_limit_stream" -> 4.9, "e_stream_enrich" -> 4.2,
-    "e_stream_expectations" -> 2.1)
+  private[streaming] val replayWeights: Map[String, Double] = Map(
+    "e_stream_pipeline" -> 14.4, "e_debounce_stream" -> 12.6,
+    "e_rate_limit_ttl" -> 12.5, "e_sessionize_stream" -> 11.4,
+    "e_stream_join_full" -> 11.3, "e_funnel_stream" -> 11.2,
+    "e_stream_merge" -> 10.8, "e_window_agg_stream" -> 10.2,
+    "e_bottomk_stream" -> 10.0, "e_bitmap_stream" -> 9.6,
+    "e_stream_upsert" -> 9.55, "e_stream_join" -> 9.5,
+    "e_stream_join_outer" -> 9.4, "e_kmv_stream" -> 9.3,
+    "e_dead_letter" -> 9.1, "d_lsh_dedup_stream" -> 8.6,
+    "e_topk_stream" -> 4.9, "d_dedup_stream_wm" -> 4.7,
+    "e_sliding_agg_stream" -> 4.67, "e_late_data_audit" -> 4.6,
+    "d_dedup_stream_rocksdb" -> 4.4, "d_dedup_stream" -> 4.3,
+    "e_idempotent_sink" -> 4.0, "e_stream_cusum" -> 3.9,
+    "e_stream_enrich_scd" -> 3.7, "e_filing_stream_paced" -> 3.53,
+    "e_filing_stream_backfill" -> 3.5, "e_stream_asof" -> 2.8,
+    "e_rate_limit_stream" -> 2.7, "e_stream_enrich" -> 2.33,
+    "e_dsv2_stream_sink" -> 2.3, "e_filing_stream" -> 1.7,
+    "e_stream_expectations" -> 1.4)
 
   /** The sentinel closes EVERY real session, so the streaming result is
     * exactly the batch sessionization with `end = last event + gap` —

@@ -311,4 +311,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
     } finally q.stop()
   }
+
+  test("replay scheduling weights stay in lock-step with the replay set") {
+    // the LPT submission order only packs well if the static cost map
+    // tracks the actual replay set: no stale keys (a removed replay
+    // lingering in the map), no unranked replays (a new replay silently
+    // defaulting to mid-weight would be invisible otherwise)
+    val weights = Streams.replayWeights.keySet
+    val replays = Streams.queries.keySet
+    assert(weights.subsetOf(replays),
+      s"stale weight entries: ${(weights -- replays).mkString(", ")}")
+    assert(replays.subsetOf(weights),
+      s"unranked replays (add a weight for LPT packing): ${(replays -- weights).mkString(", ")}")
+  }
 }
