@@ -234,15 +234,21 @@ object Extraction {
     val nportCiks = FilingIndex.filingIndex(s, d)
       .select(col("cik").cast("long").as("doc_id")).distinct()
     val fetched = docs.join(broadcast(nportCiks), Seq("doc_id"), "leftsemi")
+    // persisted: the retry-union reads it twice and re-extraction is the
+    // pipeline's expensive stage — without the pin the kernel ran 4×
+    // (the self-union doubled the extract subtree and the ledger join
+    // re-executed the double; caught by plan audit). O(holdings) rows.
     val extracted = fetched.as[(Long, String)]
       .flatMap { case (id, doc) =>
         NportKernel.extractRows(doc).map(h =>
           (id, h.reporting_date, h.issuer, h.shares, h.value_usd, h.pct_net_assets))
       }
       .toDF("doc_id", "reporting_date", "issuer", "shares", "value_usd", "pct_net_assets")
+      .persist()
     val keyCols = Seq("doc_id", "reporting_date", "issuer", "shares",
       "value_usd", "pct_net_assets")
-    // retry traffic in, exact dedup out — n_copies is the fold ledger
+    // retry traffic in, exact dedup out — n_copies is the fold ledger.
+    // Persisted too: the ledger and the pack both consume it.
     val deduped = extracted.unionByName(extracted)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_copies"))
@@ -250,6 +256,7 @@ object Extraction {
         Seq("issuer", "shares", "value_usd", "pct_net_assets")
           .map(c => when(col(c).isNotNull, 1).otherwise(0))
           .reduce(_ + _))
+      .persist()
     val ledger = deduped.groupBy(col("reporting_date")).agg(
       sum(col("n_copies")).as("n_source_rows"),
       sum(col("n_copies") - 1).as("n_dup_folded"),
