@@ -2122,6 +2122,119 @@ object Similarity {
     incAnnProbe(s, d, cents, assignNearest(emb(s, d), cents))
   }
 
+  // ---- Diversity-aware selection: MMR rerank + greedy k-center coreset.
+  // Both are the data-CURATION side of similarity search: MMR picks a
+  // small result set that is relevant AND mutually dissimilar (the RAG
+  // context-window packer's dial); k-center picks corpus representatives
+  // maximizing coverage (the D4-style diversification/pruning pass). ----
+
+  private[operators] val MmrPool = 10
+  private[operators] val MmrK = 5
+
+  /** `v_mmr_rerank` — Maximal Marginal Relevance over the staged exact
+    * top-[[MmrPool]] candidate pool: greedily pick [[MmrK]] results per
+    * query, each step's winner maximizing `0.5·rel − 0.5·max-sim-to-
+    * already-picked` (λ = 1/2; ties by vec_id asc). Pure top-k repeats
+    * near-duplicate hits; MMR is the standard fix when the k results
+    * feed a context window.
+    *
+    * Scale shape: the candidate pool is Q×[[MmrPool]] ids read from the
+    * staged truth table; ONE corpus scan attaches their embeddings
+    * (pool broadcast, semi-join side); the pairwise-sim table
+    * (Q×C×(C−1) rows) and each greedy pick are localCheckpoint-pinned
+    * BOUNDED frames — the k-step unroll never re-touches the corpus.
+    * All doubles are the shared fold/`list_reduce` cosine, so the
+    * greedy trajectory is bit-identical cross-engine. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    // single-partition pins: every frame below is bounded (≤ Q×C²), so
+    // the k-step unroll should run 1-task jobs, not 32-partition shuffles
+    val cand = stagedExactTopKDeep(s, d).filter(col("rank") <= MmrPool)
+      .select(col("q_id"), col("vec_id"), col("cosine").as("rel"))
+      .coalesce(1).localCheckpoint() // bounded: Q × MmrPool rows
+    val candV = emb(s, d).select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand.select(col("q_id"), col("vec_id"))), Seq("vec_id"))
+    val aSide = candV.select(col("q_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val bSide = candV.select(col("q_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val pairs = aSide.join(bSide, Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        cosineF(col("a_emb"), col("b_emb")).as("sim"))
+      .coalesce(1).localCheckpoint() // bounded: Q × MmrPool × (MmrPool−1) rows
+    val w = Window.partitionBy(col("q_id"))
+    var picked = cand
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("rel").desc, col("vec_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("step", lit(1))
+      .coalesce(1).localCheckpoint() // bounded: Q rows per step, ≤ Q × MmrK total
+    for (t <- 2 to MmrK) {
+      val ms = pairs
+        .join(picked.select(col("q_id"), col("vec_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id")).agg(max(col("sim")).as("maxsim"))
+        .withColumnRenamed("a_id", "vec_id")
+      val pick = cand
+        .join(picked.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+        .join(ms, Seq("q_id", "vec_id"))
+        .withColumn("score", lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), lit(t).as("step"))
+      picked = picked.unionByName(pick).coalesce(1).localCheckpoint()
+    }
+    picked.select(col("q_id"), col("step"), col("vec_id"), col("rel"))
+      .orderBy("q_id", "step")
+  }
+
+  private[operators] val KCenterK = 5
+
+  /** `v_kcenter_coreset` — greedy k-center (Gonzalez 2-approximation)
+    * corpus representative selection: seed at MIN(vec_id), then
+    * [[KCenterK]]−1 rounds each picking the point FARTHEST from the
+    * selected set (max of min squared L2; ties by vec_id asc). The
+    * output ledger is (step, vec_id, mind2) — mind2 is the coverage
+    * radius² the step closed, NULL for the seed; the classic invariant
+    * (the radius sequence never increases) is spec-pinned.
+    *
+    * Scale shape: each round is ONE full-corpus aggregation with NO
+    * shuffle — the ≤k selected vectors travel as a broadcast literal,
+    * per-row min-distance folds into a single global max(struct(...))
+    * argmax (map-side partial agg, one row out). k−1 bounded 1-row
+    * driver syncs total, the documented frontier discipline (NSW beam,
+    * IVF codebooks). Distances are scaled-integer ([[CentroidScale]])
+    * squared L2 — integer-exact, so the greedy trajectory is
+    * bit-identical cross-engine. */
+  def kcenterCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sv = emb(s, d).select(col("vec_id"), scaledCol(col("embedding")).as("sv"))
+    val seed = sv.orderBy(col("vec_id").asc).limit(1)
+      .collect()(0) // bounded sync #1: the 1-row seed
+    var selected: Vector[(Int, Long, Option[Long], Seq[Long])] =
+      Vector((1, seed.getLong(0), None, seed.getSeq[Long](1)))
+    for (t <- 2 to KCenterK) {
+      val selVecs = typedlit(selected.map(_._4))
+      val selIds = selected.map(_._2)
+      val mind2 = array_min(transform(selVecs, sel => intD2(col("sv"), sel)))
+      // argmax by (mind2 desc, vec_id asc): struct max compares mind2
+      // first, then -vec_id (unique, so the sv payload never compares)
+      val far = sv.filter(!col("vec_id").isin(selIds: _*))
+        .select(struct(mind2.as("mind2"), (-col("vec_id")).as("nid"),
+          col("sv").as("sv")).as("c"))
+        .agg(max(col("c")).as("m"))
+        .select(col("m.mind2"), (-col("m.nid")).as("vec_id"), col("m.sv"))
+        .collect()(0) // bounded sync: one argmax row per round
+      selected = selected :+
+        ((t, far.getLong(1), Some(far.getLong(0)), far.getSeq[Long](2)))
+    }
+    selected.map { case (step, id, mind2, _) => (step, id, mind2) }
+      .toDF("step", "vec_id", "mind2")
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_incremental_ann" -> (incrementalAnn _),
     "v_ann_filtered" -> (annFiltered _),
@@ -2155,6 +2268,8 @@ object Similarity {
     "v_lsh_candidates" -> (embedLshCandidates _),
     "v_triplets" -> (triplets _),
     "v_poisoned_lsh" -> (poisonedLshBands _),
+    "v_mmr_rerank" -> (mmrRerank _),
+    "v_kcenter_coreset" -> (kcenterCoreset _),
   )
 
   private[operators] val sqlCos = {
@@ -3387,7 +3502,90 @@ object Similarity {
          |SELECT pos.anchor, pos.positive, pos.pos_cosine, neg.negative, neg.neg_cosine
          |FROM pos JOIN neg USING (anchor)
          |ORDER BY anchor""".stripMargin,
+    "v_mmr_rerank" -> mmrRerankOracle,
+    "v_kcenter_coreset" -> kcenterCoresetOracle,
   )
+
+  /** The greedy MMR trajectory fully unrolled (the NSW/pagerank house
+    * pattern): exact top-[[MmrPool]] pool, candidate pairwise cosines,
+    * then one (selN, cumN) CTE pair per greedy step — each step's argmax
+    * over `0.5·rel − 0.5·maxsim` with the (score desc, vec_id asc) tie
+    * order, maxsim taken against the cumulative picks. Doubles are the
+    * shared fold/`list_reduce` cosine, bit-identical to the Spark path. */
+  private lazy val mmrRerankOracle: String = {
+    val steps = (2 to MmrK).map { t =>
+      s"""ms$t AS (
+         |  SELECT p.q_id, p.a_id AS vec_id, MAX(p.sim) AS maxsim
+         |  FROM pairs p JOIN cum${t - 1} s ON s.q_id = p.q_id AND s.vec_id = p.b_id
+         |  GROUP BY p.q_id, p.a_id),
+         |sel$t AS (
+         |  SELECT q_id, vec_id, rel, CAST($t AS INT) AS step FROM (
+         |    SELECT c.q_id, c.vec_id, c.rel,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY (0.5 * c.rel - 0.5 * m.maxsim) DESC, c.vec_id ASC) AS rn
+         |    FROM cand c JOIN ms$t m ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM cum${t - 1} s
+         |                      WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)) z
+         |  WHERE rn = 1),
+         |cum$t AS (SELECT * FROM cum${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, ${sqlCos("e.embedding", "q.q_emb")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id, rel FROM (
+       |    SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rel DESC, vec_id ASC) AS rn
+       |    FROM scored) t WHERE rn <= $MmrPool),
+       |pairs AS (
+       |  SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |         ${sqlCos("ea.embedding", "eb.embedding")} AS sim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |sel1 AS (
+       |  SELECT q_id, vec_id, rel, CAST(1 AS INT) AS step FROM (
+       |    SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rel DESC, vec_id ASC) AS rn FROM cand) t WHERE rn = 1),
+       |cum1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT q_id, step, vec_id, rel FROM cum$MmrK ORDER BY q_id, step""".stripMargin
+  }
+
+  /** Greedy k-center unrolled: scaled-integer vectors (the NSW `sv`
+    * CTE), MIN(vec_id) seed, then per round the exact integer min-d²
+    * table against the cumulative picks and its (mind2 desc, vec_id asc)
+    * argmax. SUM over BIGINT is HUGEINT in DuckDB — mind2 CAST back to
+    * BIGINT to match Spark's LongType. */
+  private lazy val kcenterCoresetOracle: String = {
+    val steps = (2 to KCenterK).map { t =>
+      s"""p$t AS (
+         |  SELECT a.vec_id AS pid, c.vec_id AS sid,
+         |         SUM((a.e - b.e) * (a.e - b.e)) AS d2
+         |  FROM cum${t - 1} c
+         |  JOIN sv b ON b.vec_id = c.vec_id
+         |  JOIN sv a ON a.dim = b.dim
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM cum${t - 1})
+         |  GROUP BY a.vec_id, c.vec_id),
+         |n$t AS (SELECT pid AS vec_id, CAST(MIN(d2) AS BIGINT) AS mind2
+         |        FROM p$t GROUP BY pid),
+         |sel$t AS (
+         |  SELECT CAST($t AS INT) AS step, vec_id, mind2 FROM (
+         |    SELECT vec_id, mind2,
+         |           row_number() OVER (ORDER BY mind2 DESC, vec_id ASC) AS rn
+         |    FROM n$t) z WHERE rn = 1),
+         |cum$t AS (SELECT * FROM cum${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sv AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |       FROM embeddings),
+       |sel1 AS (SELECT CAST(1 AS INT) AS step, MIN(vec_id) AS vec_id,
+       |                CAST(NULL AS BIGINT) AS mind2 FROM sv),
+       |cum1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT step, vec_id, mind2 FROM cum$KCenterK ORDER BY step""".stripMargin
+  }
 
   private lazy val lshCandidatesOracleBody: String =
       s"""WITH hpv AS (
