@@ -2081,8 +2081,12 @@ object Similarity {
     val (cPath, pPath) = ensureIncAnnStaged(s, d)
     val frozen = s.read.parquet(cPath)
     def scenario(name: String, isDelta: Column): (String, Long, Long, Long, String, Long, Long) = {
-      val baseN = emb(s, d).filter(!isDelta).count()
-      val deltaN = emb(s, d).filter(isDelta).count()
+      // both regime counts in ONE corpus pass (conditional sums), not two
+      val cnt = emb(s, d).agg(
+        sum(when(isDelta, 0L).otherwise(1L)).as("base_n"),
+        sum(when(isDelta, 1L).otherwise(0L)).as("delta_n")).collect()(0)
+      val baseN = cnt.getLong(0)
+      val deltaN = cnt.getLong(1)
       val ratioPct = deltaN * 100L / baseN
       val decision = if (ratioPct <= RebalanceThresholdPct) "append" else "rebuild"
       val builds = incAnnBuildCount.get()
@@ -2190,6 +2194,59 @@ object Similarity {
       .orderBy("q_id", "step")
   }
 
+  // The MMR selection is a pure corpus function (fixed probe set, staged
+  // pool, deterministic greedy) — the eval overlay reads it STAGED (the
+  // stagedEvalResults discipline) instead of re-running the greedy chain
+  // per overlay; the live unroll stays measured in `v_mmr_rerank` itself.
+  private[operators] val mmrBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def mmrStageDir(sfDir: String): String =
+    s"/tmp/graft_stage/mmr_p${MmrPool}_k${MmrK}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private[operators] def ensureMmrStaged(s: SparkSession, d: String): String = {
+    val dir = mmrStageDir(d)
+    graft.Staging.ensure(dir, Seq(s"$d/embeddings.parquet")) {
+      mmrBuildCount.incrementAndGet()
+      mmrRerank(s, d).write.mode("overwrite").parquet(dir + "/picks")
+    }: Unit
+    dir + "/picks"
+  }
+
+  /** `v_mmr_gain` — the eval overlay for [[mmrRerank]] (the recall/MRR
+    * harness discipline): per method, mean relevance and mean intra-list
+    * pairwise cosine of the final 5-list — MMR against the pure-relevance
+    * exact top-5. The two-row ledger quantifies the trade the reranker
+    * buys: lower redundancy (mean_intra_sim) at a small mean_rel cost;
+    * the direction of both inequalities is spec-pinned. Bounded overlay:
+    * the lists are Q×K rows (MMR's read STAGED — see above), ONE corpus
+    * scan attaches member embeddings, means are decimal-exact
+    * ([[graft.QueryDsl.davg]]). */
+  def mmrGain(s: SparkSession, d: String): DataFrame = {
+    val mmr = s.read.parquet(ensureMmrStaged(s, d))
+      .select(lit("mmr").as("method"), col("q_id"), col("vec_id"), col("rel"))
+    val topk = stagedExactTopK(s, d)
+      .select(lit("topk").as("method"), col("q_id"), col("vec_id"),
+        col("cosine").as("rel"))
+    val lists = mmr.unionByName(topk).coalesce(1).localCheckpoint() // 2×Q×K rows
+    val withV = emb(s, d).select(col("vec_id"), col("embedding"))
+      .join(broadcast(lists.select(col("method"), col("q_id"), col("vec_id"))),
+        Seq("vec_id"))
+    val aSide = withV.select(col("method"), col("q_id"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val bSide = withV.select(col("method"), col("q_id"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val pairSim = aSide.join(bSide, Seq("method", "q_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("method"), cosineF(col("a_emb"), col("b_emb")).as("sim"))
+    val simAgg = pairSim.groupBy(col("method"))
+      .agg(graft.QueryDsl.davg(col("sim")).as("mean_intra_sim"))
+    val relAgg = lists.groupBy(col("method"))
+      .agg(count(lit(1)).as("n_rows"), graft.QueryDsl.davg(col("rel")).as("mean_rel"))
+    relAgg.join(simAgg, Seq("method"))
+      .select(col("method"), col("n_rows"), col("mean_rel"), col("mean_intra_sim"))
+      .orderBy("method")
+  }
+
   private[operators] val KCenterK = 5
 
   /** `v_kcenter_coreset` — greedy k-center (Gonzalez 2-approximation)
@@ -2269,6 +2326,7 @@ object Similarity {
     "v_triplets" -> (triplets _),
     "v_poisoned_lsh" -> (poisonedLshBands _),
     "v_mmr_rerank" -> (mmrRerank _),
+    "v_mmr_gain" -> (mmrGain _),
     "v_kcenter_coreset" -> (kcenterCoreset _),
   )
 
@@ -3503,6 +3561,7 @@ object Similarity {
          |FROM pos JOIN neg USING (anchor)
          |ORDER BY anchor""".stripMargin,
     "v_mmr_rerank" -> mmrRerankOracle,
+    "v_mmr_gain" -> mmrGainOracle,
     "v_kcenter_coreset" -> kcenterCoresetOracle,
   )
 
@@ -3512,7 +3571,9 @@ object Similarity {
     * over `0.5·rel − 0.5·maxsim` with the (score desc, vec_id asc) tie
     * order, maxsim taken against the cumulative picks. Doubles are the
     * shared fold/`list_reduce` cosine, bit-identical to the Spark path. */
-  private lazy val mmrRerankOracle: String = {
+  /** The full MMR greedy chain as a WITH body (ends at `cum[[MmrK]]`) so
+    * both the rerank oracle and the gain overlay embed the same CTEs. */
+  private lazy val mmrChainCtes: String = {
     val steps = (2 to MmrK).map { t =>
       s"""ms$t AS (
          |  SELECT p.q_id, p.a_id AS vec_id, MAX(p.sim) AS maxsim
@@ -3549,9 +3610,39 @@ object Similarity {
        |    SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id
        |           ORDER BY rel DESC, vec_id ASC) AS rn FROM cand) t WHERE rn = 1),
        |cum1 AS (SELECT * FROM sel1),
-       |$steps
-       |SELECT q_id, step, vec_id, rel FROM cum$MmrK ORDER BY q_id, step""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private lazy val mmrRerankOracle: String =
+    s"""$mmrChainCtes
+       |SELECT q_id, step, vec_id, rel FROM cum$MmrK ORDER BY q_id, step""".stripMargin
+
+  /** [[mmrChainCtes]] extended with the pure-relevance top-[[K]] list and
+    * per-method decimal-exact means over relevance and intra-list
+    * pairwise cosine. */
+  private lazy val mmrGainOracle: String =
+    s"""$mmrChainCtes,
+       |lists AS (
+       |  SELECT 'mmr' AS method, q_id, vec_id, rel FROM cum$MmrK
+       |  UNION ALL
+       |  SELECT 'topk' AS method, q_id, vec_id, rel FROM (
+       |    SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rel DESC, vec_id ASC) AS rn FROM cand) t
+       |  WHERE rn <= $K),
+       |ps AS (
+       |  SELECT l1.method, ${sqlCos("ea.embedding", "eb.embedding")} AS sim
+       |  FROM lists l1 JOIN lists l2
+       |    ON l1.method = l2.method AND l1.q_id = l2.q_id AND l1.vec_id < l2.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = l1.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = l2.vec_id),
+       |sa AS (SELECT method, ${graft.QueryDsl.sqlDavg("sim")} AS mean_intra_sim
+       |       FROM ps GROUP BY method)
+       |SELECT l.method, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       ${graft.QueryDsl.sqlDavg("l.rel")} AS mean_rel,
+       |       sa.mean_intra_sim
+       |FROM lists l JOIN sa ON sa.method = l.method
+       |GROUP BY l.method, sa.mean_intra_sim
+       |ORDER BY l.method""".stripMargin
 
   /** Greedy k-center unrolled: scaled-integer vectors (the NSW `sv`
     * CTE), MIN(vec_id) seed, then per round the exact integer min-d²

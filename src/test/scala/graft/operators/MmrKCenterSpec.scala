@@ -75,6 +75,25 @@ class MmrKCenterSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR stage builds once per corpus; overlay reruns don't re-run the greedy chain") {
+    Similarity.mmrGain(s, sf).collect(): Unit
+    val builds = Similarity.mmrBuildCount.get()
+    Similarity.mmrGain(s, sf).collect(): Unit
+    assert(Similarity.mmrBuildCount.get() == builds,
+      "second mmrGain run rebuilt the staged MMR picks")
+  }
+
+  test("MMR gain ledger: less redundancy than top-k, at most its relevance") {
+    val rows = Similarity.mmrGain(s, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val (mmrRel, mmrSim) = rows("mmr")
+    val (topRel, topSim) = rows("topk")
+    assert(mmrSim < topSim,
+      f"MMR did not reduce intra-list similarity: $mmrSim%.4f vs $topSim%.4f")
+    assert(mmrRel <= topRel,
+      f"MMR relevance exceeds pure top-k's (impossible): $mmrRel%.4f vs $topRel%.4f")
+  }
+
   private lazy val kc = Similarity.kcenterCoreset(s, sf).collect()
 
   test("k-center: distinct picks, MIN(vec_id) seed, null radius only at the seed") {
