@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-cleaning operators — the C4/RefinedWeb-style passes a training
@@ -529,7 +530,45 @@ object CorpusClean {
       .filter(col("n_docs") > 1)
       .orderBy("chunk_md5")
 
+  // ---- k-anonymity release gate. ----
+
+  private val AnonK = 5
+
+  /** `t_k_anonymity` — the data-RELEASE side of the PII family: before a
+    * corpus ships with per-document metadata attached, every
+    * quasi-identifier equivalence class — here (lang, source,
+    * 100-char length bucket), the standard "harmless columns that
+    * re-identify in combination" — must hold at least [[AnonK]]
+    * documents. Groups that fail try one GENERALIZATION step (drop
+    * `source`, widen the bucket ×4 — the ladder's coarser cell is
+    * derivable from the fine cell because 400 = 4×100, so no second
+    * corpus pass); groups whose generalized cell still has < k docs are
+    * suppressed. Output is the per-group action ledger (release /
+    * generalize / suppress) with both class sizes.
+    *
+    * Scale shape: ONE corpus scan into the fine-grained groupBy; the
+    * generalized class size is a window over the BOUNDED group domain
+    * (∝ QI cardinality, never rows) — the `t_ks_drift` discipline.
+    * All counts integer, so the ledger is hash-exact. */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("wide_bucket"))
+    docs(s, d)
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wide_bucket", floor(col("len_bucket") / 4).cast("long"))
+      .withColumn("n_docs_gen", sum(col("n_docs")).over(w))
+      .withColumn("action",
+        when(col("n_docs") >= AnonK, "release")
+          .when(col("n_docs_gen") >= AnonK, "generalize")
+          .otherwise("suppress"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"),
+        col("n_docs_gen"), col("action"))
+      .orderBy("lang", "source", "len_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_k_anonymity" -> (kAnonymity _),
     "t_line_dedup" -> (lineDedup _),
     "t_cdc_chunks" -> (cdcChunks _),
     "t_cdc_chunks_gen" -> (cdcChunksGen _),
@@ -586,6 +625,24 @@ object CorpusClean {
        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // fine-grained QI classes, generalized class size as a window over
+    // the group domain, the three-way release verdict; window-SUM is
+    // HUGEINT in DuckDB — cast back to BIGINT
+    "t_k_anonymity" ->
+      s"""WITH l0 AS (
+         |  SELECT lang, source, n_chars // 100 AS len_bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1, 2, 3),
+         |g AS (
+         |  SELECT *, CAST(SUM(n_docs) OVER (
+         |           PARTITION BY lang, len_bucket // 4) AS BIGINT) AS n_docs_gen
+         |  FROM l0)
+         |SELECT lang, source, len_bucket, n_docs, n_docs_gen,
+         |       CASE WHEN n_docs >= $AnonK THEN 'release'
+         |            WHEN n_docs_gen >= $AnonK THEN 'generalize'
+         |            ELSE 'suppress' END AS action
+         |FROM g
+         |ORDER BY lang NULLS FIRST, source NULLS FIRST, len_bucket NULLS FIRST""".stripMargin,
     // same synthesis, same string-level canonicalization: lowered
     // scheme/host, www stripped, query dropped, trailing slash trimmed
     "t_url_canonical" ->

@@ -10,6 +10,35 @@ class CorpusCleanSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("kAnonymity ≡ an independent driver-side replay; verdict rule sound") {
+    val docs = graft.Tables.documents(s, sf)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val fine = docs.groupBy { case (l, src, n) => (l, src, n / 100) }
+      .view.mapValues(_.length.toLong).toMap
+    val wide = docs.groupBy { case (l, _, n) => (l, n / 400) }
+      .view.mapValues(_.length.toLong).toMap
+    val out = CorpusClean.kAnonymity(s, sf).collect()
+    assert(out.length == fine.size, "one ledger row per fine QI class")
+    // every document lands in exactly one ledger row
+    assert(out.map(_.getLong(3)).sum == docs.length)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getLong(2))
+      val gKey = (key._1, key._3 / 4)
+      assert(r.getLong(3) == fine(key), s"$key: wrong class size")
+      assert(r.getLong(4) == wide(gKey), s"$key: wrong generalized size")
+      val expect =
+        if (r.getLong(3) >= 5) "release"
+        else if (r.getLong(4) >= 5) "generalize"
+        else "suppress"
+      assert(r.getString(5) == expect, s"$key: wrong action")
+    }
+    // the gate must be live in both directions at this corpus
+    val actions = out.map(_.getString(5)).toSet
+    assert(actions.contains("release") && actions.contains("generalize"),
+      s"fixture exercises only $actions — thresholds never both fire")
+  }
+
   test("lineDedup drops shared lines, keeps untouched docs verbatim") {
     val heavy = CorpusClean.heavyLines(s, sf).collect().map(_.getString(0)).toSet
     val out = CorpusClean.lineDedup(s, sf).cache()
