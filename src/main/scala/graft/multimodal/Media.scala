@@ -1075,7 +1075,102 @@ object Media {
       .orderBy("shard", "idx_in_shard")
   }
 
+  // ---- Audio near-dup by energy-delta fingerprint. ----
+
+  private val AudioFpWin = 16
+  private val AudioFpWins = 33 // 32 delta bits = 2 × 16-bit band keys
+  private val AudioFpFrames = AudioFpWin * AudioFpWins
+
+  /** Audio-fingerprint clip table: mono [[AudioFpFrames]]-frame clips for
+    * the doc_id%4==2 bases; sample u(f) = ((v²+v) div 64) % 65536 − 32768
+    * with v = (id·31 + f·17) % 65521 — the [[dhashImageTable]] quadratic
+    * decorrelation, biased into PCM16; PLUS a planted NEAR-DUPLICATE
+    * twin for every doc_id%8==3: the previous id's samples with the
+    * unsigned LSB XOR 1 (±1 amplitude — the requantized/re-encoded-copy
+    * shape of audio dedup corpora; window energies move by ~10⁶ against
+    * adjacent-window gaps of ~10⁹, so the delta fingerprint survives).
+    * Disjoint from the dHash id space (%4==0 ∪ %8==1). All arithmetic
+    * under 2³², so the SQL oracle reproduces every sample in BIGINT. */
+  def audioFpTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 4 === 2 || col("doc_id") % 8 === 3)
+      .as[Long]
+      .map { id =>
+        val b = if (id % 8 == 3) id - 1 else id
+        val x = if (id % 8 == 3) 1 else 0
+        val samples = Array.tabulate[Short](AudioFpFrames) { f =>
+          val v = (b * 31 + f * 17) % 65521
+          val u = ((v * v + v) / 64) % 65536
+          ((u ^ x) - 32768).toShort
+        }
+        (id, WavCodec.encode(8000, 1, samples))
+      }
+  }
+
+  /** Energy-delta fingerprint bands per clip (Haitsma–Kalker shape on
+    * one band): REAL decode of the WAV payload, [[AudioFpWin]]-frame
+    * window energies, bit w set iff e(w) > e(w+1), the 32 bits packed
+    * into two 16-bit band keys — the audio twin of [[dhashBands]].
+    * Integer end to end. */
+  private[multimodal] def audioFpBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioFpTable(s, d)
+      .flatMap { case (id, bytes) =>
+        val a = WavCodec.decode(bytes)
+        require(a.nFrames == AudioFpFrames && a.channels == 1,
+          s"unexpected shape ${a.nFrames}x${a.channels} for clip $id")
+        val e = Array.tabulate(AudioFpWins) { w =>
+          var acc = 0L
+          var k = 0
+          while (k < AudioFpWin) {
+            val sv = a.samples(w * AudioFpWin + k).toLong
+            acc += sv * sv
+            k += 1
+          }
+          acc
+        }
+        val keys = new Array[Long](2)
+        var w = 0
+        while (w < AudioFpWins - 1) {
+          if (e(w) > e(w + 1)) keys(w / 16) |= 1L << (w % 16)
+          w += 1
+        }
+        (0 until 2).map(band => (id, band, keys(band)))
+      }
+      .toDF("id", "band", "key")
+  }
+
+  /** `m_audio_neardup` — AUDIO NEAR-DUP DETECTION by acoustic
+    * fingerprint, the audio arm of the dedup family next to
+    * [[dhashNeardup]]: candidates only where a 16-bit band key matches
+    * exactly (LSH banding, never all-pairs), survivors kept at Hamming
+    * ≤ 4 of 32. The planted requantized twins land at ~0; random band
+    * collisions (birthday-expected at corpus scale) are culled by the
+    * exact distance. Integer end to end → closed-form SQL oracle.
+    *
+    * Scale shape: identical to the image path — band blocking bounds
+    * the join fan-out, the distance check touches banded candidates
+    * only. */
+  def audioNeardup(s: SparkSession, d: String): DataFrame = {
+    val bands = audioFpBands(s, d)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand.join(bands.as("x"), col("id_a") === col("x.id"))
+      .join(bands.as("y"),
+        col("id_b") === col("y.id") && col("x.band") === col("y.band"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(bit_count(col("x.key").bitwiseXOR(col("y.key")))).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_audio_neardup" -> (audioNeardup _),
     "m_pipeline_e2e" -> (pipelineE2e _),
     "m_media_features" -> (mediaFeatures _),
     "m_gif_frames" -> (gifFrames _),
@@ -1358,6 +1453,45 @@ object Media {
     // dHash recomputed closed-form: pixel g = xor((base·31+i)%256, twin),
     // 2×2 block sums, bit k = r·8+c from adjacent-sum compare, four
     // 16-bit band keys, band-blocked candidates, exact Hamming cut
+    // energy-delta fingerprint recomputed closed-form: the generator's
+    // quadratic sample mix, 16-frame window energies, delta bits, two
+    // 16-bit bands, banded candidates, exact hamming
+    "m_audio_neardup" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN doc_id % 8 = 3 THEN doc_id - 1 ELSE doc_id END AS b,
+        |         CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 0 END AS x
+        |  FROM documents WHERE doc_id % 4 = 2 OR doc_id % 8 = 3),
+        |sv AS (
+        |  SELECT id, f,
+        |         xor(((((b * 31 + f * 17) % 65521) * ((b * 31 + f * 17) % 65521)
+        |               + ((b * 31 + f * 17) % 65521)) // 64) % 65536, x) - 32768 AS s
+        |  FROM src, LATERAL (SELECT unnest(range(0, 528)) AS f)),
+        |en AS (
+        |  SELECT id, f // 16 AS w, CAST(SUM(s * s) AS BIGINT) AS e
+        |  FROM sv GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.id, a.w AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en b ON a.id = b.id AND b.w = a.w + 1
+        |  WHERE a.w < 32),
+        |bands AS (
+        |  SELECT id, k // 16 AS band,
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(SUM(bit_count(xor(bx.bkey, by.bkey))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands bx ON bx.id = c.id_a
+        |  JOIN bands by ON by.id = c.id_b AND by.band = bx.band
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     "m_dhash_neardup" ->
       """WITH src AS (
         |  SELECT doc_id AS id,

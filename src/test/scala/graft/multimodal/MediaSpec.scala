@@ -10,6 +10,34 @@ class MediaSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("audio near-dup: every planted twin found at hamming ~0, nothing else survives") {
+    val pairs = Media.audioNeardup(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twins = graft.Tables.documents(s, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).filter(_ % 8 == 3).map(id => (id - 1, id)).toSet
+    assert(twins.nonEmpty, "fixture has no planted audio twins")
+    assert(pairs.map(p => (p._1, p._2)).toSet == twins,
+      "near-dup pairs != the planted twin set (missed twin or random-collision leak)")
+    pairs.foreach { case (a, b, h) =>
+      assert(h <= 4, s"twin ($a,$b) outside the threshold: hamming $h")
+    }
+  }
+
+  test("audio near-dup candidates are band-blocked, never all-pairs") {
+    val bands = Media.audioFpBands(s, sf).cache()
+    try {
+      val n = bands.select(col("id")).distinct().count()
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+      assert(cand < n * (n - 1) / 8,
+        s"banding did not block: $cand candidates for $n clips")
+      // a clip fingerprint is exactly two 16-bit band rows
+      assert(bands.count() == 2 * n)
+    } finally bands.unpersist(): Unit
+  }
+
   test("JPEG decode: real interchange bytes, exact dims, error inside the budget") {
     val rows = Media.jpegDecode(s, sf).collect()
     assert(rows.nonEmpty)
