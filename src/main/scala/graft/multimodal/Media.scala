@@ -1169,7 +1169,105 @@ object Media {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- Video near-dup by temporally-banded frame dHash. ----
+
+  private val VidFpFrames = 4
+  private val VidFpDim = 8 // 8×8 gray frames → 4×4 block grid → 12 delta bits
+
+  /** Video-fingerprint clip table: 4-frame 8×8 grayscale GIF89a clips
+    * for the doc_id%8==5 bases, pixel g = ((v²+v) div 64) % 256 with
+    * v = (b·29 + f·41 + i·17) % 65521 (the [[dhashImageTable]] quadratic
+    * decorrelation — the shipped `gifTable` formula is LINEAR mod 256,
+    * which aliases every frame into one phase-shifted ramp and would
+    * collapse the corpus into a single near-dup class); PLUS a planted
+    * NEAR-DUPLICATE twin for every doc_id%8==7: the id−2 base's frames
+    * with every byte XOR 1 (±1 gray per pixel — the re-encoded-copy
+    * shape). GIF's LZW is lossless, so decoded bytes ARE the formula and
+    * the SQL oracle reproduces every pixel in BIGINT. */
+  def videoFpTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 8 === 5 || col("doc_id") % 8 === 7)
+      .as[Long]
+      .map { id =>
+        val b = if (id % 8 == 7) id - 2 else id
+        val x = if (id % 8 == 7) 1 else 0
+        val frames = (0 until VidFpFrames).map { f =>
+          Array.tabulate(VidFpDim * VidFpDim) { i =>
+            val v = (b * 29 + f * 41 + i * 17) % 65521
+            ((((v * v + v) / 64) % 256).toInt ^ x).toByte
+          }
+        }
+        (id, GifCodec.encode(VidFpDim, VidFpDim, frames))
+      }
+  }
+
+  /** Per-frame dHash keys for the video fingerprint: REAL GIF decode,
+    * 2×2 block sums down to a 4×4 grid, bit k = r·3+c set iff
+    * sum4(r,c) > sum4(r,c+1) (12 bits per frame), the FRAME INDEX as the
+    * band — temporal banding: two clips become candidates iff some
+    * aligned frame's key matches exactly. The [[dhashBands]] discipline
+    * with time playing the band axis. */
+  private[multimodal] def videoFpBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoFpTable(s, d)
+      .flatMap { case (id, bytes) =>
+        val frames = GifCodec.decode(bytes)
+        require(frames.length == VidFpFrames &&
+          frames.head.width == VidFpDim && frames.head.height == VidFpDim,
+          s"unexpected clip shape for $id")
+        frames.zipWithIndex.map { case (fr, f) =>
+          val sum4 = Array.ofDim[Int](4, 4)
+          var i = 0
+          while (i < VidFpDim * VidFpDim) {
+            sum4((i / VidFpDim) / 2)((i % VidFpDim) / 2) += fr.indices(i) & 0xff
+            i += 1
+          }
+          var key = 0L
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 3) {
+              if (sum4(r)(c) > sum4(r)(c + 1)) key |= 1L << (r * 3 + c)
+              c += 1
+            }
+            r += 1
+          }
+          (id, f, key)
+        }
+      }
+      .toDF("id", "band", "key")
+  }
+
+  /** `m_video_neardup` — VIDEO NEAR-DUP DETECTION, the third modality
+    * arm of the dedup family ([[dhashNeardup]] images, [[audioNeardup]]
+    * audio): clips pair only where an aligned frame's 12-bit dHash key
+    * matches exactly, survivors kept at total cross-frame Hamming ≤ 3
+    * of 48. Planted ±1-gray twins land at ≤ 2 (sf0.1: 563×0 / 60×1 /
+    * 2×2) while random frame-key collisions (12-bit keys
+    * birthday-collide freely) sit at ≥ 4 — the threshold splits the two
+    * populations with a one-bit margin on each side. Lossless codec + integer fingerprint → closed-form
+    * SQL oracle. Scale shape: temporal band blocking bounds the join
+    * fan-out; nothing all-pairs. */
+  def videoNeardup(s: SparkSession, d: String): DataFrame = {
+    val bands = videoFpBands(s, d)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand.join(bands.as("x"), col("id_a") === col("x.id"))
+      .join(bands.as("y"),
+        col("id_b") === col("y.id") && col("x.band") === col("y.band"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(bit_count(col("x.key").bitwiseXOR(col("y.key")))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_video_neardup" -> (videoNeardup _),
     "m_audio_neardup" -> (audioNeardup _),
     "m_pipeline_e2e" -> (pipelineE2e _),
     "m_media_features" -> (mediaFeatures _),
@@ -1453,6 +1551,51 @@ object Media {
     // dHash recomputed closed-form: pixel g = xor((base·31+i)%256, twin),
     // 2×2 block sums, bit k = r·8+c from adjacent-sum compare, four
     // 16-bit band keys, band-blocked candidates, exact Hamming cut
+    // per-frame dHash recomputed closed-form: quadratic pixel mix, 2×2
+    // block sums to a 4×4 grid, 12 horizontal-delta bits per frame,
+    // frame index as the band, banded candidates, exact hamming
+    "m_video_neardup" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN doc_id % 8 = 7 THEN doc_id - 2 ELSE doc_id END AS b,
+        |         CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END AS x
+        |  FROM documents WHERE doc_id % 8 = 5 OR doc_id % 8 = 7),
+        |px AS (
+        |  SELECT id, f, i,
+        |         xor(((((b * 29 + f * 41 + i * 17) % 65521)
+        |               * ((b * 29 + f * 41 + i * 17) % 65521)
+        |               + ((b * 29 + f * 41 + i * 17) % 65521)) // 64) % 256, x) AS g
+        |  FROM src,
+        |       LATERAL (SELECT unnest(range(0, 4)) AS f),
+        |       LATERAL (SELECT unnest(range(0, 64)) AS i)),
+        |sums AS (
+        |  SELECT id, f, ((i // 8) // 2) AS r, ((i % 8) // 2) AS c,
+        |         CAST(SUM(g) AS BIGINT) AS s4
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT m1.id, m1.f, m1.r * 3 + m1.c AS k,
+        |         CASE WHEN m1.s4 > m2.s4 THEN 1 ELSE 0 END AS bit
+        |  FROM sums m1 JOIN sums m2
+        |    ON m1.id = m2.id AND m1.f = m2.f AND m1.r = m2.r AND m2.c = m1.c + 1
+        |  WHERE m1.c < 3),
+        |bands AS (
+        |  SELECT id, f AS band,
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(SUM(bit_count(xor(bx.bkey, by.bkey))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands bx ON bx.id = c.id_a
+        |  JOIN bands by ON by.id = c.id_b AND by.band = bx.band
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // energy-delta fingerprint recomputed closed-form: the generator's
     // quadratic sample mix, 16-frame window energies, delta bits, two
     // 16-bit bands, banded candidates, exact hamming

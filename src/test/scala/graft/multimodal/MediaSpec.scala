@@ -10,6 +10,31 @@ class MediaSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("video near-dup: every planted twin found, nothing else survives the threshold") {
+    val pairs = Media.videoNeardup(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twins = graft.Tables.documents(s, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).filter(_ % 8 == 7).map(id => (id - 2, id)).toSet
+    assert(twins.nonEmpty, "fixture has no planted video twins")
+    assert(pairs.map(p => (p._1, p._2)).toSet == twins,
+      "near-dup pairs != the planted twin set")
+    pairs.foreach { case (a, b, h) =>
+      assert(h <= 3, s"twin ($a,$b) outside the threshold: hamming $h")
+    }
+  }
+
+  test("video fingerprint: 4 temporal bands per clip from real GIF decode") {
+    val bands = Media.videoFpBands(s, sf).collect()
+    val byId = bands.groupBy(_.getLong(0))
+    assert(byId.nonEmpty)
+    byId.foreach { case (id, rows) =>
+      assert(rows.length == 4, s"clip $id has ${rows.length} bands")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2, 3))
+      rows.foreach(r => assert((r.getLong(2) & ~0xfffL) == 0L,
+        s"clip $id band key uses more than 12 bits"))
+    }
+  }
+
   test("audio near-dup: every planted twin found at hamming ~0, nothing else survives") {
     val pairs = Media.audioNeardup(s, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
