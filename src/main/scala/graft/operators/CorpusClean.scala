@@ -103,9 +103,9 @@ object CorpusClean {
   // end-to-end under the hash gate. Patterns are written in the
   // Java-regex ∩ RE2 dialect so Spark and DuckDB compile them
   // identically. ----
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
-  private val PhoneRe = "\\+1-555-\\d{4}"
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private[graft] val PhoneRe = "\\+1-555-\\d{4}"
 
   /** text with deterministic PII appended: doc_id%3==0 → email+IP,
     * %3==1 → phone, %3==2 → left clean. */
@@ -127,19 +127,23 @@ object CorpusClean {
     * narrow map: at 100 TB this is exactly one pass over the scan. */
   // slope pin: ~5 at 10x input, drifting toward 10 (regex scan is linear
   // in corpus bytes; sf0.01 leg is overhead-dominated) — see SLOPES.md
-  def piiRedact(s: SparkSession, d: String): DataFrame = {
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedactOf(docs(s, d)).orderBy("doc_id")
+
+  /** The redaction pass over an arbitrary (doc_id, text) frame — lets the
+    * release-gate flagship redact the SURVIVING corpus only (the regex
+    * scan never runs on docs already rejected upstream). */
+  private[graft] def piiRedactOf(df: DataFrame): DataFrame = {
     val t = poisonedText
-    docs(s, d)
-      .select(col("doc_id"),
-        regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
-        regexp_count(t, lit(IpRe)).cast("int").as("n_ips"),
-        regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"),
+    df.select(col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(t, lit(IpRe)).cast("int").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"),
+      regexp_replace(
         regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailRe, "<EMAIL>"),
-            IpRe, "<IP>"),
-          PhoneRe, "<PHONE>").as("clean_text"))
-      .orderBy("doc_id")
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          IpRe, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"))
   }
 
   // ---- Data-mixture sampling: hit target per-source proportions with
@@ -532,32 +536,43 @@ object CorpusClean {
 
   // ---- k-anonymity release gate. ----
 
-  private val AnonK = 5
+  private[graft] val AnonK = 5
 
   /** `t_k_anonymity` — the data-RELEASE side of the PII family: before a
     * corpus ships with per-document metadata attached, every
     * quasi-identifier equivalence class — here (lang, source,
     * 100-char length bucket), the standard "harmless columns that
     * re-identify in combination" — must hold at least [[AnonK]]
-    * documents. Groups that fail try one GENERALIZATION step (drop
-    * `source`, widen the bucket ×4 — the ladder's coarser cell is
-    * derivable from the fine cell because 400 = 4×100, so no second
-    * corpus pass); groups whose generalized cell still has < k docs are
-    * suppressed. Output is the per-group action ledger (release /
-    * generalize / suppress) with both class sizes.
+    * documents. Groups that fail try ONE generalization step up the
+    * lattice (widen the bucket ×4, `source` kept — the minimal-loss
+    * step; the coarser cell is derivable from the fine cell because
+    * 400 = 4×100, so no second corpus pass); groups whose generalized
+    * cell still has < k docs are suppressed rather than climbing
+    * further. Output is the per-group action ledger (release /
+    * generalize / suppress) with both class sizes — all three actions
+    * are live on every fixture SF.
+    *
+    * The generalized class size counts ONLY failing fine classes: classes
+    * verdicted `release` ship at fine granularity, so their documents are
+    * never part of the published generalized equivalence class — summing
+    * them in would let a generalized cell claim k-anonymity on documents
+    * it does not actually contain (the released output could then hold
+    * < k docs under mixed-granularity release). `n_docs_gen` is therefore
+    * the size of the cell as it would actually be PUBLISHED.
     *
     * Scale shape: ONE corpus scan into the fine-grained groupBy; the
     * generalized class size is a window over the BOUNDED group domain
     * (∝ QI cardinality, never rows) — the `t_ks_drift` discipline.
     * All counts integer, so the ledger is hash-exact. */
   def kAnonymity(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"), col("wide_bucket"))
+    val w = Window.partitionBy(col("lang"), col("source"), col("wide_bucket"))
     docs(s, d)
       .groupBy(col("lang"), col("source"),
         floor(col("n_chars") / 100).cast("long").as("len_bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("wide_bucket", floor(col("len_bucket") / 4).cast("long"))
-      .withColumn("n_docs_gen", sum(col("n_docs")).over(w))
+      .withColumn("n_docs_gen",
+        sum(when(col("n_docs") < AnonK, col("n_docs")).otherwise(0L)).over(w))
       .withColumn("action",
         when(col("n_docs") >= AnonK, "release")
           .when(col("n_docs_gen") >= AnonK, "generalize")
@@ -583,6 +598,20 @@ object CorpusClean {
   )
 
   private val sqlWords = "string_split(text, ' ')"
+
+  /** DuckDB mirror of [[poisonedText]] (expects `doc_id`, `text` in
+    * scope) — shared by the t_pii_redact oracle and the release-gate
+    * flagship's oracle. ONE LINE: it embeds into stripMargin strings,
+    * where a line-leading `||` would lose its first char. */
+  private[graft] val sqlPoisoned: String =
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+      " || '@example.com host' || ' ' || CAST(doc_id % 223 AS VARCHAR) || '.'" +
+      " || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'" +
+      " || CAST((doc_id * 13) % 256 AS VARCHAR) || '.'" +
+      " || CAST((doc_id * 29) % 251 AS VARCHAR)" +
+      " WHEN doc_id % 3 = 1 THEN text || ' tel +1-555-'" +
+      " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')" +
+      " ELSE text END"
 
   private val sqlLines =
     s"""ws AS (SELECT doc_id, $sqlWords AS w FROM documents),
@@ -626,16 +655,18 @@ object CorpusClean {
 
   val oracle: Map[String, String] = Map(
     // fine-grained QI classes, generalized class size as a window over
-    // the group domain, the three-way release verdict; window-SUM is
-    // HUGEINT in DuckDB — cast back to BIGINT
+    // the group domain — counting only FAILING fine classes (released
+    // classes never join the published generalized cell), the three-way
+    // release verdict; window-SUM is HUGEINT in DuckDB — cast to BIGINT
     "t_k_anonymity" ->
       s"""WITH l0 AS (
          |  SELECT lang, source, n_chars // 100 AS len_bucket,
          |         CAST(COUNT(*) AS BIGINT) AS n_docs
          |  FROM documents GROUP BY 1, 2, 3),
          |g AS (
-         |  SELECT *, CAST(SUM(n_docs) OVER (
-         |           PARTITION BY lang, len_bucket // 4) AS BIGINT) AS n_docs_gen
+         |  SELECT *, CAST(SUM(CASE WHEN n_docs < $AnonK THEN n_docs ELSE 0 END)
+         |           OVER (PARTITION BY lang, source, len_bucket // 4) AS BIGINT)
+         |           AS n_docs_gen
          |  FROM l0)
          |SELECT lang, source, len_bucket, n_docs, n_docs_gen,
          |       CASE WHEN n_docs >= $AnonK THEN 'release'
@@ -729,15 +760,7 @@ object CorpusClean {
          |ORDER BY doc_id""".stripMargin,
     "t_pii_redact" ->
       s"""WITH p AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-         |                || '@example.com host' || ' ' || CAST(doc_id % 223 AS VARCHAR) || '.'
-         |                || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
-         |                || CAST((doc_id * 13) % 256 AS VARCHAR) || '.'
-         |                || CAST((doc_id * 29) % 251 AS VARCHAR)
-         |              WHEN doc_id % 3 = 1 THEN text || ' tel +1-555-'
-         |                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-         |              ELSE text END AS t
+         |  SELECT doc_id, $sqlPoisoned AS t
          |  FROM documents)
          |SELECT doc_id,
          |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,

@@ -16,15 +16,19 @@ class CorpusCleanSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val fine = docs.groupBy { case (l, src, n) => (l, src, n / 100) }
       .view.mapValues(_.length.toLong).toMap
-    val wide = docs.groupBy { case (l, _, n) => (l, n / 400) }
-      .view.mapValues(_.length.toLong).toMap
+    // generalized size = docs whose own FINE class fails (< k): released
+    // classes ship at fine granularity and never enter the published
+    // cell; the ladder widens the bucket x4 and KEEPS source
+    val wide = docs.groupBy { case (l, src, n) => (l, src, n / 400) }
+      .view.mapValues(_.count { case (l, src, n) => fine((l, src, n / 100)) < 5 }.toLong)
+      .toMap
     val out = CorpusClean.kAnonymity(s, sf).collect()
     assert(out.length == fine.size, "one ledger row per fine QI class")
     // every document lands in exactly one ledger row
     assert(out.map(_.getLong(3)).sum == docs.length)
     out.foreach { r =>
       val key = (r.getString(0), r.getString(1), r.getLong(2))
-      val gKey = (key._1, key._3 / 4)
+      val gKey = (key._1, key._2, key._3 / 4)
       assert(r.getLong(3) == fine(key), s"$key: wrong class size")
       assert(r.getLong(4) == wide(gKey), s"$key: wrong generalized size")
       val expect =
@@ -33,10 +37,10 @@ class CorpusCleanSpec extends AnyFunSuite {
         else "suppress"
       assert(r.getString(5) == expect, s"$key: wrong action")
     }
-    // the gate must be live in both directions at this corpus
+    // all three rungs of the ladder must fire on this corpus
     val actions = out.map(_.getString(5)).toSet
-    assert(actions.contains("release") && actions.contains("generalize"),
-      s"fixture exercises only $actions — thresholds never both fire")
+    assert(actions == Set("release", "generalize", "suppress"),
+      s"fixture exercises only $actions — a ladder rung is dead")
   }
 
   test("lineDedup drops shared lines, keeps untouched docs verbatim") {
