@@ -105,12 +105,59 @@ object Dedup {
       .orderBy("band")
 
   /** Candidate pairs from the band equi-join — the only pair generator. */
-  def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val x = bands(s, d).as("x")
-    val y = bands(s, d).as("y")
-    x.join(y,
+  def candidatePairs(s: SparkSession, d: String): DataFrame =
+    candidatePairsFrom(bands(s, d))
+
+  /** A bucket whose row count exceeds this emits > ~500k candidate pairs
+    * (c·(c−1)/2) and gets salted before the self-join. Never reached by
+    * the test corpora (max bucket ≈ 3 at sf0.1) — the dial exists for the
+    * boilerplate-heavy bkey at 100 TB, and HotBucketSaltSpec proves the
+    * salted plan pair-identical on a synthetic hot bucket. */
+  private[operators] val HotBucketRows = 1024
+  private[operators] val HotBucketSalts = 16
+
+  /** The band self-join, hardened for scale in two ways the inline form
+    * was not:
+    *
+    * 1. The bands frame is PINNED (`localCheckpoint`) before the
+    *    self-join, so the shingle→MinHash→bands subtree is computed
+    *    exactly ONCE per run by construction. The previous form built the
+    *    subtree twice and relied on ReuseExchange to dedupe it — correct
+    *    on a clean plan, but under memory pressure/eviction that
+    *    degrades to double compute + spill. On a multi-executor cluster
+    *    the same pin is a reliable `checkpoint(dir)` or the staged
+    *    bucketed bands table ([[ensureBaseIndexStaged]]'s layout).
+    *
+    * 2. The [[bandStats]] pair-volume forecast is FED BACK: bucket sizes
+    *    come free off the pinned frame (one map-side-combined count to
+    *    O(buckets) rows), and any bucket larger than `hotRows` — the LSH
+    *    failure mode, one boilerplate bkey emitting c² pairs into a
+    *    single reducer — is salted [[HotBucketSalts]] ways before the
+    *    join: the LEFT side replicates each hot row across all salts,
+    *    the RIGHT side hashes each hot row to ONE salt, so every
+    *    unordered pair still matches exactly once while the hot bucket's
+    *    work spreads over G reducer keys. Cold buckets join on salt 0
+    *    with zero replication, so the plan is bit-identical to the
+    *    unsalted form when no bucket is hot. */
+  private[operators] def candidatePairsFrom(
+      bandsDf: DataFrame, hotRows: Int = HotBucketRows): DataFrame = {
+    val b = bandsDf.localCheckpoint()
+    val g = HotBucketSalts
+    val hot = b.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > hotRows)
+      .select(col("band"), col("bkey"), lit(true).as("is_hot"))
+    val flagged = b.join(broadcast(hot), Seq("band", "bkey"), "left")
+      .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+    val x = flagged.withColumn("salt",
+      explode(when(col("is_hot"), sequence(lit(0), lit(g - 1)))
+        .otherwise(array(lit(0)))))
+    val y = flagged.withColumn("salt",
+      when(col("is_hot"), pmod(xxhash64(col("doc_id")), lit(g.toLong)).cast("int"))
+        .otherwise(lit(0)))
+    x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
   }
@@ -147,9 +194,13 @@ object Dedup {
   /** Near-duplicate pairs: LSH candidates scored by signature agreement
     * (estimated Jaccard), kept at est ≥ 0.5. */
   def neardupPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = withSig(s, d).select(col("doc_id"), col("sig"))
+    // ONE MinHash pass per run: the pinned sig frame feeds both the band
+    // self-join (banding off the pin is a cheap slice/concat) and the two
+    // per-side signature joins — no subtree is left for ReuseExchange to
+    // rescue under pressure.
+    val sig = withSig(s, d).select(col("doc_id"), col("sig")).localCheckpoint()
     val est = estJaccard(col("sa"), col("sb"))
-    candidatePairs(s, d)
+    candidatePairsFrom(bandsFrom(sig))
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
       .select(col("a"), col("b"), est.as("est_jaccard"))
@@ -1386,7 +1437,7 @@ object Dedup {
   /** Recursive-CTE transitive closure over the near-dup graph (`walk`
     * holds every (reachable id, seed label) pair) — the shared prefix of
     * every cluster-resolution oracle. */
-  private val closureCte: String =
+  private[graft] val closureCte: String =
     sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
         |nd AS (
