@@ -41,6 +41,24 @@ class AnnMaintenanceSpec extends AnyFunSuite {
       s"large batch must rebuild: ${rows("backfill")}")
   }
 
+  test("rebalance retrain is staged build-once; the movement REQUIRE stays live") {
+    Similarity.queries("v_ann_rebalance")(s, sf).collect()
+    val builds = Similarity.rebalBuildCount.get()
+    // warm re-run: decision + REQUIREs execute, the k-means does not
+    Similarity.queries("v_ann_rebalance")(s, sf).collect()
+    assert(Similarity.rebalBuildCount.get() == builds,
+      "a warm rebalance re-ran the staged retrain")
+    // the staged codebook genuinely differs from the frozen base one
+    val (fPath, _) = Similarity.ensureIncAnnStaged(s, sf)
+    val (rPath, _) = Similarity.ensureRebalancedStaged(s, sf)
+    val frozen = s.read.parquet(fPath)
+    val retrained = s.read.parquet(rPath)
+    val moved = retrained.as("r")
+      .join(frozen.as("f"), col("r.c_label") === col("f.c_label"))
+      .filter(col("r.centroid") =!= col("f.centroid")).count()
+    assert(moved > 0, "staged retrain identical to the frozen quantizer")
+  }
+
   test("deleted ids never surface, yet remain in the staged index") {
     val rows = Similarity.queries("v_ann_delete")(s, sf).collect()
     assert(rows.nonEmpty)
