@@ -127,7 +127,78 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** `t_release_gate` — the "PUBLISH THIS CORPUS" flagship, completing
+    * the composed-pipeline quartet (train `t_pipeline_e2e`, multimodal
+    * `m_pipeline_e2e`, serve `v_rag_e2e`): the release-side operators
+    * chained into one pass with a per-source funnel ledger, every stage
+    * reusing the standalone query's exact expressions —
+    *
+    *   1. k-ANONYMITY gate ([[CorpusClean.kAnonymity]]): docs whose fine
+    *      QI class is verdicted `suppress` are withheld;
+    *   2. DEDUP POLICY ([[Dedup.policyE2e]]): of the remainder, only
+    *      `keep` verdicts publish (drop = provable copy, review = held
+    *      for a human — neither ships);
+    *   3. PII REDACTION ([[CorpusClean.piiRedactOf]]): the SURVIVING
+    *      corpus only is redacted — the regex scan never touches
+    *      rejected docs;
+    *   4. RELEASE CARD ([[TextAnalysis.datasetCard]]'s discipline): one
+    *      row per source — the funnel counts (in / anon-suppressed /
+    *      dedup-dropped / released), PII redaction volume, published
+    *      token count (over REDACTED text — what actually ships), and
+    *      decimal-exact mean quality of the released docs.
+    *
+    * Stage order is the contract: anonymity is judged on corpus-wide
+    * class sizes (pre-dedup — the ledger a privacy officer signs covers
+    * what was COLLECTED), dedup runs on what anonymity admits, redaction
+    * transforms only what ships.
+    *
+    * Scale shape: the per-doc verdict frame is NARROW (ids + three int
+    * flags, no text) and pinned once for its two consumers; the QI class
+    * ledger broadcasts (O(classes)); the policy verdicts come off the
+    * staged pair/cluster tables; the released-side scan is the corpus
+    * read the publish step pays anyway. avg_quality is a null for a
+    * source with zero released docs — mirrored LEFT JOIN in the oracle. */
+  def releaseGate(s: SparkSession, d: String): DataFrame = {
+    val anon = CorpusClean.kAnonymity(s, d)
+      .select(col("lang"), col("source"), col("len_bucket"), col("action"))
+    val pol = Dedup.policyE2e(s, d).select(col("doc_id"), col("verdict"))
+    val flags = Tables.documents(s, d)
+      .withColumn("len_bucket", floor(col("n_chars") / 100).cast("long"))
+      .join(broadcast(anon), Seq("lang", "source", "len_bucket"))
+      .join(pol, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        (col("action") === "suppress").cast("int").as("anon_suppressed"),
+        ((col("action") =!= "suppress") && (col("verdict") =!= "keep"))
+          .cast("int").as("dedup_dropped"),
+        ((col("action") =!= "suppress") && (col("verdict") === "keep"))
+          .cast("int").as("released"))
+      .localCheckpoint() // narrow: two consumers, no text pinned
+    val ledger = flags.groupBy(col("source")).agg(
+      count(lit(1)).as("n_in"),
+      sum(col("anon_suppressed")).cast("long").as("n_anon_suppressed"),
+      sum(col("dedup_dropped")).cast("long").as("n_dedup_dropped"),
+      sum(col("released")).cast("long").as("n_released"))
+    val relDocs = Tables.documents(s, d)
+      .join(flags.filter(col("released") === 1).select(col("doc_id")), "doc_id")
+    val relAgg = CorpusClean.piiRedactOf(relDocs.select(col("doc_id"), col("text")))
+      .join(relDocs.select(col("doc_id"), col("source")), "doc_id")
+      .join(TextAnalysis.quality(s, d).select(col("doc_id"), col("quality_score")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        sum((col("n_emails") + col("n_ips") + col("n_phones")).cast("long")).as("n_pii"),
+        sum(size(split(col("clean_text"), " ")).cast("long")).as("total_tokens"),
+        graft.QueryDsl.davg(col("quality_score")).as("avg_quality"))
+    ledger.join(relAgg, Seq("source"), "left")
+      .select(col("source"), col("n_in"), col("n_anon_suppressed"),
+        col("n_dedup_dropped"), col("n_released"),
+        coalesce(col("n_pii"), lit(0L)).as("n_pii"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        col("avg_quality"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_release_gate" -> (releaseGate _),
     "t_pipeline_ledger" -> (pipelineLedger _),
     "t_pipeline_e2e" -> (e2ePack _),
   )
@@ -135,7 +206,100 @@ object Pipeline {
   private val sqlWords = "string_split(text, ' ')"
   private def hex8(m: String, p: Int): String = graft.QueryDsl.sqlHex8(m, p)
 
+  /** All four release stages recomputed: the near-dup closure + policy
+    * verdict (the d_policy_e2e CTEs), the k-anonymity action ladder (the
+    * t_k_anonymity CTEs with the failing-classes-only generalized size),
+    * the per-doc funnel flags, the poisoned-text redaction over released
+    * docs only, and the per-source card. */
+  private lazy val releaseGateOracle: String = {
+    val k = CorpusClean.AnonK
+    Dedup.closureCte +
+      s""",
+         |nd2 AS (
+         |  SELECT c.a, c.b
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+         |  WHERE CAST(list_sum(list_transform(range(0, 16),
+         |          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 >= 0.5),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+         |lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cl USING (doc_id)),
+         |qual AS (
+         |  SELECT doc_id,
+         |         0.5 * least(CAST(len($sqlWords) AS DOUBLE) / 100.0, 1.0)
+         |           + 0.3 * (1.0 - CAST(len(list_filter($sqlWords, x -> x IN ('a','the'))) AS DOUBLE)
+         |                          / CAST(len($sqlWords) AS DOUBLE))
+         |           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                          / CAST(len($sqlWords) AS DOUBLE)) / 6.0, 1.0) AS quality_score
+         |  FROM documents),
+         |m AS (SELECT l.cluster_id, l.doc_id, q.quality_score,
+         |             row_number() OVER (PARTITION BY l.cluster_id
+         |                                ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+         |      FROM lab l JOIN qual q USING (doc_id)),
+         |can AS (SELECT cluster_id, doc_id AS canonical_id FROM m WHERE rn = 1),
+         |px AS (SELECT n.a, n.b,
+         |              CASE WHEN da.source <> db.source THEN 1 ELSE 0 END AS x
+         |       FROM nd2 n JOIN documents da ON da.doc_id = n.a
+         |                  JOIN documents db ON db.doc_id = n.b),
+         |ev AS (SELECT doc_id, CAST(MAX(x) AS INT) AS cross_src
+         |       FROM (SELECT a AS doc_id, x FROM px UNION ALL SELECT b, x FROM px)
+         |       GROUP BY doc_id),
+         |pv AS (SELECT m.doc_id,
+         |              CASE WHEN m.doc_id = can.canonical_id THEN 'keep'
+         |                   WHEN COALESCE(ev.cross_src, 0) = 1 THEN 'drop'
+         |                   ELSE 'review' END AS verdict
+         |       FROM m JOIN can USING (cluster_id)
+         |       LEFT JOIN ev ON ev.doc_id = m.doc_id),
+         |l0 AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+         |              CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY 1, 2, 3),
+         |g AS (SELECT *, CAST(SUM(CASE WHEN n_docs < $k THEN n_docs ELSE 0 END)
+         |             OVER (PARTITION BY lang, source, len_bucket // 4) AS BIGINT) AS n_docs_gen
+         |      FROM l0),
+         |act AS (SELECT lang, source, len_bucket,
+         |               CASE WHEN n_docs >= $k THEN 'release'
+         |                    WHEN n_docs_gen >= $k THEN 'generalize'
+         |                    ELSE 'suppress' END AS action
+         |        FROM g),
+         |fl AS (SELECT d.doc_id, d.source, d.text,
+         |              CASE WHEN a.action = 'suppress' THEN 1 ELSE 0 END AS sup,
+         |              CASE WHEN a.action <> 'suppress' AND p.verdict <> 'keep'
+         |                   THEN 1 ELSE 0 END AS dd,
+         |              CASE WHEN a.action <> 'suppress' AND p.verdict = 'keep'
+         |                   THEN 1 ELSE 0 END AS rel
+         |       FROM documents d
+         |       JOIN act a ON a.lang = d.lang AND a.source = d.source
+         |                 AND a.len_bucket = d.n_chars // 100
+         |       JOIN pv p ON p.doc_id = d.doc_id),
+         |led AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in,
+         |               CAST(SUM(sup) AS BIGINT) AS n_anon_suppressed,
+         |               CAST(SUM(dd) AS BIGINT) AS n_dedup_dropped,
+         |               CAST(SUM(rel) AS BIGINT) AS n_released
+         |        FROM fl GROUP BY source),
+         |pz AS (SELECT doc_id, source, ${CorpusClean.sqlPoisoned} AS t
+         |       FROM fl WHERE rel = 1),
+         |red AS (SELECT doc_id, source,
+         |               len(regexp_extract_all(t, '${CorpusClean.EmailRe}'))
+         |                 + len(regexp_extract_all(t, '${CorpusClean.IpRe}'))
+         |                 + len(regexp_extract_all(t, '${CorpusClean.PhoneRe}')) AS n_pii,
+         |               len(string_split(regexp_replace(regexp_replace(regexp_replace(t,
+         |                 '${CorpusClean.EmailRe}', '<EMAIL>', 'g'),
+         |                 '${CorpusClean.IpRe}', '<IP>', 'g'),
+         |                 '${CorpusClean.PhoneRe}', '<PHONE>', 'g'), ' ')) AS tok
+         |        FROM pz),
+         |ra AS (SELECT r.source,
+         |              CAST(SUM(r.n_pii) AS BIGINT) AS n_pii,
+         |              CAST(SUM(r.tok) AS BIGINT) AS total_tokens,
+         |              ${graft.QueryDsl.sqlDavg("q.quality_score")} AS avg_quality
+         |       FROM red r JOIN qual q USING (doc_id) GROUP BY r.source)
+         |SELECT l.source, l.n_in, l.n_anon_suppressed, l.n_dedup_dropped,
+         |       l.n_released, COALESCE(ra.n_pii, 0) AS n_pii,
+         |       COALESCE(ra.total_tokens, 0) AS total_tokens, ra.avg_quality
+         |FROM led l LEFT JOIN ra USING (source)
+         |ORDER BY l.source""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t_release_gate" -> releaseGateOracle,
     // the funnel recomputed per stage: the one-pass observed counts
     // must equal the stage-by-stage recount
     "t_pipeline_ledger" ->
