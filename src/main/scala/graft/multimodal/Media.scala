@@ -102,6 +102,14 @@ object Media {
     dir
   }
 
+  /** ImageIO's InputStream path spools each decode through a TEMP-FILE
+    * cache by default — one file create/write/delete per frame; for
+    * byte-array payloads the in-memory cache is strictly better.
+    * Process-wide, set once per JVM: executor closures reference this
+    * lazy val so the switch flips on every executor at first decode. */
+  private[multimodal] lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Staged payloads of one modality, typed for the decode flatMaps. */
   private def stagedPayloads(
       s: SparkSession, d: String, tpe: String): Dataset[(Long, Array[Byte])] = {
@@ -402,7 +410,9 @@ object Media {
   def jpegDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     stagedCompressed(s, d, "jpeg")
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+      .mapPartitions { it =>
+        imageIoNoDiskCache
+        it.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"JPEG $id: no reader accepted the stream")
         val w = img.getWidth
@@ -433,7 +443,8 @@ object Media {
         val ok = math.abs(r - er) <= budget &&
           math.abs(g - eg) <= budget && math.abs(b - eb) <= budget
         (id, w, h, if (ok) 1 else 0)
-      }))
+      })
+      }
       .toDF("media_id", "width", "height", "within_bound")
       .orderBy("media_id")
   }
@@ -819,6 +830,16 @@ object Media {
     * almost everywhere, the re-encoded-thumbnail shape of image dedup
     * corpora). All arithmetic stays under 2³², so the SQL oracle
     * reproduces it in BIGINT exactly. */
+  /** The dHash fixture's PPM payload for (base, xor) — factored so the
+    * policy ledger's mirror leg can plant BYTE-IDENTICAL re-uploads. */
+  private def dhashPpmPayload(b: Long, x: Int): Array[Byte] = {
+    val raster = Array.tabulate(3 * 288) { j =>
+      val v = (b * 31 + (j / 3) * 17) % 65521
+      ((((v * v + v) / 64) % 256).toInt ^ x).toByte
+    }
+    PpmCodec.encode(18, 16, 255, raster)
+  }
+
   def dhashImageTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -828,12 +849,23 @@ object Media {
       .map { id =>
         val b = if (id % 8 == 1) id - 1 else id
         val x = if (id % 8 == 1) 1 else 0
-        val raster = Array.tabulate(3 * 288) { j =>
-          val v = (b * 31 + (j / 3) * 17) % 65521
-          ((((v * v + v) / 64) % 256).toInt ^ x).toByte
-        }
-        (id, PpmCodec.encode(18, 16, 255, raster))
+        (id, dhashPpmPayload(b, x))
       }
+  }
+
+  /** The RE-UPLOAD leg of the media-policy universe: every doc_id%16==0
+    * image re-enters byte-identical under a fresh media id (the same
+    * bytes re-posted — the exact-duplicate shape perceptual hashing is
+    * overkill for). [[MirrorOffset]] keeps the new ids disjoint from
+    * every doc id at any SF. */
+  private[multimodal] val MirrorOffset = 1000000000L
+  private[multimodal] def mirrorImageTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 16 === 0)
+      .as[Long]
+      .map(id => (id + MirrorOffset, dhashPpmPayload(id, 0)))
   }
 
   /** Difference-hash (dHash) bands per image: REAL decode of the PPM
@@ -983,10 +1015,19 @@ object Media {
 
   def aviFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // The staged payload parquet is byte-SMALL but the demux+JPEG decode
+    // is compute-DENSE: one scan split would serialize every ImageIO
+    // decode on a single core (the Dedup.withSig trap — the r19 builder
+    // board flagged exactly this, slope 28.6 with a flat sentinel). The
+    // explicit-count repartition buys full parallelism; at real scale the
+    // payload files exceed maxPartitionBytes and split naturally.
     s.read.parquet(ensureAviStaged(s, d))
+      .repartition(s.sparkContext.defaultParallelism, col("media_id"))
       .select(col("media_id").as("_1"), col("bytes").as("_2"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+      .mapPartitions { it =>
+        imageIoNoDiskCache
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val vid = AviCodec.decode(bytes)
         vid.frames.zipWithIndex.map { case (jpeg, f) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
@@ -1021,7 +1062,8 @@ object Media {
             math.abs(g - eg) <= budget && math.abs(b - eb) <= budget
           (id, f, w, h, vid.frames.length, if (ok) 1 else 0)
         }
-      }))
+      })
+      }
       .toDF("media_id", "frame_idx", "width", "height", "n_frames", "within_bound")
       .orderBy("media_id", "frame_idx")
   }
@@ -1146,7 +1188,12 @@ object Media {
     * fingerprint, the audio arm of the dedup family next to
     * [[dhashNeardup]]: candidates only where a 16-bit band key matches
     * exactly (LSH banding, never all-pairs), survivors kept at Hamming
-    * ≤ 4 of 32. The planted requantized twins land at ~0; random band
+    * ≤ 4 of 32. Like every banded-LSH operator here, the contract is
+    * one-sided: a pair must share at least ONE exact band key AND pass
+    * the Hamming cut — a true near-dup whose ≤ 4 flipped bits split
+    * 2+2 across both bands (no exact band match) is never a candidate
+    * and is silently missed, the inherent LSH false-negative class.
+    * The planted requantized twins land at ~0; random band
     * collisions (birthday-expected at corpus scale) are culled by the
     * exact distance. Integer end to end → closed-form SQL oracle.
     *
@@ -1244,7 +1291,11 @@ object Media {
     * arm of the dedup family ([[dhashNeardup]] images, [[audioNeardup]]
     * audio): clips pair only where an aligned frame's 12-bit dHash key
     * matches exactly, survivors kept at total cross-frame Hamming ≤ 3
-    * of 48. Planted ±1-gray twins land at ≤ 2 (sf0.1: 563×0 / 60×1 /
+    * of 48. The banding makes this one-sided (the [[audioNeardup]]
+    * caveat): a true near-dup whose ≤ 3 flipped bits spread so that NO
+    * single frame's key matches exactly is never a candidate — the
+    * inherent LSH false-negative class, traded for never-all-pairs.
+    * Planted ±1-gray twins land at ≤ 2 (sf0.1: 563×0 / 60×1 /
     * 2×2) while random frame-key collisions (12-bit keys
     * birthday-collide freely) sit at ≥ 4 — the threshold splits the two
     * populations with a one-bit margin on each side. Lossless codec + integer fingerprint → closed-form
@@ -1266,7 +1317,83 @@ object Media {
       .orderBy("id_a", "id_b")
   }
 
+  /** `m_policy_e2e` — the CROSS-MODALITY media dedup POLICY ledger: the
+    * three near-dup arms ([[dhashNeardup]] images, [[audioNeardup]]
+    * audio, [[videoNeardup]] video — each reused as its shipped
+    * expression, candidates banded, never all-pairs) composed with EXACT
+    * payload dedup (md5 over the real encoded bytes, one hash-groupBy —
+    * the [[mirrorImageTable]] re-uploads are the planted positives) into
+    * one KEEP/DROP/REVIEW verdict per media item — the `d_policy_e2e`
+    * pattern at media grain.
+    *
+    * Policy = the LOWER-ID-WITNESS discipline (the incremental-dedup
+    * form), not full connected components: byte-equality is
+    * machine-provable so an exact lower witness is `drop`; perceptual
+    * similarity is evidence, not proof, so a near-dup lower witness is
+    * `review`; no witness is `keep`. `witness_id` names the least lower
+    * witness (the item itself when keeping), `min_hamming` triages the
+    * review queue (−1 = no near-dup evidence).
+    *
+    * Scale shape: the item table (modality, id, payload_md5) is pinned
+    * ONCE — payload bytes never shuffle, only 32-byte digests; exact
+    * evidence is a self-equi-join on the digest (hash-partitioned, the
+    * d_exact_dedup shape); near evidence reads the three banded pair
+    * tables, each bounded by its band blocking; the ledger is ∝ media
+    * count. The oracle recomputes payload equality closed-form from the
+    * generators ((b, x) injective below the 65521 modulus — every SF here
+    * keeps ids under it). */
+  def mediaPolicy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = dhashImageTable(s, d).map { case (id, p) => ("image", id, p) }
+      .union(mirrorImageTable(s, d).map { case (id, p) => ("image", id, p) })
+      .union(audioFpTable(s, d).map { case (id, p) => ("audio", id, p) })
+      .union(videoFpTable(s, d).map { case (id, p) => ("video", id, p) })
+      .toDF("modality", "media_id", "payload")
+      .select(col("modality"), col("media_id"), md5(col("payload")).as("payload_md5"))
+      .localCheckpoint() // codecs run once; only digests flow on
+    val ex = items.as("p").join(items.as("q"),
+        col("p.modality") === col("q.modality") &&
+          col("p.payload_md5") === col("q.payload_md5") &&
+          col("p.media_id") =!= col("q.media_id"))
+      .groupBy(col("p.modality").as("modality"), col("p.media_id").as("media_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        min(when(col("q.media_id") < col("p.media_id"), col("q.media_id"))).as("exact_lo"))
+    val nd = dhashNeardup(s, d)
+      .select(lit("image").as("modality"), col("id_a"), col("id_b"), col("hamming"))
+      .unionByName(audioNeardup(s, d)
+        .select(lit("audio").as("modality"), col("id_a"), col("id_b"), col("hamming")))
+      .unionByName(videoNeardup(s, d)
+        .select(lit("video").as("modality"), col("id_a"), col("id_b"), col("hamming")))
+      .localCheckpoint() // the three arms run once; both pair ends read the pin
+    val ends = nd.select(col("modality"), col("id_a").as("media_id"),
+        col("id_b").as("partner"), col("hamming"))
+      .unionByName(nd.select(col("modality"), col("id_b").as("media_id"),
+        col("id_a").as("partner"), col("hamming")))
+    val ne = ends.groupBy(col("modality"), col("media_id"))
+      .agg(count(lit(1)).as("n_neardup"),
+        min(col("hamming")).as("min_hamming"),
+        min(when(col("partner") < col("media_id"), col("partner"))).as("near_lo"))
+    // engine-neutral least-of-nullables (Spark's least skips NULLs,
+    // DuckDB's may not — the coalesce form means it never matters)
+    val witness = coalesce(
+      least(coalesce(col("exact_lo"), col("near_lo")),
+        coalesce(col("near_lo"), col("exact_lo"))),
+      col("media_id"))
+    items.join(ex, Seq("modality", "media_id"), "left")
+      .join(ne, Seq("modality", "media_id"), "left")
+      .select(col("modality"), col("media_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"),
+        witness.as("witness_id"),
+        when(col("exact_lo").isNotNull, "drop")
+          .when(col("near_lo").isNotNull, "review")
+          .otherwise("keep").as("verdict"))
+      .orderBy("modality", "media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_policy_e2e" -> (mediaPolicy _),
     "m_video_neardup" -> (videoNeardup _),
     "m_audio_neardup" -> (audioNeardup _),
     "m_pipeline_e2e" -> (pipelineE2e _),
@@ -1290,7 +1417,167 @@ object Media {
     "m_pair_assembly" -> (pairAssembly _),
   )
 
+  /** The three fingerprint chains (image dHash / audio energy-delta /
+    * video temporal dHash), prefix-renamed so all three compose into the
+    * policy oracle's single WITH body. Byte-for-byte the same math as the
+    * standalone m_*_neardup oracles. */
+  private lazy val policyOracle: String =
+    """WITH isrc AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
+      |         CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 0 END AS x
+      |  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 8 = 1),
+      |ipx AS (
+      |  SELECT id, i,
+      |         xor(((((b * 31 + i * 17) % 65521) * ((b * 31 + i * 17) % 65521)
+      |               + ((b * 31 + i * 17) % 65521)) // 64) % 256, x) AS g
+      |  FROM isrc, LATERAL (SELECT unnest(range(0, 288)) AS i)),
+      |isums AS (
+      |  SELECT id, ((i // 18) // 2) AS r, ((i % 18) // 2) AS c,
+      |         CAST(SUM(g) AS BIGINT) AS s4
+      |  FROM ipx GROUP BY 1, 2, 3),
+      |ibits AS (
+      |  SELECT m1.id, m1.r * 8 + m1.c AS k,
+      |         CASE WHEN m1.s4 > m2.s4 THEN 1 ELSE 0 END AS bit
+      |  FROM isums m1 JOIN isums m2
+      |    ON m1.id = m2.id AND m1.r = m2.r AND m2.c = m1.c + 1
+      |  WHERE m1.c < 8),
+      |ibands AS (
+      |  SELECT id, k // 16 AS band,
+      |         CAST(SUM(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS bkey
+      |  FROM ibits GROUP BY 1, 2),
+      |icand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM ibands a JOIN ibands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+      |iham AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(SUM(bit_count(xor(bx.bkey, by.bkey))) AS BIGINT) AS hamming
+      |  FROM icand c
+      |  JOIN ibands bx ON bx.id = c.id_a
+      |  JOIN ibands by ON by.id = c.id_b AND by.band = bx.band
+      |  GROUP BY c.id_a, c.id_b),
+      |asrc AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN doc_id % 8 = 3 THEN doc_id - 1 ELSE doc_id END AS b,
+      |         CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 0 END AS x
+      |  FROM documents WHERE doc_id % 4 = 2 OR doc_id % 8 = 3),
+      |asv AS (
+      |  SELECT id, f,
+      |         xor(((((b * 31 + f * 17) % 65521) * ((b * 31 + f * 17) % 65521)
+      |               + ((b * 31 + f * 17) % 65521)) // 64) % 65536, x) - 32768 AS s
+      |  FROM asrc, LATERAL (SELECT unnest(range(0, 528)) AS f)),
+      |aen AS (
+      |  SELECT id, f // 16 AS w, CAST(SUM(s * s) AS BIGINT) AS e
+      |  FROM asv GROUP BY 1, 2),
+      |abits AS (
+      |  SELECT a.id, a.w AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      |  FROM aen a JOIN aen b ON a.id = b.id AND b.w = a.w + 1
+      |  WHERE a.w < 32),
+      |abands AS (
+      |  SELECT id, k // 16 AS band,
+      |         CAST(SUM(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS bkey
+      |  FROM abits GROUP BY 1, 2),
+      |acand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM abands a JOIN abands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+      |aham AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(SUM(bit_count(xor(bx.bkey, by.bkey))) AS BIGINT) AS hamming
+      |  FROM acand c
+      |  JOIN abands bx ON bx.id = c.id_a
+      |  JOIN abands by ON by.id = c.id_b AND by.band = bx.band
+      |  GROUP BY c.id_a, c.id_b),
+      |vsrc AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN doc_id % 8 = 7 THEN doc_id - 2 ELSE doc_id END AS b,
+      |         CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END AS x
+      |  FROM documents WHERE doc_id % 8 = 5 OR doc_id % 8 = 7),
+      |vpx AS (
+      |  SELECT id, f, i,
+      |         xor(((((b * 29 + f * 41 + i * 17) % 65521)
+      |               * ((b * 29 + f * 41 + i * 17) % 65521)
+      |               + ((b * 29 + f * 41 + i * 17) % 65521)) // 64) % 256, x) AS g
+      |  FROM vsrc,
+      |       LATERAL (SELECT unnest(range(0, 4)) AS f),
+      |       LATERAL (SELECT unnest(range(0, 64)) AS i)),
+      |vsums AS (
+      |  SELECT id, f, ((i // 8) // 2) AS r, ((i % 8) // 2) AS c,
+      |         CAST(SUM(g) AS BIGINT) AS s4
+      |  FROM vpx GROUP BY 1, 2, 3, 4),
+      |vbits AS (
+      |  SELECT m1.id, m1.f, m1.r * 3 + m1.c AS k,
+      |         CASE WHEN m1.s4 > m2.s4 THEN 1 ELSE 0 END AS bit
+      |  FROM vsums m1 JOIN vsums m2
+      |    ON m1.id = m2.id AND m1.f = m2.f AND m1.r = m2.r AND m2.c = m1.c + 1
+      |  WHERE m1.c < 3),
+      |vbands AS (
+      |  SELECT id, f AS band,
+      |         CAST(SUM(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS bkey
+      |  FROM vbits GROUP BY 1, 2),
+      |vcand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM vbands a JOIN vbands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+      |vham AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(SUM(bit_count(xor(bx.bkey, by.bkey))) AS BIGINT) AS hamming
+      |  FROM vcand c
+      |  JOIN vbands bx ON bx.id = c.id_a
+      |  JOIN vbands by ON by.id = c.id_b AND by.band = bx.band
+      |  GROUP BY c.id_a, c.id_b),
+      |items AS (
+      |  SELECT 'image' AS modality, id AS media_id, b, x FROM isrc
+      |  UNION ALL
+      |  SELECT 'image', doc_id + 1000000000, doc_id, 0
+      |  FROM documents WHERE doc_id % 16 = 0
+      |  UNION ALL
+      |  SELECT 'audio', id, b, x FROM asrc
+      |  UNION ALL
+      |  SELECT 'video', id, b, x FROM vsrc),
+      |ex AS (
+      |  -- payload equality closed-form: the generators are injective in
+      |  -- (b, x) below the 65521 modulus, so byte-equal ≡ (b, x)-equal
+      |  SELECT p.modality, p.media_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |         MIN(CASE WHEN q.media_id < p.media_id THEN q.media_id END) AS exact_lo
+      |  FROM items p JOIN items q
+      |    ON p.modality = q.modality AND p.b = q.b AND p.x = q.x
+      |       AND p.media_id <> q.media_id
+      |  GROUP BY 1, 2),
+      |nd AS (
+      |  SELECT 'image' AS modality, id_a, id_b, hamming FROM iham WHERE hamming <= 8
+      |  UNION ALL
+      |  SELECT 'audio', id_a, id_b, hamming FROM aham WHERE hamming <= 4
+      |  UNION ALL
+      |  SELECT 'video', id_a, id_b, hamming FROM vham WHERE hamming <= 3),
+      |ends AS (
+      |  SELECT modality, id_a AS media_id, id_b AS partner, hamming FROM nd
+      |  UNION ALL
+      |  SELECT modality, id_b, id_a, hamming FROM nd),
+      |ne AS (
+      |  SELECT modality, media_id, CAST(COUNT(*) AS BIGINT) AS n_neardup,
+      |         CAST(MIN(hamming) AS BIGINT) AS min_hamming,
+      |         MIN(CASE WHEN partner < media_id THEN partner END) AS near_lo
+      |  FROM ends GROUP BY 1, 2)
+      |SELECT i.modality, CAST(i.media_id AS BIGINT) AS media_id,
+      |       CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
+      |       CAST(COALESCE(ne.n_neardup, 0) AS BIGINT) AS n_neardup,
+      |       CAST(COALESCE(ne.min_hamming, -1) AS BIGINT) AS min_hamming,
+      |       CAST(COALESCE(
+      |         LEAST(COALESCE(ex.exact_lo, ne.near_lo),
+      |               COALESCE(ne.near_lo, ex.exact_lo)),
+      |         i.media_id) AS BIGINT) AS witness_id,
+      |       CASE WHEN ex.exact_lo IS NOT NULL THEN 'drop'
+      |            WHEN ne.near_lo IS NOT NULL THEN 'review'
+      |            ELSE 'keep' END AS verdict
+      |FROM items i
+      |LEFT JOIN ex ON ex.modality = i.modality AND ex.media_id = i.media_id
+      |LEFT JOIN ne ON ne.modality = i.modality AND ne.media_id = i.media_id
+      |ORDER BY i.modality, i.media_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "m_policy_e2e" -> policyOracle,
     // the five-stage chain as CTEs: dims from the generator formulas
     // (decode verdicts REQUIREd green engine-side), the caption and
     // aspect gates, the sorted-words dedup digest, md5 sharding, and
