@@ -42,6 +42,14 @@ import org.apache.spark.sql.SparkSession
   * without a re-run. The replay pool reads the phase-start sentinel to
   * pick its width, and any replay whose contended wall exceeds 3× its
   * pinned weight is re-run once on the drained (quiet) pool.
+  *
+  * The board is also SELF-HEALING against transient contention: a timed
+  * run whose sentinel read over 2× the quiet baseline is re-measured
+  * once (keeping the quieter measurement), and any query about to be
+  * slope-flagged first re-measures BOTH scale legs back-to-back — a real
+  * superlinear operator reproduces its slope on the spot, a
+  * contention-manufactured flag clears inside the same run
+  * (`flag_rechecks` in BENCH_DETAIL records the re-measured names).
   */
 object Bench {
 
@@ -204,8 +212,20 @@ object Bench {
             runOnce(); System.gc()
             // sentinel between warmup and the timed run: the box reading
             // AT measurement time, the attribution column for this query
-            val sen = sentinelOnce(spark)
-            R(name, runOnce(), -1.0, sen)
+            var sen = sentinelOnce(spark)
+            var sec = runOnce()
+            // CONTENDED-MEASUREMENT RETRY: an elevated sentinel means the
+            // timed run shared the box with something else — re-measure
+            // once and keep whichever measurement had the QUIETER
+            // sentinel (not the lower time: preferring the quiet reading
+            // is attribution-consistent, preferring the fast one would
+            // bias the board downward).
+            if (sen > 2 * sentinelBase) {
+              val sen2 = sentinelOnce(spark)
+              val sec2 = runOnce()
+              if (sen2 < sen) { sen = sen2; sec = sec2 }
+            }
+            R(name, sec, -1.0, sen)
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -238,20 +258,57 @@ object Bench {
         Some(benchAll(sfDir2))
       else None
 
-    val total = primary.map(_.sec).sum
-    val replays = primary.filter(_.replay >= 0)
+    // FLAG RECHECK: before a query is flagged superlinear, both its legs
+    // are re-measured ONCE, back-to-back (warmup + timed at each scale
+    // point, same protocol) and the fresh same-conditions pair REPLACES
+    // the originals. A genuine superlinear operator reproduces its slope
+    // on the spot; a flag manufactured by transient contention (the r18
+    // d_neardup_pairs false flag: one 19× spike on an unchanged operator)
+    // clears itself inside the same run instead of costing a round of
+    // forensics. Bounded to 8 queries — a board with more than that
+    // flagged has a structural problem no recheck should paper over.
+    def timeSteady(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); System.gc(); once()
+    }
+    val primarySec = scala.collection.mutable.Map(primary.map(r => r.name -> r.sec): _*)
+    val rechecked = scala.collection.mutable.ListBuffer[String]()
     val (slopesJson, flagsJson, sf2Json) = secondary.map { rs =>
-      val sec2 = rs.map(r => r.name -> r.sec).toMap
-      val slopes = primary.flatMap { r =>
-        sec2.get(r.name).collect { case t2 if t2 > 0 && r.sec > 0 => r.name -> r.sec / t2 }
+      val sec2 = scala.collection.mutable.Map(rs.map(r => r.name -> r.sec): _*)
+      def slopesNow: Seq[(String, Double)] = primary.flatMap { r =>
+        sec2.get(r.name).collect {
+          case t2 if t2 > 0 && primarySec(r.name) > 0 => r.name -> primarySec(r.name) / t2
+        }
       }
-      val flags = slopes.collect {
-        case (n, sl) if sl > 1.5 * sfRatio && !streamingNames(n) => "\"" + n + "\""
+      def flagsNow: Seq[String] = slopesNow.collect {
+        case (n, sl) if sl > 1.5 * sfRatio && !streamingNames(n) => n
       }
-      (s""","slope_input_ratio":$sfRatio,"slopes":${toJson(slopes)}""",
-       s""","slope_flags":[${flags.mkString(",")}]""",
-       s""","sf2":"$sfDir2","total_sf2":${fmt(rs.map(_.sec).sum)},"queries_sf2":${toJson(rs.map(r => r.name -> r.sec))}""")
+      flagsNow.take(8).foreach { n =>
+        try {
+          val t1 = timeSteady(n, sfDir)
+          val t2 = timeSteady(n, sfDir2)
+          System.err.println(f"[bench] flag recheck $n: " +
+            f"${primarySec(n)}%.2f→$t1%.2f @sf1, ${sec2(n)}%.2f→$t2%.2f @sf2")
+          rechecked += n
+          primarySec(n) = t1
+          sec2(n) = t2
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] flag recheck $n failed: ${e.getMessage}")
+        }
+      }
+      val flags = flagsNow.map("\"" + _ + "\"")
+      (s""","slope_input_ratio":$sfRatio,"slopes":${toJson(slopesNow)}""",
+       s""","slope_flags":[${flags.mkString(",")}],"flag_rechecks":[${rechecked.map("\"" + _ + "\"").mkString(",")}]""",
+       s""","sf2":"$sfDir2","total_sf2":${fmt(sec2.values.sum)},"queries_sf2":${toJson(rs.map(r => r.name -> sec2(r.name)))}""")
     }.getOrElse(("", "", ""))
+
+    val total = primary.map(r => primarySec(r.name)).sum
+    val replays = primary.filter(_.replay >= 0)
 
     // Full detail to a committed file; the stdout line stays small enough
     // for the driver's tail capture.
@@ -268,7 +325,7 @@ object Bench {
         s""","replay_reruns":[${primaryReplayReruns.map("\"" + _ + "\"").mkString(",")}]""" +
         s""","sentinel_sec":${toJson(sentinels.map(r => r.name -> r.sentinel))}"""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":${toJson(primary.map(r => r.name -> r.sec))}""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":${toJson(primary.map(r => r.name -> primarySec(r.name)))}""" +
         s""","replay_total":${fmt(primaryReplayWall)},"replay_sec":${toJson(replays.map(r => r.name -> r.replay))}""" +
         sentinelJson + sf2Json + slopesJson + flagsJson + "}"
     val detailPath = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
@@ -293,7 +350,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE", "BENCH_HEADLINE.json"))
     java.nio.file.Files.write(headlinePath, (headline + "\n").getBytes("UTF-8"))
     println(headline)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-write, steady-state; replay harness isolated in replay_total (detail: BENCH_DETAIL.json)","queries":${toJson(primary.map(r => r.name -> r.sec))},"sf":"$sfDir","replay_total":${fmt(primaryReplayWall)}$flagsJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-write, steady-state; replay harness isolated in replay_total (detail: BENCH_DETAIL.json)","queries":${toJson(primary.map(r => r.name -> primarySec(r.name)))},"sf":"$sfDir","replay_total":${fmt(primaryReplayWall)}$flagsJson}""")
     println(headline)
     spark.stop()
   }
