@@ -66,14 +66,28 @@ object Bench {
     * query time up with an elevated sentinel = the environment did it
     * (the official/builder divergence that manufactured r18's false
     * superlinear flag). */
-  private def sentinelOnce(spark: SparkSession): Double = {
+  /** The one timing primitive every number on the board goes through:
+    * noop-format write (full plan execution, nothing persisted), wall
+    * seconds. Headline, replay, sentinel, and recheck figures all share
+    * this path so a protocol change cannot desynchronize them.
+    *
+    * BY-NAME parameter, deliberately: several operators do EAGER
+    * driver-side work while the DataFrame is being CONSTRUCTED (staging
+    * ensures, bounded collects, localCheckpoint pins) — a by-value
+    * argument would evaluate all of that before the clock starts and
+    * under-report exactly the operators whose cost lives in
+    * construction (caught same-session: a by-value first cut read
+    * k_stats_salted_join at 0.04 s vs its honest 2.3 s). */
+  private def timeNoop(df: => org.apache.spark.sql.DataFrame): Double = {
     val t0 = System.nanoTime()
-    spark.range(0L, 5000000L, 1L, 8)
-      .selectExpr("id % 4096 AS k")
-      .groupBy("k").count()
-      .write.format("noop").mode("overwrite").save()
+    df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
+
+  private def sentinelOnce(spark: SparkSession): Double =
+    timeNoop(spark.range(0L, 5000000L, 1L, 8)
+      .selectExpr("id % 4096 AS k")
+      .groupBy("k").count())
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,7 +103,29 @@ object Bench {
     // still JIT-climbing). Taken right after session start, before
     // anything else loads the box.
     (1 to 3).foreach(_ => sentinelOnce(spark)) // JIT/codegen warm — discarded
-    val sentinelBase = (1 to 5).map(_ => sentinelOnce(spark)).min
+    val sentinelStartup = (1 to 5).map(_ => sentinelOnce(spark)).min
+    // The working baseline is the ROLLING P10 of every sentinel the run
+    // observes, not the startup reading alone. Both fixed alternatives
+    // failed same-session: a box contended AT STARTUP poisons a fixed
+    // baseline upward (startup 0.54 s vs mid-run ~0.13 s — every 2×-base
+    // test silently disarmed), while a pure rolling MINIMUM over-corrects
+    // the other way (one lucky 0.07 s reading on a steady-0.15 box put
+    // the 2× threshold at the median and fired a retry on half the
+    // board). P10 tracks the box's genuinely-quiet regime and is robust
+    // to single outliers in either direction.
+    val sentinelSeen = scala.collection.mutable.ArrayBuffer[Double](sentinelStartup)
+    def sentinelObserved(v: Double): Double = {
+      if (v > 0) sentinelSeen += v
+      v
+    }
+    def sentinelBase: Double = {
+      val s = sentinelSeen.sorted
+      s(s.size / 10)
+    }
+    // Bounded healing: re-measures exist for OUTLIERS — a budget caps the
+    // worst case where a miscalibrated threshold would otherwise double
+    // the board's wall-clock.
+    var retryBudget = 40
 
     // Streaming replays run CONCURRENTLY before the timed loop: replay
     // wall time is dominated by per-micro-batch PLANNING (a fresh
@@ -121,7 +157,7 @@ object Bench {
       // contended by something external, so concurrency only multiplies
       // the thrash — drop to quarter-width (the r18 official board's 38 s
       // replay phase vs 12 s on the identical binary).
-      val phaseSentinel = sentinelOnce(spark)
+      val phaseSentinel = sentinelObserved(sentinelOnce(spark))
       val contended = phaseSentinel > 2 * sentinelBase
       val poolWidth = sys.env.get("SPARK_GRAFT_REPLAY_POOL")
         .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1)
@@ -155,20 +191,30 @@ object Bench {
         }
       lpt.foreach(name => pool.execute(() => runOne(name)))
       pool.shutdown()
-      if (!pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES))
-        System.err.println("[bench] replay pool timed out")
-      // Outlier re-run on the now-quiet pool: a replay whose contended
-      // wall exceeded 3× its pinned weight (SLOPES-class expectation,
-      // streaming.Streams.replayWeights) absorbed a transient — a GC
-      // pause, an external process, a scheduler convoy — not an operator
-      // cost. Re-running it SEQUENTIALLY after the pool drains gives the
+      val drained = pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!drained) System.err.println("[bench] replay pool timed out")
+      // Outlier re-run on the now-quiet pool. The pinned replayWeights
+      // are a RANKING, not a seconds budget, so the rule is made
+      // UNITLESS: this run's median observed/weight ratio rescales the
+      // weights to the current box, and a replay 3× above its own
+      // rescaled expectation absorbed a transient — a GC pause, an
+      // external process, a scheduler convoy — not an operator cost.
+      // Re-running it SEQUENTIALLY after the pool drains gives the
       // honest number (the replay rebuilds its own memory sink, so the
       // timed sink read below binds to the fresh table). One retry only;
-      // the re-run time replaces the contended one.
-      val reruns = lpt.filter { n =>
-        val r = out.get(n)
-        r != null && r.sec > 3 * streaming.Streams.replayWeight(n)
-      }
+      // the re-run time replaces the contended one. Skipped entirely if
+      // the pool timed out — stragglers would still occupy the box, the
+      // "quiet pool" premise would be false, and a straggler's late
+      // out.put could overwrite a healed entry.
+      val ratios = lpt.flatMap(n => Option(out.get(n))
+        .map(_.sec / streaming.Streams.replayWeight(n))).sorted
+      val scale = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+      val reruns =
+        if (!drained) Nil
+        else lpt.filter { n =>
+          val r = out.get(n)
+          r != null && r.sec > 3 * scale * streaming.Streams.replayWeight(n)
+        }
       reruns.foreach { n =>
         val old = out.get(n).sec
         runOne(n)
@@ -188,11 +234,6 @@ object Bench {
       lastReplaySentinel = phase.sentinel
       lastReplayReruns = phase.reruns
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def noopWrite(df: org.apache.spark.sql.DataFrame): Double = {
-          val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
         try {
           if (streamingNames(name)) {
             // replayed above (concurrently); time only the sink read —
@@ -200,19 +241,15 @@ object Bench {
             // DataFrame re-reads it stably across writes
             val r = replayed.get(name)
             if (r == null) throw new IllegalStateException("replay failed")
-            noopWrite(r.df); System.gc()
-            val sen = sentinelOnce(spark)
-            R(name, noopWrite(r.df), r.sec, sen)
+            timeNoop(r.df); System.gc()
+            val sen = sentinelObserved(sentinelOnce(spark))
+            R(name, timeNoop(r.df), r.sec, sen)
           } else {
-            def runOnce(): Double = {
-              val t0 = System.nanoTime()
-              fn(spark, dir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9
-            }
+            def runOnce(): Double = timeNoop(fn(spark, dir))
             runOnce(); System.gc()
             // sentinel between warmup and the timed run: the box reading
             // AT measurement time, the attribution column for this query
-            var sen = sentinelOnce(spark)
+            var sen = sentinelObserved(sentinelOnce(spark))
             var sec = runOnce()
             // CONTENDED-MEASUREMENT RETRY: an elevated sentinel means the
             // timed run shared the box with something else — re-measure
@@ -220,8 +257,9 @@ object Bench {
             // sentinel (not the lower time: preferring the quiet reading
             // is attribution-consistent, preferring the fast one would
             // bias the board downward).
-            if (sen > 2 * sentinelBase) {
-              val sen2 = sentinelOnce(spark)
+            if (sen > 2 * sentinelBase && retryBudget > 0) {
+              retryBudget -= 1
+              val sen2 = sentinelObserved(sentinelOnce(spark))
               val sec2 = runOnce()
               if (sen2 < sen) { sen = sen2; sec = sec2 }
             }
@@ -269,14 +307,15 @@ object Bench {
     // flagged has a structural problem no recheck should paper over.
     def timeSteady(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once(); System.gc(); once()
+      timeNoop(fn(spark, dir)); System.gc()
+      timeNoop(fn(spark, dir))
     }
     val primarySec = scala.collection.mutable.Map(primary.map(r => r.name -> r.sec): _*)
+    // sentinel attribution follows a replaced measurement: when a recheck
+    // pair replaces the originals, its own sentinel replaces the original
+    // run's in sentinel_sec — the attribution column always describes the
+    // published number
+    val sentinelOverride = scala.collection.mutable.Map[String, Double]()
     val rechecked = scala.collection.mutable.ListBuffer[String]()
     val (slopesJson, flagsJson, sf2Json) = secondary.map { rs =>
       val sec2 = scala.collection.mutable.Map(rs.map(r => r.name -> r.sec): _*)
@@ -290,13 +329,22 @@ object Bench {
       }
       flagsNow.take(8).foreach { n =>
         try {
+          // the recheck is itself sentinel-GUARDED: a recheck taken on a
+          // loaded box must not replace the originals (it could both
+          // un-flag a real superlinear operator and publish a worse pair)
+          val s1 = sentinelObserved(sentinelOnce(spark))
           val t1 = timeSteady(n, sfDir)
+          val s2 = sentinelObserved(sentinelOnce(spark))
           val t2 = timeSteady(n, sfDir2)
-          System.err.println(f"[bench] flag recheck $n: " +
-            f"${primarySec(n)}%.2f→$t1%.2f @sf1, ${sec2(n)}%.2f→$t2%.2f @sf2")
-          rechecked += n
-          primarySec(n) = t1
-          sec2(n) = t2
+          if (math.max(s1, s2) <= 2 * sentinelBase) {
+            System.err.println(f"[bench] flag recheck $n: " +
+              f"${primarySec(n)}%.2f→$t1%.2f @sf1, ${sec2(n)}%.2f→$t2%.2f @sf2")
+            rechecked += n
+            primarySec(n) = t1
+            sec2(n) = t2
+            sentinelOverride(n) = math.max(s1, s2)
+          } else System.err.println(f"[bench] flag recheck $n CONTENDED " +
+            f"(sentinels $s1%.3f/$s2%.3f vs base $sentinelBase%.3f) — originals kept")
         } catch { case e: Throwable =>
           System.err.println(s"[bench] flag recheck $n failed: ${e.getMessage}")
         }
@@ -315,15 +363,24 @@ object Bench {
     // sentinel block: the quiet-box baseline, the per-query series, the
     // replay phase's reading, and the median — elevated median vs base is
     // the one-read "this board was contended" verdict
+    // sentinels at 4 decimals: the readings are 10–200 ms, and the whole
+    // point is comparing them (2× elevated vs base) — %.2f leaves ~1
+    // significant digit and makes base and an elevated median print alike
+    // on a fast box
+    def fmt4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def toJson4(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt4(v) }.mkString("{", ",", "}")
     val sentinels = primary.filter(_.sentinel >= 0)
+      .map(r => r.name -> sentinelOverride.getOrElse(r.name, r.sentinel))
     val sentinelMed =
       if (sentinels.isEmpty) -1.0
-      else sentinels.map(_.sentinel).sorted.apply(sentinels.size / 2)
+      else sentinels.map(_._2).sorted.apply(sentinels.size / 2)
     val sentinelJson =
-      s""","sentinel_base":${fmt(sentinelBase)},"sentinel_med":${fmt(sentinelMed)}""" +
-        s""","replay_sentinel":${fmt(primaryReplaySentinel)}""" +
+      s""","sentinel_base":${fmt4(sentinelBase)},"sentinel_startup":${fmt4(sentinelStartup)},"sentinel_med":${fmt4(sentinelMed)}""" +
+        s""","replay_sentinel":${fmt4(primaryReplaySentinel)}""" +
         s""","replay_reruns":[${primaryReplayReruns.map("\"" + _ + "\"").mkString(",")}]""" +
-        s""","sentinel_sec":${toJson(sentinels.map(r => r.name -> r.sentinel))}"""
+        s""","sentinel_sec":${toJson4(sentinels)}"""
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":${toJson(primary.map(r => r.name -> primarySec(r.name)))}""" +
         s""","replay_total":${fmt(primaryReplayWall)},"replay_sec":${toJson(replays.map(r => r.name -> r.replay))}""" +
@@ -341,7 +398,7 @@ object Bench {
     // per-query line stays for human greps; BENCH_DETAIL.json remains
     // the authoritative full board.
     val headline =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${primary.size},"replay_total":${fmt(primaryReplayWall)},"sentinel_base":${fmt(sentinelBase)},"sentinel_med":${fmt(sentinelMed)}$flagsJson,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${primary.size},"replay_total":${fmt(primaryReplayWall)},"sentinel_base":${fmt4(sentinelBase)},"sentinel_med":${fmt4(sentinelMed)}$flagsJson,"detail":"$detailPath"}"""
     // The stdout copies are defeated by sbt's "[info] " line prefix (the
     // driver's JSON.parse sees a non-JSON prefix — BENCH_r17 "parsed" was
     // still null). The headline therefore also lands in its own small

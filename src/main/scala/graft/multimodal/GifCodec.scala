@@ -136,6 +136,7 @@ object GifCodec {
     * channel of the decoded pixels — identical to the palette index
     * under the grayscale table). */
   def decode(bytes: Array[Byte]): Vector[Frame] = {
+    ImageIo.noDiskCache
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     require(readers.hasNext, "no GIF reader in this JDK")
     val reader = readers.next()

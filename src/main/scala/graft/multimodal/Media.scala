@@ -102,14 +102,6 @@ object Media {
     dir
   }
 
-  /** ImageIO's InputStream path spools each decode through a TEMP-FILE
-    * cache by default — one file create/write/delete per frame; for
-    * byte-array payloads the in-memory cache is strictly better.
-    * Process-wide, set once per JVM: executor closures reference this
-    * lazy val so the switch flips on every executor at first decode. */
-  private[multimodal] lazy val imageIoNoDiskCache: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
-
   /** Staged payloads of one modality, typed for the decode flatMaps. */
   private def stagedPayloads(
       s: SparkSession, d: String, tpe: String): Dataset[(Long, Array[Byte])] = {
@@ -411,7 +403,7 @@ object Media {
     import s.implicits._
     stagedCompressed(s, d, "jpeg")
       .mapPartitions { it =>
-        imageIoNoDiskCache
+        ImageIo.noDiskCache
         it.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"JPEG $id: no reader accepted the stream")
@@ -1026,7 +1018,7 @@ object Media {
       .select(col("media_id").as("_1"), col("bytes").as("_2"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        imageIoNoDiskCache
+        ImageIo.noDiskCache
         it.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val vid = AviCodec.decode(bytes)
         vid.frames.zipWithIndex.map { case (jpeg, f) =>

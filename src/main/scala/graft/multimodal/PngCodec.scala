@@ -83,6 +83,7 @@ object PngCodec {
       throw new IllegalArgumentException(s"malformed PNG: $msg")
     if (bytes.length < 8 || !java.util.Arrays.equals(
         java.util.Arrays.copyOf(bytes, 8), Signature)) fail("bad signature")
+    ImageIo.noDiskCache
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case e: java.io.IOException => fail(s"reader error: ${e.getMessage}") }

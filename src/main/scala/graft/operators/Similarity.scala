@@ -2121,7 +2121,9 @@ object Similarity {
         coalesce(sum(when(isDelta, 1L).when(!isDelta, 0L)), lit(0L)).as("delta_n")).collect()(0)
       val baseN = cnt.getLong(0)
       val deltaN = cnt.getLong(1)
-      val ratioPct = deltaN * 100L / baseN
+      // empty base (coalesce pinned the sum to 0): any arriving batch is
+      // by definition a rebuild — and the 0-denominator ratio is moot
+      val ratioPct = if (baseN == 0) 100L else deltaN * 100L / baseN
       val decision = if (ratioPct <= RebalanceThresholdPct) "append" else "rebuild"
       val builds = incAnnBuildCount.get()
       val (nCentroids, nPostings) =
