@@ -1945,8 +1945,17 @@ object Streams {
   def streamPipelineReplay(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // PINNED static dim: a stream-static join re-plans (and re-executes)
+    // the static side EVERY micro-batch — unpinned, each of this replay's
+    // three batches paid a full events scan + distinct shuffle + broadcast
+    // build, which made this the replay phase's critical chain (36.8 s
+    // contended vs ~5.5 s solo; the next-heaviest replays finished ~24 s).
+    // localCheckpoint computes the dim ONCE; per-batch plans read the
+    // pinned blocks. Production equivalent: a dim table is storage, not a
+    // per-batch aggregation — the pin restores the honest shape.
     val dim = graft.Tables.events(s, d).select(col("user_id")).distinct()
       .select(col("user_id"), (col("user_id") % 5).as("tier"))
+      .localCheckpoint()
     val rows = graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .as[(Long, Long, java.sql.Timestamp, Double)]
@@ -1992,6 +2001,7 @@ object Streams {
     val dim = graft.Tables.events(s, d).select(col("user_id")).distinct()
       .select(col("user_id"), (col("user_id") % 5).as("tier"),
         md5(col("user_id").cast("string").cast("binary")).as("segment"))
+      .localCheckpoint() // computed once, not per micro-batch (see pipeline replay)
     val rows = graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .as[(Long, Long, String)].collect().sortBy(_._1)
