@@ -49,7 +49,10 @@ import org.apache.spark.sql.SparkSession
   * slope-flagged first re-measures BOTH scale legs back-to-back — a real
   * superlinear operator reproduces its slope on the spot, a
   * contention-manufactured flag clears inside the same run
-  * (`flag_rechecks` in BENCH_DETAIL records the re-measured names).
+  * (`flag_rechecks` in BENCH_DETAIL records the re-measured names, and
+  * `flag_recheck_pre`/`flag_recheck_post` record each one's slope before
+  * and after the replacement — the audit trail that keeps a marginal
+  * superlinear from hiding behind a lucky re-roll).
   */
 object Bench {
 
@@ -103,7 +106,8 @@ object Bench {
     // still JIT-climbing). Taken right after session start, before
     // anything else loads the box.
     (1 to 3).foreach(_ => sentinelOnce(spark)) // JIT/codegen warm — discarded
-    val sentinelStartup = (1 to 5).map(_ => sentinelOnce(spark)).min
+    val sentinelStartupReads = (1 to 5).map(_ => sentinelOnce(spark))
+    val sentinelStartup = sentinelStartupReads.min
     // The working baseline is the ROLLING P10 of every sentinel the run
     // observes, not the startup reading alone. Both fixed alternatives
     // failed same-session: a box contended AT STARTUP poisons a fixed
@@ -113,14 +117,25 @@ object Bench {
     // the 2× threshold at the median and fired a retry on half the
     // board). P10 tracks the box's genuinely-quiet regime and is robust
     // to single outliers in either direction.
-    val sentinelSeen = scala.collection.mutable.ArrayBuffer[Double](sentinelStartup)
+    //
+    // Seeded with ALL FIVE startup readings, not just the min: a
+    // min-only seed made the "P10" a rolling minimum until ~10 samples
+    // existed, so the replay-phase contention check (which runs on
+    // sample #6) compared against a single possibly-lucky-low floor and
+    // could mis-size the pool or fire retries board-wide. And until a
+    // real sample base accrues, the baseline is the MEDIAN of what's
+    // been seen (conservative: startup-median ≥ startup-min, so early
+    // 2×-base tests under-fire rather than over-fire); P10 takes over
+    // once 20 samples exist and low-indexing is meaningful.
+    val sentinelSeen =
+      scala.collection.mutable.ArrayBuffer[Double](sentinelStartupReads: _*)
     def sentinelObserved(v: Double): Double = {
       if (v > 0) sentinelSeen += v
       v
     }
     def sentinelBase: Double = {
       val s = sentinelSeen.sorted
-      s(s.size / 10)
+      if (s.size < 20) s(s.size / 2) else s(s.size / 10)
     }
     // Bounded healing: re-measures exist for OUTLIERS — a budget caps the
     // worst case where a miscalibrated threshold would otherwise double
@@ -317,6 +332,16 @@ object Bench {
     // published number
     val sentinelOverride = scala.collection.mutable.Map[String, Double]()
     val rechecked = scala.collection.mutable.ListBuffer[String]()
+    // AUDIT TRAIL: the recheck REPLACES the published pair, which means a
+    // genuinely-but-marginally superlinear query gets one re-roll that can
+    // regress its slope under the threshold and clear the flag. The
+    // pre-recheck slope is therefore RECORDED alongside the published one
+    // (`flag_recheck_pre`/`flag_recheck_post` in BENCH_DETAIL) so a judge
+    // can see both readings and a boundary-hugger can't hide: two rounds
+    // of pre≈threshold with post<threshold is visible evidence, not a
+    // silent re-roll.
+    val recheckPre = scala.collection.mutable.ListBuffer[(String, Double)]()
+    val recheckPost = scala.collection.mutable.ListBuffer[(String, Double)]()
     val (slopesJson, flagsJson, sf2Json) = secondary.map { rs =>
       val sec2 = scala.collection.mutable.Map(rs.map(r => r.name -> r.sec): _*)
       def slopesNow: Seq[(String, Double)] = primary.flatMap { r =>
@@ -340,6 +365,8 @@ object Bench {
             System.err.println(f"[bench] flag recheck $n: " +
               f"${primarySec(n)}%.2f→$t1%.2f @sf1, ${sec2(n)}%.2f→$t2%.2f @sf2")
             rechecked += n
+            recheckPre += (n -> (if (sec2(n) > 0) primarySec(n) / sec2(n) else -1.0))
+            recheckPost += (n -> (if (t2 > 0) t1 / t2 else -1.0))
             primarySec(n) = t1
             sec2(n) = t2
             sentinelOverride(n) = math.max(s1, s2)
@@ -350,7 +377,8 @@ object Bench {
         }
       }
       val flags = flagsNow.map("\"" + _ + "\"")
-      (s""","slope_input_ratio":$sfRatio,"slopes":${toJson(slopesNow)}""",
+      (s""","slope_input_ratio":$sfRatio,"slopes":${toJson(slopesNow)}""" +
+         s""","flag_recheck_pre":${toJson(recheckPre.toSeq)},"flag_recheck_post":${toJson(recheckPost.toSeq)}""",
        s""","slope_flags":[${flags.mkString(",")}],"flag_rechecks":[${rechecked.map("\"" + _ + "\"").mkString(",")}]""",
        s""","sf2":"$sfDir2","total_sf2":${fmt(sec2.values.sum)},"queries_sf2":${toJson(rs.map(r => r.name -> sec2(r.name)))}""")
     }.getOrElse(("", "", ""))
