@@ -400,13 +400,27 @@ object TextAnalysis {
     conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
       .cast("bigint") % 100
 
-  /** (doc_id, g5) distinct word-5-gram md5s of the docs matching `pred`. */
+  /** (doc_id, g5) distinct word-5-gram md5s of the docs matching `pred`.
+    *
+    * The corpus reshuffle is SIZE-GATED: the byte-small fixture scans as
+    * one split and would serialize the compute-dense gram-md5 stage on
+    * one core (the [[graft.operators.Dedup.withSig]] trap), so an
+    * under-parallelized scan pays one small text shuffle for
+    * full-cluster parallelism — but at 100 TB the scan's natural split
+    * count already saturates the cluster and an unconditional
+    * `repartition` would move the corpus TEXT purely to rebalance
+    * compute the scan layout balances for free. The gate reads the
+    * scan's partition count (a file-listing, no data motion) and skips
+    * the exchange once splits ≥ cores. */
   private def gramSide(s: SparkSession, d: String, pred: Column): DataFrame = {
     val grams5 = array_distinct(transform(
       sequence(lit(0), size(words) - 5),
       i => md5(array_join(slice(words, i + lit(1), lit(5)), " ").cast("binary"))))
-    docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val corpus = docs(s, d)
+    val spread =
+      if (corpus.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) corpus
+      else corpus.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    spread
       .filter(pred && size(words) >= 5)
       .select(col("doc_id"), explode(grams5).as("g5"))
   }
