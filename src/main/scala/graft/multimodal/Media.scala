@@ -822,9 +822,28 @@ object Media {
     * almost everywhere, the re-encoded-thumbnail shape of image dedup
     * corpora). All arithmetic stays under 2³², so the SQL oracle
     * reproduces it in BIGINT exactly. */
+  /** The 65521 modulus every media-fixture pixel/sample formula reduces
+    * through. The policy oracle (`m_policy_e2e`) proves EXACT payload
+    * equality closed-form from (base, xor) — valid only while base ids
+    * stay UNDER this modulus, because bases b and b+65521 produce
+    * byte-identical payloads that Spark's md5 leg would pair but the
+    * (b, x)-equality oracle would miss. [[requireUnderFpModulus]] makes
+    * every generator enforce the invariant per row, so a larger-SF
+    * fixture fails loudly instead of silently diverging from the
+    * oracle. */
+  private[multimodal] val FpModulus = 65521L
+
+  private def requireUnderFpModulus(b: Long): Unit =
+    require(b >= 0 && b < FpModulus,
+      s"media fixture base id $b outside [0, $FpModulus): payload formulas " +
+        s"alias ids $FpModulus apart into byte-identical payloads, which the " +
+        "m_policy_e2e closed-form oracle cannot see — regenerate the fixture " +
+        "or extend the oracle before raising the id space")
+
   /** The dHash fixture's PPM payload for (base, xor) — factored so the
     * policy ledger's mirror leg can plant BYTE-IDENTICAL re-uploads. */
   private def dhashPpmPayload(b: Long, x: Int): Array[Byte] = {
+    requireUnderFpModulus(b)
     val raster = Array.tabulate(3 * 288) { j =>
       val v = (b * 31 + (j / 3) * 17) % 65521
       ((((v * v + v) / 64) % 256).toInt ^ x).toByte
@@ -850,7 +869,7 @@ object Media {
     * bytes re-posted — the exact-duplicate shape perceptual hashing is
     * overkill for). [[MirrorOffset]] keeps the new ids disjoint from
     * every doc id at any SF. */
-  private[multimodal] val MirrorOffset = 1000000000L
+  private[graft] val MirrorOffset = 1000000000L
   private[multimodal] def mirrorImageTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -1134,6 +1153,7 @@ object Media {
       .map { id =>
         val b = if (id % 8 == 3) id - 1 else id
         val x = if (id % 8 == 3) 1 else 0
+        requireUnderFpModulus(b)
         val samples = Array.tabulate[Short](AudioFpFrames) { f =>
           val v = (b * 31 + f * 17) % 65521
           val u = ((v * v + v) / 64) % 65536
@@ -1232,6 +1252,7 @@ object Media {
       .map { id =>
         val b = if (id % 8 == 7) id - 2 else id
         val x = if (id % 8 == 7) 1 else 0
+        requireUnderFpModulus(b)
         val frames = (0 until VidFpFrames).map { f =>
           Array.tabulate(VidFpDim * VidFpDim) { i =>
             val v = (b * 29 + f * 41 + i * 17) % 65521
@@ -1412,8 +1433,14 @@ object Media {
   /** The three fingerprint chains (image dHash / audio energy-delta /
     * video temporal dHash), prefix-renamed so all three compose into the
     * policy oracle's single WITH body. Byte-for-byte the same math as the
-    * standalone m_*_neardup oracles. */
-  private lazy val policyOracle: String =
+    * standalone m_*_neardup oracles.
+    *
+    * Factored as a CTE body (no final SELECT) so the cross-modal release
+    * board (`t_release_board`, graft.operators.Pipeline) can append it to
+    * the text-verdict chain in ONE composed WITH — the media near-dup
+    * union is named `mnd` (not `nd`) because the text side's
+    * [[graft.operators.Dedup.closureCte]] already defines `nd`. */
+  private[graft] lazy val policyCte: String =
     """WITH isrc AS (
       |  SELECT doc_id AS id,
       |         CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
@@ -1537,21 +1564,24 @@ object Media {
       |    ON p.modality = q.modality AND p.b = q.b AND p.x = q.x
       |       AND p.media_id <> q.media_id
       |  GROUP BY 1, 2),
-      |nd AS (
+      |mnd AS (
       |  SELECT 'image' AS modality, id_a, id_b, hamming FROM iham WHERE hamming <= 8
       |  UNION ALL
       |  SELECT 'audio', id_a, id_b, hamming FROM aham WHERE hamming <= 4
       |  UNION ALL
       |  SELECT 'video', id_a, id_b, hamming FROM vham WHERE hamming <= 3),
-      |ends AS (
-      |  SELECT modality, id_a AS media_id, id_b AS partner, hamming FROM nd
+      |mends AS (
+      |  SELECT modality, id_a AS media_id, id_b AS partner, hamming FROM mnd
       |  UNION ALL
-      |  SELECT modality, id_b, id_a, hamming FROM nd),
+      |  SELECT modality, id_b, id_a, hamming FROM mnd),
       |ne AS (
       |  SELECT modality, media_id, CAST(COUNT(*) AS BIGINT) AS n_neardup,
       |         CAST(MIN(hamming) AS BIGINT) AS min_hamming,
       |         MIN(CASE WHEN partner < media_id THEN partner END) AS near_lo
-      |  FROM ends GROUP BY 1, 2)
+      |  FROM mends GROUP BY 1, 2)""".stripMargin
+
+  private lazy val policyOracle: String = policyCte +
+    """
       |SELECT i.modality, CAST(i.media_id AS BIGINT) AS media_id,
       |       CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
       |       CAST(COALESCE(ne.n_neardup, 0) AS BIGINT) AS n_neardup,

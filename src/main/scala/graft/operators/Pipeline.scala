@@ -197,7 +197,74 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** `t_release_board` — the UNIFIED CROSS-MODAL RELEASE BOARD, the last
+    * cell of the composition matrix: [[releaseGate]]'s text verdicts and
+    * [[graft.multimodal.Media.mediaPolicy]]'s media verdicts rolled up to
+    * ONE ledger at (source × modality) grain — the single table a release
+    * review reads to sign off a multimodal corpus. Each leg reuses its
+    * flagship's exact operators (kAnonymity + policyE2e for text; the
+    * three banded near-dup arms + exact payload dedup for media); this
+    * query only re-bins their verdicts into a uniform funnel:
+    *
+    *   - `n_privacy_blocked` — k-anonymity suppressions (text only:
+    *     media carries no quasi-identifier ladder, so 0 by construction);
+    *   - `n_dedup_dropped`   — provable copies (text: cross-source
+    *     near-dup verdict `drop`; media: byte-identical payload witness);
+    *   - `n_review`          — held for a human (perceptual/minhash
+    *     evidence without proof);
+    *   - `n_released`        — what ships. Row invariant: the four
+    *     buckets partition `n_in`.
+    *
+    * Media items map to their owning source through the doc id that
+    * generated them (mirror-leg ids undo the +10⁹ offset first).
+    *
+    * Scale shape: both verdict frames are NARROW (ids + a verdict tag, no
+    * payloads — the media leg's digests/pairs come off mediaPolicy's
+    * pinned frames, the text leg's off the staged pair tables); the
+    * documents join supplies one string column; the rollup is a map-side-
+    * combining groupBy to O(sources × modalities) rows. */
+  def releaseBoard(s: SparkSession, d: String): DataFrame = {
+    val anon = CorpusClean.kAnonymity(s, d)
+      .select(col("lang"), col("source"), col("len_bucket"), col("action"))
+    val pol = Dedup.policyE2e(s, d).select(col("doc_id"), col("verdict"))
+    val text = Tables.documents(s, d)
+      .withColumn("len_bucket", floor(col("n_chars") / 100).cast("long"))
+      .join(broadcast(anon), Seq("lang", "source", "len_bucket"))
+      .join(pol, Seq("doc_id"))
+      .select(col("source"), lit("text").as("modality"),
+        (col("action") === "suppress").cast("int").as("pb"),
+        ((col("action") =!= "suppress") && (col("verdict") === "drop"))
+          .cast("int").as("dd"),
+        ((col("action") =!= "suppress") && (col("verdict") === "review"))
+          .cast("int").as("rv"),
+        ((col("action") =!= "suppress") && (col("verdict") === "keep"))
+          .cast("int").as("rl"))
+    val media = graft.multimodal.Media.mediaPolicy(s, d)
+      .select(col("modality"), col("media_id"), col("verdict"))
+      .withColumn("base_id",
+        when(col("media_id") >= graft.multimodal.Media.MirrorOffset,
+          col("media_id") - graft.multimodal.Media.MirrorOffset)
+          .otherwise(col("media_id")))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("base_id"), col("source")), "base_id")
+      .select(col("source"), col("modality"),
+        lit(0).as("pb"),
+        (col("verdict") === "drop").cast("int").as("dd"),
+        (col("verdict") === "review").cast("int").as("rv"),
+        (col("verdict") === "keep").cast("int").as("rl"))
+    text.unionByName(media)
+      .groupBy(col("source"), col("modality"))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(col("pb")).cast("long").as("n_privacy_blocked"),
+        sum(col("dd")).cast("long").as("n_dedup_dropped"),
+        sum(col("rv")).cast("long").as("n_review"),
+        sum(col("rl")).cast("long").as("n_released"))
+      .orderBy("source", "modality")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_release_board" -> (releaseBoard _),
     "t_release_gate" -> (releaseGate _),
     "t_pipeline_ledger" -> (pipelineLedger _),
     "t_pipeline_e2e" -> (e2ePack _),
@@ -206,12 +273,14 @@ object Pipeline {
   private val sqlWords = "string_split(text, ' ')"
   private def hex8(m: String, p: Int): String = graft.QueryDsl.sqlHex8(m, p)
 
-  /** All four release stages recomputed: the near-dup closure + policy
-    * verdict (the d_policy_e2e CTEs), the k-anonymity action ladder (the
-    * t_k_anonymity CTEs with the failing-classes-only generalized size),
-    * the per-doc funnel flags, the poisoned-text redaction over released
-    * docs only, and the per-source card. */
-  private lazy val releaseGateOracle: String = {
+  /** The shared text-verdict chain: near-dup closure + policy verdict
+    * (the d_policy_e2e CTEs) and the k-anonymity action ladder (the
+    * t_k_anonymity CTEs with the failing-classes-only generalized size).
+    * Factored as a CTE body (through `act`, no final SELECT) because two
+    * oracles consume it: [[releaseGateOracle]] appends the per-source
+    * funnel + redaction card, and [[releaseBoardOracle]] appends the
+    * media policy chain for the cross-modal board. */
+  private lazy val textVerdictCte: String = {
     val k = CorpusClean.AnonK
     Dedup.closureCte +
       s""",
@@ -259,7 +328,16 @@ object Pipeline {
          |               CASE WHEN n_docs >= $k THEN 'release'
          |                    WHEN n_docs_gen >= $k THEN 'generalize'
          |                    ELSE 'suppress' END AS action
-         |        FROM g),
+         |        FROM g)""".stripMargin
+  }
+
+  /** All four release stages recomputed: the shared text-verdict chain
+    * ([[textVerdictCte]]), then the per-doc funnel flags, the
+    * poisoned-text redaction over released docs only, and the per-source
+    * card. */
+  private lazy val releaseGateOracle: String =
+    textVerdictCte +
+      s""",
          |fl AS (SELECT d.doc_id, d.source, d.text,
          |              CASE WHEN a.action = 'suppress' THEN 1 ELSE 0 END AS sup,
          |              CASE WHEN a.action <> 'suppress' AND p.verdict <> 'keep'
@@ -296,9 +374,58 @@ object Pipeline {
          |       COALESCE(ra.total_tokens, 0) AS total_tokens, ra.avg_quality
          |FROM led l LEFT JOIN ra USING (source)
          |ORDER BY l.source""".stripMargin
-  }
+
+  /** Both flagship verdict chains in ONE composed WITH: the text chain
+    * ([[textVerdictCte]]: MinHash closure → policy verdict, k-anon action
+    * ladder) plus the media chain
+    * ([[graft.multimodal.Media.policyCte]]: three fingerprint arms →
+    * exact/near evidence), then the per-row funnel flags of each modality
+    * and the (source × modality) rollup. The media→source mapping undoes
+    * the mirror-leg id offset (media_id − 10⁹) to find the owning doc. */
+  private lazy val releaseBoardOracle: String =
+    textVerdictCte + ",\n" +
+      graft.multimodal.Media.policyCte.stripPrefix("WITH ") +
+      s""",
+         |trow AS (SELECT d.source, 'text' AS modality,
+         |                CASE WHEN a.action = 'suppress' THEN 1 ELSE 0 END AS pb,
+         |                CASE WHEN a.action <> 'suppress' AND p.verdict = 'drop'
+         |                     THEN 1 ELSE 0 END AS dd,
+         |                CASE WHEN a.action <> 'suppress' AND p.verdict = 'review'
+         |                     THEN 1 ELSE 0 END AS rv,
+         |                CASE WHEN a.action <> 'suppress' AND p.verdict = 'keep'
+         |                     THEN 1 ELSE 0 END AS rl
+         |         FROM documents d
+         |         JOIN act a ON a.lang = d.lang AND a.source = d.source
+         |                   AND a.len_bucket = d.n_chars // 100
+         |         JOIN pv p ON p.doc_id = d.doc_id),
+         |mverd AS (SELECT i.modality, i.media_id,
+         |                 CASE WHEN ex.exact_lo IS NOT NULL THEN 'drop'
+         |                      WHEN ne.near_lo IS NOT NULL THEN 'review'
+         |                      ELSE 'keep' END AS verdict
+         |          FROM items i
+         |          LEFT JOIN ex ON ex.modality = i.modality AND ex.media_id = i.media_id
+         |          LEFT JOIN ne ON ne.modality = i.modality AND ne.media_id = i.media_id),
+         |mrow AS (SELECT d.source, mv.modality,
+         |                0 AS pb,
+         |                CASE WHEN mv.verdict = 'drop' THEN 1 ELSE 0 END AS dd,
+         |                CASE WHEN mv.verdict = 'review' THEN 1 ELSE 0 END AS rv,
+         |                CASE WHEN mv.verdict = 'keep' THEN 1 ELSE 0 END AS rl
+         |         FROM mverd mv
+         |         JOIN documents d ON d.doc_id =
+         |           CASE WHEN mv.media_id >= ${graft.multimodal.Media.MirrorOffset}
+         |                THEN mv.media_id - ${graft.multimodal.Media.MirrorOffset}
+         |                ELSE mv.media_id END),
+         |brd AS (SELECT * FROM trow UNION ALL SELECT * FROM mrow)
+         |SELECT source, modality, CAST(COUNT(*) AS BIGINT) AS n_in,
+         |       CAST(SUM(pb) AS BIGINT) AS n_privacy_blocked,
+         |       CAST(SUM(dd) AS BIGINT) AS n_dedup_dropped,
+         |       CAST(SUM(rv) AS BIGINT) AS n_review,
+         |       CAST(SUM(rl) AS BIGINT) AS n_released
+         |FROM brd GROUP BY source, modality
+         |ORDER BY source, modality""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t_release_board" -> releaseBoardOracle,
     "t_release_gate" -> releaseGateOracle,
     // the funnel recomputed per stage: the one-pass observed counts
     // must equal the stage-by-stage recount
