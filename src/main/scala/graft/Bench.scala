@@ -123,10 +123,13 @@ object Bench {
     // existed, so the replay-phase contention check (which runs on
     // sample #6) compared against a single possibly-lucky-low floor and
     // could mis-size the pool or fire retries board-wide. And until a
-    // real sample base accrues, the baseline is the MEDIAN of what's
-    // been seen (conservative: startup-median ≥ startup-min, so early
-    // 2×-base tests under-fire rather than over-fire); P10 takes over
-    // once 20 samples exist and low-indexing is meaningful.
+    // real sample base accrues, the baseline quantile RAMPS linearly
+    // from the MEDIAN (conservative: startup-median ≥ startup-min, so
+    // early 2×-base tests under-fire rather than over-fire) down to P10
+    // by sample 40 — a ramp, not a step, so the threshold an unchanged
+    // box reading faces never jumps between consecutive queries (a
+    // median→P10 cliff at a fixed count made the same measurement pass
+    // the retry gate at query N and fail it at N+1).
     val sentinelSeen =
       scala.collection.mutable.ArrayBuffer[Double](sentinelStartupReads: _*)
     def sentinelObserved(v: Double): Double = {
@@ -135,7 +138,8 @@ object Bench {
     }
     def sentinelBase: Double = {
       val s = sentinelSeen.sorted
-      if (s.size < 20) s(s.size / 2) else s(s.size / 10)
+      val q = math.max(0.1, 0.5 - 0.4 * (s.size - 5) / 35.0)
+      s(math.min(s.size - 1, (s.size * q).toInt))
     }
     // Bounded healing: re-measures exist for OUTLIERS — a budget caps the
     // worst case where a miscalibrated threshold would otherwise double

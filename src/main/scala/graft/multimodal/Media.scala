@@ -1441,7 +1441,7 @@ object Media {
     * union is named `mnd` (not `nd`) because the text side's
     * [[graft.operators.Dedup.closureCte]] already defines `nd`. */
   private[graft] lazy val policyCte: String =
-    """WITH isrc AS (
+    s"""WITH isrc AS (
       |  SELECT doc_id AS id,
       |         CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
       |         CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 0 END AS x
@@ -1549,7 +1549,7 @@ object Media {
       |items AS (
       |  SELECT 'image' AS modality, id AS media_id, b, x FROM isrc
       |  UNION ALL
-      |  SELECT 'image', doc_id + 1000000000, doc_id, 0
+      |  SELECT 'image', doc_id + $MirrorOffset, doc_id, 0
       |  FROM documents WHERE doc_id % 16 = 0
       |  UNION ALL
       |  SELECT 'audio', id, b, x FROM asrc

@@ -564,11 +564,18 @@ object CorpusClean {
     * generalized class size is a window over the BOUNDED group domain
     * (∝ QI cardinality, never rows) — the `t_ks_drift` discipline.
     * All counts integer, so the ledger is hash-exact. */
+  /** The quasi-identifier length bucket (100-char bins over `n_chars`) —
+    * ONE definition shared by [[kAnonymity]]'s class grouping and the two
+    * release compositions that join docs back to its classes
+    * (`t_release_gate`, `t_release_board`): a bucketing change must move
+    * all three joins together or the class join silently mismatches. */
+  private[operators] def qiLenBucket: Column =
+    floor(col("n_chars") / 100).cast("long")
+
   def kAnonymity(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("source"), col("wide_bucket"))
     docs(s, d)
-      .groupBy(col("lang"), col("source"),
-        floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), qiLenBucket.as("len_bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("wide_bucket", floor(col("len_bucket") / 4).cast("long"))
       .withColumn("n_docs_gen",

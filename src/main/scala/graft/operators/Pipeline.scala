@@ -163,7 +163,7 @@ object Pipeline {
       .select(col("lang"), col("source"), col("len_bucket"), col("action"))
     val pol = Dedup.policyE2e(s, d).select(col("doc_id"), col("verdict"))
     val flags = Tables.documents(s, d)
-      .withColumn("len_bucket", floor(col("n_chars") / 100).cast("long"))
+      .withColumn("len_bucket", CorpusClean.qiLenBucket)
       .join(broadcast(anon), Seq("lang", "source", "len_bucket"))
       .join(pol, Seq("doc_id"))
       .select(col("doc_id"), col("source"),
@@ -228,7 +228,7 @@ object Pipeline {
       .select(col("lang"), col("source"), col("len_bucket"), col("action"))
     val pol = Dedup.policyE2e(s, d).select(col("doc_id"), col("verdict"))
     val text = Tables.documents(s, d)
-      .withColumn("len_bucket", floor(col("n_chars") / 100).cast("long"))
+      .withColumn("len_bucket", CorpusClean.qiLenBucket)
       .join(broadcast(anon), Seq("lang", "source", "len_bucket"))
       .join(pol, Seq("doc_id"))
       .select(col("source"), lit("text").as("modality"),

@@ -417,12 +417,15 @@ object TextAnalysis {
       sequence(lit(0), size(words) - 5),
       i => md5(array_join(slice(words, i + lit(1), lit(5)), " ").cast("binary"))))
     val corpus = docs(s, d)
+    // filter BEFORE the exchange: pred is row-local, so only surviving
+    // docs' text shuffles (the held-out side keeps ~2% — Catalyst pushes
+    // the predicate below a repartition anyway, but the explicit order
+    // makes the shape not depend on an optimizer rule)
+    val kept = corpus.filter(pred && size(words) >= 5)
     val spread =
-      if (corpus.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) corpus
-      else corpus.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    spread
-      .filter(pred && size(words) >= 5)
-      .select(col("doc_id"), explode(grams5).as("g5"))
+      if (corpus.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) kept
+      else kept.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    spread.select(col("doc_id"), explode(grams5).as("g5"))
   }
 
   def decontaminate(s: SparkSession, d: String): DataFrame = {

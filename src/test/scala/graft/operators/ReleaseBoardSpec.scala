@@ -15,6 +15,10 @@ class ReleaseBoardSpec extends AnyFunSuite {
     .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5), r.getLong(6)))
 
+  // collected once: mediaPolicy runs all three codec-decoding near-dup
+  // arms — two tests replay against it, so they share one execution
+  private lazy val policyRows = graft.multimodal.Media.mediaPolicy(s, sf).collect()
+
   test("every (source, modality) cell partitions its items into the four buckets") {
     assert(rows.nonEmpty)
     rows.foreach { case (src, mod, nIn, pb, dd, rv, rl) =>
@@ -43,7 +47,7 @@ class ReleaseBoardSpec extends AnyFunSuite {
       Tables.documents(s, sf).count())
     val mediaCounts = rows.filter(_._2 != "text").groupBy(_._2).view
       .mapValues(_.map(_._3).sum).toMap
-    val policyCounts = graft.multimodal.Media.mediaPolicy(s, sf).collect()
+    val policyCounts = policyRows
       .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
     assert(mediaCounts == policyCounts,
       s"board media counts $mediaCounts vs policy ledger $policyCounts")
@@ -72,7 +76,7 @@ class ReleaseBoardSpec extends AnyFunSuite {
     assert(gotText == expectedText)
     // media leg replayed from the policy ledger + the id→source mapping
     val off = graft.multimodal.Media.MirrorOffset
-    val expectedMedia = graft.multimodal.Media.mediaPolicy(s, sf).collect()
+    val expectedMedia = policyRows
       .map { r =>
         val id = r.getLong(1)
         (srcOf(if (id >= off) id - off else id), r.getString(0), r.getString(6))
