@@ -11,9 +11,19 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *     between Spark and the DuckDB oracle. `dsum` casts each addend to an
   *     exact DECIMAL first, sums exactly, then casts the total back to
   *     double — bit-identical in any engine and any partitioning, at any
-  *     scale. (Double→decimal rounding is itself deterministic: a binary
-  *     double can never sit exactly on a 1e-4 decimal midpoint, so
-  *     HALF_UP-vs-HALF_EVEN differences cannot fire.)
+  *     scale. CAVEAT (found at sf0.1): the double→decimal cast itself is
+  *     NOT engine-deterministic when a value sits within ~1 ULP of a
+  *     decimal-grid midpoint. A binary double never equals the midpoint,
+  *     but Spark rounds the double's SHORTEST DECIMAL RENDERING
+  *     (Double.toString, which can land exactly on it) HALF_UP, while
+  *     DuckDB rounds the scaled binary value — doc 479's quality score
+  *     0.8987499999999999 ("0.89875") went 0.8987 in Spark and 0.8988 in
+  *     DuckDB. Harmless for measures already exact at the cast scale
+  *     (parquet 2-decimal amounts under scale 4), fatal for measures
+  *     CONSTRUCTED on a finer decimal grid (the quality score's rational
+  *     arithmetic lands exactly on 5e-5 boundaries) — those must
+  *     aggregate through [[davg4]], which rounds in pure IEEE ops before
+  *     any decimal cast.
   *   - Every query ends in a total ORDER BY so row order is deterministic.
   *   - Every computed column is aliased identically in Spark and SQL.
   */
@@ -24,6 +34,23 @@ object QueryDsl {
   /** Exact average: decimal sum / count, one final double division. */
   def davg(c: Column): Column =
     (sum(c.cast(DecimalType(28, 4))).cast(DoubleType) / count(c)).cast(DoubleType)
+
+  /** Grid-tie-safe exact mean for doubles that can sit ON the decimal
+    * rounding grid (see the header caveat): each value is rounded to 4
+    * decimals with pure IEEE double ops — multiply, add, floor — that
+    * both engines execute bit-identically on the same input double, so
+    * the engine-specific double→decimal tie-break never runs. The
+    * rounded values are exact integers (summed as BIGINT, overflow-safe
+    * to ~9e11 rows per group at unit-scale measures); the mean is ONE
+    * final double division of two exactly-representable integers. */
+  def davg4(c: Column): Column =
+    (sum(floor(c * lit(10000d) + lit(0.5d))).cast(DoubleType) /
+      (count(c) * lit(10000L)).cast(DoubleType)).cast(DoubleType)
+
+  /** SQL fragment mirroring [[davg4]]. */
+  def sqlDavg4(expr: String): String =
+    s"CAST(SUM(CAST(floor(($expr) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+      s" / CAST(COUNT($expr) * 10000 AS DOUBLE)"
 
   /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
   def sqlDsum(expr: String): String =

@@ -187,7 +187,7 @@ object Pipeline {
       .agg(
         sum((col("n_emails") + col("n_ips") + col("n_phones")).cast("long")).as("n_pii"),
         sum(size(split(col("clean_text"), " ")).cast("long")).as("total_tokens"),
-        graft.QueryDsl.davg(col("quality_score")).as("avg_quality"))
+        graft.QueryDsl.davg4(col("quality_score")).as("avg_quality"))
     ledger.join(relAgg, Seq("source"), "left")
       .select(col("source"), col("n_in"), col("n_anon_suppressed"),
         col("n_dedup_dropped"), col("n_released"),
@@ -367,7 +367,7 @@ object Pipeline {
          |ra AS (SELECT r.source,
          |              CAST(SUM(r.n_pii) AS BIGINT) AS n_pii,
          |              CAST(SUM(r.tok) AS BIGINT) AS total_tokens,
-         |              ${graft.QueryDsl.sqlDavg("q.quality_score")} AS avg_quality
+         |              ${graft.QueryDsl.sqlDavg4("q.quality_score")} AS avg_quality
          |       FROM red r JOIN qual q USING (doc_id) GROUP BY r.source)
          |SELECT l.source, l.n_in, l.n_anon_suppressed, l.n_dedup_dropped,
          |       l.n_released, COALESCE(ra.n_pii, 0) AS n_pii,

@@ -130,7 +130,7 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(words).cast("long")).as("total_tokens"),
-        graft.QueryDsl.davg(qScore).as("avg_quality"),
+        graft.QueryDsl.davg4(qScore).as("avg_quality"),
         sum((predictedLang === col("lang")).cast("long")).as("n_lang_match"))
       .join(dups, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("total_tokens"),
@@ -900,9 +900,11 @@ object TextAnalysis {
     *
     * Scale shape: per-doc quality and the near-dup flags are reused
     * pipelines; the aggregation is one groupBy over O(sources) output
-    * rows with map-side combine. Mean quality goes through `dsum` (exact
-    * decimal) so the division is one IEEE op on identical operands in
-    * both engines. */
+    * rows with map-side combine. Mean quality goes through `davg4`
+    * (IEEE-rounded to the 1e-4 grid BEFORE any decimal cast): quality
+    * scores land exactly on 5e-5 decimal boundaries by construction, and
+    * the plain decimal cast resolves those ties engine-specifically —
+    * caught by the full-board sf0.1 oracle sweep (docs 479/3326). */
   def sourceFilter(s: SparkSession, d: String): DataFrame = {
     val q = quality(s, d).select(col("doc_id"), col("quality_score"))
     val dupDocs = Dedup.stagedNeardupPairs(s, d)
@@ -911,7 +913,7 @@ object TextAnalysis {
     val perDoc = docs(s, d).select(col("doc_id"), col("source"))
       .join(q, "doc_id")
       .join(dupDocs, Seq("doc_id"), "left")
-    val meanQ = graft.QueryDsl.dsum(col("quality_score")) / count(lit(1)).cast("double")
+    val meanQ = graft.QueryDsl.davg4(col("quality_score"))
     val dupRate = sum(coalesce(col("nd"), lit(0L))).cast("double") / count(lit(1)).cast("double")
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), meanQ.as("mean_quality"), dupRate.as("dup_rate"))
@@ -1652,7 +1654,7 @@ object TextAnalysis {
            |  FROM documents),
            |agg AS (
            |  SELECT source, COUNT(*) AS n_docs,
-           |         ${graft.QueryDsl.sqlDsum("q")} / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+           |         ${graft.QueryDsl.sqlDavg4("q")} AS mean_quality,
            |         CAST(SUM(nd_flag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
            |  FROM qs GROUP BY source)
            |SELECT source, n_docs, mean_quality, dup_rate,
@@ -2061,7 +2063,7 @@ object TextAnalysis {
          |agg AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |         CAST(SUM(ntok) AS BIGINT) AS total_tokens,
-         |         ${graft.QueryDsl.sqlDavg("q")} AS avg_quality,
+         |         ${graft.QueryDsl.sqlDavg4("q")} AS avg_quality,
          |         CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_match
          |  FROM p2 GROUP BY source)
          |SELECT a.source, a.n_docs, a.total_tokens,
