@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g, r21): local[32] runs driver + all executors in
+  // ONE JVM, and the concurrent replay phase holds ~33 streaming sessions
+  // at once — at 8g the phase ran GC-bound (measured ~10% slower than at
+  // 24g on a quiet box). 16g keeps comfortable headroom on the 128 GiB
+  // sandbox while staying overridable for smaller boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -58,6 +58,29 @@ object Bench {
 
   private final case class R(name: String, sec: Double, replay: Double, sentinel: Double)
 
+  /** CONTENDED-MEASUREMENT RETRY decision (r21: dead-band closed). The
+    * r20 board's two anomalies (`t_line_dedup` 9.41 s official vs ~1.1 s
+    * quiet, `replay_total` 74 s vs ≤ 20 s builder) both sat in the
+    * 1.2–1.6× sentinel band — UNDER the old 2×-only trigger, yet they
+    * moved the board materially. A mild contention reading is noise on a
+    * 0.3 s query but seconds on a heavy one, so the trigger is now
+    * WEIGHT-AWARE: any sentinel over 2× base retries (unchanged), and a
+    * query whose timed run cost > 2 s retries already at 1.3× base.
+    * Both retries share the one budget; the quieter-sentinel measurement
+    * is kept (attribution-consistent, never fastest-wins). */
+  private[graft] def shouldRetry(sec: Double, sen: Double, base: Double): Boolean =
+    sen > 2 * base || (sec > 2.0 && sen > 1.3 * base)
+
+  /** REPLAY-PHASE re-run decision (r21, same dead-band class): the r20
+    * official replay phase read 74.08 s with a 1.51× phase sentinel —
+    * contended, but under the 2× quarter-width trigger, and only outlier
+    * replays re-ran; the PHASE total itself never re-measured. A phase
+    * whose start sentinel exceeds 1.4× base now re-runs ONCE in full
+    * (budget: one re-run per benchAll leg) and the quieter-sentinel
+    * phase is published. */
+  private[graft] def replayPhaseContended(phaseSentinel: Double, base: Double): Boolean =
+    phaseSentinel > 1.4 * base
+
   /** CONTENTION SENTINEL: a constant-work reference kernel (8-partition
     * 5M-row hash-agg through the same noop sink) timed immediately before
     * every timed measurement. Its input never varies, so its wall time is
@@ -247,7 +270,20 @@ object Bench {
     var lastReplaySentinel = 0.0
     var lastReplayReruns: Seq[String] = Nil
     def benchAll(dir: String): Seq[R] = {
-      val phase = replayAll(dir)
+      // Replay-phase dead-band re-run (see [[replayPhaseContended]]): a
+      // phase that started on a mildly-contended box (sentinel 1.4–2×
+      // base — below the quarter-width trigger, above noise) re-runs
+      // ONCE in full and the quieter-sentinel phase is published. Each
+      // replay rebuilds its own memory sink in its own session clone, so
+      // either phase's DataFrames stay valid for the timed sink reads.
+      var phase = replayAll(dir)
+      if (replayPhaseContended(phase.sentinel, sentinelBase)) {
+        System.err.println(
+          f"[bench] replay phase sentinel ${phase.sentinel}%.3f > 1.4× base " +
+            f"$sentinelBase%.3f — re-running the phase once")
+        val second = replayAll(dir)
+        if (second.sentinel < phase.sentinel) phase = second
+      }
       val replayed = phase.out
       lastReplayWall = phase.wall
       lastReplaySentinel = phase.sentinel
@@ -275,8 +311,9 @@ object Bench {
             // once and keep whichever measurement had the QUIETER
             // sentinel (not the lower time: preferring the quiet reading
             // is attribution-consistent, preferring the fast one would
-            // bias the board downward).
-            if (sen > 2 * sentinelBase && retryBudget > 0) {
+            // bias the board downward). The trigger is weight-aware (see
+            // [[shouldRetry]]): heavy queries retry already at 1.3× base.
+            if (shouldRetry(sec, sen, sentinelBase) && retryBudget > 0) {
               retryBudget -= 1
               val sen2 = sentinelObserved(sentinelOnce(spark))
               val sec2 = runOnce()

@@ -28,6 +28,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *   - Every computed column is aliased identically in Spark and SQL.
   */
 object QueryDsl {
+
+  /** Pin-then-sort for COMPUTE-DENSE frames (r21, guide §1.2/§2.4): the
+    * deterministic total ORDER BY every query ends in plans as a RANGE
+    * exchange, and range partitioning SAMPLES its child to pick bounds —
+    * so the child subtree executes TWICE (once in the sampling job, once
+    * in the shuffle map stage). Harmless when the child is a materialized
+    * AQE stage (post-aggregation sorts re-read shuffle output), but a
+    * compute-dense NARROW child — parse kernel, regex scan, MinHash,
+    * wholetext scan — pays its full cost twice. `localCheckpoint` pins
+    * the frame once so both the sampler and the shuffle read materialized
+    * rows (the candidatePairs/mediaPolicy pin precedent; on a
+    * multi-executor cluster the same pin is a reliable `checkpoint(dir)`
+    * or a staged table). Apply ONLY where the sort's child is expensive
+    * narrow compute — a pin under a cheap child just adds a store+read
+    * round trip. */
+  def sortedPinned(df: org.apache.spark.sql.DataFrame, cols: Column*): org.apache.spark.sql.DataFrame =
+    df.localCheckpoint().orderBy(cols: _*)
+
   /** Exact, order-independent sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast(DoubleType)
 

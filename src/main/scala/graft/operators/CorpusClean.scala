@@ -36,13 +36,22 @@ object CorpusClean {
   private val LineW = 8
   private val BoilerplateMinDocs = 3
 
+  /** Per-doc line count as a NARROW expression over `text` — exactly the
+    * number of rows [[linesOf]] generates for the doc (`posexplode` over
+    * `sequence(0, nLines-1)` emits nLines rows; every doc has ≥ 1 word so
+    * nLines ≥ 1). Shared by the segmentation and by [[lineDedup]]'s
+    * totals leg, which r20 computed by exploding the whole corpus a third
+    * time just to count rows per doc (guide §2.4: don't shuffle what a
+    * narrow map already knows). */
+  private def nLinesCol: Column =
+    floor((size(words) + lit(LineW - 1)).cast("double") / lit(LineW.toDouble))
+      .cast("int")
+
   /** (doc_id, line_idx, line) — every doc of `df(doc_id, text)` segmented
     * into LineW-word lines. Parameterized on the input so the e2e pipeline
     * can run the pass over an already-filtered corpus. */
   private[operators] def linesOf(df: DataFrame): DataFrame = {
-    val nLines = floor((size(words) + lit(LineW - 1)).cast("double") / lit(LineW.toDouble))
-      .cast("int")
-    val lineArr = transform(sequence(lit(0), nLines - 1),
+    val lineArr = transform(sequence(lit(0), nLinesCol - 1),
       i => array_join(slice(words, i * LineW + 1, lit(LineW)), " "))
     df
       // byte-small, compute-dense: the fingerprint/withSig repartition trap
@@ -52,11 +61,20 @@ object CorpusClean {
 
   private def lines(s: SparkSession, d: String): DataFrame = linesOf(docs(s, d))
 
-  private[operators] def heavyLinesOf(df: DataFrame): DataFrame =
-    linesOf(df).groupBy(col("line"))
+  /** Heavy-line set over an ALREADY-SEGMENTED lines frame — split from
+    * [[heavyLinesOf]] so callers that consume the lines twice (the count
+    * leg and the anti-join probe) can PIN one segmentation pass and feed
+    * it here, instead of re-running the explode per consumer (r20 shape:
+    * the scan+repartition deduped via ReuseExchange but the post-exchange
+    * explode + line assembly ran once per consumer). */
+  private def heavyFromLines(ls: DataFrame): DataFrame =
+    ls.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= BoilerplateMinDocs)
       .select(col("line"))
+
+  private[operators] def heavyLinesOf(df: DataFrame): DataFrame =
+    heavyFromLines(linesOf(df))
 
   /** Exposed for the spec's pruning assertion. */
   private[operators] def heavyLines(s: SparkSession, d: String): DataFrame =
@@ -64,21 +82,33 @@ object CorpusClean {
 
   /** The drop+reassemble core over `df(doc_id, text)`: docs whose every
     * line is boilerplate DROP OUT (the e2e-pipeline contract; the public
-    * [[lineDedup]] query instead keeps them as tombstones). */
-  private[operators] def cleanedOf(df: DataFrame): DataFrame =
-    linesOf(df).join(broadcast(heavyLinesOf(df)), Seq("line"), "left_anti")
+    * [[lineDedup]] query instead keeps them as tombstones). The lines
+    * frame is pinned once (`localCheckpoint`, the candidatePairs
+    * precedent) for its two consumers — heavy-line counting and the
+    * anti-join probe; on a multi-executor cluster the same pin is a
+    * `checkpoint(dir)` or a staged lines table. */
+  private[operators] def cleanedOf(df: DataFrame): DataFrame = {
+    val ls = linesOf(df).localCheckpoint()
+    ls.join(broadcast(heavyFromLines(ls)), Seq("line"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("line_idx"), col("line")))),
         x => x.getField("line")), " ").as("clean_text"))
+  }
 
   /** Drop every line that appears in ≥ BoilerplateMinDocs distinct docs,
     * reassemble the survivors in order. Docs reduced to nothing stay as
     * explicit empty-text rows (a filter would silently shrink the corpus —
-    * downstream joins want the tombstone). */
+    * downstream joins want the tombstone).
+    *
+    * r21 shape (was: THREE explode passes over the corpus — heavy-line
+    * count, anti-join probe, and a per-doc row count): the lines frame is
+    * segmented ONCE and pinned for the two consumers that genuinely need
+    * exploded rows, and the totals leg is a narrow [[nLinesCol]] map over
+    * the docs scan — no third explode, no corpus-sized count shuffle. */
   def lineDedup(s: SparkSession, d: String): DataFrame = {
-    val ls = lines(s, d)
-    val kept = ls.join(broadcast(heavyLines(s, d)), Seq("line"), "left_anti")
+    val ls = lines(s, d).localCheckpoint()
+    val kept = ls.join(broadcast(heavyFromLines(ls)), Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("int").as("n_kept"),
@@ -87,7 +117,7 @@ object CorpusClean {
         array_join(transform(
           array_sort(collect_list(struct(col("line_idx"), col("line")))),
           x => x.getField("line")), " ").as("clean_text"))
-    val totals = ls.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_lines"))
+    val totals = docs(s, d).select(col("doc_id"), nLinesCol.as("n_lines"))
     totals.join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -127,8 +157,16 @@ object CorpusClean {
     * narrow map: at 100 TB this is exactly one pass over the scan. */
   // slope pin: ~5 at 10x input, drifting toward 10 (regex scan is linear
   // in corpus bytes; sf0.01 leg is overhead-dominated) — see SLOPES.md
+  //
+  // r21 shape: the deterministic sort runs BEFORE the redaction project
+  // (Sort(doc_id) under Project), not after. A trailing orderBy's range
+  // exchange samples its child, so the r20 shape ran the whole 6-regex
+  // scan twice (sampler + shuffle map); sorting the raw (doc_id, text)
+  // scan first makes the sampler re-read only the parquet scan, and the
+  // projection — order-preserving, so the output rows are identical —
+  // evaluates once, post-shuffle. Same rows, same order, one regex pass.
   def piiRedact(s: SparkSession, d: String): DataFrame =
-    piiRedactOf(docs(s, d)).orderBy("doc_id")
+    piiRedactOf(docs(s, d).orderBy("doc_id"))
 
   /** The redaction pass over an arbitrary (doc_id, text) frame — lets the
     * release-gate flagship redact the SURVIVING corpus only (the regex

@@ -175,7 +175,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash signatures, exploded to (doc_id, perm, minhash). */
+  /** MinHash signatures, exploded to (doc_id, perm, minhash). Measured
+    * r21: a sortedPinned here REGRESSED 2.26 → 3.19 s — the pinned
+    * exploded frame's store+read costs more than the sampler's recompute
+    * of the (native, already fast) MinHash pass. Left unpinned
+    * deliberately; see OPTIMIZATION_r21.md. */
   // slope pin: ~5 at 10x input, drifting toward 10 (shingles x perms is
   // linear in corpus bytes) — see SLOPES.md
   def minhashSignatures(s: SparkSession, d: String): DataFrame =

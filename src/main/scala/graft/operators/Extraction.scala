@@ -29,7 +29,7 @@ object Extraction {
   /** X2/G1/I1 — render in a map, extract in a flatMap: 1 doc → N holding
     * rows with the filing's scalar date attached. Unsorted — for
     * downstream pipelines (the CSV sink repartitions by date itself). */
-  private def extractedHoldings(s: SparkSession, d: String): DataFrame = {
+  private[graft] def extractedHoldings(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     FilingDocs.docs(s, d)
       .flatMap { case (_, doc) => NportKernel.extractRows(doc) }
@@ -37,33 +37,43 @@ object Extraction {
       .select(outCols.map(col): _*)
   }
 
-  /** [[extractedHoldings]] with the oracle-determinism total sort. */
+  /** [[extractedHoldings]] with the oracle-determinism total sort. The
+    * extracted frame is PINNED before the sort (QueryDsl.sortedPinned):
+    * the range sort samples its child, and r20's shape re-ran the whole
+    * render+parse kernel — the repo's most expensive stage — once for the
+    * sampler and once for the shuffle. */
   def extractHoldings(s: SparkSession, d: String): DataFrame =
-    extractedHoldings(s, d).orderBy(outCols.map(col): _*)
+    graft.QueryDsl.sortedPinned(extractedHoldings(s, d), outCols.map(col): _*)
 
   /** [[extractHoldings]] as a Catalyst `Generator` plan
     * ([[graft.functions.ExtractHoldingsGen]]): the kernel runs inside a
     * `GenerateExec` over the document column instead of a `flatMap` over a
     * typed Dataset — no encoder boundary, column pruning flows through.
     * Same oracle as the flatMap form: identical output is the gate. */
-  def extractHoldingsGen(s: SparkSession, d: String): DataFrame = {
+  /** The unsorted Generator-form frame — split out so the plan-shape spec
+    * can see the Generate node (the public query pins the frame, which
+    * hides the subtree behind an RDD scan). */
+  private[graft] def extractHoldingsGenRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     FilingDocs.docs(s, d).toDF("doc_id", "doc")
       .select(graft.functions.ExtractHoldingsGen(col("doc")))
       .select(outCols.map(col): _*)
-      .orderBy(outCols.map(col): _*)
   }
+
+  def extractHoldingsGen(s: SparkSession, d: String): DataFrame =
+    graft.QueryDsl.sortedPinned(extractHoldingsGenRaw(s, d), outCols.map(col): _*)
 
   /** X1 — scalar per-document extraction: one reporting date per filing;
     * date-less filings are dropped (ref :80-82). */
   def reportingDates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    FilingDocs.docs(s, d)
-      .flatMap { case (id, doc) =>
-        NportKernel.extract(doc)._1.map(date => (id, date))
-      }
-      .toDF("doc_id", "reporting_date")
-      .orderBy("doc_id")
+    graft.QueryDsl.sortedPinned(
+      FilingDocs.docs(s, d)
+        .flatMap { case (id, doc) =>
+          NportKernel.extract(doc)._1.map(date => (id, date))
+        }
+        .toDF("doc_id", "reporting_date"),
+      col("doc_id"))
   }
 
   /** S2+I1 — the same extraction driven from a document-directory source:
@@ -76,20 +86,24 @@ object Extraction {
     // split packing for this many-small-files corpus is tuned session-wide
     // (spark.sql.files.openCostInBytes in GraftSession.configure) — a
     // conf.set here would leak into every later query in a shared session
-    s.read.option("wholetext", "true").text(dir)
-      .select(col("value"))
-      .as[String]
-      .flatMap(NportKernel.extractRows)
-      .toDF()
-      .select(outCols.map(col): _*)
-      .orderBy(outCols.map(col): _*)
+    graft.QueryDsl.sortedPinned(
+      s.read.option("wholetext", "true").text(dir)
+        .select(col("value"))
+        .as[String]
+        .flatMap(NportKernel.extractRows)
+        .toDF()
+        .select(outCols.map(col): _*),
+      outCols.map(col): _*)
   }
 
   /** S2+K — [[docSourceHoldings]] over the COMPACTED corpus (a few
     * parquet files instead of one file per doc): identical rows, same
     * oracle, ~docs/4 fewer file opens — the layout fix for the
     * many-small-files scan demonstrated on the extraction path itself. */
-  def docSourceCompactedHoldings(s: SparkSession, d: String): DataFrame = {
+  /** The unsorted compacted-corpus frame — split out so DocCompactionSpec
+    * can read the executed scan's `numFiles` metric (the public query
+    * pins the frame, which hides the scan behind an RDD). */
+  private[graft] def docSourceCompactedRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val path = DocStage.ensureCompacted(s, d)
     s.read.parquet(path)
@@ -98,8 +112,10 @@ object Extraction {
       .flatMap(NportKernel.extractRows)
       .toDF()
       .select(outCols.map(col): _*)
-      .orderBy(outCols.map(col): _*)
   }
+
+  def docSourceCompactedHoldings(s: SparkSession, d: String): DataFrame =
+    graft.QueryDsl.sortedPinned(docSourceCompactedRaw(s, d), outCols.map(col): _*)
 
   private def holdingsOracleFor(pred: String): String =
     s"""SELECT * FROM (
@@ -174,6 +190,9 @@ object Extraction {
       .withColumn("filing_seq", lit(1L))
     val outDir = graft.TempPaths.scratch(s, "csv_roundtrip")
     graft.sinks.HoldingsCsvSink.write(real.unionByName(decoys), outDir)
+    // NOT sortedPinned (measured r21: the pin regressed 3.4 → 4.5 s —
+    // the freshly-written CSV is page-cache-hot, so the sampler's second
+    // read is cheaper than materializing the frame)
     s.read
       .option("header", "true")
       .schema("issuer STRING, shares STRING, value_usd STRING, pct_net_assets STRING, reporting_date STRING")

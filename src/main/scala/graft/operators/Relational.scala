@@ -500,6 +500,12 @@ object Relational {
     val a = linkageRegistryA(s, d)
     val b = linkageRegistryB(s, d)
     val (vaP, vbP) = ensureLinkageStaged(s, d)
+    // The early pair-distinct STAYS (measured r21): moving it below the
+    // score+filter looked like a win on paper (the filter keeps ~1% of
+    // pairs, the distinct shuffles 1.79M) but regressed 3.2 → 9.9 s in an
+    // isolated A/B — the aggregate is also the stats barrier that keeps
+    // the two registry probes planned as broadcast joins; without it the
+    // scoring leg degrades. Documented in OPTIMIZATION_r21.md.
     val cand = s.read.parquet(vaP).as("x")
       .join(s.read.parquet(vbP).as("y"), col("x.variant") === col("y.variant"))
       .select(col("x.key").as("a_key"), col("y.key").as("b_key"))
@@ -509,21 +515,27 @@ object Relational {
       .otherwise(-8)
     val sNation = when(col("a_nation") === col("b_nation"), 6).otherwise(-6)
     val sSegment = when(col("a_segment") === col("b_segment"), 3).otherwise(-5)
-    cand
-      .join(a.select(col("key").as("a_key"), col("name").as("a_name"),
-        col("nation").as("a_nation"), col("segment").as("a_segment")), "a_key")
-      .join(b.select(col("key").as("b_key"), col("name").as("b_name"),
-        col("nation").as("b_nation"), col("segment").as("b_segment")), "b_key")
-      .select(col("a_key"), col("b_key"),
-        sName.as("s_name"), sNation.as("s_nation"), sSegment.as("s_segment"))
-      .withColumn("score", col("s_name") + col("s_nation") + col("s_segment"))
-      .withColumn("decision",
-        when(col("score") >= 20, "match")
-          .when(col("score") >= 10, "possible")
-          .otherwise("non_match"))
-      .filter(col("decision") =!= "non_match")
-      .withColumn("is_true", (col("a_key") === col("b_key")).cast("int"))
-      .orderBy("a_key", "b_key")
+    // sortedPinned (r21): the trailing sort's range exchange samples its
+    // child, and here the child is the scoring pass — two broadcast
+    // probes + a levenshtein over EVERY candidate pair (1.79M at sf0.1)
+    // — which r20 therefore ran twice. The filter keeps ~1% of pairs, so
+    // the pin materializes a tiny frame and the scoring runs once.
+    graft.QueryDsl.sortedPinned(
+      cand
+        .join(a.select(col("key").as("a_key"), col("name").as("a_name"),
+          col("nation").as("a_nation"), col("segment").as("a_segment")), "a_key")
+        .join(b.select(col("key").as("b_key"), col("name").as("b_name"),
+          col("nation").as("b_nation"), col("segment").as("b_segment")), "b_key")
+        .select(col("a_key"), col("b_key"),
+          sName.as("s_name"), sNation.as("s_nation"), sSegment.as("s_segment"))
+        .withColumn("score", col("s_name") + col("s_nation") + col("s_segment"))
+        .withColumn("decision",
+          when(col("score") >= 20, "match")
+            .when(col("score") >= 10, "possible")
+            .otherwise("non_match"))
+        .filter(col("decision") =!= "non_match")
+        .withColumn("is_true", (col("a_key") === col("b_key")).cast("int")),
+      col("a_key"), col("b_key"))
   }
 
   /** Descriptive-statistics kernel — per-group mean / sample variance /

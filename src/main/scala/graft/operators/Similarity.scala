@@ -2279,6 +2279,15 @@ object Similarity {
     val pairSim = aSide.join(bSide, Seq("method", "q_id"))
       .filter(col("a_id") < col("b_id"))
       .select(col("method"), cosineF(col("a_emb"), col("b_emb")).as("sim"))
+    // davg (not davg4) audited r21 against the quality-mean grid-tie
+    // class: that bug requires values CONSTRUCTED on the 1e-4 decimal
+    // grid (rational arithmetic landing exactly on k·1e-4 + 5e-5, where
+    // Spark's shortest-rendering HALF_UP and DuckDB's scaled-binary
+    // rounding disagree). `sim`/`rel` are cosines — dot products through
+    // two sqrt's — whose shortest decimal renderings terminate at 5
+    // digits only by ~1e-11 chance per value, not systematically; the
+    // davg4 pre-round would CHANGE the published means for no structural
+    // risk. Revisit only if an SF sweep ever hash-splits these columns.
     val simAgg = pairSim.groupBy(col("method"))
       .agg(graft.QueryDsl.davg(col("sim")).as("mean_intra_sim"))
     val relAgg = lists.groupBy(col("method"))

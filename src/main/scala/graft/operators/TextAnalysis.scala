@@ -297,40 +297,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-doc top-word multiplicity as a NARROW array fold (r21; guide
+    * §2.4 — remove shuffles outright): sort the words array so equal
+    * words become adjacent, then take the longest run in one linear
+    * pass. The r20 shape exploded the corpus and paid two hash-agg
+    * shuffles plus a join back per consumer; the fold computes the same
+    * integer — max multiplicity of any word in the doc — with zero
+    * exchanges. Bounded by DOC length (the same per-row bound as the
+    * arrays the queries already build), never by corpus size. The
+    * initial `prev = ""` cannot miscount a genuine leading empty-string
+    * word: its run evaluates 0+1 = 1 either way. */
+  private def topWordCount: Column =
+    aggregate(
+      array_sort(words),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + lit(1))
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Repetition signals — the MassiveText/Gopher-style quality filters
     * that catch degenerate (boilerplate/spam/loop) documents: fraction of
     * repeated tokens, most-frequent-token share, and repeated-2-gram
-    * fraction. The n-gram fractions are pure narrow array ops; the
-    * top-token count is an explode + two map-side-combining aggregations
-    * (never a per-doc O(n²) fold). All divisions are single IEEE ops over
-    * exact integers, so the doubles are bit-identical cross-engine. */
+    * fraction. All columns are pure narrow array ops over the scan (the
+    * top-token count is [[topWordCount]]'s sorted-run fold — r20 paid an
+    * explode + two aggregation shuffles + a join back for it); divisions
+    * are single IEEE ops over exact integers, so the doubles are
+    * bit-identical cross-engine. The deterministic sort runs BEFORE the
+    * projection (the piiRedact shape): a trailing orderBy would sample —
+    * and so re-run — the compute-dense child twice. */
   def repetitionSignals(s: SparkSession, d: String): DataFrame = {
-    val topWord = docs(s, d)
-      .select(col("doc_id"), explode(words).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id")).agg(max(col("n")).cast("int").as("top_word_n"))
     val nTok = size(words)
     val grams2 = transform(sequence(lit(0), nTok - 2),
       i => array_join(slice(words, i + lit(1), lit(2)), " "))
     docs(s, d)
+      .orderBy("doc_id")
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
         (lit(1.0) - size(array_distinct(words)).cast("double") / nTok.cast("double"))
           .as("dup_word_frac"),
+        // the fold lands in its own projection so the frac below reads
+        // the computed column instead of re-running the O(doc) fold
+        topWordCount.cast("int").as("top_word_n"),
         // sequence(0, n-2) DESCENDS when n<2 — guard stays even though the
         // corpus has no 1-token docs
         when(nTok >= 2,
           lit(1.0) - size(array_distinct(grams2)).cast("double") /
             (nTok - 1).cast("double"))
           .otherwise(lit(0.0)).as("dup_2gram_frac"))
-      .join(topWord, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
         col("top_word_n"),
         (col("top_word_n").cast("double") / col("n_tokens").cast("double"))
           .as("top_word_frac"),
         col("dup_2gram_frac"))
-      .orderBy("doc_id")
   }
 
   // Gopher-style rule-gate thresholds (the Rae et al. 2021 MassiveText
@@ -347,22 +370,22 @@ object TextAnalysis {
     * bounds, minimum stopword evidence, duplicate-word cap, and a
     * top-word-share cap — one int flag per rule plus the conjunction, so
     * a pipeline can both filter on `keep` and report per-rule kill rates.
-    * Everything is a narrow map over the scan except the top-word count,
-    * which reuses [[repetitionSignals]]'s explode → map-side-combined
-    * groupBy (never a per-doc O(n²) fold). */
+    * Everything is a narrow map over the scan, the top-word count
+    * included ([[topWordCount]]'s sorted-run fold — r20 paid an explode +
+    * two aggregation shuffles + a join back for it); the deterministic
+    * sort runs BEFORE the projection (the piiRedact shape) so the
+    * trailing range exchange samples the raw scan, not the computed
+    * columns. */
   def gopherRules(s: SparkSession, d: String): DataFrame = {
-    val topWord = docs(s, d)
-      .select(col("doc_id"), explode(words).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id")).agg(max(col("n")).cast("int").as("top_count"))
     val nw = size(words)
     val chars = length(regexp_replace(col("text"), " ", ""))
     val nStop = size(filter(words, w => w.isInCollection(Seq("a", "the"))))
     val nDistinct = size(array_distinct(words))
     docs(s, d)
+      .orderBy("doc_id")
       .select(col("doc_id"), nw.as("n_words"), chars.as("n_word_chars"),
-        nStop.as("n_stop"), nDistinct.as("n_distinct"))
-      .join(topWord, "doc_id")
+        nStop.as("n_stop"), nDistinct.as("n_distinct"),
+        topWordCount.cast("int").as("top_count"))
       .select(
         col("doc_id"), col("n_words"),
         (col("n_word_chars").cast("double") / col("n_words").cast("double"))
@@ -382,7 +405,6 @@ object TextAnalysis {
       .withColumn("keep",
         (col("r_len") === 1 && col("r_word_len") === 1 && col("r_stop") === 1 &&
           col("r_dup") === 1 && col("r_top") === 1).cast("int"))
-      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination: flag training documents that share any

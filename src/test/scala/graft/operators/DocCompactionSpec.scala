@@ -29,10 +29,15 @@ class DocCompactionSpec extends AnyFunSuite {
     val b = compacted.collect()
     assert(a.length == b.length && a.sameElements(b),
       "compaction changed the extraction output")
-    val scan = flatten(compacted.queryExecution.executedPlan)
+    // scan metrics come off the RAW (unpinned) frame: the public query
+    // pins before its sort (QueryDsl.sortedPinned), which hides the scan
+    // subtree behind an RDD — the scan behavior under test is unchanged
+    val raw = Extraction.docSourceCompactedRaw(s, sf)
+    raw.write.format("noop").mode("overwrite").save()
+    val scan = flatten(raw.queryExecution.executedPlan)
       .collectFirst { case f: FileSourceScanExec => f }
     assert(scan.isDefined,
-      s"expected a FileSourceScanExec in:\n${compacted.queryExecution.executedPlan}")
+      s"expected a FileSourceScanExec in:\n${raw.queryExecution.executedPlan}")
     val opened = scan.get.metrics("numFiles").value
     val docCount = Option(new java.io.File(graft.sources.DocStage.stageDir(sf)).listFiles)
       .getOrElse(Array.empty).count(_.getName.endsWith(".html"))

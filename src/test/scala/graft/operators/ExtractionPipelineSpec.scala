@@ -48,9 +48,11 @@ class ExtractionPipelineSpec extends AnyFunSuite {
   }
 
   test("Generator form plans a Generate node and matches the flatMap form row-for-row") {
-    val gen = Extraction.extractHoldingsGen(s, sf)
-    // it really is the explode-family plan, not a deserialized flatMap
-    val optimized = gen.queryExecution.optimizedPlan
+    // plan-shape assertions read the RAW (unpinned, unsorted) frames: the
+    // public queries pin before their sort (QueryDsl.sortedPinned), which
+    // hides the subtree behind an RDD scan — the plans under test are the
+    // ones the pin materializes
+    val optimized = Extraction.extractHoldingsGenRaw(s, sf).queryExecution.optimizedPlan
     assert(optimized.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
     }.nonEmpty, s"expected a Generate node in:\n$optimized")
@@ -60,11 +62,11 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     assert(optimized.collect {
       case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
     }.isEmpty, s"Generator form must not run extraction as a typed flatMap:\n$optimized")
-    assert(Extraction.extractHoldings(s, sf).queryExecution.optimizedPlan.collect {
+    assert(Extraction.extractedHoldings(s, sf).queryExecution.optimizedPlan.collect {
       case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
     }.nonEmpty, "flatMap form changed shape — comparison no longer meaningful")
     val a = Extraction.extractHoldings(s, sf).collect().toSeq
-    val b = gen.collect().toSeq
+    val b = Extraction.extractHoldingsGen(s, sf).collect().toSeq
     assert(a == b)
   }
 
