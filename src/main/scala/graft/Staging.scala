@@ -37,6 +37,23 @@ object Staging {
 
   private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** One staging build that ran in this JVM: the staged dir and the build's
+    * wall seconds. The log exists so the bench can PRICE staging instead of
+    * hiding it (r21 verdict: three headline "wins" were work relocated into
+    * build-once staging the board never reported) — Bench drains it at
+    * start and publishes `staging_total`/`stages_built` in the headline. */
+  final case class BuildRecord(dir: String, sec: Double)
+
+  private val buildsLog = new java.util.concurrent.ConcurrentLinkedQueue[BuildRecord]()
+
+  /** Every build that ran in this JVM since the last [[resetBuildLog]]. */
+  def buildsSnapshot: Seq[BuildRecord] = {
+    import scala.jdk.CollectionConverters._
+    buildsLog.iterator().asScala.toVector
+  }
+
+  def resetBuildLog(): Unit = buildsLog.clear()
+
   /** Fingerprint of the source files an artifact is derived from: md5 over
     * the sorted (relative path, size, mtime-millis, content-witness) lines
     * of every regular file under the given roots (a root may be a single
@@ -96,10 +113,18 @@ object Staging {
     * different fingerprint. Returns true iff `build` ran in this call —
     * callers keep their build counters (the specs' build-once assertions)
     * by incrementing on true. `build` is responsible for clearing its own
-    * stale output files (overwrite-mode writes already do). */
-  def ensure(dir: String, sources: Seq[String])(build: => Unit): Boolean = {
+    * stale output files (overwrite-mode writes already do).
+    *
+    * `version` is a CODE-VERSION token folded into the recorded
+    * fingerprint: the source fingerprint alone cannot see a change to the
+    * builder's LOGIC (a staged table silently serves stale derivations
+    * until a Verify mismatch surfaces it — r21 advice). A builder whose
+    * derivation changes bumps its version constant and the next ensure
+    * rebuilds; builders whose stage dir already encodes its parameters
+    * (the `_v1`/`p8v2` suffix discipline) may keep the default. */
+  def ensure(dir: String, sources: Seq[String], version: String = "")(build: => Unit): Boolean = {
     val marker = Paths.get(dir, "_STAGED")
-    val fp = fingerprint(sources)
+    val fp = fingerprint(sources) + (if (version.isEmpty) "" else ":" + version)
     if (readMarker(marker).contains(fp)) return false
     val monitor = dirLocks.computeIfAbsent(dir, _ => new Object)
     monitor.synchronized {
@@ -116,7 +141,9 @@ object Staging {
           // re-check under the lock: another thread/process may have built
           if (readMarker(marker).contains(fp)) return false
           Files.deleteIfExists(marker) // a stale marker must not survive a failed build
+          val t0 = System.nanoTime()
           build
+          buildsLog.add(BuildRecord(dir, (System.nanoTime() - t0) / 1e9)): Unit
           publish(marker, fp)
           true
         } finally lock.release()

@@ -1372,10 +1372,15 @@ object Media {
     * live, measured, and oracle-checked in the standalone `m_*_neardup` /
     * decode queries; the policy composition now reads build-once state,
     * which is how a production ledger consumes fingerprint tables. */
+  /** Code-version token folded into the stage fingerprint (r21 advice):
+    * the staged tables derive from the fixture synthesis + codecs + the
+    * three banded arms — bump when any of that logic changes. */
+  private val MediaPolicyStageVersion = "fixtures1:arms1:digest1"
+
   private def ensureMediaPolicyStaged(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = mediaPolicyStageDir(d)
-    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet"), MediaPolicyStageVersion) {
       mediaPolicyStageBuildCount.incrementAndGet()
       dhashImageTable(s, d).map { case (id, p) => ("image", id, p) }
         .union(mirrorImageTable(s, d).map { case (id, p) => ("image", id, p) })

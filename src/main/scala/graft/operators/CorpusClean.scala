@@ -83,12 +83,12 @@ object CorpusClean {
   /** The drop+reassemble core over `df(doc_id, text)`: docs whose every
     * line is boilerplate DROP OUT (the e2e-pipeline contract; the public
     * [[lineDedup]] query instead keeps them as tombstones). The lines
-    * frame is pinned once (`localCheckpoint`, the candidatePairs
+    * frame is pinned once ([[graft.QueryDsl.pin]], the candidatePairs
     * precedent) for its two consumers — heavy-line counting and the
-    * anti-join probe; on a multi-executor cluster the same pin is a
-    * `checkpoint(dir)` or a staged lines table. */
+    * anti-join probe; the pin is mode-aware (localCheckpoint single-JVM,
+    * reliable checkpoint(dir) on a cluster). */
   private[operators] def cleanedOf(df: DataFrame): DataFrame = {
-    val ls = linesOf(df).localCheckpoint()
+    val ls = graft.QueryDsl.pin(linesOf(df))
     ls.join(broadcast(heavyFromLines(ls)), Seq("line"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(transform(
@@ -107,7 +107,7 @@ object CorpusClean {
     * exploded rows, and the totals leg is a narrow [[nLinesCol]] map over
     * the docs scan — no third explode, no corpus-sized count shuffle. */
   def lineDedup(s: SparkSession, d: String): DataFrame = {
-    val ls = lines(s, d).localCheckpoint()
+    val ls = graft.QueryDsl.pin(lines(s, d))
     val kept = ls.join(broadcast(heavyFromLines(ls)), Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(

@@ -141,7 +141,7 @@ object Dedup {
     *    unsalted form when no bucket is hot. */
   private[operators] def candidatePairsFrom(
       bandsDf: DataFrame, hotRows: Int = HotBucketRows): DataFrame = {
-    val b = bandsDf.localCheckpoint()
+    val b = graft.QueryDsl.pin(bandsDf)
     val g = HotBucketSalts
     val hot = b.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("c"))
@@ -175,17 +175,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash signatures, exploded to (doc_id, perm, minhash). Measured
-    * r21: a sortedPinned here REGRESSED 2.26 → 3.19 s — the pinned
-    * exploded frame's store+read costs more than the sampler's recompute
-    * of the (native, already fast) MinHash pass. Left unpinned
-    * deliberately; see OPTIMIZATION_r21.md. */
+  /** MinHash signatures, exploded to (doc_id, perm, minhash).
+    *
+    * r22 shape: pin the COMPACT per-doc (doc_id, sig) frame, range-sort it
+    * by doc_id, and posexplode AFTER the sort. The r20 shape sorted the
+    * exploded rows, so the range sampler re-ran the whole shingle→MinHash
+    * pass (the sort's child) a second time; the r21 attempt pinned the
+    * EXPLODED frame and regressed (2.26 → 3.19 s — NumPerms× the rows
+    * stored and re-read). Pinning one array row per doc stores the
+    * minimum, the sampler reads materialized rows, and the explode — a
+    * narrow, order-preserving Generate emitting perms 0..N−1 in array
+    * order — reproduces exactly the old (doc_id, perm) total order, so
+    * the rows AND their order are unchanged (hash gate proves it). */
   // slope pin: ~5 at 10x input, drifting toward 10 (shingles x perms is
   // linear in corpus bytes) — see SLOPES.md
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    withSig(s, d)
+    graft.QueryDsl.pin(withSig(s, d).select(col("doc_id"), col("sig")))
+      .orderBy("doc_id")
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))
-      .orderBy("doc_id", "perm")
 
   /** Estimated Jaccard from two signatures: native agreement count (one
     * JVM loop per pair — [[graft.functions.SigAgreement]]; the interpreted
@@ -202,7 +209,7 @@ object Dedup {
     // self-join (banding off the pin is a cheap slice/concat) and the two
     // per-side signature joins — no subtree is left for ReuseExchange to
     // rescue under pressure.
-    val sig = withSig(s, d).select(col("doc_id"), col("sig")).localCheckpoint()
+    val sig = graft.QueryDsl.pin(withSig(s, d).select(col("doc_id"), col("sig")))
     val est = estJaccard(col("sa"), col("sb"))
     candidatePairsFrom(bandsFrom(sig))
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
@@ -831,8 +838,8 @@ object Dedup {
     val table = baseBandsTable(d)
     graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
       baseIndexBuildCount.incrementAndGet()
-      val baseSig = sigOf(s, docs(s, d).filter(!isDeltaDoc))
-        .select(col("doc_id"), col("sig")).localCheckpoint()
+      val baseSig = graft.QueryDsl.pin(
+        sigOf(s, docs(s, d).filter(!isDeltaDoc)).select(col("doc_id"), col("sig")))
       baseSig.write.mode("overwrite").parquet(sigsPath)
       // bucketed external table: DROP forgets metadata only, so clear any
       // half-built files by hand first (the ensureAnnStaged pattern)
@@ -873,8 +880,8 @@ object Dedup {
     * candidates-only scoring join. Nothing in this plan touches a base
     * document's text. */
   def incrementalDedup(s: SparkSession, d: String): DataFrame = {
-    val deltaSig = sigOf(s, docs(s, d).filter(isDeltaDoc))
-      .select(col("doc_id"), col("sig")).localCheckpoint()
+    val deltaSig = graft.QueryDsl.pin(
+      sigOf(s, docs(s, d).filter(isDeltaDoc)).select(col("doc_id"), col("sig")))
     val deltaBands = bandsFrom(deltaSig)
     def cand(other: DataFrame, extra: Column): DataFrame =
       deltaBands.as("x").join(other.as("y"),

@@ -83,7 +83,7 @@ object Pipeline {
     // three consumers below — without this the LSH/gram subplans would
     // execute three times (the csvRoundtrip precedent); the eager
     // checkpoint is also the action that fires the observed metrics
-    val survivors = surObserved.localCheckpoint()
+    val survivors = graft.QueryDsl.pin(surObserved)
     val cleaned = CorpusClean.cleanedOf(survivors)
       .select(col("doc_id"), col("clean_text").as("text"))
     TextAnalysis.packSpansOf(cleaned)
@@ -173,9 +173,15 @@ object Pipeline {
     * corpus function. The chains stay live, measured, and oracle-checked
     * in `t_k_anonymity` and `d_policy_e2e`; the compositions read
     * build-once state, like every staged pair/shingle/LM table. */
+  /** Code-version token folded into the stage fingerprint (r21 advice):
+    * the staged table is a function of kAnonymity + policyE2e + the
+    * verdict join — bump this when any of that derivation changes, or the
+    * stage silently serves the old logic until an oracle mismatch. */
+  private val TextVerdictStageVersion = "kanon1:policy1:join1"
+
   private def ensureTextVerdictsStaged(s: SparkSession, d: String): String = {
     val dir = textVerdictStageDir(d)
-    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet")) {
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet"), TextVerdictStageVersion) {
       textVerdictStageBuildCount.incrementAndGet()
       val anon = CorpusClean.kAnonymity(s, d)
         .select(col("lang"), col("source"), col("len_bucket"), col("action"))

@@ -450,14 +450,46 @@ object TextAnalysis {
     spread.select(col("doc_id"), explode(grams5).as("g5"))
   }
 
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val held = gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
-    gramSide(s, d, gramBucket < 98)
-      .join(broadcast(held), "g5")
+  /** The (doc_id, g5) gram stream and the distinct held-out gram set,
+    * staged once per corpus fingerprint (r22, r21 verdict item 8 — landed
+    * only after the bench learned to PRICE staging via `staging_total`,
+    * so the build cost is reported, not hidden). Three queries
+    * (`t_decontaminate`, `t_decontaminate_bloom`, `t_overlap_frac`) plus
+    * the `t_pipeline_e2e` contamination stage each re-ran the dominant
+    * per-doc gram-md5 pass per run even though both tables are pure
+    * corpus functions — the LM family's staged-table discipline applies
+    * verbatim. The split predicate (content-hash bucket 98/2) is part of
+    * the staged derivation, hence the version token. */
+  private[operators] val gramStageBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def gramStageDir(sfDir: String): String =
+    "/tmp/graft_stage/grams5_v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def ensureGramsStaged(s: SparkSession, d: String): String = {
+    val dir = gramStageDir(d)
+    graft.Staging.ensure(dir, Seq(s"$d/documents.parquet"), "md5grams:k5:b98") {
+      gramStageBuildCount.incrementAndGet()
+      gramSide(s, d, gramBucket < 98)
+        .write.mode("overwrite").parquet(dir + "/train")
+      gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
+        .write.mode("overwrite").parquet(dir + "/held")
+    }: Unit
+    dir
+  }
+
+  private def stagedTrainGrams(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureGramsStaged(s, d) + "/train")
+
+  private def stagedHeldGrams(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureGramsStaged(s, d) + "/held")
+
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    stagedTrainGrams(s, d)
+      .join(broadcast(stagedHeldGrams(s, d)), "g5")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
-  }
 
   /** [[decontaminate]] for when even the held-out GRAM SET outgrows
     * executor memory (a broadcast hash table keyed by 16-byte md5s is an
@@ -474,13 +506,13 @@ object TextAnalysis {
     * here); at a real corpus, size it to the held-out suite and keep fpp
     * low enough that the confirm join stays tiny. */
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
-    val held = gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
+    val held = stagedHeldGrams(s, d)
     // index-build action, like df.stat.bloomFilter: the serialized filter
     // comes to the driver once and rides into the plan as a literal
     val bloomBytes = held
       .agg(graft.functions.GraftFunctions.bloom_agg(xxhash64(col("g5")), 200000L).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val survivors = gramSide(s, d, gramBucket < 98)
+    val survivors = stagedTrainGrams(s, d)
       .filter(graft.functions.GraftFunctions.bloom_might_contain(
         lit(bloomBytes), xxhash64(col("g5"))))
     survivors
@@ -493,11 +525,11 @@ object TextAnalysis {
   /** Exposed for LlmCorpusSpec's pruning assertion: grams surviving the
     * bloom probe (pre-confirm) vs total train-side grams. */
   private[operators] def bloomSurvivorCounts(s: SparkSession, d: String): (Long, Long) = {
-    val held = gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
+    val held = stagedHeldGrams(s, d)
     val bloomBytes = held
       .agg(graft.functions.GraftFunctions.bloom_agg(xxhash64(col("g5")), 200000L).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val train = gramSide(s, d, gramBucket < 98)
+    val train = stagedTrainGrams(s, d)
     val survivors = train.filter(graft.functions.GraftFunctions.bloom_might_contain(
       lit(bloomBytes), xxhash64(col("g5"))))
     (survivors.count(), train.count())
@@ -513,8 +545,8 @@ object TextAnalysis {
     * stream never shuffles — it joins a broadcast set and aggregates
     * per doc with map-side combine. */
   def overlapFrac(s: SparkSession, d: String): DataFrame = {
-    val held = gramSide(s, d, gramBucket >= 98).select(col("g5")).distinct()
-    gramSide(s, d, gramBucket < 98)
+    val held = stagedHeldGrams(s, d)
+    stagedTrainGrams(s, d)
       .join(broadcast(held.withColumn("hit", lit(1L))), Seq("g5"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -861,13 +893,36 @@ object TextAnalysis {
     val counts = docs(s, d)
       .select(explode(words).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val ordW = Window.orderBy(col("n").desc, col("word").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r22 (guide §2.5): the cumulative-coverage window previously ran
+    // UNPARTITIONED over every distinct corpus word — |V| grows without
+    // bound at web scale (100M+ types), and one task sorted all of it.
+    // The [[curriculum]] offset-broadcast pattern instead: bucket words
+    // by their COUNT VALUE, compute cumulative starting offsets over the
+    // bounded O(distinct count values) bucket table (Zipf: ≪ |V|),
+    // broadcast the offsets back, and rank within each bucket — no task
+    // ever orders more than one count-value's words. The arithmetic is
+    // exactly the old window's: along (n desc, word asc), a word's
+    // cumulative mass = mass of strictly-higher buckets + n × its
+    // position in its own bucket, and its rank = words in higher buckets
+    // + its position. (The old rank window ran after the coverage filter,
+    // but the kept set is a PREFIX of the ordering — (cum−n) is
+    // nondecreasing — so ranks over all words agree on every kept row.)
+    val bucketW = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_words"))
+      .withColumn("rank_offset", coalesce(sum(col("n_words")).over(bucketW), lit(0L)))
+      .withColumn("cum_offset",
+        coalesce(sum(col("n") * col("n_words")).over(bucketW), lit(0L)))
+      .withColumn("total", sum(col("n") * col("n_words")).over(Window.partitionBy()))
+      .select(col("n"), col("rank_offset"), col("cum_offset"), col("total"))
     counts
-      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
-      .withColumn("cum", sum(col("n")).over(ordW))
+      .join(broadcast(offsets), "n")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("n")).orderBy(col("word").asc)))
+      .withColumn("cum", col("cum_offset") + col("n") * col("rn"))
       .filter((col("cum") - col("n")) * 10 < col("total") * 9)
-      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("word").asc)))
+      .withColumn("rank", (col("rank_offset") + col("rn")).cast("int"))
       .select(col("rank"), col("word"), col("n"), col("cum"))
       .orderBy("rank")
   }

@@ -125,6 +125,33 @@ class StagingSpec extends AnyFunSuite {
     assert(Staging.fingerprint(Seq(src)) != before)
   }
 
+  test("a code-version token forces a rebuild; an unchanged token does not") {
+    // source fingerprints cannot see builder-LOGIC changes (r21 advice):
+    // the version token is the rebuild lever a derivation change pulls
+    val (src, dir) = freshDirs()
+    writeSrc(src, "a.parquet", "v1")
+    var builds = 0
+    assert(Staging.ensure(dir, Seq(src), "logic-v1") { builds += 1 })
+    assert(!Staging.ensure(dir, Seq(src), "logic-v1") { builds += 1 })
+    assert(Staging.ensure(dir, Seq(src), "logic-v2") { builds += 1 },
+      "bumped version token must rebuild against unchanged sources")
+    assert(!Staging.ensure(dir, Seq(src), "logic-v2") { builds += 1 })
+    assert(builds == 2)
+  }
+
+  test("builds are logged with wall seconds (the bench's staging price)") {
+    val (src, dir) = freshDirs()
+    writeSrc(src, "a.parquet", "v1")
+    val before = Staging.buildsSnapshot.count(_.dir == dir)
+    Staging.ensure(dir, Seq(src)) { Thread.sleep(5) }
+    val mine = Staging.buildsSnapshot.filter(_.dir == dir)
+    assert(mine.size == before + 1, "the build must land in the log once")
+    assert(mine.last.sec >= 0.005, "logged seconds must cover the build body")
+    // a warm ensure adds nothing — the steady state prices at zero
+    Staging.ensure(dir, Seq(src)) { Thread.sleep(5) }
+    assert(Staging.buildsSnapshot.count(_.dir == dir) == before + 1)
+  }
+
   test("a missing source root still fingerprints (and changes on creation)") {
     val (src, dir) = freshDirs()
     val before = Staging.fingerprint(Seq(src))

@@ -33,7 +33,11 @@ class DocCompactionSpec extends AnyFunSuite {
     // pins before its sort (QueryDsl.sortedPinned), which hides the scan
     // subtree behind an RDD — the scan behavior under test is unchanged
     val raw = Extraction.docSourceCompactedRaw(s, sf)
-    raw.write.format("noop").mode("overwrite").save()
+    // execute the SAME QueryExecution whose plan is inspected (a noop
+    // write runs a separate QueryExecution, so the inspected scan's
+    // metrics would stay 0 and the gate would pass vacuously — r21 advice;
+    // collect() is the LayoutSpec/DppSpec pattern)
+    raw.collect()
     val scan = flatten(raw.queryExecution.executedPlan)
       .collectFirst { case f: FileSourceScanExec => f }
     assert(scan.isDefined,
